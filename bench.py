@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the wall-clock of the flagship end-to-end pipeline (cell
+encode -> spatial join -> tiling with pixel decode), the BASELINE.json
+metric; ``images_per_sec`` reports the throughput form.  ``--scaling``
+additionally runs the identical flagship job at local[8] and local[32]
+on the same input and reports throughput at both plus the scaling
+efficiency (sandbox evidence for the >=0.8 two-cluster-size criterion —
+see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> int:
+    """Execute fully; return row count (cheap — aggregates are tiny)."""
+    return df.count()
+
+
+BENCH_QUERIES = [
+    "cell_encode", "sjoin_inner_within", "zone_point_counts", "tile_specs",
+    "knn_closest", "npts_radius", "pixel_stats", "zonal_stats",
+    "dedup_exact", "events_hourly",
+]
+
+
+def run_suite(master: str, sf_dir: str, shuffle_partitions: int,
+              queries=BENCH_QUERIES, flagship_only: bool = False):
+    from rsgislib_spark.queries import QUERIES, flagship
+    from rsgislib_spark.session import get_spark
+
+    spark = get_spark(app=f"bench-{master}", master=master,
+                      shuffle_partitions=shuffle_partitions)
+    try:
+        # one untimed warmup pass to amortize JVM/Arrow startup
+        _force(flagship(spark, "/root/testdata/sf0.001"))
+
+        n_images = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).count()
+
+        t0 = time.perf_counter()
+        _force(flagship(spark, sf_dir))
+        flagship_sec = time.perf_counter() - t0
+
+        per_query = {"flagship": round(flagship_sec, 3)}
+        if not flagship_only:
+            for name in queries:
+                t0 = time.perf_counter()
+                _force(QUERIES[name](spark, sf_dir))
+                per_query[name] = round(time.perf_counter() - t0, 3)
+        return flagship_sec, n_images, per_query
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    flagship_sec, n_images, per_query = run_suite(
+        f"local[{cpus}]", sf_dir, shuffle_partitions=cpus
+    )
+
+    out = {
+        "metric": "flagship end-to-end sec (cell encode + spatial join + "
+                  "tiling w/ pixel decode) + per-query sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_images": n_images,
+        "images_per_sec": round(n_images / flagship_sec, 1),
+        "cpus": cpus,
+    }
+
+    if "--scaling" in sys.argv:
+        scaling = {}
+        for n in (8, 32):
+            sec, n_img, _ = run_suite(f"local[{n}]", sf_dir,
+                                      shuffle_partitions=n, flagship_only=True)
+            scaling[f"local[{n}]"] = {
+                "sec": round(sec, 3),
+                "images_per_sec": round(n_img / sec, 1),
+            }
+        t8 = scaling["local[8]"]["images_per_sec"]
+        t32 = scaling["local[32]"]["images_per_sec"]
+        # efficiency of the 4x scale-up: speedup achieved / speedup ideal
+        scaling["efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+        out["scaling"] = scaling
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,223 @@
+"""Distributed spatial join: the engine's flagship operator.
+
+Re-expresses ``rsgislib.vectorutils.perform_spatial_join`` (reference:
+python/rsgislib/vectorutils/__init__.py:2159-2223 — geopandas ``sjoin`` with
+``how in {left, right, inner}`` and ``op in {intersects, within,
+contains}``) as a two-phase Spark plan:
+
+1. **candidate generation** — both sides are keyed by integer grid cells
+   (``geo.cellindex``): points get ``cell_of_point``; bbox geometries get
+   their ``polyfill`` covering exploded to one row per cell.  The join is a
+   plain equi-join on ``cell`` so Catalyst gets a hash/broadcast/sort-merge
+   join with all its machinery (AQE, DPP).  The rtree of the reference is
+   replaced by this key — the "spatial pushdown".
+
+2. **exact refinement** — a deterministic geometry predicate over the
+   candidate pairs.  For the bbox fast path this is pure Catalyst column
+   comparisons (reference envelope semantics, geometrytools.py:82-123:
+   *strict* inequalities for bbox-bbox intersects/contains; point-in-bbox
+   uses the half-open ``min <= p < max`` convention so every point maps to
+   exactly one cell-sized slot).  For general polygons the refinement is a
+   vectorized ray-casting PIP (``geo.geometry``) in an Arrow pandas UDF.
+
+Scale levers (SURVEY.md §4.2):
+
+* small zone layers are broadcast (`broadcast=True`, the default) — no
+  shuffle of the big side at all;
+* big-big joins use sort-merge on ``cell`` with optional **explicit
+  salting**: the probe side adds ``salt = pmod(xxhash64(id), n_salt)``,
+  the build side explodes all ``n_salt`` values per cell.  This splits a
+  single hot cell (AQE skew-join cannot split one key) — the megacity
+  cell in the synthetic world is exactly that case.
+
+Like geopandas sjoin, the output keeps base-side rows/geometry plus the
+joined side's attributes and an ``index_right`` column; ``how='left'``
+keeps unmatched base rows with null attributes, ``how='right'`` keeps all
+join rows, ``inner`` only matches.  An empty result is an empty DataFrame
+(the reference's "no output file written" materialization rule,
+vectorutils/__init__.py:2219-2223, belongs to the sink layer).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..geo.cellindex import DEFAULT_RES, _RES_SHIFT, _X_SHIFT, cell_sql_expr
+
+__all__ = [
+    "with_point_cell",
+    "with_bbox_cells",
+    "spatial_join",
+    "JOIN_OPS",
+    "JOIN_HOWS",
+]
+
+JOIN_OPS = ("intersects", "within", "contains")
+JOIN_HOWS = ("left", "right", "inner")
+
+
+def with_point_cell(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                    res: int = DEFAULT_RES, out: str = "cell") -> DataFrame:
+    """Assign the containing grid cell — pure Catalyst arithmetic (no UDF)."""
+    return df.withColumn(out, F.expr(cell_sql_expr(lon, lat, res)))
+
+
+def _axis_idx(expr: str, origin: float, extent: float, n: int) -> Column:
+    c = F.floor((F.expr(expr) + F.lit(origin)) / F.lit(extent) * F.lit(float(n)))
+    return F.least(F.greatest(c, F.lit(0)), F.lit(n - 1)).cast("long")
+
+
+def with_bbox_cells(df: DataFrame, xmin: str, xmax: str, ymin: str, ymax: str,
+                    res: int = DEFAULT_RES, out: str = "cell") -> DataFrame:
+    """Explode each bbox row to one row per covering cell (polyfill).
+
+    Implemented with ``sequence``/``explode`` so it stays JVM-side; the
+    covering includes boundary cells (candidate superset — refinement
+    removes false positives).
+    """
+    n = 1 << res
+    nx0 = _axis_idx(xmin, 180.0, 360.0, n)
+    nx1 = _axis_idx(xmax, 180.0, 360.0, n)
+    ny0 = _axis_idx(ymin, 90.0, 180.0, n)
+    ny1 = _axis_idx(ymax, 90.0, 180.0, n)
+    return (
+        df.withColumn("_nx", F.explode(F.sequence(nx0, nx1)))
+        .withColumn("_ny", F.explode(F.sequence(ny0, ny1)))
+        .withColumn(
+            out,
+            F.lit(res).cast("long") * F.lit(_RES_SHIFT)
+            + F.col("_nx") * F.lit(_X_SHIFT) + F.col("_ny"),
+        )
+        .drop("_nx", "_ny")
+    )
+
+
+def _point_in_bbox(lon: str, lat: str, bxmin: str, bxmax: str,
+                   bymin: str, bymax: str) -> Column:
+    """Half-open point-in-bbox: min <= p < max (one slot per point)."""
+    return (
+        (F.col(lon) >= F.col(bxmin)) & (F.col(lon) < F.col(bxmax))
+        & (F.col(lat) >= F.col(bymin)) & (F.col(lat) < F.col(bymax))
+    )
+
+
+def _bbox_intersects(a: Iterable[str], b: Iterable[str]) -> Column:
+    """Strict bbox-bbox overlap (geometrytools.py:82-102)."""
+    axmin, axmax, aymin, aymax = a
+    bxmin, bxmax, bymin, bymax = b
+    return (
+        (F.col(axmax) > F.col(bxmin)) & (F.col(bxmax) > F.col(axmin))
+        & (F.col(aymax) > F.col(bymin)) & (F.col(bymax) > F.col(aymin))
+    )
+
+
+def _bbox_contains(a: Iterable[str], b: Iterable[str]) -> Column:
+    """Strict a-contains-b (geometrytools.py:104-123)."""
+    axmin, axmax, aymin, aymax = a
+    bxmin, bxmax, bymin, bymax = b
+    return (
+        (F.col(axmin) < F.col(bxmin)) & (F.col(axmax) > F.col(bxmax))
+        & (F.col(aymin) < F.col(bymin)) & (F.col(aymax) > F.col(bymax))
+    )
+
+
+def spatial_join(
+    base: DataFrame,
+    join: DataFrame,
+    *,
+    how: str = "inner",
+    op: str = "within",
+    base_geom: str = "point",          # 'point' | 'bbox'
+    base_cols=("lon", "lat"),           # point cols or bbox cols (4)
+    join_bbox=("zxmin", "zxmax", "zymin", "zymax"),
+    base_key: str = "image_id",
+    join_key: str = "zone_id",
+    res: int = DEFAULT_RES,
+    broadcast: bool = True,
+    n_salt: int | None = None,
+) -> DataFrame:
+    """Spatial join of a big base layer against a (bbox-geometry) join layer.
+
+    Validation mirrors the reference (vectorutils/__init__.py:2196-2199).
+    Output = base columns + join attribute columns + ``index_right``
+    (= matched ``join_key``), geopandas-style.
+    """
+    if how not in JOIN_HOWS:
+        raise ValueError("The join_how specified is not valid.")
+    if op not in JOIN_OPS:
+        raise ValueError("The join_op specified is not valid.")
+
+    # --- candidate keying ------------------------------------------------
+    if base_geom == "point":
+        lon, lat = base_cols
+        keyed_base = with_point_cell(base, lon, lat, res)
+    elif base_geom == "bbox":
+        keyed_base = with_bbox_cells(base, *base_cols, res=res)
+    else:
+        raise ValueError(f"unknown base_geom {base_geom!r}")
+
+    keyed_join = with_bbox_cells(join, *join_bbox, res=res)
+
+    # --- exact predicate -------------------------------------------------
+    if base_geom == "point":
+        lon, lat = base_cols
+        # for a point, within == intersects; contains never holds for a
+        # non-degenerate polygon — mirror geopandas' row-wise predicate.
+        if op in ("within", "intersects"):
+            pred = _point_in_bbox(lon, lat, *join_bbox)
+        else:  # contains
+            pred = F.lit(False)
+    else:
+        if op == "intersects":
+            pred = _bbox_intersects(base_cols, join_bbox)
+        elif op == "within":
+            pred = _bbox_contains(join_bbox, base_cols)
+        else:  # contains
+            pred = _bbox_contains(base_cols, join_bbox)
+
+    join_attrs = [c for c in join.columns if c != join_key]
+
+    # --- join strategy ---------------------------------------------------
+    if broadcast:
+        matched = (
+            keyed_base.join(F.broadcast(keyed_join), "cell", "inner")
+            .where(pred)
+        )
+    elif n_salt:
+        # explicit hot-cell salting: probe side one salt value, build side
+        # replicated n_salt times -> a hot cell splits into n_salt tasks.
+        salted_base = keyed_base.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(base_key)), F.lit(n_salt))
+        )
+        salted_join = keyed_join.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        matched = (
+            salted_base.join(salted_join, ["cell", "_salt"], "inner")
+            .where(pred)
+            .drop("_salt")
+        )
+    else:
+        matched = keyed_base.join(keyed_join, "cell", "inner").where(pred)
+
+    # bbox bases can match a zone through several shared cells -> dedupe
+    # pairs; point bases sit in exactly one cell so pairs are unique.
+    if base_geom == "bbox":
+        matched = matched.dropDuplicates([base_key, join_key])
+
+    matched = matched.drop("cell").withColumn("index_right", F.col(join_key))
+
+    if how == "inner":
+        return matched
+    if how == "left":
+        attach = matched.select(base_key, "index_right", *join_attrs)
+        return base.join(attach, base_key, "left")
+    # right: keep every join row, attach matched base rows
+    attach = matched.select(*base.columns, "index_right")
+    return join.withColumn("index_right", F.col(join_key)).join(
+        attach, "index_right", "left"
+    )

@@ -1,0 +1,196 @@
+"""Zonal statistics: GROUP BY polygon over decoded pixels.
+
+Re-expresses ``calc_zonal_band_stats`` (reference: python/rsgislib/
+zonalstats/__init__.py:167-522): per zone, aggregate the raster pixels
+whose centers fall inside the zone geometry (the reference rasterizes each
+feature with GDAL — pixel-center-in-poly semantics — then masks by
+nodata/min_thres/max_thres; aggregates are numpy min/max/mean/std
+(population)/sum/count plus scipy-mode and numpy-median,
+zonalstats/__init__.py:424-476; an empty pixel set writes
+``out_no_data_val`` into every stat, :477-499).
+
+Spark shape (SURVEY.md §3.3): instead of exploding pixels into rows,
+
+1. candidate pairs: image footprints x zones joined on grid cells
+   (broadcast zones), refined by strict bbox intersection;
+2. per-(image, zone) partial aggregates computed inside one Arrow pass
+   over the image's decoded plane: count / sum / sumsq / min / max plus
+   an exact integer histogram (pixel domain is bounded: uint8/uint16 —
+   SURVEY.md §7.2 hard part (c));
+3. final per-zone merge: moments combine in plain Catalyst aggregates;
+   histograms combine by element-wise sum, from which median / mode /
+   percentiles are *exact* (mode ties resolve to the smallest value, the
+   scipy.stats.mstats.mode convention the reference inherits).
+
+Two shuffles total (candidate join is broadcast -> zero; final merge ->
+one), independent of pixel count: the pixel volume never crosses the
+network, only (pairs x histogram) partials do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from ..functions import codec
+from ..geo.cellindex import DEFAULT_RES
+from .spatial_join import with_bbox_cells
+
+__all__ = ["zonal_stats", "HIST_BINS"]
+
+HIST_BINS = 1024  # pixel values are < 1024 in every supported format
+
+_PARTIAL_SCHEMA = StructType([
+    StructField("zone_id", LongType()),
+    StructField("image_id", StringType()),
+    StructField("n", LongType()),
+    StructField("s", LongType()),
+    StructField("ss", LongType()),
+    StructField("mn", LongType()),
+    StructField("mx", LongType()),
+    StructField("hist", ArrayType(LongType())),
+])
+
+
+def _pair_partials(pdf_iter, res_deg: float, min_thres: float,
+                   max_thres: float, nodata):
+    """mapInPandas kernel: decode each image once, emit one partial row per
+    (image, zone) candidate pair.  Zone membership = pixel-center-in-rect,
+    half-open on the max edges (one grid slot per center)."""
+    for pdf in pdf_iter:
+        rows = {k: [] for k in ("zone_id", "image_id", "n", "s", "ss",
+                                "mn", "mx", "hist")}
+        for img_id_key, grp in pdf.groupby("image_id", sort=False):
+            r0 = grp.iloc[0]
+            w, h = int(r0["w"]), int(r0["h"])
+            arr = codec.decode_image(bytes(r0["bytes"]), w, h,
+                                     str(r0["fmt"])).astype(np.int64)
+            tlx = float(r0["xmin"])
+            tly = float(r0["ymax"])
+            cx = tlx + (np.arange(w) + 0.5) * res_deg          # pixel centers
+            cy = tly - (np.arange(h) + 0.5) * res_deg
+            for _, pr in grp.iterrows():
+                in_x = (cx >= pr["zxmin"]) & (cx < pr["zxmax"])
+                in_y = (cy >= pr["zymin"]) & (cy < pr["zymax"])
+                sub = arr[np.ix_(in_y, in_x)]
+                vals = sub.ravel()
+                if nodata is not None:
+                    vals = vals[vals != nodata]
+                vals = vals[(vals >= min_thres) & (vals <= max_thres)]
+                if vals.size == 0:
+                    continue
+                rows["zone_id"].append(int(pr["zone_id"]))
+                rows["image_id"].append(img_id_key)
+                rows["n"].append(int(vals.size))
+                rows["s"].append(int(vals.sum()))
+                rows["ss"].append(int((vals * vals).sum()))
+                rows["mn"].append(int(vals.min()))
+                rows["mx"].append(int(vals.max()))
+                rows["hist"].append(np.bincount(vals, minlength=HIST_BINS)
+                                    .astype(np.int64))
+        yield pd.DataFrame(rows)
+
+
+_FINAL_SCHEMA = StructType([
+    StructField("zone_id", LongType()),
+    StructField("median_pix", DoubleType()),
+    StructField("mode_pix", DoubleType()),
+])
+
+
+def _hist_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: merge histograms of one zone -> exact median
+    (numpy convention: mean of the two central order statistics) and mode
+    (smallest modal value on ties, scipy.stats.mstats.mode convention)."""
+    hist = np.zeros(HIST_BINS, dtype=np.int64)
+    for harr in pdf["hist"]:
+        hist += np.asarray(harr, dtype=np.int64)
+    n = int(hist.sum())
+    cum = np.cumsum(hist)
+    lo = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+    hi = int(np.searchsorted(cum, n // 2 + 1))
+    median = (lo + hi) / 2.0
+    mode = float(np.argmax(hist))  # argmax -> first (smallest) on ties
+    return pd.DataFrame({"zone_id": [int(pdf["zone_id"].iloc[0])],
+                         "median_pix": [median], "mode_pix": [mode]})
+
+
+def zonal_stats(
+    images: DataFrame,
+    zones: DataFrame,
+    *,
+    res: int = DEFAULT_RES,
+    res_deg: float = 0.001,
+    min_thres: float = 0.0,
+    max_thres: float = float(2 ** 31),
+    nodata=None,
+    out_no_data_val: float = -9999.0,
+    with_median_mode: bool = True,
+) -> DataFrame:
+    """Per-zone stats over every image overlapping the zone.
+
+    ``images`` needs (image_id, bytes, w, h, fmt, xmin, xmax, ymin, ymax);
+    ``zones`` needs (zone_id, zxmin, zxmax, zymin, zymax [+ attrs]).
+    Returns one row per zone: n_pix, sum_pix, min_pix, max_pix, mean_pix,
+    stddev_pix (population), and exact median_pix / mode_pix; zones with
+    no pixels carry ``out_no_data_val`` (reference empty-set semantics,
+    zonalstats/__init__.py:477-499).
+    """
+    # phase 1: candidate pairs (broadcast zones on cell key + bbox refine)
+    zc = with_bbox_cells(zones.select("zone_id", "zxmin", "zxmax",
+                                      "zymin", "zymax"),
+                         "zxmin", "zxmax", "zymin", "zymax", res=res)
+    ic = with_bbox_cells(images.select("image_id", "xmin", "xmax",
+                                       "ymin", "ymax"),
+                         "xmin", "xmax", "ymin", "ymax", res=res)
+    pairs = (
+        ic.join(F.broadcast(zc), "cell", "inner")
+        .where((F.col("xmax") > F.col("zxmin")) & (F.col("zxmax") > F.col("xmin"))
+               & (F.col("ymax") > F.col("zymin")) & (F.col("zymax") > F.col("ymin")))
+        .select("image_id", "zone_id", "zxmin", "zxmax", "zymin", "zymax")
+        .dropDuplicates(["image_id", "zone_id"])
+    )
+
+    # phase 2: Arrow partials — ship pixels into the pair rows via an
+    # image-keyed join (each image decoded once per task batch).
+    px_cols = images.select("image_id", "bytes", "w", "h", "fmt",
+                            "xmin", "ymax")
+    work = pairs.join(px_cols, "image_id", "inner").repartition("image_id")
+
+    partials = work.mapInPandas(
+        lambda it: _pair_partials(it, res_deg, min_thres, max_thres, nodata),
+        schema=_PARTIAL_SCHEMA,
+    )
+
+    # phase 3: final merge — moments in Catalyst, order stats from hists
+    # all stats surface as doubles: the reference writes every zonal field
+    # as OFTReal (zonalstats/__init__.py:289-319), and a uniform type lets
+    # empty zones take out_no_data_val.
+    moments = partials.groupBy("zone_id").agg(
+        F.sum("n").cast("double").alias("n_pix"),
+        F.sum("s").cast("double").alias("sum_pix"),
+        F.sum("ss").alias("_ss"),
+        F.min("mn").cast("double").alias("min_pix"),
+        F.max("mx").cast("double").alias("max_pix"),
+    ).withColumn(
+        "mean_pix", F.col("sum_pix").cast("double") / F.col("n_pix").cast("double")
+    ).withColumn(
+        "stddev_pix",
+        F.sqrt(F.col("_ss").cast("double") / F.col("n_pix").cast("double")
+               - F.col("mean_pix") * F.col("mean_pix")),
+    ).drop("_ss")
+
+    out = zones.join(moments, "zone_id", "left")
+
+    if with_median_mode:
+        order_stats = partials.select("zone_id", "hist").groupBy("zone_id") \
+            .applyInPandas(_hist_finalize, schema=_FINAL_SCHEMA)
+        out = out.join(order_stats, "zone_id", "left")
+
+    stat_cols = ["n_pix", "sum_pix", "min_pix", "max_pix", "mean_pix",
+                 "stddev_pix"] + (["median_pix", "mode_pix"]
+                                  if with_median_mode else [])
+    return out.fillna({c: out_no_data_val for c in stat_cols})

@@ -1,0 +1,198 @@
+"""DuckDB oracle SQL for every query in ``rsgislib_spark.queries``.
+
+The driver runs these against the same parquet tables (views ``region
+nation customer supplier part orders lineitem events documents
+embeddings``) and compares row count / schema / order-insensitive value
+hash with the Spark result.  The synthetic images/zones/query-points
+layers are reconstructed *inside the SQL* from ``part``/``nation``/
+``supplier`` using the identical arithmetic the engine uses
+(``rsgislib_spark.synth``) — the oracle shares formulas, not code paths:
+Spark evaluates them in Catalyst/JVM, DuckDB in its own vectorized engine.
+Pixel-level oracles never decode bytes; they recompute the closed-form
+pixel value v(id, x, y) over ``generate_series``.
+"""
+
+from __future__ import annotations
+
+from . import synth
+from .geo.cellindex import cell_sql_expr
+
+__all__ = ["ORACLES"]
+
+_IMG = synth.images_sql("duckdb")
+_IMGF = synth.footprint_sql(_IMG)
+_ZONES = synth.zones_sql("duckdb")
+_QPTS = synth.qpoints_sql("duckdb")
+
+_PREFIX = f"WITH img AS ({_IMG}), imgf AS ({_IMGF}), zones AS ({_ZONES}), qpts AS ({_QPTS})"
+
+_CELL = cell_sql_expr("lon", "lat")
+
+_PIP = ("i.lon >= z.zxmin AND i.lon < z.zxmax AND "
+        "i.lat >= z.zymin AND i.lat < z.zymax")
+
+ORACLES = {}
+
+ORACLES["cell_encode"] = f"""
+{_PREFIX}
+SELECT {_CELL} AS cell, count(*) AS n_images,
+       min(id) AS min_id, max(id) AS max_id
+FROM img GROUP BY 1
+"""
+
+ORACLES["sjoin_inner_within"] = f"""
+{_PREFIX}
+SELECT i.image_id, z.zone_id, z.zname, i.lon, i.lat
+FROM img i JOIN zones z ON {_PIP}
+"""
+
+ORACLES["zone_point_counts"] = f"""
+{_PREFIX}
+SELECT z.zone_id, z.zname, count(i.image_id) AS n_pts
+FROM zones z LEFT JOIN img i ON {_PIP}
+GROUP BY z.zone_id, z.zname
+"""
+
+_TW, _TH = 48, 32
+ORACLES["tile_specs"] = f"""
+{_PREFIX},
+g AS (
+  SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         CAST(w // {_TW} AS BIGINT) AS numx, CAST(h // {_TH} AS BIGINT) AS numy,
+         CAST(w % {_TW} AS BIGINT) AS remx, CAST(h % {_TH} AS BIGINT) AS remy
+  FROM img),
+gg AS (
+  SELECT *, numx + CASE WHEN remx > 0 THEN 1 ELSE 0 END AS cols,
+            numy + CASE WHEN remy > 0 THEN 1 ELSE 0 END AS rows_
+  FROM g),
+t AS (
+  SELECT *, unnest(generate_series(0, cols * rows_ - 1)) AS tile_idx FROM gg)
+SELECT image_id, tile_idx,
+  tile_idx % cols AS tile_x,
+  tile_idx // cols AS tile_y,
+  (tile_idx % cols) * {_TW} AS txmin,
+  least((tile_idx % cols) * {_TW}
+        + CASE WHEN tile_idx % cols < numx THEN {_TW} ELSE remx END, w) AS txmax,
+  (tile_idx // cols) * {_TH} AS tymin,
+  least((tile_idx // cols) * {_TH}
+        + CASE WHEN tile_idx // cols < numy THEN {_TH} ELSE remy END, h) AS tymax,
+  concat(image_id, '_tile', tile_idx) AS tile_name,
+  concat('x', tile_idx % cols + 1, 'y', tile_idx // cols + 1) AS tile_name_mc
+FROM t
+"""
+
+ORACLES["knn_closest"] = f"""
+{_PREFIX},
+d AS (
+  SELECT q.qid, q.qlon, q.qlat, i.image_id, i.lon, i.lat,
+         sqrt((q.qlon - i.lon) * (q.qlon - i.lon)
+              + (q.qlat - i.lat) * (q.qlat - i.lat)) AS dist,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY sqrt((q.qlon - i.lon) * (q.qlon - i.lon)
+                         + (q.qlat - i.lat) * (q.qlat - i.lat))) AS rn
+  FROM qpts q CROSS JOIN img i)
+SELECT qid, qlon, qlat, image_id AS match_image_id,
+       lon AS x_match, lat AS y_match, dist AS dist_match
+FROM d WHERE rn = 1
+"""
+
+ORACLES["npts_radius"] = f"""
+{_PREFIX}
+SELECT a.image_id, count(*) - 1 AS n_pts_r
+FROM img a JOIN img b
+  ON sqrt((a.lon - b.lon) * (a.lon - b.lon)
+          + (a.lat - b.lat) * (a.lat - b.lat)) <= 0.2
+GROUP BY a.image_id
+"""
+
+_PMAX = synth.pmax_sql("fmt")
+_PXV = synth.pixel_value_sql("id", "x", "y", "fmt")
+
+ORACLES["pixel_stats"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 7 = 0),
+px AS (SELECT image_id, {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs))
+SELECT image_id, count(*) AS n_pix, CAST(sum(v) AS BIGINT) AS sum_pix,
+       CAST(min(v) AS BIGINT) AS min_pix, CAST(max(v) AS BIGINT) AS max_pix,
+       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_pix
+FROM px GROUP BY image_id
+"""
+
+ORACLES["zonal_stats"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM imgf WHERE id % 7 = 0),
+px AS (SELECT image_id,
+              xmin + (x + 0.5) * {synth.IMG_RES_DEG} AS cx,
+              ymax - (y + 0.5) * {synth.IMG_RES_DEG} AS cy,
+              {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
+j AS (SELECT z.zone_id, p.v
+      FROM px p JOIN zones z
+        ON p.cx >= z.zxmin AND p.cx < z.zxmax
+       AND p.cy >= z.zymin AND p.cy < z.zymax),
+s AS (SELECT zone_id,
+             CAST(count(*) AS DOUBLE) AS n_pix,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) AS sum_pix,
+             CAST(min(v) AS DOUBLE) AS min_pix,
+             CAST(max(v) AS DOUBLE) AS max_pix,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_pix,
+             sqrt(CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)
+                  - (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE))
+                    * (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE))) AS stddev_pix,
+             CAST(median(v) AS DOUBLE) AS median_pix
+      FROM j GROUP BY zone_id)
+SELECT z.zone_id, z.zname,
+       coalesce(s.n_pix, -9999.0) AS n_pix,
+       coalesce(s.sum_pix, -9999.0) AS sum_pix,
+       coalesce(s.min_pix, -9999.0) AS min_pix,
+       coalesce(s.max_pix, -9999.0) AS max_pix,
+       coalesce(s.mean_pix, -9999.0) AS mean_pix,
+       coalesce(s.stddev_pix, -9999.0) AS stddev_pix,
+       coalesce(s.median_pix, -9999.0) AS median_pix
+FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
+"""
+
+ORACLES["attr_filter"] = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+"""
+
+ORACLES["value_counts"] = """
+SELECT c_mktsegment, count(*) AS n_feats FROM customer GROUP BY c_mktsegment
+"""
+
+ORACLES["dedup_exact"] = """
+SELECT md5(text) AS text_md5, count(*) AS n_dup, min(doc_id) AS rep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+ORACLES["recode_region"] = """
+SELECT r_name, count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+ORACLES["topk_largest"] = f"""
+{_PREFIX}
+SELECT image_id, w, h, CAST(w AS BIGINT) * h AS area
+FROM img ORDER BY area DESC, id LIMIT 20
+"""
+
+ORACLES["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""

@@ -1,0 +1,235 @@
+"""Named engine queries: one per operator claimed in SURVEY.md §2.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names/types line up exactly with the DuckDB oracle SQL in
+``rsgislib_spark.oracles`` (the driver compares row counts, schema and an
+order-insensitive value hash at sf=0.01).
+
+Determinism note: no query emits a float that was accumulated in
+partition order — every double is derived from exact integer aggregates
+or carried input values, so Spark and DuckDB produce bit-identical
+results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import synth
+from .geo.cellindex import cell_sql_expr
+from .operators.imagestats import pixel_stats
+from .operators.knn import match_closest_points, npts_in_radius
+from .operators.spatial_join import spatial_join, with_point_cell
+from .operators.tiling import tile_pixels, tile_spec_df
+from .operators.zonal import zonal_stats
+from .session import load_tables
+
+__all__ = ["QUERIES", "flagship"]
+
+
+def _images(spark, sf_dir, **kw):
+    return synth.synth_images(spark, sf_dir, **kw)
+
+
+# --------------------------------------------------------------------------
+# spatial / imaging core
+# --------------------------------------------------------------------------
+
+def q_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-role cell assignment + per-cell aggregation (SURVEY §1.4, §2.2)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    return (
+        with_point_cell(img)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_images"),
+             F.min("id").alias("min_id"), F.max("id").alias("max_id"))
+    )
+
+
+def q_sjoin_inner_within(spark, sf_dir) -> DataFrame:
+    """perform_spatial_join how=inner op=within (SURVEY §2.3)."""
+    img = _images(spark, sf_dir)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = spatial_join(img, zones, how="inner", op="within")
+    return out.select("image_id", "zone_id", "zname", "lon", "lat")
+
+
+def q_zone_point_counts(spark, sf_dir) -> DataFrame:
+    """count_pt_intersects: per-polygon point counts, zeros kept (§2.3)."""
+    img = _images(spark, sf_dir)
+    zones = synth.synth_zones(spark, sf_dir)
+    matched = spatial_join(img, zones, how="inner", op="within")
+    counts = matched.groupBy("zone_id").agg(F.count(F.lit(1)).alias("n_pts"))
+    return (
+        zones.join(counts, "zone_id", "left")
+        .fillna({"n_pts": 0})
+        .select("zone_id", "zname", "n_pts")
+    )
+
+
+def q_tile_specs(spark, sf_dir) -> DataFrame:
+    """create_tiles grid arithmetic as a Catalyst-only query (§2.4)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    t = tile_spec_df(img, 48, 32, overlap=0)
+    return t.select(
+        "image_id",
+        F.col("tile_idx").cast("long").alias("tile_idx"),
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("txmin").cast("long").alias("txmin"),
+        F.col("txmax").cast("long").alias("txmax"),
+        F.col("tymin").cast("long").alias("tymin"),
+        F.col("tymax").cast("long").alias("tymax"),
+        "tile_name", "tile_name_mc",
+    )
+
+
+def q_knn_closest(spark, sf_dir) -> DataFrame:
+    """match_closest_vec_pts: exact 1-NN with dist (§2.3)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    out = match_closest_points(qpts, img)
+    return out.select("qid", "qlon", "qlat", "match_image_id",
+                      "x_match", "y_match", "dist_match")
+
+
+def q_npts_radius(spark, sf_dir) -> DataFrame:
+    """calc_npts_in_radius r=0.2 deg on the image layer itself (§2.3)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    out = npts_in_radius(img, 0.2)
+    return out.select("image_id", F.col("n_pts_r").cast("long").alias("n_pts_r"))
+
+
+def q_pixel_stats(spark, sf_dir) -> DataFrame:
+    """pop_img_stats over decoded payloads, id%7 subset (§2.5)."""
+    img = _images(spark, sf_dir, with_bytes=True,
+                  with_footprint=False).where("id % 7 = 0")
+    return pixel_stats(img).select("image_id", "n_pix", "sum_pix",
+                                   "min_pix", "max_pix", "mean_pix")
+
+
+def q_zonal_stats(spark, sf_dir) -> DataFrame:
+    """calc_zonal_band_stats per zone across the id%7 image subset (§2.5)."""
+    img = _images(spark, sf_dir, with_bytes=True).where("id % 7 = 0")
+    zones = synth.synth_zones(spark, sf_dir)
+    out = zonal_stats(img, zones)
+    return out.select("zone_id", "zname", "n_pix", "sum_pix", "min_pix",
+                      "max_pix", "mean_pix", "stddev_pix", "median_pix")
+
+
+# --------------------------------------------------------------------------
+# relational / vector-attribute operators over the driver tables
+# --------------------------------------------------------------------------
+
+def q_attr_filter(spark, sf_dir) -> DataFrame:
+    """subset_by_attribute: predicate row filter + projection (§2.2)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return t["orders"].where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+def q_value_counts(spark, sf_dir) -> DataFrame:
+    """count_feats_per_att_val (§2.5)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    return t["customer"].groupBy("c_mktsegment") \
+        .agg(F.count(F.lit(1)).alias("n_feats"))
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    """rm_feat_att_duplicates via content hash: exact text dedup (§2.2)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .withColumn("text_md5", F.md5(F.encode("text", "UTF-8")))
+        .groupBy("text_md5")
+        .agg(F.count(F.lit(1)).alias("n_dup"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+def q_recode_region(spark, sf_dir) -> DataFrame:
+    """recode/lookup via broadcast-join LUT (add_numeric_col_lut, §2.2)."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name").agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_topk_largest(spark, sf_dir) -> DataFrame:
+    """order_img_using_prop_valid_pxls-style top-k (§2.7)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    return (
+        img.withColumn("area", F.col("w").cast("long") * F.col("h"))
+        .orderBy(F.desc("area"), F.asc("id"))
+        .limit(20)
+        .select("image_id", "w", "h", "area")
+    )
+
+
+def q_events_hourly(spark, sf_dir) -> DataFrame:
+    """batch analog of a streaming tumbling-window aggregation (§2.10)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# flagship end-to-end pipeline (entry smoke + bench headline)
+# --------------------------------------------------------------------------
+
+def flagship(spark, sf_dir) -> DataFrame:
+    """H3 encode -> spatial join -> tiling, per-zone rollup.
+
+    The BASELINE.json metric pipeline: every image is cell-encoded and
+    joined to the zone layer; matched images are tiled (48x32) with real
+    pixel decode and per-tile checksums; result is one row per zone with
+    image/tile/pixel totals.
+    """
+    img = _images(spark, sf_dir, with_bytes=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    matched = spatial_join(img, zones, how="inner", op="within")
+    tiles = tile_pixels(
+        matched.select("image_id", "bytes", "w", "h", "fmt").dropDuplicates(["image_id"]),
+        48, 32, encode=False,
+    )
+    per_img = tiles.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("checksum").alias("pix_sum"),
+    )
+    return (
+        matched.select("image_id", "zone_id", "zname")
+        .join(per_img, "image_id", "inner")
+        .groupBy("zone_id", "zname")
+        .agg(F.count(F.lit(1)).alias("n_images"),
+             F.sum("n_tiles").alias("n_tiles"),
+             F.sum("pix_sum").alias("pix_sum"))
+    )
+
+
+QUERIES = {
+    "cell_encode": q_cell_encode,
+    "sjoin_inner_within": q_sjoin_inner_within,
+    "zone_point_counts": q_zone_point_counts,
+    "tile_specs": q_tile_specs,
+    "knn_closest": q_knn_closest,
+    "npts_radius": q_npts_radius,
+    "pixel_stats": q_pixel_stats,
+    "zonal_stats": q_zonal_stats,
+    "attr_filter": q_attr_filter,
+    "value_counts": q_value_counts,
+    "dedup_exact": q_dedup_exact,
+    "recode_region": q_recode_region,
+    "topk_largest": q_topk_largest,
+    "events_hourly": q_events_hourly,
+}

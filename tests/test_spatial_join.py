@@ -1,0 +1,97 @@
+"""Spatial join operator vs brute-force pandas oracle (sjoin semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsgislib_spark import synth
+from rsgislib_spark.operators.spatial_join import spatial_join, with_point_cell
+
+
+@pytest.fixture(scope="module")
+def layers(spark, sf_dir):
+    images = synth.synth_images(spark, sf_dir, with_bytes=False)
+    zones = synth.synth_zones(spark, sf_dir)
+    return images, zones, images.toPandas(), zones.toPandas()
+
+
+def brute_pairs(ipdf, zpdf):
+    """Oracle: half-open point-in-rect over the cross product."""
+    pairs = set()
+    for _, z in zpdf.iterrows():
+        m = ipdf[(ipdf.lon >= z.zxmin) & (ipdf.lon < z.zxmax)
+                 & (ipdf.lat >= z.zymin) & (ipdf.lat < z.zymax)]
+        pairs.update((iid, int(z.zone_id)) for iid in m.image_id)
+    return pairs
+
+
+def test_inner_point_within_matches_oracle(layers):
+    images, zones, ipdf, zpdf = layers
+    out = spatial_join(images, zones, how="inner", op="within").toPandas()
+    got = set(zip(out.image_id, out.zone_id.astype(int)))
+    assert got == brute_pairs(ipdf, zpdf)
+    assert "index_right" in out.columns
+    assert (out.index_right == out.zone_id).all()
+
+
+def test_left_join_keeps_all_base_rows(layers):
+    images, zones, ipdf, zpdf = layers
+    out = spatial_join(images, zones, how="left", op="within").toPandas()
+    matched = brute_pairs(ipdf, zpdf)
+    n_matched_rows = len(matched)
+    n_unmatched = len(set(ipdf.image_id) - {i for i, _ in matched})
+    assert len(out) == n_matched_rows + n_unmatched
+    assert set(out.image_id) == set(ipdf.image_id)
+    assert out[out.index_right.isna()].shape[0] == n_unmatched
+
+
+def test_right_join_keeps_all_zones(layers):
+    images, zones, ipdf, zpdf = layers
+    out = spatial_join(images, zones, how="right", op="within").toPandas()
+    assert set(out.zone_id) == set(zpdf.zone_id)
+    empty_zones = {int(z) for z in zpdf.zone_id} - {z for _, z in brute_pairs(ipdf, zpdf)}
+    assert set(out[out.image_id.isna()].zone_id.astype(int)) == empty_zones
+
+
+def test_footprint_intersects_matches_strict_bbox_oracle(layers):
+    images, zones, ipdf, zpdf = layers
+    out = spatial_join(
+        images, zones, how="inner", op="intersects",
+        base_geom="bbox", base_cols=("xmin", "xmax", "ymin", "ymax"),
+    ).toPandas()
+    got = set(zip(out.image_id, out.zone_id.astype(int)))
+    exp = set()
+    for _, z in zpdf.iterrows():
+        m = ipdf[(ipdf.xmax > z.zxmin) & (z.zxmax > ipdf.xmin)
+                 & (ipdf.ymax > z.zymin) & (z.zymax > ipdf.ymin)]
+        exp.update((iid, int(z.zone_id)) for iid in m.image_id)
+    assert got == exp
+    # pair-dedupe: no image-zone pair may appear twice
+    assert not out.duplicated(["image_id", "zone_id"]).any()
+
+
+def test_salted_sort_merge_equals_broadcast(layers):
+    images, zones, ipdf, zpdf = layers
+    bc = spatial_join(images, zones, how="inner", op="within",
+                      broadcast=True).toPandas()
+    salted = spatial_join(images, zones, how="inner", op="within",
+                          broadcast=False, n_salt=8).toPandas()
+    assert set(zip(bc.image_id, bc.zone_id)) == set(zip(salted.image_id, salted.zone_id))
+
+
+def test_invalid_how_op_raise(layers):
+    images, zones, _, _ = layers
+    with pytest.raises(ValueError):
+        spatial_join(images, zones, how="outer")
+    with pytest.raises(ValueError):
+        spatial_join(images, zones, op="touches")
+
+
+def test_cell_assignment_matches_numpy(layers, spark):
+    from rsgislib_spark.geo.cellindex import cell_of_point
+
+    images, _, ipdf, _ = layers
+    got = with_point_cell(images).select("id", "cell").toPandas().sort_values("id")
+    exp = cell_of_point(ipdf.sort_values("id").lon.values,
+                        ipdf.sort_values("id").lat.values)
+    assert np.array_equal(got.cell.values, exp)
