@@ -52,6 +52,7 @@ __all__ = [
     "with_point_cell",
     "with_bbox_cells",
     "spatial_join",
+    "spatial_select",
     "JOIN_OPS",
     "JOIN_HOWS",
 ]
@@ -146,7 +147,7 @@ def spatial_join(
     Output = base columns + join attribute columns + ``index_right``
     (= matched ``join_key``), geopandas-style.
     """
-    if how not in JOIN_HOWS:
+    if how not in JOIN_HOWS + ("semi",):
         raise ValueError("The join_how specified is not valid.")
     if op not in JOIN_OPS:
         raise ValueError("The join_op specified is not valid.")
@@ -213,6 +214,11 @@ def spatial_join(
 
     if how == "inner":
         return matched
+    if how == "semi":
+        # spatial semi-join: base rows with >= 1 match, each exactly once
+        # (spatial_select_gp's sjoin + dedupe-on-FID, vectorutils:1562-1615).
+        return base.join(matched.select(base_key).distinct(),
+                         base_key, "left_semi")
     if how == "left":
         attach = matched.select(base_key, "index_right", *join_attrs)
         return base.join(attach, base_key, "left")
@@ -221,3 +227,16 @@ def spatial_join(
     return join.withColumn("index_right", F.col(join_key)).join(
         attach, "index_right", "left"
     )
+
+
+def spatial_select(base: DataFrame, roi: DataFrame, **kw) -> DataFrame:
+    """Spatial semi-join: base features intersecting >= 1 ROI feature.
+
+    Reference: ``spatial_select_gp`` (vectorutils/__init__.py:1562-1615) —
+    inner sjoin then dedupe on a temp FID; and the slow-path
+    ``spatial_select`` (:2565-2610).  Here it is a ``left_semi`` join on
+    the cell key + exact refinement, so the base side is never duplicated
+    and no join-side attributes are shuffled at all.
+    """
+    kw.setdefault("op", "intersects")
+    return spatial_join(base, roi, how="semi", **kw)

@@ -1,0 +1,165 @@
+"""Vector-layer operators: geometry columns, grids, reprojection, attrs.
+
+Re-expresses the reference's vector utility surface as Catalyst-native
+column arithmetic (no UDFs anywhere in this module — every op here is
+whole-stage-codegen'd JVM arithmetic, the cheapest possible plan shape):
+
+* geometry accessors — ``add_geom_bbox_cols`` / ``pop_bbox_cols`` /
+  ``calc_poly_centroids`` (reference: python/rsgislib/vectorattrs/
+  __init__.py:405,280; vectorgeoms/__init__.py:1066) -> bbox width /
+  height / area / centroid columns;
+* bbox math — ``buffer_bbox`` / ``calc_bbox_area`` (reference:
+  tools/geometrytools.py:210,~480) -> plain +-*/ on columns;
+* grid generation — ``define_grid`` / ``create_wgs84_vector_grid``
+  (reference: python/rsgislib/vectorutils/createvectors.py:424,980):
+  row-major cell ids over a bbox, one row per cell via
+  ``spark.range`` (a parallel, partitioned source — no driver loop);
+* reprojection — ``reproj_wgs84_vec_to_utm`` (reference:
+  vectorutils/__init__.py:2459) as a local transverse-mercator-style
+  affine (exact column arithmetic) plus a true web-mercator transform
+  (``F.radians/F.tan/F.log``) for the EPSG:3857 path (reference:
+  tools/geometrytools.py:541 ``reproj_point``);
+* attribute helpers — ``find_replace_str_vec_lyr`` (vectorattrs/
+  __init__.py:881) -> ``replace``; ``sort_vec_lyr`` + ``add_fid_col``
+  (vectorattrs/__init__.py:828,756) -> ``row_number`` over an explicit
+  deterministic ordering (never partition order);
+* layer merge — ``merge_vector_layers`` (vectorutils/__init__.py:2868)
+  -> ``unionByName(allowMissingColumns=True)``: missing attribute
+  columns null-fill exactly like OGR's create-if-absent schema rule.
+
+Scale notes: every function below is pure narrow column arithmetic or a
+single window/`range` — no shuffle except ``rank_layer`` (one global sort,
+the same cost the reference pays single-threaded) and grid generation
+(embarrassingly parallel ``range``).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+__all__ = [
+    "add_geom_bbox_cols",
+    "buffer_bbox_cols",
+    "define_grid",
+    "reproj_affine",
+    "reproj_webmerc",
+    "find_replace_str",
+    "rank_layer",
+    "merge_layers",
+]
+
+_R_MAJOR = 6378137.0  # WGS84 semi-major axis (web-mercator sphere radius)
+
+
+def add_geom_bbox_cols(df: DataFrame, xmin: str = "zxmin", xmax: str = "zxmax",
+                       ymin: str = "zymin", ymax: str = "zymax") -> DataFrame:
+    """bbox accessor columns: width/height/area/centroid (pure Catalyst)."""
+    return (
+        df.withColumn("g_width", F.col(xmax) - F.col(xmin))
+        .withColumn("g_height", F.col(ymax) - F.col(ymin))
+        .withColumn("g_area", (F.col(xmax) - F.col(xmin))
+                    * (F.col(ymax) - F.col(ymin)))
+        .withColumn("g_cx", (F.col(xmin) + F.col(xmax)) / 2.0)
+        .withColumn("g_cy", (F.col(ymin) + F.col(ymax)) / 2.0)
+    )
+
+
+def buffer_bbox_cols(df: DataFrame, buf: float, xmin: str = "zxmin",
+                     xmax: str = "zxmax", ymin: str = "zymin",
+                     ymax: str = "zymax") -> DataFrame:
+    """buffer_bbox (geometrytools.py:210): expand each side by ``buf``."""
+    b = F.lit(float(buf))
+    return (
+        df.withColumn("b_xmin", F.col(xmin) - b)
+        .withColumn("b_xmax", F.col(xmax) + b)
+        .withColumn("b_ymin", F.col(ymin) - b)
+        .withColumn("b_ymax", F.col(ymax) + b)
+    )
+
+
+def define_grid(spark: SparkSession, xmin: float, xmax: float, ymin: float,
+                ymax: float, cell_w: float, cell_h: float) -> DataFrame:
+    """Row-major vector grid over a bbox (define_grid, createvectors.py:424).
+
+    One row per cell: grid_id (row-major, 0-based), gx, gy, cell bbox and
+    centroid.  ``spark.range`` is a partitioned source, so grid creation
+    parallelizes — at a 10^12-cell scale the grid is generated where it is
+    consumed, never on the driver.
+    """
+    ncols = int(math.ceil((xmax - xmin) / cell_w))
+    nrows = int(math.ceil((ymax - ymin) / cell_h))
+    g = spark.range(ncols * nrows).withColumnRenamed("id", "grid_id")
+    gx = (F.col("grid_id") % ncols).cast("long")
+    gy = (F.col("grid_id") / ncols).cast("long")
+    return (
+        g.withColumn("gx", gx).withColumn("gy", gy)
+        .withColumn("gxmin", F.lit(xmin) + F.col("gx") * F.lit(cell_w))
+        .withColumn("gxmax", F.least(F.lit(xmin) + (F.col("gx") + 1) * F.lit(cell_w),
+                                     F.lit(xmax)))
+        .withColumn("gymin", F.lit(ymin) + F.col("gy") * F.lit(cell_h))
+        .withColumn("gymax", F.least(F.lit(ymin) + (F.col("gy") + 1) * F.lit(cell_h),
+                                     F.lit(ymax)))
+        .withColumn("g_cx", (F.col("gxmin") + F.col("gxmax")) / 2.0)
+        .withColumn("g_cy", (F.col("gymin") + F.col("gymax")) / 2.0)
+    )
+
+
+def reproj_affine(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                  lon0: float = 9.0, lat0: float = 0.0,
+                  scale: float = 111320.0, false_easting: float = 500000.0,
+                  x_out: str = "utm_x", y_out: str = "utm_y") -> DataFrame:
+    """Local UTM-style affine reprojection (reproj_wgs84_vec_to_utm role).
+
+    Exact column arithmetic (deterministic to the bit on any engine); the
+    zone-local planar approximation the reference's UTM path produces for
+    small extents.
+    """
+    return (
+        df.withColumn(x_out, (F.col(lon) - F.lit(lon0)) * F.lit(scale)
+                      + F.lit(false_easting))
+        .withColumn(y_out, (F.col(lat) - F.lit(lat0)) * F.lit(scale))
+    )
+
+
+def reproj_webmerc(df: DataFrame, lon: str = "lon", lat: str = "lat",
+                   x_out: str = "mx", y_out: str = "my") -> DataFrame:
+    """True EPSG:4326 -> EPSG:3857 web-mercator transform (Catalyst math).
+
+    x = R*radians(lon); y = R*ln(tan(pi/4 + radians(lat)/2)).  Transcendental
+    (libm) results may differ in the last ulp across engines, so parity
+    checks use a tolerance (tests/test_vector_ops.py), not the exact-hash
+    oracle path.
+    """
+    rad_lat = F.radians(F.col(lat))
+    return (
+        df.withColumn(x_out, F.lit(_R_MAJOR) * F.radians(F.col(lon)))
+        .withColumn(y_out, F.lit(_R_MAJOR)
+                    * F.log(F.tan(F.lit(math.pi / 4.0) + rad_lat / 2.0)))
+    )
+
+
+def find_replace_str(df: DataFrame, col: str, find: str, replace: str,
+                     out: str | None = None) -> DataFrame:
+    """find_replace_str_vec_lyr (vectorattrs/__init__.py:881)."""
+    return df.withColumn(out or col,
+                         F.expr(f"replace({col}, '{find}', '{replace}')"))
+
+
+def rank_layer(df: DataFrame, order_cols, fid_col: str = "fid") -> DataFrame:
+    """sort_vec_lyr + add_fid_col: 1-based fid by an explicit ordering.
+
+    The ordering must be total (caller includes a unique tiebreak column)
+    so the fid is deterministic across partitionings — SURVEY.md §4.2.
+    """
+    w = Window.orderBy(*order_cols)
+    return df.withColumn(fid_col, F.row_number().over(w))
+
+
+def merge_layers(layers, allow_missing: bool = True) -> DataFrame:
+    """merge_vector_layers: N layers -> one, null-filling absent columns."""
+    out = layers[0]
+    for lyr in layers[1:]:
+        out = out.unionByName(lyr, allowMissingColumns=allow_missing)
+    return out

@@ -162,6 +162,87 @@ SELECT z.zone_id, z.zname,
 FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
 """
 
+ORACLES["sjoin_left_intersects"] = f"""
+{_PREFIX}
+SELECT i.image_id, i.lon, i.lat, z.zone_id AS index_right, z.zname
+FROM img i LEFT JOIN zones z ON {_PIP}
+"""
+
+ORACLES["sjoin_right_within"] = f"""
+{_PREFIX}
+SELECT z.zone_id, z.zname, i.image_id
+FROM zones z LEFT JOIN img i ON {_PIP}
+"""
+
+_BBOX_X = ("i.xmax > z.zxmin AND z.zxmax > i.xmin AND "
+           "i.ymax > z.zymin AND z.zymax > i.ymin")
+
+ORACLES["sjoin_bbox_intersects"] = f"""
+{_PREFIX}
+SELECT i.image_id, z.zone_id, z.zname
+FROM imgf i JOIN zones z ON {_BBOX_X}
+"""
+
+ORACLES["spatial_select"] = f"""
+{_PREFIX}
+SELECT i.image_id, i.lon, i.lat
+FROM imgf i
+WHERE EXISTS (SELECT 1 FROM zones z WHERE {_BBOX_X})
+"""
+
+ORACLES["zone_geom_cols"] = f"""
+{_PREFIX}
+SELECT zone_id,
+       zxmax - zxmin AS g_width, zymax - zymin AS g_height,
+       (zxmax - zxmin) * (zymax - zymin) AS g_area,
+       (zxmin + zxmax) / 2.0 AS g_cx, (zymin + zymax) / 2.0 AS g_cy,
+       zxmin - 0.25 AS b_xmin, zxmax + 0.25 AS b_xmax,
+       zymin - 0.25 AS b_ymin, zymax + 0.25 AS b_ymax
+FROM zones
+"""
+
+ORACLES["grid_gen"] = """
+SELECT gid AS grid_id, gid % 36 AS gx, gid // 36 AS gy,
+       -180.0 + (gid % 36) * 10.0 AS gxmin,
+       least(-180.0 + (gid % 36 + 1) * 10.0, 180.0) AS gxmax,
+       -60.0 + (gid // 36) * 10.0 AS gymin,
+       least(-60.0 + (gid // 36 + 1) * 10.0, 60.0) AS gymax,
+       (-180.0 + (gid % 36) * 10.0
+        + least(-180.0 + (gid % 36 + 1) * 10.0, 180.0)) / 2.0 AS g_cx,
+       (-60.0 + (gid // 36) * 10.0
+        + least(-60.0 + (gid // 36 + 1) * 10.0, 60.0)) / 2.0 AS g_cy
+FROM (SELECT unnest(generate_series(0, 431)) AS gid)
+"""
+
+ORACLES["reproj_utm"] = f"""
+{_PREFIX}
+SELECT qid, (qlon - 9.0) * 111320.0 + 500000.0 AS utm_x,
+       (qlat - 0.0) * 111320.0 AS utm_y
+FROM qpts
+"""
+
+ORACLES["caption_replace"] = f"""
+{_PREFIX}
+SELECT image_id, replace(caption, 'megacity', 'dense city') AS caption2
+FROM img
+"""
+
+ORACLES["rank_layer"] = f"""
+{_PREFIX}
+SELECT image_id, h,
+       row_number() OVER (ORDER BY h DESC, id) AS fid
+FROM img
+"""
+
+ORACLES["merge_layers"] = f"""
+{_PREFIX}
+SELECT zone_id, zname, zxmin, CAST(NULL AS DOUBLE) AS zymax
+FROM zones WHERE zone_id < 13
+UNION ALL
+SELECT zone_id, zname, CAST(NULL AS DOUBLE) AS zxmin, zymax
+FROM zones WHERE zone_id >= 13
+"""
+
 ORACLES["attr_filter"] = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
 FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0

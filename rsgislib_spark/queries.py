@@ -17,9 +17,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import synth
 from .geo.cellindex import cell_sql_expr
+from .operators import vector as vec
 from .operators.imagestats import pixel_stats
 from .operators.knn import match_closest_points, npts_in_radius
-from .operators.spatial_join import spatial_join, with_point_cell
+from .operators.spatial_join import spatial_join, spatial_select, with_point_cell
 from .operators.tiling import tile_pixels, tile_spec_df
 from .operators.zonal import zonal_stats
 from .session import load_tables
@@ -115,6 +116,86 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
     out = zonal_stats(img, zones)
     return out.select("zone_id", "zname", "n_pix", "sum_pix", "min_pix",
                       "max_pix", "mean_pix", "stddev_pix", "median_pix")
+
+
+def q_sjoin_left_intersects(spark, sf_dir) -> DataFrame:
+    """perform_spatial_join how=left op=intersects: unmatched kept (§2.3)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = spatial_join(img, zones, how="left", op="intersects")
+    return out.select("image_id", "lon", "lat", "index_right", "zname")
+
+
+def q_sjoin_right_within(spark, sf_dir) -> DataFrame:
+    """perform_spatial_join how=right: every join-layer row kept (§2.3)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = spatial_join(img, zones, how="right", op="within")
+    return out.select("zone_id", "zname", "image_id")
+
+
+def q_sjoin_bbox_intersects(spark, sf_dir) -> DataFrame:
+    """footprint-vs-zone bbox join (vec_lyr_intersection overlay, §2.3)."""
+    img = _images(spark, sf_dir)  # with footprint bbox cols
+    zones = synth.synth_zones(spark, sf_dir)
+    out = spatial_join(img, zones, how="inner", op="intersects",
+                       base_geom="bbox",
+                       base_cols=("xmin", "xmax", "ymin", "ymax"))
+    return out.select("image_id", "zone_id", "zname")
+
+
+def q_spatial_select(spark, sf_dir) -> DataFrame:
+    """spatial_select_gp: semi-join, each matching base row once (§2.3)."""
+    img = _images(spark, sf_dir)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = spatial_select(img, zones, base_geom="bbox",
+                         base_cols=("xmin", "xmax", "ymin", "ymax"))
+    return out.select("image_id", "lon", "lat")
+
+
+def q_zone_geom_cols(spark, sf_dir) -> DataFrame:
+    """geometry accessors + buffer_bbox as appended columns (§2.9)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    out = vec.buffer_bbox_cols(vec.add_geom_bbox_cols(zones), 0.25)
+    return out.select("zone_id", "g_width", "g_height", "g_area",
+                      "g_cx", "g_cy", "b_xmin", "b_xmax", "b_ymin", "b_ymax")
+
+
+def q_grid_gen(spark, sf_dir) -> DataFrame:
+    """define_grid / create_wgs84_vector_grid: 10-deg world grid (§2.9)."""
+    g = vec.define_grid(spark, -180.0, 180.0, -60.0, 60.0, 10.0, 10.0)
+    return g.select("grid_id", "gx", "gy", "gxmin", "gxmax",
+                    "gymin", "gymax", "g_cx", "g_cy")
+
+
+def q_reproj_utm(spark, sf_dir) -> DataFrame:
+    """reproj_wgs84_vec_to_utm-style affine reprojection (§2.9)."""
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    return vec.reproj_affine(qpts, lon="qlon", lat="qlat") \
+        .select("qid", "utm_x", "utm_y")
+
+
+def q_caption_replace(spark, sf_dir) -> DataFrame:
+    """find_replace_str_vec_lyr over the caption column (§2.2)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    out = vec.find_replace_str(img, "caption", "megacity", "dense city",
+                               out="caption2")
+    return out.select("image_id", "caption2")
+
+
+def q_rank_layer(spark, sf_dir) -> DataFrame:
+    """sort_vec_lyr + add_fid_col: deterministic 1-based fid (§2.7)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    out = vec.rank_layer(img, [F.desc("h"), F.asc("id")])
+    return out.select("image_id", "h", F.col("fid").cast("long").alias("fid"))
+
+
+def q_merge_layers(spark, sf_dir) -> DataFrame:
+    """merge_vector_layers with schema union / null fill (§2.1, §2.8)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    a = zones.where("zone_id < 13").select("zone_id", "zname", "zxmin")
+    b = zones.where("zone_id >= 13").select("zone_id", "zname", "zymax")
+    return vec.merge_layers([a, b]).select("zone_id", "zname", "zxmin", "zymax")
 
 
 # --------------------------------------------------------------------------
@@ -219,6 +300,16 @@ def flagship(spark, sf_dir) -> DataFrame:
 
 QUERIES = {
     "cell_encode": q_cell_encode,
+    "sjoin_left_intersects": q_sjoin_left_intersects,
+    "sjoin_right_within": q_sjoin_right_within,
+    "sjoin_bbox_intersects": q_sjoin_bbox_intersects,
+    "spatial_select": q_spatial_select,
+    "zone_geom_cols": q_zone_geom_cols,
+    "grid_gen": q_grid_gen,
+    "reproj_utm": q_reproj_utm,
+    "caption_replace": q_caption_replace,
+    "rank_layer": q_rank_layer,
+    "merge_layers": q_merge_layers,
     "sjoin_inner_within": q_sjoin_inner_within,
     "zone_point_counts": q_zone_point_counts,
     "tile_specs": q_tile_specs,
