@@ -1,0 +1,243 @@
+"""Per-pixel image math: band_math, masking, filters, indices, histograms.
+
+Reference semantics re-expressed Spark-first:
+
+* ``band_math`` — muParser expression over named bands (reference:
+  python/src/imagecalc.cpp:1799-1830; muParser compile at
+  src/cmds/RSGISCmdImageCalc.cpp:79).  Here the expression is a
+  numpy-vectorized formula evaluated over the whole decoded plane inside
+  one Arrow pass (``mapInPandas``) — per-pixel scalar callbacks (the
+  reference's RSGISCalcImageValue loop, src/img/RSGISCalcImage.cpp:
+  163-184) become one vectorized expression per image;
+* ``mask_img`` — set pixels to a value where the mask matches
+  (python/src/imageutils.cpp:2036; src/cmds/RSGISCmdImageUtils.cpp:227);
+* window filters — ``apply_mean_filter`` / Sobel etc.
+  (python/rsgislib/imagefilter/__init__.py:37-949): 3x3 convolution as
+  nine shifted numpy adds over the interior (valid region).  Tiled
+  deployment uses halo tiles from ``tiling.tile_pixels(overlap=1)`` so
+  windows never cross partitions (SURVEY.md §4.2);
+* spectral index — ``calc_ndvi`` shape (imagecalc/calcindices.py:41):
+  (b2-b1)/(b2+b1); the second band is derived deterministically from the
+  plane (horizontal mirror) since payloads are single-band;
+* ``histogram`` / ``calc_band_percentile`` / ``count_pxls_of_val`` /
+  ``get_unique_values`` (python/src/imagecalc.cpp:2056,2087;
+  imagecalc/__init__.py:517,568): bounded-domain exact histograms as
+  per-image bincount partials merged by Catalyst — the partial+final
+  design that makes order statistics exact at any scale.
+
+Determinism: every partial is integer (counts/sums/min/max of int64);
+doubles only appear as final single divisions — safe for bit-exact
+oracle comparison regardless of partition order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..functions import codec
+
+__all__ = [
+    "band_math_stats",
+    "mask_img_stats",
+    "conv3x3_stats",
+    "SOBEL_X",
+    "MEAN3",
+    "index_scaled_stats",
+    "value_counts",
+    "percentiles_from_hist",
+]
+
+_PLANE_AGG_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_pix", LongType()),
+    StructField("min_pix", LongType()),
+    StructField("max_pix", LongType()),
+])
+
+# numpy namespace exposed to band-math expressions (muParser-subset role:
+# arithmetic, comparisons, ternary via where, min/max/abs/clip).
+_BM_FUNCS = {
+    "where": np.where,
+    "abs": np.abs,
+    "minimum": np.minimum,
+    "maximum": np.maximum,
+    "clip": np.clip,
+    "sqrt": np.sqrt,
+    "exp": np.exp,
+    "log": np.log,
+}
+
+
+def eval_band_math(arr: np.ndarray, expr: str) -> np.ndarray:
+    """Evaluate a muParser-style expression over a decoded plane.
+
+    Names: ``b1`` = the plane (int64), ``x``/``y`` = pixel column/row
+    grids.  The expression runs once per image, fully vectorized.
+    """
+    h, w = arr.shape
+    env = dict(_BM_FUNCS)
+    env["b1"] = arr.astype(np.int64)
+    env["x"] = np.broadcast_to(np.arange(w, dtype=np.int64), (h, w))
+    env["y"] = np.broadcast_to(np.arange(h, dtype=np.int64)[:, None], (h, w))
+    out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307 - sandboxed names
+    return np.asarray(out)
+
+
+def _plane_agg(images: DataFrame, plane_fn) -> DataFrame:
+    """Decode each image once, transform, emit integer-exact aggregates."""
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_pix", "sum_pix",
+                                   "min_pix", "max_pix")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h), str(fmt))
+                res = np.asarray(plane_fn(arr.astype(np.int64))).ravel()
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(res.size))
+                out["sum_pix"].append(int(res.sum()) if res.size else 0)
+                out["min_pix"].append(int(res.min()) if res.size else 0)
+                out["max_pix"].append(int(res.max()) if res.size else 0)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_PLANE_AGG_SCHEMA)
+
+
+def band_math_stats(images: DataFrame, expr: str) -> DataFrame:
+    """band_math + whole-image stats of the result plane (one Arrow pass)."""
+    return _plane_agg(images, lambda a: eval_band_math(a, expr))
+
+
+def mask_img_stats(images: DataFrame, mask_vals, out_val: int) -> DataFrame:
+    """mask_img semantics + stats: v in mask_vals -> out_val, else v.
+
+    Also reports ``n_masked`` (how many pixels were replaced).
+    """
+    vals = np.asarray(sorted(mask_vals), dtype=np.int64)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_pix", "n_masked",
+                                   "sum_pix", "min_pix", "max_pix")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                m = np.isin(arr, vals)
+                res = np.where(m, np.int64(out_val), arr)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(res.size))
+                out["n_masked"].append(int(m.sum()))
+                out["sum_pix"].append(int(res.sum()))
+                out["min_pix"].append(int(res.min()))
+                out["max_pix"].append(int(res.max()))
+            yield pd.DataFrame(out)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("n_pix", LongType()),
+        StructField("n_masked", LongType()),
+        StructField("sum_pix", LongType()),
+        StructField("min_pix", LongType()),
+        StructField("max_pix", LongType()),
+    ])
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)
+
+
+SOBEL_X = ((-1, 0, 1), (-2, 0, 2), (-1, 0, 1))
+MEAN3 = ((1, 1, 1), (1, 1, 1), (1, 1, 1))
+
+
+def conv3x3_stats(images: DataFrame, kernel=MEAN3,
+                  absolute: bool = False) -> DataFrame:
+    """3x3 convolution over the interior (valid) region + exact stats.
+
+    Implemented as nine shifted adds — integer-exact, no float kernel.
+    ``absolute=True`` aggregates |conv| (Sobel edge magnitude).  Output:
+    one row per image (n_interior, sum_conv, min_conv, max_conv).
+    """
+    k = [[int(kernel[r][c]) for c in range(3)] for r in range(3)]
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < 3 or w < 3:
+            return np.zeros((0,), dtype=np.int64)
+        acc = np.zeros((h - 2, w - 2), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                kv = k[dy + 1][dx + 1]
+                if kv:
+                    acc += kv * a[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+        return np.abs(acc) if absolute else acc
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_conv") \
+        .withColumnRenamed("min_pix", "min_conv") \
+        .withColumnRenamed("max_pix", "max_conv")
+
+
+def index_scaled_stats(images: DataFrame) -> DataFrame:
+    """Spectral-index (NDVI-shaped) stats, integer-scaled for exactness.
+
+    b2 = horizontal mirror of the plane; per pixel
+    ``floor((b2-b1)*1e6 / (b2+b1+1))`` (scaled ratio, one IEEE division —
+    bit-identical in any engine), aggregated per image.
+    """
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        b1 = a.astype(np.int64)
+        b2 = b1[:, ::-1]
+        return np.floor((b2 - b1) * 1000000.0 / (b2 + b1 + 1)).astype(np.int64)
+
+    return _plane_agg(images, fn).withColumnRenamed("sum_pix", "sum_idx") \
+        .withColumnRenamed("min_pix", "min_idx") \
+        .withColumnRenamed("max_pix", "max_idx")
+
+
+def value_counts(images: DataFrame, max_val: int | None = None,
+                 bins: int = 1024) -> DataFrame:
+    """count_pxls_of_val / get_unique_values: exact per-value counts.
+
+    Per-image bincount partial (Arrow) -> posexplode -> groupBy(value):
+    the pixel volume never becomes rows; only <= ``bins`` partial entries
+    per image cross the shuffle.
+    """
+    from .imagestats import pixel_histogram
+
+    out = pixel_histogram(images, bins=bins, bin_width=1) \
+        .withColumnRenamed("bin", "val")
+    if max_val is not None:
+        out = out.where(F.col("val") < max_val)
+    return out
+
+
+def percentiles_from_hist(images: DataFrame, ps=(0.25, 0.5, 0.75, 0.9),
+                          bins: int = 1024) -> DataFrame:
+    """calc_band_percentile: exact nearest-rank percentiles of all pixels.
+
+    rank = ceil(p * n); value = smallest pixel value whose cumulative
+    count reaches the rank.  Histogram partials merge in Catalyst; the
+    cumulative scan runs over <= ``bins`` rows — trivially cheap at any
+    data scale.
+    """
+    from .imagestats import pixel_histogram
+
+    hist = pixel_histogram(images, bins=bins, bin_width=1)
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n").over(w)) \
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    plist = F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    ranked = cum.select("bin", "cum", "total").crossJoin(
+        cum.sparkSession.range(1).select(plist)
+    )
+    return (
+        ranked.where(F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
+        .groupBy("p").agg(F.min("bin").alias("value"))
+    )

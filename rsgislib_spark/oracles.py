@@ -122,6 +122,120 @@ SELECT image_id, count(*) AS n_pix, CAST(sum(v) AS BIGINT) AS sum_pix,
 FROM px GROUP BY image_id
 """
 
+def _px_cte(mod: int = 7, cols: str = "") -> str:
+    """Per-pixel CTE over the id%mod image subset (closed-form values)."""
+    return f"""
+xs AS (SELECT image_id, id, w, h, fmt{cols},
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % {mod} = 0),
+pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)
+""".strip()
+
+
+ORACLES["band_math"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id,
+              CASE WHEN {_PXV} > 128 THEN 2 * {_PXV} + 1 ELSE 0 END AS o
+       FROM pxy)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(o) AS BIGINT) AS sum_pix,
+       CAST(min(o) AS BIGINT) AS min_pix,
+       CAST(max(o) AS BIGINT) AS max_pix
+FROM px GROUP BY image_id
+"""
+
+ORACLES["mask_img"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id, {_PXV} AS v FROM pxy)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(CASE WHEN v IN (0, 1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_masked,
+       CAST(sum(CASE WHEN v IN (0, 1, 2, 3) THEN 255 ELSE v END) AS BIGINT)
+         AS sum_pix,
+       CAST(min(CASE WHEN v IN (0, 1, 2, 3) THEN 255 ELSE v END) AS BIGINT)
+         AS min_pix,
+       CAST(max(CASE WHEN v IN (0, 1, 2, 3) THEN 255 ELSE v END) AS BIGINT)
+         AS max_pix
+FROM px GROUP BY image_id
+"""
+
+
+def _pxv_at(dx: int, dy: int) -> str:
+    xs = f"(x + {dx})" if dx else "x"
+    ys = f"(y + {dy})" if dy else "y"
+    return synth.pixel_value_sql("id", xs, ys, "fmt")
+
+
+_MEAN3_S = " + ".join(_pxv_at(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+_SOBEL_S = (f"({_pxv_at(1, -1)} + 2 * {_pxv_at(1, 0)} + {_pxv_at(1, 1)}"
+            f" - {_pxv_at(-1, -1)} - 2 * {_pxv_at(-1, 0)} - {_pxv_at(-1, 1)})")
+
+
+def _conv_oracle(term: str, mod: int = 19) -> str:
+    return f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(1, w - 2)) AS x
+       FROM img WHERE id % {mod} = 0),
+pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+c AS (SELECT image_id, {term} AS s FROM pxy)
+SELECT image_id, count(*) AS n_interior,
+       CAST(sum(s) AS BIGINT) AS sum_conv,
+       CAST(min(s) AS BIGINT) AS min_conv,
+       CAST(max(s) AS BIGINT) AS max_conv
+FROM c GROUP BY image_id
+"""
+
+
+ORACLES["filter_mean3"] = _conv_oracle(f"({_MEAN3_S})")
+ORACLES["filter_sobel"] = _conv_oracle(f"abs({_SOBEL_S})")
+
+_PXV2 = synth.pixel_value_sql("id", "(w - 1 - x)", "y", "fmt")
+
+ORACLES["ndvi_index"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id,
+              CAST(floor((({_PXV2} - {_PXV}) * 1000000.0)
+                         / ({_PXV2} + {_PXV} + 1)) AS BIGINT) AS o
+       FROM pxy)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(o) AS BIGINT) AS sum_idx,
+       CAST(min(o) AS BIGINT) AS min_idx,
+       CAST(max(o) AS BIGINT) AS max_idx
+FROM px GROUP BY image_id
+"""
+
+ORACLES["pxl_value_counts"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id, {_PXV} AS v FROM pxy)
+SELECT CAST(v AS BIGINT) AS val, count(*) AS n
+FROM px WHERE v < 40 GROUP BY v
+"""
+
+ORACLES["img_histogram"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id, {_PXV} AS v FROM pxy)
+SELECT CAST(v // 64 AS BIGINT) AS bin, count(*) AS n
+FROM px GROUP BY 1
+"""
+
+ORACLES["band_percentiles"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id, {_PXV} AS v FROM pxy),
+hist AS (SELECT v, count(*) AS n FROM px GROUP BY v),
+c AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS total
+      FROM hist),
+ps AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]) AS p)
+SELECT p, CAST(min(v) AS BIGINT) AS value
+FROM c, ps WHERE cum >= ceil(p * total) GROUP BY p
+"""
+
 ORACLES["zonal_stats"] = f"""
 {_PREFIX},
 xs AS (SELECT image_id, id, h, fmt, xmin, ymax,

@@ -17,8 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import synth
 from .geo.cellindex import cell_sql_expr
+from .operators import imagemath as im
 from .operators import vector as vec
-from .operators.imagestats import pixel_stats
+from .operators.imagestats import pixel_histogram, pixel_stats
 from .operators.knn import match_closest_points, npts_in_radius
 from .operators.spatial_join import spatial_join, spatial_select, with_point_cell
 from .operators.tiling import tile_pixels, tile_spec_df
@@ -107,6 +108,68 @@ def q_pixel_stats(spark, sf_dir) -> DataFrame:
                   with_footprint=False).where("id % 7 = 0")
     return pixel_stats(img).select("image_id", "n_pix", "sum_pix",
                                    "min_pix", "max_pix", "mean_pix")
+
+
+def _px_images(spark, sf_dir, mod: int = 7):
+    return _images(spark, sf_dir, with_bytes=True,
+                   with_footprint=False).where(f"id % {mod} = 0")
+
+
+def q_band_math(spark, sf_dir) -> DataFrame:
+    """band_math 'cond ? expr : 0' over decoded planes (§2.2, §2.11)."""
+    img = _px_images(spark, sf_dir)
+    return im.band_math_stats(img, "where(b1 > 128, 2*b1 + 1, 0)") \
+        .select("image_id", "n_pix", "sum_pix", "min_pix", "max_pix")
+
+
+def q_mask_img(spark, sf_dir) -> DataFrame:
+    """mask_img: v in {0..3} -> 255, with masked-count stats (§2.2)."""
+    img = _px_images(spark, sf_dir)
+    return im.mask_img_stats(img, (0, 1, 2, 3), 255) \
+        .select("image_id", "n_pix", "n_masked", "sum_pix",
+                "min_pix", "max_pix")
+
+
+def q_filter_mean3(spark, sf_dir) -> DataFrame:
+    """apply_mean_filter 3x3 (valid interior), integer-exact (§2.6)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.conv3x3_stats(img, im.MEAN3) \
+        .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
+
+
+def q_filter_sobel(spark, sf_dir) -> DataFrame:
+    """apply_sobel_x_filter |gx| over the interior (§2.6)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.conv3x3_stats(img, im.SOBEL_X, absolute=True) \
+        .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
+
+
+def q_ndvi_index(spark, sf_dir) -> DataFrame:
+    """calc_ndvi-shaped scaled spectral index stats (§2.9)."""
+    img = _px_images(spark, sf_dir)
+    return im.index_scaled_stats(img) \
+        .select("image_id", "n_pix", "sum_idx", "min_idx", "max_idx")
+
+
+def q_pxl_value_counts(spark, sf_dir) -> DataFrame:
+    """count_pxls_of_val / get_unique_values for v < 40 (§2.5)."""
+    img = _px_images(spark, sf_dir)
+    out = im.value_counts(img, max_val=40)
+    return out.select(F.col("val").cast("long").alias("val"), "n")
+
+
+def q_img_histogram(spark, sf_dir) -> DataFrame:
+    """histogram with bin width 64 over all subset pixels (§2.5)."""
+    img = _px_images(spark, sf_dir)
+    out = pixel_histogram(img, bins=16, bin_width=64)
+    return out.select(F.col("bin").cast("long").alias("bin"), "n")
+
+
+def q_band_percentiles(spark, sf_dir) -> DataFrame:
+    """calc_band_percentile: exact nearest-rank percentiles (§2.5)."""
+    img = _px_images(spark, sf_dir)
+    out = im.percentiles_from_hist(img, ps=(0.25, 0.5, 0.75, 0.9))
+    return out.select("p", F.col("value").cast("long").alias("value"))
 
 
 def q_zonal_stats(spark, sf_dir) -> DataFrame:
@@ -317,6 +380,14 @@ QUERIES = {
     "npts_radius": q_npts_radius,
     "pixel_stats": q_pixel_stats,
     "zonal_stats": q_zonal_stats,
+    "band_math": q_band_math,
+    "mask_img": q_mask_img,
+    "filter_mean3": q_filter_mean3,
+    "filter_sobel": q_filter_sobel,
+    "ndvi_index": q_ndvi_index,
+    "pxl_value_counts": q_pxl_value_counts,
+    "img_histogram": q_img_histogram,
+    "band_percentiles": q_band_percentiles,
     "attr_filter": q_attr_filter,
     "value_counts": q_value_counts,
     "dedup_exact": q_dedup_exact,
