@@ -1,0 +1,152 @@
+"""Mosaicking / compositing: paste N overlapping images onto one grid.
+
+Reference semantics:
+
+* ``create_img_mosaic`` overlap behaviours (src/img/RSGISImageMosaic.h:
+  74-79; behaviour switch src/img/RSGISImageMosaic.cpp:401-430):
+  0 = last-image-wins (input order), 1 = keep minimum, 2 = keep maximum;
+* ``include_imgs`` burns later images into an existing base the same way
+  (RSGISImageMosaic.cpp:1000);
+* ``get_img_idx_for_stat`` per-pixel argmin/argmax across inputs
+  (src/cmds/RSGISCmdImageCalc.cpp:2607) — here ``idx_max``;
+* ``create_ref_img_composite_img`` gathers pixels by that index raster
+  (python/src/imageutils.cpp method table).
+
+Spark shape — partial+final composite, never per-pixel rows:
+
+1. each Arrow batch decodes its images once and *locally combines* them
+   into fixed-size accumulator arrays over the output window (one partial
+   row per batch, not per image, not per pixel);
+2. a single tiny ``applyInPandas`` merge folds the <=#partitions partials.
+
+Every behaviour is encoded as an order-preserving int64 so all merges are
+plain max/min — associative, commutative, partition-order independent:
+
+    last-wins  : max(id * 2048 + v)        (input order = id, v < 2048)
+    keep-min   : min(v)
+    keep-max   : max(v)
+    argmax idx : max(v * 2^40 + id)        (value first, id tiebreak)
+
+At cluster scale the output window is tiled (one accumulator per output
+tile — the ``groupBy(tile_id)`` in SURVEY.md §2.4) so no single reducer
+holds the whole mosaic; the window here is one tile of that scheme.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+from ..functions import codec
+
+__all__ = ["mosaic_window"]
+
+_ENC_LAST = 2048                 # id * 2048 + v
+_ENC_IDX = 1 << 40               # v * 2^40 + id
+
+_PARTIAL_SCHEMA = StructType([
+    StructField("window_id", LongType()),
+    StructField("cnt", ArrayType(LongType())),
+    StructField("enc_last", ArrayType(LongType())),
+    StructField("v_min", ArrayType(LongType())),
+    StructField("v_max", ArrayType(LongType())),
+    StructField("enc_idx", ArrayType(LongType())),
+])
+
+_OUT_SCHEMA = StructType([
+    StructField("px", LongType()),
+    StructField("py", LongType()),
+    StructField("n_imgs", LongType()),
+    StructField("v_last", LongType()),
+    StructField("v_min", LongType()),
+    StructField("v_max", LongType()),
+    StructField("idx_max", LongType()),
+])
+
+
+def mosaic_window(images: DataFrame, x0: float, y0: float,
+                  npx: int, npy: int, res: float) -> DataFrame:
+    """Composite all overlapping images onto an output window grid.
+
+    ``images`` needs (id, image_id, bytes, w, h, fmt, xmin, xmax, ymin,
+    ymax).  Output: one row per covered output pixel with every overlap
+    behaviour resolved.  Output pixel centers: ``cx = x0 + (px+0.5)*res``
+    (px east, py north); source sampling is nearest-pixel on each image's
+    own grid (inputs share the output resolution, the reference mosaic
+    precondition).
+    """
+    xw, yh = x0 + npx * res, y0 + npy * res
+
+    # prune non-overlapping images before any decode (bbox pushdown)
+    cand = images.where(
+        (F.col("xmax") > F.lit(x0)) & (F.col("xmin") < F.lit(xw))
+        & (F.col("ymax") > F.lit(y0)) & (F.col("ymin") < F.lit(yh))
+    ).select("id", "bytes", "w", "h", "fmt", "xmin", "xmax", "ymin", "ymax")
+
+    cxs = x0 + (np.arange(npx, dtype=np.float64) + 0.5) * res
+    cys = y0 + (np.arange(npy, dtype=np.float64) + 0.5) * res
+
+    def partials(it):
+        for pdf in it:
+            n = npx * npy
+            cnt = np.zeros(n, np.int64)
+            enc_last = np.full(n, -1, np.int64)
+            vmin = np.full(n, np.iinfo(np.int64).max, np.int64)
+            vmax = np.full(n, -1, np.int64)
+            enc_idx = np.full(n, -1, np.int64)
+            c2 = cnt.reshape(npy, npx)
+            el2 = enc_last.reshape(npy, npx)
+            mn2 = vmin.reshape(npy, npx)
+            mx2 = vmax.reshape(npy, npx)
+            ei2 = enc_idx.reshape(npy, npx)
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode_image(bytes(row.bytes), int(row.w),
+                                         int(row.h), str(row.fmt))
+                sel_x = np.nonzero((cxs >= row.xmin) & (cxs < row.xmax))[0]
+                sel_y = np.nonzero((cys > row.ymin) & (cys <= row.ymax))[0]
+                if sel_x.size == 0 or sel_y.size == 0:
+                    continue
+                sx = np.floor((cxs[sel_x] - row.xmin) / res).astype(np.int64)
+                sy = np.floor((row.ymax - cys[sel_y]) / res).astype(np.int64)
+                sx = np.minimum(sx, int(row.w) - 1)
+                sy = np.minimum(sy, int(row.h) - 1)
+                v = arr[np.ix_(sy, sx)].astype(np.int64)
+                iid = int(row.id)
+                ix = np.ix_(sel_y, sel_x)
+                c2[ix] += 1
+                el2[ix] = np.maximum(el2[ix], iid * _ENC_LAST + v)
+                mn2[ix] = np.minimum(mn2[ix], v)
+                mx2[ix] = np.maximum(mx2[ix], v)
+                ei2[ix] = np.maximum(ei2[ix], v * _ENC_IDX + iid)
+            yield pd.DataFrame({"window_id": [0], "cnt": [cnt],
+                                "enc_last": [enc_last], "v_min": [vmin],
+                                "v_max": [vmax], "enc_idx": [enc_idx]})
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = npx * npy
+        cnt = np.zeros(n, np.int64)
+        enc_last = np.full(n, -1, np.int64)
+        vmin = np.full(n, np.iinfo(np.int64).max, np.int64)
+        vmax = np.full(n, -1, np.int64)
+        enc_idx = np.full(n, -1, np.int64)
+        for r in pdf.itertuples(index=False):
+            cnt += np.asarray(r.cnt, np.int64)
+            enc_last = np.maximum(enc_last, np.asarray(r.enc_last, np.int64))
+            vmin = np.minimum(vmin, np.asarray(r.v_min, np.int64))
+            vmax = np.maximum(vmax, np.asarray(r.v_max, np.int64))
+            enc_idx = np.maximum(enc_idx, np.asarray(r.enc_idx, np.int64))
+        covered = np.nonzero(cnt > 0)[0]
+        return pd.DataFrame({
+            "px": covered % npx,
+            "py": covered // npx,
+            "n_imgs": cnt[covered],
+            "v_last": enc_last[covered] % _ENC_LAST,
+            "v_min": vmin[covered],
+            "v_max": vmax[covered],
+            "idx_max": enc_idx[covered] % _ENC_IDX,
+        })
+
+    return cand.mapInPandas(partials, schema=_PARTIAL_SCHEMA) \
+        .groupBy("window_id").applyInPandas(merge, schema=_OUT_SCHEMA)

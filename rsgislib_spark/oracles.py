@@ -357,6 +357,32 @@ SELECT zone_id, zname, CAST(NULL AS DOUBLE) AS zxmin, zymax
 FROM zones WHERE zone_id >= 13
 """
 
+_PXSRC = synth.pixel_value_sql("id", "sx", "sy", "fmt")
+
+ORACLES["mosaic_window"] = f"""
+{_PREFIX},
+gx AS (SELECT unnest(generate_series(0, 59)) AS px),
+gy AS (SELECT unnest(generate_series(0, 59)) AS py),
+grid AS (SELECT px, py, 10.0 + (px + 0.5) * 0.001 AS cx,
+                45.0 + (py + 0.5) * 0.001 AS cy
+         FROM gx, gy),
+j AS (SELECT g.px, g.py, i.id, i.fmt,
+             least(CAST(floor((g.cx - i.xmin) / 0.001) AS BIGINT),
+                   i.w - 1) AS sx,
+             least(CAST(floor((i.ymax - g.cy) / 0.001) AS BIGINT),
+                   i.h - 1) AS sy
+      FROM grid g JOIN imgf i
+        ON i.id % 5 = 0
+       AND g.cx >= i.xmin AND g.cx < i.xmax
+       AND g.cy > i.ymin AND g.cy <= i.ymax),
+v AS (SELECT px, py, id, {_PXSRC} AS v FROM j)
+SELECT px, py, count(*) AS n_imgs,
+       max(id * 2048 + v) % 2048 AS v_last,
+       min(v) AS v_min, max(v) AS v_max,
+       max(v * 1099511627776 + id) % 1099511627776 AS idx_max
+FROM v GROUP BY px, py
+"""
+
 ORACLES["attr_filter"] = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
 FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import synth
 from .geo.cellindex import cell_sql_expr
 from .operators import imagemath as im
+from .operators.mosaic import mosaic_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
 from .operators.knn import match_closest_points, npts_in_radius
@@ -261,6 +262,18 @@ def q_merge_layers(spark, sf_dir) -> DataFrame:
     return vec.merge_layers([a, b]).select("zone_id", "zname", "zxmin", "zymax")
 
 
+def q_mosaic_window(spark, sf_dir) -> DataFrame:
+    """create_img_mosaic behaviours 0/1/2 + get_img_idx_for_stat (§2.4).
+
+    Composites the megacity images (id%5=0 — the deliberately hot,
+    heavily-overlapping cluster) onto a 60x60 output window at native
+    resolution; all overlap behaviours resolved in one pass.
+    """
+    img = _images(spark, sf_dir, with_bytes=True).where("id % 5 = 0")
+    return mosaic_window(img, 10.0, 45.0, 60, 60, 0.001) \
+        .select("px", "py", "n_imgs", "v_last", "v_min", "v_max", "idx_max")
+
+
 # --------------------------------------------------------------------------
 # relational / vector-attribute operators over the driver tables
 # --------------------------------------------------------------------------
@@ -388,6 +401,7 @@ QUERIES = {
     "pxl_value_counts": q_pxl_value_counts,
     "img_histogram": q_img_histogram,
     "band_percentiles": q_band_percentiles,
+    "mosaic_window": q_mosaic_window,
     "attr_filter": q_attr_filter,
     "value_counts": q_value_counts,
     "dedup_exact": q_dedup_exact,
