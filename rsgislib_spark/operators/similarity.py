@@ -1,0 +1,165 @@
+"""Embedding similarity search: brute-force top-k, LSH ANN, centroids.
+
+Training-data-pipeline operators over the ``embeddings`` table
+(``vec_id, embedding: array<float>, label``):
+
+* ``cosine_topk`` — exact brute-force cosine top-k (the correctness
+  baseline every ANN variant is judged against);
+* ``ann_lsh_top1`` — random-hyperplane LSH bucketing: probes compare
+  only against same-bucket candidates (the scale path — at 10^12 rows
+  the bucket equi-join replaces the n*m cross product);
+* ``centroid_assign`` — nearest-centroid classification (per-label mean
+  vector), the engine analog of the reference's kNN-over-RAT-rows
+  classifiers (``apply_rat_knn``, python/src/rastergis.cpp method table).
+
+Numeric determinism (the design invariant that makes these operators
+oracle-checkable *and* cluster-size independent): embeddings are
+quantized once to integers (``round(v * 1000)``); every dot product,
+norm and distance is then exact int64 arithmetic whose sums are
+associative — partition order cannot change a single bit.  Doubles
+appear only in final single divisions/sqrts (IEEE-identical anywhere).
+All vector math runs in Catalyst higher-order array functions
+(``transform`` / ``zip_with`` / ``aggregate``) — JVM-side, no UDF.
+
+The distance-squared trick for centroids keeps even the *mean* exact:
+with S_i = sum of member components and n = member count,
+
+    n^2 * ||v - S/n||^2 = sum_i (n*v_i - S_i)^2   (all int64)
+
+so the argmin over labels compares exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["quantize", "cosine_topk", "ann_lsh_top1", "centroid_assign"]
+
+
+def quantize(df: DataFrame, col: str = "embedding",
+             out: str = "q", scale: int = 1000) -> DataFrame:
+    """array<float> -> array<long> by round(v*scale) (exact thereafter)."""
+    return df.withColumn(
+        out, F.expr(f"transform({col}, v -> CAST(round(v * {scale}) AS BIGINT))")
+    )
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+
+def _norm_sq(col: str) -> str:
+    return _DOT.format(a=col, b=col)
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k: every query against every corpus vector.
+
+    Output: (qid, vec_id, rank, sim); self-matches excluded; ties broken
+    by vec_id.  The corpus side is broadcast when small; at scale the
+    cross join shards by corpus partition and the per-query top-k reduces
+    via the rank window — swap in ``ann_lsh_top1`` when n*m is too big.
+    """
+    q = quantize(queries).select(F.col(id_col).alias("qid"),
+                                 F.col("q").alias("qv"))
+    c = quantize(corpus).select(F.col(id_col).alias("vec_id"),
+                                F.col("q").alias("cv"))
+    dot = F.expr(_DOT.format(a="qv", b="cv"))
+    nq = F.expr(_norm_sq("qv"))
+    nc = F.expr(_norm_sq("cv"))
+    sim = dot.cast("double") / F.sqrt((nq * nc).cast("double"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn("sim", sim)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"),
+                "sim")
+    )
+
+
+def _bucket_expr(qcol: str, n_planes: int, dim: int) -> str:
+    """Random-hyperplane LSH bucket id from the quantized vector.
+
+    Plane p component i = ((p*37 + i*73) % 19) - 9 — a deterministic
+    integer pseudo-plane (same formula in the SQL oracle); bucket bit p =
+    (v . plane_p) > 0.
+    """
+    bits = []
+    for p in range(n_planes):
+        proj = (f"aggregate(zip_with({qcol}, transform(sequence(0, {dim - 1}),"
+                f" i -> CAST(({p} * 37 + i * 73) % 19 - 9 AS BIGINT)),"
+                f" (x, w) -> x * w), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        bits.append(f"IF({proj} > 0, {1 << p}, 0)")
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def ann_lsh_top1(vectors: DataFrame, n_planes: int = 8, dim: int = 64,
+                 id_col: str = "vec_id") -> DataFrame:
+    """Approximate 1-NN: hyperplane-LSH bucket join + exact rerank.
+
+    Each vector meets only same-bucket candidates — the equi-join on
+    ``bucket`` is the only shuffle, and it scales as the bucket load, not
+    n^2.  Vectors alone in their bucket drop out (standard single-probe
+    LSH recall loss; multi-probe = union over neighbour buckets).
+    """
+    v = quantize(vectors).withColumn(
+        "bucket", F.expr(_bucket_expr("q", n_planes, dim))
+    ).select(F.col(id_col).alias("vid"), "q", "bucket")
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.expr(_DOT.format(a="a.q", b="b.q"))
+    na = F.expr(_norm_sq("a.q"))
+    nb = F.expr(_norm_sq("b.q"))
+    sim = dot.cast("double") / F.sqrt((na * nb).cast("double"))
+    pairs = (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vid") != F.col("b.vid")))
+        .select(F.col("a.vid").alias("qid"), F.col("b.vid").alias("vec_id"),
+                F.col("a.bucket").alias("bucket"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") == 1).drop("rn")
+
+
+def centroid_assign(vectors: DataFrame, dim: int = 64,
+                    id_col: str = "vec_id") -> DataFrame:
+    """Nearest-centroid assignment with exact integer distance ordering.
+
+    Centroids = per-label component sums + counts (never divided); the
+    argmin compares ``sum_i (n*v_i - S_i)^2`` — exact, so the predicted
+    label is bit-stable under any partitioning.  This is one assignment
+    sweep of Lloyd's k-means / an IVF coarse quantizer build.
+    """
+    v = quantize(vectors).select(F.col(id_col).alias("vid"), "label", "q")
+    comp = v.select(
+        "vid", "label",
+        F.posexplode(F.col("q")).alias("i", "x"),
+    )
+    cents = comp.groupBy(F.col("label").alias("clabel"), "i").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    dist = (
+        comp.join(cents, "i")
+        .withColumn("d", (F.col("n") * F.col("x") - F.col("s"))
+                    * (F.col("n") * F.col("x") - F.col("s")))
+        .groupBy("vid", "label", "clabel", "n")
+        .agg(F.sum("d").alias("a2"))
+        # exact int64 sums, then ONE division: A/n^2 (labels have
+        # different member counts, so the n^2 scale must divide out);
+        # both operands are < 2^53 so the double is exact pre-division.
+        .withColumn("dist2", F.col("a2").cast("double")
+                    / (F.col("n") * F.col("n")).cast("double"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.asc("dist2"), F.asc("clabel"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("vid").alias("vec_id"), "label",
+                F.col("clabel").alias("pred_label"),
+                (F.col("label") == F.col("clabel")).alias("is_correct"))
+    )

@@ -1,0 +1,245 @@
+"""Text-analysis + deduplication operators for training-data pipelines.
+
+These extend the engine beyond the reference's geospatial surface with the
+operations a large-scale (100 TB) training-data pipeline needs over the
+``documents`` table: quality scoring, language ID, token counting,
+fingerprinting, exact + near deduplication (n-gram Jaccard, MinHash+LSH,
+SimHash).  The reference's closest precedents are its attribute-table ops
+(``rm_feat_att_duplicates``, vectorutils/__init__.py:3320 — exact dedup;
+``count_feats_per_att_val`` :297) — everything else is new surface.
+
+Design rules:
+
+* every operator is pure Spark built-ins (split / explode / groupBy /
+  higher-order array functions) — JVM-side, whole-stage-codegen, no
+  Python in the hot path;
+* all hashing is ``md5`` (identical output in every engine) so the
+  DuckDB oracle can recompute signatures independently — and so results
+  are stable across cluster sizes and Spark versions (xxhash64 would be
+  fine too, but md5's cross-engine portability buys free verification);
+* near-dup joins are *candidate-generation + verify*: shingle/band
+  equi-joins produce a small candidate set (the LSH guarantee), exact
+  Jaccard verifies.  At 10^12 docs the band-bucket join is the only
+  shuffle and it is an equi-join Catalyst can sort-merge + AQE-skew.
+
+Scale notes: shingling explodes ~L rows per doc (L = token count) but
+they reduce immediately into per-(band) buckets / per-pair counts —
+classic map-side-heavy, reduce-light shape.  The pairwise verify join
+touches only candidate pairs, never the n^2 cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "tokens",
+    "shingles",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_bands",
+    "minhash_pairs",
+    "simhash",
+]
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def tokens(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace tokenization as an array column (kept, not exploded)."""
+    return docs.withColumn("toks", F.split(F.col(text), " "))
+
+
+def shingles(docs: DataFrame, n: int = 3, text: str = "text",
+             key: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles: one row per (doc, shingle).
+
+    ``transform(sequence(...))`` builds the shingle array JVM-side; the
+    explode is the only row expansion in the dedup pipeline.
+    """
+    return (
+        tokens(docs, text)
+        .select(key, F.explode(F.expr(
+            f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(toks, i, {n})))"
+        )).alias("s"))
+        .distinct()
+    )
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Per-doc quality features: token counts, lengths, stopword ratio.
+
+    Everything derives from integer counts; the two ratios are single
+    divisions of exact ints (bit-stable anywhere).
+    """
+    stop_arr = ", ".join(f"'{s}'" for s in STOPWORDS)
+    t = tokens(docs)
+    return (
+        t.withColumn("n_tokens", F.size("toks"))
+        .withColumn("n_stop", F.size(F.expr(
+            f"filter(toks, t -> t IN ({stop_arr}))")))
+        .withColumn("avg_token_len",
+                    (F.length("text") - (F.col("n_tokens") - 1)).cast("double")
+                    / F.col("n_tokens").cast("double"))
+        .withColumn("stop_ratio",
+                    F.col("n_stop").cast("double")
+                    / F.col("n_tokens").cast("double"))
+    )
+
+
+#: per-language stopword votes for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "zh": ("de5", "shi4", "le5"),
+}
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language ID (n-gram-heuristic class).
+
+    Scores each language by marker-token hits; argmax with a fixed
+    language order tiebreak (deterministic).  On marker-free text every
+    score is 0 and the first language wins — the standard "unknown
+    defaults to majority class" behaviour.
+    """
+    t = tokens(docs)
+    score_cols = []
+    for lang, marks in LANG_MARKERS.items():
+        arr = ", ".join(f"'{m}'" for m in marks)
+        t = t.withColumn(f"_s_{lang}",
+                         F.size(F.expr(f"filter(toks, t -> t IN ({arr}))")))
+        score_cols.append(f"_s_{lang}")
+    # argmax via greatest + first-match CASE (ties -> earlier lang)
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = None
+    for lang in LANG_MARKERS:
+        cond = F.col(f"_s_{lang}") == best
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return t.withColumn("pred_lang", pred).drop("toks", *score_cols)
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized content fingerprint (md5 of lower/trimmed text).
+
+    ``fp`` = 32-hex digest; ``fp16`` = 16-hex prefix (the join key a
+    dedup pass would bucket on).  Normalization: lowercase + trim +
+    whitespace collapse — the document-fingerprinting normalizer.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return docs.withColumn("fp", F.md5(norm)) \
+        .withColumn("fp16", F.substring(F.col("fp"), 1, 16))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.2) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard over shared-shingle pairs.
+
+    Candidate pairs = docs sharing >= 1 shingle (equi-join on the shingle
+    string); Jaccard = |A n B| / (|A| + |B| - |A n B|) from exact counts.
+    """
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("ns", "ns_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("ns", "ns_b"), "doc_b")
+        .withColumn("jaccard",
+                    F.col("n_common").cast("double")
+                    / (F.col("ns_a") + F.col("ns_b") - F.col("n_common"))
+                    .cast("double"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_bands(docs: DataFrame, n_hashes: int = 8, band_size: int = 4,
+                  n: int = 3) -> DataFrame:
+    """MinHash signature bands: one row per (doc, band) with its bucket.
+
+    h_k(shingle) = md5("k:shingle") 16-hex prefix; sig_k = min over the
+    doc's shingles (string min — md5 hex is fixed-width so lexicographic
+    = numeric order).  Band bucket = md5 of the '|'-joined sigs in
+    k-order.  Portable to the letter across engines.
+    """
+    sh = shingles(docs, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("k")
+    hashed = sh.select("doc_id", "s", seeds).withColumn(
+        "hk", F.substring(
+            F.md5(F.concat(F.col("k").cast("string"), F.lit(":"),
+                           F.col("s"))), 1, 16)
+    )
+    sigs = hashed.groupBy("doc_id", "k").agg(F.min("hk").alias("sig"))
+    return (
+        sigs.withColumn("band_id", (F.col("k") / band_size).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.md5(F.concat_ws("|", F.expr(
+            "transform(array_sort(collect_list(struct(k, sig))), x -> x.sig)"
+        ))).alias("bucket"))
+    )
+
+
+def minhash_pairs(docs: DataFrame, n_hashes: int = 8, band_size: int = 4,
+                  n: int = 3, threshold: float = 0.0) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket join then exact verify.
+
+    The bucket equi-join is the LSH trick: only docs agreeing on one
+    whole band of signatures meet — at corpus scale this is the
+    difference between n^2 and ~n candidate pairs.  Each surviving pair
+    is verified with exact Jaccard (candidate-generation + refine, the
+    same two-phase shape as the spatial join).
+    """
+    bands = minhash_bands(docs, n_hashes, band_size, n)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, n, threshold=0.0)
+    return cand.join(verified, ["doc_a", "doc_b"], "inner") \
+        .where(F.col("jaccard") >= threshold) \
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """16-bit SimHash over distinct tokens (md5-nibble sign votes).
+
+    bit b of simhash = majority vote of bit b across token hashes, where
+    token-hash bit b = top bit of md5 hex nibble b (hex char >= '8').
+    Identical arithmetic in any engine; Hamming distance on ``simhash16``
+    is the near-dup metric.
+    """
+    tok = tokens(docs).select(
+        "doc_id", F.explode(F.array_distinct("toks")).alias("t"))
+    h = tok.withColumn("m", F.md5(F.col("t")))
+    pos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        h.select("doc_id", "m", pos)
+        .withColumn("vote", F.when(
+            F.expr("substr(m, CAST(b AS INT) + 1, 1)") >= "8", 1).otherwise(-1))
+        .groupBy("doc_id", "b").agg(F.sum("vote").alias("sgn"))
+    )
+    weight = F.expr("IF(sgn > 0, shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(b AS INT)), CAST(0 AS BIGINT))")
+    return votes.groupBy("doc_id").agg(F.sum(weight).alias("simhash16"))

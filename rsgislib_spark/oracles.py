@@ -397,6 +397,176 @@ SELECT md5(text) AS text_md5, count(*) AS n_dup, min(doc_id) AS rep_doc_id
 FROM documents GROUP BY md5(text)
 """
 
+_STOP = "'the', 'a', 'of', 'and', 'in'"
+
+ORACLES["text_quality"] = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ({_STOP}))) AS BIGINT) AS n_stop,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len,
+       CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ({_STOP}))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens
+FROM documents
+"""
+
+ORACLES["lang_id"] = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang,
+        len(list_filter(toks, t -> t IN ('the', 'a', 'of'))) AS s_en,
+        len(list_filter(toks, t -> t IN ('der', 'die', 'und'))) AS s_de,
+        len(list_filter(toks, t -> t IN ('le', 'la', 'et'))) AS s_fr,
+        len(list_filter(toks, t -> t IN ('el', 'los', 'y'))) AS s_es,
+        len(list_filter(toks, t -> t IN ('de5', 'shi4', 'le5'))) AS s_zh
+      FROM t),
+g AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS mx FROM s)
+SELECT doc_id, lang,
+       CASE WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+            WHEN s_fr = mx THEN 'fr' WHEN s_es = mx THEN 'es'
+            ELSE 'zh' END AS pred_lang
+FROM g
+"""
+
+ORACLES["doc_fingerprint"] = """
+SELECT doc_id,
+       substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')),
+              1, 16) AS fp16
+FROM documents
+"""
+
+_SHINGLES = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+       FROM (SELECT doc_id, ts,
+                    unnest(generate_series(1, len(ts) - 2)) AS i
+             FROM tok)),
+sn AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+jac AS (SELECT doc_a, doc_b, n_common,
+               CAST(n_common AS DOUBLE)
+                 / CAST(x.ns + y.ns - n_common AS DOUBLE) AS jaccard
+        FROM cp JOIN sn x ON cp.doc_a = x.doc_id
+                JOIN sn y ON cp.doc_b = y.doc_id)
+""".strip()
+
+ORACLES["ngram_jaccard"] = f"""
+WITH {_SHINGLES}
+SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.2
+"""
+
+ORACLES["minhash_lsh"] = f"""
+WITH {_SHINGLES},
+hs AS (SELECT doc_id, k, min(substr(md5(k || ':' || s), 1, 16)) AS sig
+       FROM sh, (SELECT unnest(generate_series(0, 7)) AS k)
+       GROUP BY doc_id, k),
+band AS (SELECT doc_id, k // 4 AS band_id,
+                md5(string_agg(sig, '|' ORDER BY k)) AS bucket
+         FROM hs GROUP BY doc_id, k // 4),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b
+           ON a.band_id = b.band_id AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id)
+SELECT j.doc_a, j.doc_b, j.n_common, j.jaccard
+FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+"""
+
+ORACLES["simhash"] = """
+WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents),
+h AS (SELECT doc_id, md5(t) AS m FROM tok),
+v AS (SELECT doc_id, b,
+             sum(CASE WHEN substr(m, CAST(b AS INT) + 1, 1) >= '8'
+                      THEN 1 ELSE -1 END) AS sgn
+      FROM h, (SELECT unnest(generate_series(0, 15)) AS b) GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN sgn > 0
+                     THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+                     ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash16
+FROM v GROUP BY doc_id
+"""
+
+_QZ = "list_transform(embedding, v -> CAST(round(v * 1000) AS BIGINT))"
+
+ORACLES["embed_topk"] = f"""
+WITH qv AS (SELECT vec_id AS qid, {_QZ} AS q
+            FROM embeddings WHERE vec_id % 50 = 0),
+cv AS (SELECT vec_id, {_QZ} AS c FROM embeddings),
+d AS (SELECT qid, vec_id,
+             CAST(sum(q[i] * c[i]) AS BIGINT) AS dot,
+             CAST(sum(q[i] * q[i]) AS BIGINT) AS nq,
+             CAST(sum(c[i] * c[i]) AS BIGINT) AS nc
+      FROM qv, cv, (SELECT unnest(generate_series(1, 64)) AS i)
+      WHERE qid != vec_id GROUP BY qid, vec_id),
+s AS (SELECT qid, vec_id,
+             CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) AS sim
+      FROM d),
+r AS (SELECT qid, vec_id, sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS rank
+      FROM s)
+SELECT qid, vec_id, rank, sim FROM r WHERE rank <= 5
+"""
+
+ORACLES["embed_ann_lsh"] = f"""
+WITH v AS (SELECT vec_id, {_QZ} AS q FROM embeddings),
+proj AS (SELECT vec_id, p,
+                CAST(sum(q[i + 1] * ((p * 37 + i * 73) % 19 - 9))
+                     AS BIGINT) AS pr
+         FROM v, (SELECT unnest(generate_series(0, 63)) AS i),
+              (SELECT unnest(generate_series(0, 7)) AS p)
+         GROUP BY vec_id, p),
+buck AS (SELECT vec_id,
+                CAST(sum(CASE WHEN pr > 0
+                              THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         FROM proj GROUP BY vec_id),
+vb AS (SELECT v.vec_id, q, bucket FROM v JOIN buck USING (vec_id)),
+pairs AS (SELECT a.vec_id AS qid, b.vec_id AS vec_id, a.bucket,
+                 CAST(sum(a.q[i] * b.q[i]) AS BIGINT) AS dot,
+                 CAST(sum(a.q[i] * a.q[i]) AS BIGINT) AS nq,
+                 CAST(sum(b.q[i] * b.q[i]) AS BIGINT) AS nc
+          FROM vb a JOIN vb b
+            ON a.bucket = b.bucket AND a.vec_id != b.vec_id,
+               (SELECT unnest(generate_series(1, 64)) AS i)
+          GROUP BY 1, 2, 3),
+s AS (SELECT qid, vec_id, bucket,
+             CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) AS sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY CAST(dot AS DOUBLE)
+                                  / sqrt(CAST(nq * nc AS DOUBLE)) DESC,
+                                  vec_id) AS rn
+      FROM pairs)
+SELECT qid, vec_id, bucket, sim FROM s WHERE rn = 1
+"""
+
+ORACLES["centroid_assign"] = f"""
+WITH v AS (SELECT vec_id, label, {_QZ} AS q FROM embeddings),
+comp AS (SELECT vec_id, label, i, q[i] AS x
+         FROM v, (SELECT unnest(generate_series(1, 64)) AS i)),
+cents AS (SELECT label AS clabel, i, CAST(sum(x) AS BIGINT) AS s,
+                 count(*) AS n
+          FROM comp GROUP BY 1, 2),
+dist AS (SELECT vec_id, label, clabel, n,
+                CAST(sum((n * x - s) * (n * x - s)) AS BIGINT) AS a2
+         FROM comp JOIN cents USING (i)
+         GROUP BY vec_id, label, clabel, n),
+r AS (SELECT vec_id, label, clabel,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY CAST(a2 AS DOUBLE) / CAST(n * n AS DOUBLE),
+                        clabel) AS rn
+      FROM dist)
+SELECT vec_id, label, clabel AS pred_label,
+       (label = clabel) AS is_correct
+FROM r WHERE rn = 1
+"""
+
 ORACLES["recode_region"] = """
 SELECT r_name, count(*) AS n_customers
 FROM customer

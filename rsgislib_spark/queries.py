@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import synth
 from .geo.cellindex import cell_sql_expr
 from .operators import imagemath as im
+from .operators import similarity as simi
+from .operators import textops as tx
 from .operators.mosaic import mosaic_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
@@ -304,6 +306,74 @@ def q_dedup_exact(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_text_quality(spark, sf_dir) -> DataFrame:
+    """quality scoring: token counts, lengths, stopword ratio."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = tx.text_quality(t["documents"]).withColumn(
+        "n_re_tokens", F.expr("size(regexp_extract_all(text, '[a-z]+', 0))"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_stop").cast("long").alias("n_stop"),
+        "avg_token_len", "stop_ratio",
+        F.col("n_re_tokens").cast("long").alias("n_re_tokens"))
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    """stopword-vote language identification heuristic."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.lang_id(t["documents"]).select("doc_id", "lang", "pred_lang")
+
+
+def q_doc_fingerprint(spark, sf_dir) -> DataFrame:
+    """normalized document fingerprint (rolling-hash role, md5-based)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.doc_fingerprint(t["documents"]).select("doc_id", "fp16")
+
+
+def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """near-dup pairs by exact word-3-gram Jaccard (threshold 0.2)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.2) \
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def q_minhash_lsh(spark, sf_dir) -> DataFrame:
+    """MinHash+LSH near-dup: band-bucket candidates + exact verify."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.minhash_pairs(t["documents"]) \
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def q_simhash(spark, sf_dir) -> DataFrame:
+    """16-bit SimHash fingerprints over distinct tokens."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.simhash(t["documents"]).select("doc_id", "simhash16")
+
+
+def q_embed_topk(spark, sf_dir) -> DataFrame:
+    """brute-force cosine top-5 over the embeddings table (exact ANN
+    baseline; integer-quantized so results are bit-stable)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    return simi.cosine_topk(emb.where("vec_id % 50 = 0"), emb, k=5) \
+        .select("qid", "vec_id", "rank", "sim")
+
+
+def q_embed_ann_lsh(spark, sf_dir) -> DataFrame:
+    """hyperplane-LSH bucketed approximate 1-NN (the scale path)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.ann_lsh_top1(t["embeddings"]) \
+        .select("qid", "vec_id", "bucket", "sim")
+
+
+def q_centroid_assign(spark, sf_dir) -> DataFrame:
+    """nearest-centroid classification with exact integer ordering."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.centroid_assign(t["embeddings"]) \
+        .select("vec_id", "label", "pred_label", "is_correct")
+
+
 def q_recode_region(spark, sf_dir) -> DataFrame:
     """recode/lookup via broadcast-join LUT (add_numeric_col_lut, §2.2)."""
     t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
@@ -405,6 +475,15 @@ QUERIES = {
     "attr_filter": q_attr_filter,
     "value_counts": q_value_counts,
     "dedup_exact": q_dedup_exact,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "embed_topk": q_embed_topk,
+    "embed_ann_lsh": q_embed_ann_lsh,
+    "centroid_assign": q_centroid_assign,
     "recode_region": q_recode_region,
     "topk_largest": q_topk_largest,
     "events_hourly": q_events_hourly,

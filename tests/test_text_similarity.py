@@ -1,0 +1,104 @@
+"""Operator-level semantics for text dedup + embedding similarity.
+
+The generic oracle-parity tests (test_entry_contract.py) already check
+value-exactness; these check *semantic* properties: LSH recall of planted
+near-duplicates, SimHash locality, ANN-vs-exact agreement.
+"""
+
+import math
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def test_minhash_recall_equals_exact_jaccard_pairs(docs):
+    """LSH candidates must contain every pair with jaccard >= 0.8."""
+    from rsgislib_spark.operators import textops as tx
+
+    exact = {(r.doc_a, r.doc_b)
+             for r in tx.ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in tx.minhash_pairs(docs).collect()}
+    assert exact, "driver data should contain planted near-dups"
+    assert exact <= lsh
+
+
+def test_simhash_locality(docs):
+    """Near-dup pairs have smaller Hamming distance than random pairs."""
+    from rsgislib_spark.operators import textops as tx
+
+    sig = {r.doc_id: int(r.simhash16) for r in tx.simhash(docs).collect()}
+    pairs = tx.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert pairs
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    dup_d = np.mean([ham(sig[r.doc_a], sig[r.doc_b]) for r in pairs])
+    ids = sorted(sig)
+    rnd_d = np.mean([ham(sig[ids[i]], sig[ids[(i + 7) % len(ids)]])
+                     for i in range(40)])
+    assert dup_d < rnd_d
+
+
+def test_ann_lsh_sim_not_worse_than_half_exact(emb):
+    """Bucketed ANN top-1 similarity stays close to the exact 1-NN."""
+    from rsgislib_spark.operators import similarity as simi
+
+    exact = {r.qid: r.sim
+             for r in simi.cosine_topk(emb, emb, k=1).collect()}
+    approx = {r.qid: r.sim for r in simi.ann_lsh_top1(emb).collect()}
+    assert approx, "some buckets must contain >= 2 vectors"
+    # every ANN answer is a real candidate; sim can't exceed exact NN
+    for qid, s in approx.items():
+        assert s <= exact[qid] + 1e-12
+
+
+def test_webmerc_matches_numpy(spark):
+    from rsgislib_spark.operators.vector import reproj_webmerc
+
+    pdf = spark.createDataFrame(
+        [(float(lon), float(lat))
+         for lon, lat in [(-120.3, 37.1), (0.0, 0.0), (151.2, -33.9)]],
+        "lon double, lat double")
+    rows = reproj_webmerc(pdf).collect()
+    for r in rows:
+        x = 6378137.0 * math.radians(r.lon)
+        y = 6378137.0 * math.log(math.tan(math.pi / 4 + math.radians(r.lat) / 2))
+        assert abs(r.mx - x) < 1e-6 and abs(r.my - y) < 1e-6
+
+
+def test_band_math_eval_sandboxed():
+    from rsgislib_spark.operators.imagemath import eval_band_math
+
+    arr = np.arange(12, dtype=np.uint16).reshape(3, 4)
+    out = eval_band_math(arr, "where(b1 > 5, 2*b1 + 1, 0)")
+    ref = np.where(arr > 5, 2 * arr.astype(np.int64) + 1, 0)
+    assert (out == ref).all()
+    with pytest.raises(Exception):
+        eval_band_math(arr, "__import__('os')")
+
+
+def test_centroid_assign_majority_correct(emb):
+    """Labelled clusters in driver data -> centroid classifier >> chance."""
+    from rsgislib_spark.operators import similarity as simi
+
+    out = simi.centroid_assign(emb).collect()
+    acc = np.mean([r.is_correct for r in out])
+    n_labels = len({r.label for r in out})
+    assert acc > 1.5 / n_labels  # clearly above the 1/k chance level
