@@ -581,6 +581,70 @@ SELECT image_id, w, h, CAST(w AS BIGINT) * h AS area
 FROM img ORDER BY area DESC, id LIMIT 20
 """
 
+ORACLES["lut_query"] = f"""
+{_PREFIX}
+SELECT image_id, xmin, xmax, ymin, ymax
+FROM imgf
+WHERE xmax > 9.0 AND 11.0 > xmin AND ymax > 44.0 AND 46.0 > ymin
+"""
+
+_PXRS = synth.pixel_value_sql("id", "((x * w) // 16)", "((y * h) // 16)",
+                              "fmt")
+
+ORACLES["resize_stats"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(0, 15)) AS x
+       FROM img WHERE id % 7 = 0),
+px AS (SELECT image_id, {_PXRS} AS v
+       FROM (SELECT *, unnest(generate_series(0, 15)) AS y FROM xs))
+SELECT image_id, CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+       CAST(sum(v) AS BIGINT) AS sum_pix
+FROM px GROUP BY image_id
+"""
+
+ORACLES["frame_sample"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 7 = 0),
+px AS (SELECT image_id, y, {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1, 4)) AS y FROM xs))
+SELECT image_id,
+       CAST(count(DISTINCT y) AS BIGINT) AS n_frames,
+       CAST(sum(v) AS BIGINT) AS sum_sampled
+FROM px GROUP BY image_id
+"""
+
+ORACLES["lineage_records"] = f"""
+{_PREFIX}
+SELECT {_CELL} AS cell, count(*) AS n_rows,
+       CAST(sum(phash % 1000003) AS BIGINT) AS sum_phash,
+       min(id) AS min_id, max(id) AS max_id,
+       CAST(0 AS BIGINT) AS snapshot_id
+FROM img GROUP BY 1
+"""
+
+ORACLES["stream_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["sessionize"] = """
+WITH o AS (
+  SELECT user_id, event_id,
+         CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   - lag(CAST(epoch(ts) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY user_id
+"""
+
 ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, count(DISTINCT user_id) AS n_users,

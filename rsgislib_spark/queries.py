@@ -27,7 +27,11 @@ from .operators.knn import match_closest_points, npts_in_radius
 from .operators.spatial_join import spatial_join, spatial_select, with_point_cell
 from .operators.tiling import tile_pixels, tile_spec_df
 from .operators.zonal import zonal_stats
+from .plans.lineage import lineage_records
 from .session import load_tables
+from .sources.imagelut import build_img_lut, query_img_lut
+from .sources.multimodal import frame_sample_stats, resize_nn
+from .streaming.events import sessionize_batch, stream_hourly_counts
 
 __all__ = ["QUERIES", "flagship"]
 
@@ -398,6 +402,52 @@ def q_topk_largest(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_lut_query(spark, sf_dir) -> DataFrame:
+    """image LUT build + bbox query with cell pruning (§2.1)."""
+    img = _images(spark, sf_dir)
+    lut = build_img_lut(img)
+    return query_img_lut(lut, 9.0, 11.0, 44.0, 46.0) \
+        .select("image_id", "xmin", "xmax", "ymin", "ymax")
+
+
+def q_resize_stats(spark, sf_dir) -> DataFrame:
+    """nearest-neighbour resize to 16x16 with exact checksums (§2.9,
+    multimodal plumbing)."""
+    img = _px_images(spark, sf_dir)
+    return resize_nn(img, 16, 16, encode=False) \
+        .select("image_id",
+                F.col("out_w").cast("long").alias("out_w"),
+                F.col("out_h").cast("long").alias("out_h"), "sum_pix")
+
+
+def q_frame_sample(spark, sf_dir) -> DataFrame:
+    """strided frame sampling over binary payloads (multimodal)."""
+    img = _px_images(spark, sf_dir)
+    return frame_sample_stats(img, every=4) \
+        .select("image_id", "n_frames", "sum_sampled")
+
+
+def q_lineage_records(spark, sf_dir) -> DataFrame:
+    """per-cell lineage rows (checkpoint/resume content, §2.10)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    out = lineage_records(img, snapshot_id=0)
+    return out.select("cell", "n_rows", "sum_phash", "min_id", "max_id",
+                      "snapshot_id")
+
+
+def q_stream_hourly(spark, sf_dir) -> DataFrame:
+    """Structured Streaming tumbling-window agg, AvailableNow (§2.10)."""
+    return stream_hourly_counts(spark, sf_dir) \
+        .select("hour", "event_type", "n_events", "min_value", "max_value")
+
+
+def q_sessionize(spark, sf_dir) -> DataFrame:
+    """gap-based sessionization (30 min) per user (§2.10)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return sessionize_batch(t["events"], gap_minutes=30) \
+        .select("user_id", "n_sessions", "n_events")
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     """batch analog of a streaming tumbling-window aggregation (§2.10)."""
     t = load_tables(spark, sf_dir, ["events"])
@@ -487,4 +537,10 @@ QUERIES = {
     "recode_region": q_recode_region,
     "topk_largest": q_topk_largest,
     "events_hourly": q_events_hourly,
+    "lut_query": q_lut_query,
+    "resize_stats": q_resize_stats,
+    "frame_sample": q_frame_sample,
+    "lineage_records": q_lineage_records,
+    "stream_hourly": q_stream_hourly,
+    "sessionize": q_sessionize,
 }

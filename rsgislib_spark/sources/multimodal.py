@@ -1,0 +1,120 @@
+"""Multimodal binary-payload plumbing: decode / resize / frame-sample.
+
+Treats image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, processed in Arrow batches (``mapInPandas``).  The *plumbing* —
+schemas, batch shapes, partitioning, UDF signatures — is real and tested;
+codecs the container lacks are STUBBED exactly as the task prescribes:
+
+* image png/raw8/raw16: real decode (functions.codec);
+* image jpeg: deterministic quantization stub (codec.decode_jpeg_stub)
+  bounded to PSNR >= 40 dB; raises NotImplementedError for real JPEG
+  payloads;
+* audio/video: no codec libs in this container -> ``decode_media`` raises
+  NotImplementedError for them; ``frame_sample`` demonstrates the real
+  row-strided sampling plumbing on raster payloads (a video frame is one
+  more leading dimension of the same layout).
+
+Reference precedent for resize: ``resample_img_to_match`` with
+INTERP_NEAREST_NEIGHBOUR (python/rsgislib/imageutils/__init__.py:2104;
+kernels enum python/rsgislib/__init__.py:214-220).  Nearest-neighbour
+source index: ``src = (dst * src_size) // dst_size`` — pure integer math,
+so results carry an exact closed-form oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..functions import codec
+
+__all__ = ["decode_media", "resize_nn", "frame_sample_stats"]
+
+_IMAGE_FMTS = {"raw8", "raw16", "png", "jpeg"}
+
+
+def decode_media(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode any supported media payload; raise for absent codecs."""
+    if fmt in _IMAGE_FMTS:
+        return codec.decode_image(buf, w, h, fmt)
+    raise NotImplementedError(
+        f"no {fmt!r} codec in this container; plug a decoder in here "
+        "(audio -> (channels, samples), video -> (frames, h, w))"
+    )
+
+
+_RESIZE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("fmt", StringType()),
+    StructField("bytes", BinaryType()),
+    StructField("sum_pix", LongType()),
+])
+
+
+def resize_nn(images: DataFrame, out_w: int, out_h: int,
+              encode: bool = True) -> DataFrame:
+    """Nearest-neighbour resize of every payload to (out_w, out_h).
+
+    src index = (dst * src) // dst (integer).  One decode per image, one
+    Arrow batch per task; ``sum_pix`` is the exact content checksum of
+    the resized plane (the oracle hook + lineage fingerprint).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "out_w", "out_h", "fmt",
+                                   "bytes", "sum_pix")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = decode_media(bytes(buf), int(w), int(h), str(fmt))
+                sx = (np.arange(out_w, dtype=np.int64) * int(w)) // out_w
+                sy = (np.arange(out_h, dtype=np.int64) * int(h)) // out_h
+                res = arr[np.ix_(sy, sx)]
+                out["image_id"].append(image_id)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["fmt"].append(str(fmt))
+                out["bytes"].append(
+                    codec.encode_image(res, str(fmt)) if encode else b"")
+                out["sum_pix"].append(int(res.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_RESIZE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_frames", LongType()),
+    StructField("sum_sampled", LongType()),
+])
+
+
+def frame_sample_stats(images: DataFrame, every: int = 4) -> DataFrame:
+    """Row-strided frame sampling: keep every k-th row ("frame").
+
+    The video analog: a (frames, h, w) payload keeps every k-th frame;
+    on 2-D rasters the same stride applies to rows, which keeps the
+    plumbing (stride slicing in Arrow batches, exact checksums) fully
+    exercised without a video codec.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_frames", "sum_sampled")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = decode_media(bytes(buf), int(w), int(h), str(fmt))
+                sampled = arr[::every]
+                out["image_id"].append(image_id)
+                out["n_frames"].append(int(sampled.shape[0]))
+                out["sum_sampled"].append(int(sampled.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_FRAME_SCHEMA)

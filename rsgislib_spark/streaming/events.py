@@ -1,0 +1,110 @@
+"""Structured Streaming over the events table + batch-equivalent ops.
+
+The reference is batch-only (SURVEY.md §2.10); this module supplies the
+streaming surface the new engine owes a modern pipeline:
+
+* ``stream_hourly_counts`` — ``readStream`` -> tumbling 1-hour window
+  aggregation -> memory sink, ``Trigger.AvailableNow`` (processes the
+  whole backlog as micro-batches then stops — the batch-parity mode).
+  ``complete`` output keeps every window so the result equals the batch
+  aggregation bit-for-bit (counts/min/max only — no float accumulation);
+* ``stream_hourly_counts_append`` — the production shape: watermarked
+  append mode that emits each window once it can no longer receive late
+  data (late rows beyond the watermark are dropped);
+* ``sessionize_batch`` — gap-based sessionization as pure window
+  functions (lag + cumulative sum over an explicit total order) — the
+  batch semantics that a streaming ``applyInPandasWithState``
+  implementation must reproduce; used as its oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+__all__ = [
+    "stream_hourly_counts",
+    "stream_hourly_counts_append",
+    "sessionize_batch",
+]
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the driver ships single-file tables; the file-stream source wants a
+    # directory, so stream the dir with a glob pinned to the events file.
+    return (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    name = "t" + uuid.uuid4().hex
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window hourly counts with batch-identical results."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+        .select(F.col("win.start").alias("hour"), "event_type",
+                "n_events", "min_value", "max_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_hourly_counts_append(spark: SparkSession, sf_dir: str,
+                                watermark: str = "2 hours") -> DataFrame:
+    """Watermarked append mode: only finalized windows are emitted.
+
+    Windows newer than ``max(ts) - watermark`` stay open (could still
+    receive late rows) and are withheld — the correct production
+    behaviour, checked in tests rather than against the batch oracle.
+    """
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC
+    ev = _events_stream(spark, sf_dir) \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: new session when idle > gap.
+
+    lag + cumulative-sum over (user_id, ts, event_id) — the explicit
+    total order makes session ids deterministic under any partitioning.
+    Output: one row per user with session/event counts.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = gap_minutes * 60
+    # NTZ timestamps cannot cast straight to long in Spark 4; go via
+    # TIMESTAMP (session tz is pinned to UTC in session.get_spark).
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    marked = events.withColumn(
+        "new_s",
+        F.when(epoch - F.lag(epoch, 1).over(w) > gap, 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg((F.max("session_idx") + 1).alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,101 @@
+"""Checkpoint/resume lineage protocol, streaming append mode, multimodal
+stub behaviour."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def test_run_resumable_idempotent(spark, sf_dir, tmp_path):
+    from rsgislib_spark import synth
+    from rsgislib_spark.plans.lineage import completed_cells, run_resumable
+
+    img = synth.synth_images(spark, sf_dir, with_footprint=False)
+    out = str(tmp_path / "job")
+
+    def process(df):
+        return df.select("cell", "image_id", "phash")
+
+    n1 = run_resumable(img, out, process)
+    assert n1 > 0
+    # re-run on identical input: every cell has lineage -> nothing to do
+    n2 = run_resumable(img, out, process)
+    assert n2 == 0
+    # data completeness: one output row per input row, none duplicated
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == img.count()
+    assert data.select("image_id").distinct().count() == img.count()
+    assert completed_cells(spark, os.path.join(out, "lineage")).count() == n1
+
+
+def test_run_resumable_processes_only_missing(spark, sf_dir, tmp_path):
+    """Killing a run midway = some cells done; resume does the rest."""
+    from rsgislib_spark import synth
+    from rsgislib_spark.operators.spatial_join import with_point_cell
+    from rsgislib_spark.plans.lineage import run_resumable
+
+    img = synth.synth_images(spark, sf_dir, with_footprint=False)
+    keyed = with_point_cell(img)
+    cells = sorted(r.cell for r in keyed.select("cell").distinct().collect())
+    half = set(cells[: len(cells) // 2])
+    part1 = keyed.where(F.col("cell").isin([int(c) for c in half])).drop("cell")
+    out = str(tmp_path / "job")
+
+    def process(df):
+        return df.select("cell", "image_id", "phash")
+
+    n1 = run_resumable(part1, out, process)
+    assert n1 == len(half)
+    n2 = run_resumable(img, out, process)          # full input resumes
+    assert n1 + n2 == len(cells)
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == img.count()
+
+
+def test_stream_append_withholds_open_windows(spark, sf_dir):
+    from rsgislib_spark.streaming.events import (
+        stream_hourly_counts, stream_hourly_counts_append)
+
+    full = stream_hourly_counts(spark, sf_dir)
+    appended = stream_hourly_counts_append(spark, sf_dir, watermark="2 hours")
+    n_full = full.select("hour").distinct().count()
+    n_app = appended.select("hour").distinct().count()
+    # append emits only finalized windows: never more than complete mode,
+    # and the trailing (still-open) windows are withheld
+    assert 0 < n_app < n_full
+    # emitted window counts agree with the batch truth
+    fkey = {(r.hour, r.event_type): r.n_events for r in full.collect()}
+    for r in appended.collect():
+        assert fkey[(r.hour, r.event_type)] == r.n_events
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from rsgislib_spark.sources.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00" * 16, 2, 2, "mp4")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00" * 16, 2, 2, "wav")
+
+
+def test_resize_roundtrip_bytes(spark, sf_dir):
+    """Resized payloads re-encode/decode losslessly (png path included)."""
+    import numpy as np
+
+    from rsgislib_spark import synth
+    from rsgislib_spark.functions import codec
+    from rsgislib_spark.sources.multimodal import resize_nn
+
+    img = synth.synth_images(spark, sf_dir, with_bytes=True,
+                             with_footprint=False).where("id % 97 = 0")
+    rows = resize_nn(img, 16, 16, encode=True).collect()
+    assert rows
+    for r in rows:
+        arr = codec.decode_image(bytes(r.bytes), 16, 16, r.fmt)
+        assert arr.shape == (16, 16)
+        assert int(arr.astype(np.int64).sum()) == r.sum_pix
