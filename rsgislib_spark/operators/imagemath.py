@@ -35,7 +35,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (BooleanType, LongType, StringType, StructField,
+                               StructType)
 
 from ..functions import codec
 
@@ -43,11 +44,13 @@ __all__ = [
     "band_math_stats",
     "mask_img_stats",
     "conv3x3_stats",
+    "morph3x3_stats",
     "SOBEL_X",
     "MEAN3",
     "index_scaled_stats",
     "value_counts",
     "percentiles_from_hist",
+    "lossy_roundtrip_check",
 ]
 
 _PLANE_AGG_SCHEMA = StructType([
@@ -181,6 +184,78 @@ def conv3x3_stats(images: DataFrame, kernel=MEAN3,
         .withColumnRenamed("sum_pix", "sum_conv") \
         .withColumnRenamed("min_pix", "min_conv") \
         .withColumnRenamed("max_pix", "max_conv")
+
+
+def morph3x3_stats(images: DataFrame, op: str = "dilate") -> DataFrame:
+    """Grayscale 3x3 morphology over the interior + exact stats.
+
+    Reference: python/rsgislib/imagemorphology (dilate/erode with a
+    square operator) — dilate = window max, erode = window min, as nine
+    shifted elementwise max/min ops.  Output mirrors conv3x3_stats.
+    """
+    if op not in ("dilate", "erode"):
+        raise ValueError("op must be 'dilate' or 'erode'")
+    fold = np.maximum if op == "dilate" else np.minimum
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < 3 or w < 3:
+            return np.zeros((0,), dtype=np.int64)
+        acc = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                s = a[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                acc = s.copy() if acc is None else fold(acc, s)
+        return acc
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_m") \
+        .withColumnRenamed("min_pix", "min_m") \
+        .withColumnRenamed("max_pix", "max_m")
+
+
+def lossy_roundtrip_check(images: DataFrame) -> DataFrame:
+    """are_imgs_equal / PSNR gate for the lossy codec path.
+
+    Round-trips every plane through the deterministic lossy stub
+    (codec.encode_jpeg_stub quantization), then reports exact error
+    stats and the task's PSNR >= 40 dB invariant as an *integer*
+    inequality (peak^2 * n >= 10^4 * sse <=> 10*log10(peak^2/mse) >= 40)
+    — no transcendental in the verified output.  Reference analog:
+    ``are_imgs_equal`` prop-equal-within-tolerance (imagecalc/__init__.
+    py:1408).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_pix", "sum_sq_err",
+                                   "max_abs_err", "psnr_ok")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                ref = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.uint16)
+                back = codec.decode_jpeg_stub(codec.encode_jpeg_stub(ref)) \
+                    .astype(np.int64)
+                err = back - ref.astype(np.int64)
+                sse = int((err * err).sum())
+                peak = int(ref.max())
+                n = int(ref.size)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(n)
+                out["sum_sq_err"].append(sse)
+                out["max_abs_err"].append(int(np.abs(err).max()))
+                out["psnr_ok"].append(bool(peak * peak * n >= 10000 * sse))
+            yield pd.DataFrame(out)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("n_pix", LongType()),
+        StructField("sum_sq_err", LongType()),
+        StructField("max_abs_err", LongType()),
+        StructField("psnr_ok", BooleanType()),
+    ])
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)
 
 
 def index_scaled_stats(images: DataFrame) -> DataFrame:

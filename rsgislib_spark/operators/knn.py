@@ -4,15 +4,24 @@ Re-expresses:
 
 * ``match_closest_vec_pts`` (reference: python/rsgislib/vectorutils/
   __init__.py:3359-3473) — 1-NN point->point match.  The reference builds
-  the full O(n*m) distance matrix; here the match side is keyed by grid
-  cell and each base point probes an expanding square of rings
-  (k-ring candidate join -> window-min), doubling the ring radius until
-  the best candidate distance is provably smaller than any unexplored
-  cell could offer.  Distances are planar euclidean in coordinate units,
-  exactly ``calc_pt_distance`` (tools/geometrytools.py:592).  Ties raise,
-  as the reference does (vectorutils/__init__.py:3430-3434); output
-  columns default to ``x_match / y_match / dist_match`` and ``tolerance``
-  filters matches ``dist < tolerance`` (strict, :3464).
+  the full O(n*m) distance matrix; here a *density-adaptive two-phase
+  plan*: (1) pick a coarse grid resolution where the expected 1-NN
+  distance fits inside one cell (cell height ~ 3x the Poisson-expected
+  NN distance from the match-layer count), join base->match on the 3x3
+  coarse-cell ring (a single hash equi-join; ~tens of candidates per
+  base point at any density), and accept a best candidate at distance
+  ``d < coarse_cell_height`` — every unexplored cell lies provably
+  farther; (2) the few unresolved stragglers (isolated points, edge
+  cases) fall back to one brute-force join against the match layer —
+  exact, and bounded because phase 1 resolves the overwhelming majority.
+  Two shuffle rounds total, independent of density, vs the former
+  iterative ring-doubling (O(log n) rounds with two driver actions
+  each — the profiled bottleneck).  Distances are planar euclidean in
+  coordinate units, exactly ``calc_pt_distance`` (tools/geometrytools.
+  py:592).  Ties raise, as the reference does (vectorutils/__init__.py:
+  3430-3434); output columns default to ``x_match / y_match /
+  dist_match`` and ``tolerance`` filters matches ``dist < tolerance``
+  (strict, :3464).
 
 * ``calc_npts_in_radius`` (reference: python/rsgislib/vectorattrs/
   __init__.py:997-1049) — per-point count of same-layer points within an
@@ -76,82 +85,97 @@ def match_closest_points(
 ) -> DataFrame:
     """Exact 1-NN of every base point into the match layer.
 
-    Iterative doubling: at round i the candidate set is the k_i-ring of
-    the base point's cell (k_1 = 1, doubling).  The best candidate at
-    distance d is final once ``d < k_i * cell_height_deg`` — every
-    unexplored cell (Chebyshev distance > k_i) lies fully beyond that
-    bound — or once the ring covers the whole grid.  Each round is a
-    hash equi-join on cell; the match side is keyed once and reused.
+    Phase 1: 3x3-ring candidate join at a density-chosen coarse
+    resolution; a best candidate at ``d < coarse_cell_height`` is
+    provably the true 1-NN (no unexplored cell can be nearer).  Phase 2:
+    unresolved stragglers brute-force against the whole match layer.
+    Both phases are single equi-/cross-joins — two shuffle rounds total,
+    no driver-side iteration.
 
     Returns ``base`` columns + match coordinates/key/distance.  Raises
     :class:`TieError` when a base point has two equally-near matches.
     """
-    n = 1 << res
+    # ---- density-adaptive coarse resolution ------------------------------
+    # Poisson-expected NN distance ~ 0.5 / sqrt(m / world_area); make the
+    # coarse cell ~3x that so phase 1 resolves the vast majority.
+    m_count = match.count()
+    exp_nn = 0.5 / math.sqrt(max(m_count, 1) / (360.0 * 180.0))
+    res_c = int(max(0, min(res, math.floor(math.log2(180.0 / (3.0 * exp_nn))))))
+    n = 1 << res_c
     cell_h = 180.0 / n
 
-    m_nx, m_ny = _cell_parts(F.col(match_lon), F.col(match_lat), res)
+    m_nx, m_ny = _cell_parts(F.col(match_lon), F.col(match_lat), res_c)
     keyed_match = match.select(
         F.col(match_key).alias("_mkey"),
         F.col(match_lon).alias("_mlon"),
         F.col(match_lat).alias("_mlat"),
         (m_nx * F.lit(_X_SHIFT) + m_ny).alias("_mxy"),
-    ).cache()
+    )
 
-    b_nx, b_ny = _cell_parts(F.col(base_lon), F.col(base_lat), res)
-    pending = base.select(
+    b_nx, b_ny = _cell_parts(F.col(base_lon), F.col(base_lat), res_c)
+    keyed_base = base.select(
         F.col(base_key).alias("_bkey"),
         F.col(base_lon).alias("_blon"),
         F.col(base_lat).alias("_blat"),
         b_nx.alias("_bnx"), b_ny.alias("_bny"),
     )
 
-    out_parts = []
-    k = 1
-    while True:
+    w = Window.partitionBy("_bkey")
+
+    def _best(cand):
+        return (
+            cand.withColumn("_mind", F.min("_d").over(w))
+            .where(F.col("_d") == F.col("_mind"))
+            .withColumn("_nbest", F.count(F.lit(1)).over(w))
+        )
+
+    # ---- phase 1: 3x3 coarse ring ---------------------------------------
+    # (skipped for degenerate grids n < 4, where longitude wrap could
+    # duplicate ring cells — brute force is trivially cheap there anyway)
+    if n >= 4:
         probe = (
-            pending
-            .withColumn("_rx", F.explode(F.sequence(F.col("_bnx") - k,
-                                                    F.col("_bnx") + k)))
-            .withColumn("_ry", F.explode(F.sequence(F.col("_bny") - k,
-                                                    F.col("_bny") + k)))
+            keyed_base
+            .withColumn("_rx", F.explode(F.sequence(F.col("_bnx") - 1,
+                                                    F.col("_bnx") + 1)))
+            .withColumn("_ry", F.explode(F.sequence(F.col("_bny") - 1,
+                                                    F.col("_bny") + 1)))
             .where((F.col("_ry") >= 0) & (F.col("_ry") < n))
             .withColumn("_mxy",
                         F.pmod(F.col("_rx"), F.lit(n)) * F.lit(_X_SHIFT)
                         + F.col("_ry"))
             .drop("_rx", "_ry")
         )
-        cand = probe.join(keyed_match, "_mxy", "inner").withColumn(
+        cand1 = probe.join(keyed_match, "_mxy", "inner").withColumn(
             "_d", _dist(F.col("_blon"), F.col("_blat"),
                         F.col("_mlon"), F.col("_mlat"))
         )
-        w = Window.partitionBy("_bkey")
-        best = (
-            cand.withColumn("_mind", F.min("_d").over(w))
-            .where(F.col("_d") == F.col("_mind"))
-            .withColumn("_nbest", F.count(F.lit(1)).over(w))
-        )
-        # unexplored cells are > k rings away -> any point there is at
-        # distance >= k * cell_h; a best below that bound is provably 1-NN.
-        done_cond = (F.col("_mind") < F.lit(k * cell_h)) | F.lit(k >= n)
-        resolved = best.where(done_cond).cache()
+        # any unexplored cell is >= cell_h away from the base point, so
+        # a best below that bound is provably the global 1-NN
+        resolved1 = _best(cand1).where(F.col("_mind") < F.lit(cell_h))
+    else:
+        resolved1 = _best(
+            keyed_base.limit(0).crossJoin(keyed_match.drop("_mxy"))
+            .withColumn("_d", F.lit(0.0)))
 
-        if check_ties:
-            ties = resolved.where(F.col("_nbest") > 1).limit(1).count()
-            if ties:
-                raise TieError(
-                    "Multiple features found - don't know what to do with that!"
-                )
-        out_parts.append(
-            resolved.select("_bkey", "_mkey", "_mlon", "_mlat", "_d")
-        )
-        pending = pending.join(resolved.select("_bkey"), "_bkey", "left_anti")
-        if k >= n or pending.limit(1).count() == 0:
-            break
-        k *= 2
+    # ---- phase 2: brute-force fallback for the stragglers ----------------
+    pending = keyed_base.join(resolved1.select("_bkey"), "_bkey", "left_anti")
+    cand2 = pending.drop("_bnx", "_bny").crossJoin(
+        keyed_match.drop("_mxy")).withColumn(
+        "_d", _dist(F.col("_blon"), F.col("_blat"),
+                    F.col("_mlon"), F.col("_mlat"))
+    )
+    resolved2 = _best(cand2)
 
-    matched = out_parts[0]
-    for p in out_parts[1:]:
-        matched = matched.unionByName(p)
+    matched = resolved1.select("_bkey", "_mkey", "_mlon", "_mlat",
+                               "_d", "_nbest") \
+        .unionByName(resolved2.select("_bkey", "_mkey", "_mlon", "_mlat",
+                                      "_d", "_nbest")).cache()
+
+    if check_ties:
+        if matched.where(F.col("_nbest") > 1).limit(1).count():
+            raise TieError(
+                "Multiple features found - don't know what to do with that!"
+            )
     matched = matched.select(
         F.col("_bkey").alias(base_key),
         F.col("_mkey").alias("match_" + match_key),

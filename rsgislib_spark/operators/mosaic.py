@@ -41,7 +41,7 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..functions import codec
 
-__all__ = ["mosaic_window"]
+__all__ = ["mosaic_window", "mosaic_mode_window"]
 
 _ENC_LAST = 2048                 # id * 2048 + v
 _ENC_IDX = 1 << 40               # v * 2^40 + id
@@ -150,3 +150,78 @@ def mosaic_window(images: DataFrame, x0: float, y0: float,
 
     return cand.mapInPandas(partials, schema=_PARTIAL_SCHEMA) \
         .groupBy("window_id").applyInPandas(merge, schema=_OUT_SCHEMA)
+
+
+_MODE_PARTIAL_SCHEMA = StructType([
+    StructField("code", LongType()),     # flat_pixel * 2048 + value
+    StructField("cnt", LongType()),
+])
+
+_MODE_OUT_SCHEMA = ["px", "py", "n_imgs", "mode_v"]
+
+
+def mosaic_mode_window(images: DataFrame, x0: float, y0: float,
+                       npx: int, npy: int, res: float) -> DataFrame:
+    """Per-pixel MODE across overlapping images (``calc_imgs_pxl_mode``).
+
+    Reference: imagecalc/__init__.py:966 (scipy mode across stacked
+    arrays — ties resolve to the smallest value).  Mode needs per-pixel
+    value counts, so each Arrow batch pre-aggregates its images into
+    sparse ``(pixel, value) -> count`` partials (np.unique — one row per
+    distinct pair per batch, NOT per pixel-sample); Catalyst sums the
+    partials and an order-encoding max picks the mode:
+
+        argmax(count, tie -> min value) = max(cnt * 2048 + (2047 - v))
+    """
+    xw, yh = x0 + npx * res, y0 + npy * res
+    cand = images.where(
+        (F.col("xmax") > F.lit(x0)) & (F.col("xmin") < F.lit(xw))
+        & (F.col("ymax") > F.lit(y0)) & (F.col("ymin") < F.lit(yh))
+    ).select("id", "bytes", "w", "h", "fmt", "xmin", "xmax", "ymin", "ymax")
+
+    cxs = x0 + (np.arange(npx, dtype=np.float64) + 0.5) * res
+    cys = y0 + (np.arange(npy, dtype=np.float64) + 0.5) * res
+
+    def partials(it):
+        for pdf in it:
+            codes = []
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode_image(bytes(row.bytes), int(row.w),
+                                         int(row.h), str(row.fmt))
+                sel_x = np.nonzero((cxs >= row.xmin) & (cxs < row.xmax))[0]
+                sel_y = np.nonzero((cys > row.ymin) & (cys <= row.ymax))[0]
+                if sel_x.size == 0 or sel_y.size == 0:
+                    continue
+                sx = np.minimum(np.floor((cxs[sel_x] - row.xmin) / res)
+                                .astype(np.int64), int(row.w) - 1)
+                sy = np.minimum(np.floor((row.ymax - cys[sel_y]) / res)
+                                .astype(np.int64), int(row.h) - 1)
+                v = arr[np.ix_(sy, sx)].astype(np.int64)
+                flat = (sel_y[:, None] * npx + sel_x[None, :]).astype(np.int64)
+                codes.append((flat * 2048 + v).ravel())
+            if codes:
+                uniq, cnt = np.unique(np.concatenate(codes),
+                                      return_counts=True)
+                yield pd.DataFrame({"code": uniq,
+                                    "cnt": cnt.astype(np.int64)})
+            else:
+                yield pd.DataFrame({"code": np.zeros(0, np.int64),
+                                    "cnt": np.zeros(0, np.int64)})
+
+    counts = (
+        cand.mapInPandas(partials, schema=_MODE_PARTIAL_SCHEMA)
+        .groupBy("code").agg(F.sum("cnt").alias("n"))
+        .withColumn("flat", (F.col("code") / 2048).cast("long"))
+        .withColumn("v", F.col("code") % 2048)
+    )
+    return (
+        counts.groupBy("flat")
+        .agg(F.sum("n").alias("n_imgs"),
+             F.max(F.col("n") * 2048 + (F.lit(2047) - F.col("v")))
+             .alias("_enc"))
+        .select((F.col("flat") % npx).alias("px"),
+                (F.col("flat") / npx).cast("long").alias("py"),
+                "n_imgs",
+                (F.lit(2047) - F.pmod(F.col("_enc"), F.lit(2048)))
+                .alias("mode_v"))
+    )

@@ -60,16 +60,20 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     cross join shards by corpus partition and the per-query top-k reduces
     via the rank window — swap in ``ann_lsh_top1`` when n*m is too big.
     """
-    q = quantize(queries).select(F.col(id_col).alias("qid"),
-                                 F.col("q").alias("qv"))
-    c = quantize(corpus).select(F.col(id_col).alias("vec_id"),
-                                F.col("q").alias("cv"))
+    # norms are computed ONCE per side (n + m evaluations), never per
+    # pair — per-pair work is exactly one zip_with dot product.  The
+    # small query side is broadcast so the corpus never shuffles.
+    q = quantize(queries).select(
+        F.col(id_col).alias("qid"), F.col("q").alias("qv"),
+        F.expr(_norm_sq("q")).alias("nq"))
+    c = quantize(corpus).select(
+        F.col(id_col).alias("vec_id"), F.col("q").alias("cv"),
+        F.expr(_norm_sq("q")).alias("nc"))
     dot = F.expr(_DOT.format(a="qv", b="cv"))
-    nq = F.expr(_norm_sq("qv"))
-    nc = F.expr(_norm_sq("cv"))
-    sim = dot.cast("double") / F.sqrt((nq * nc).cast("double"))
+    sim = dot.cast("double") / F.sqrt((F.col("nq") * F.col("nc"))
+                                      .cast("double"))
     scored = (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))
         .where(F.col("qid") != F.col("vec_id"))
         .withColumn("sim", sim)
     )
@@ -109,13 +113,13 @@ def ann_lsh_top1(vectors: DataFrame, n_planes: int = 8, dim: int = 64,
     """
     v = quantize(vectors).withColumn(
         "bucket", F.expr(_bucket_expr("q", n_planes, dim))
-    ).select(F.col(id_col).alias("vid"), "q", "bucket")
+    ).select(F.col(id_col).alias("vid"), "q", "bucket",
+             F.expr(_norm_sq("q")).alias("nrm"))
     a = v.alias("a")
     b = v.alias("b")
     dot = F.expr(_DOT.format(a="a.q", b="b.q"))
-    na = F.expr(_norm_sq("a.q"))
-    nb = F.expr(_norm_sq("b.q"))
-    sim = dot.cast("double") / F.sqrt((na * nb).cast("double"))
+    sim = dot.cast("double") / F.sqrt((F.col("a.nrm") * F.col("b.nrm"))
+                                      .cast("double"))
     pairs = (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.vid") != F.col("b.vid")))

@@ -216,10 +216,32 @@ def minhash_pairs(docs: DataFrame, n_hashes: int = 8, band_size: int = 4,
                 F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, n, threshold=0.0)
-    return cand.join(verified, ["doc_a", "doc_b"], "inner") \
-        .where(F.col("jaccard") >= threshold) \
+    # exact-verify ONLY the LSH candidates (the whole point of banding):
+    # the candidate list is tiny, so it broadcasts and the shingle joins
+    # are candidate-driven — never the all-pairs shared-shingle join.
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        F.broadcast(cand)
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("ns", "ns_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("ns", "ns_b"), "doc_b")
+        .withColumn("jaccard",
+                    F.col("n_common").cast("double")
+                    / (F.col("ns_a") + F.col("ns_b") - F.col("n_common"))
+                    .cast("double"))
+        .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
 
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:

@@ -35,7 +35,8 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 
 from ..functions import codec
 
-__all__ = ["tile_spec_df", "tile_pixels", "TILE_PIXEL_SCHEMA"]
+__all__ = ["tile_spec_df", "tile_spec_offset_df", "block_iter_specs",
+           "tile_pixels", "TILE_PIXEL_SCHEMA"]
 
 
 def tile_spec_df(images: DataFrame, width: int, height: int,
@@ -85,6 +86,95 @@ def tile_spec_df(images: DataFrame, width: int, height: int,
         .drop("_numx", "_numy", "_remx", "_remy", "_cols", "_rows")
     )
     return df
+
+
+def tile_spec_offset_df(images: DataFrame, width: int, height: int,
+                        overlap: int = 0, img_w: str = "w",
+                        img_h: str = "h") -> DataFrame:
+    """Half-tile-offset tiling grid (``offsetTiling``) — Catalyst-only.
+
+    Reference: RSGISCmdImageUtils.cpp:305-535.  Layout per axis: one
+    leading half tile, ``num`` full tiles, then a remainder tile whenever
+    ``rem = size - num*width > 0`` (the reference computes the remainder
+    from the *full* image size, so it overshoots and clamps — including
+    the zero-width degenerate window on exact fits, replicated here).
+    Requires width/height >= 2 so the half offset is nonzero.
+    """
+    tw, th, ov = int(width), int(height), int(overlap)
+    if tw < 2 or th < 2:
+        raise ValueError("offset tiling needs width/height >= 2")
+    xo, yo = tw // 2, th // 2
+    w, h = F.col(img_w), F.col(img_h)
+
+    num_x = ((w - xo) / tw).cast("int")
+    num_y = ((h - yo) / th).cast("int")
+    rem_x = w - num_x * tw
+    rem_y = h - num_y * th
+    cols = F.lit(1) + num_x + F.when(rem_x > 0, 1).otherwise(0)
+    rows = F.lit(1) + num_y + F.when(rem_y > 0, 1).otherwise(0)
+
+    df = (
+        images
+        .withColumn("_numx", num_x).withColumn("_numy", num_y)
+        .withColumn("_remx", rem_x).withColumn("_remy", rem_y)
+        .withColumn("_cols", cols).withColumn("_rows", rows)
+        .withColumn("tile_idx",
+                    F.explode(F.sequence(F.lit(0),
+                                         F.col("_cols") * F.col("_rows") - 1)))
+        .withColumn("tile_x", F.col("tile_idx") % F.col("_cols"))
+        .withColumn("tile_y", (F.col("tile_idx") / F.col("_cols")).cast("int"))
+    )
+    tx, ty = F.col("tile_x"), F.col("tile_y")
+    c_x = F.when(tx == 0, 0).otherwise(xo + (tx - 1) * tw)
+    c_y = F.when(ty == 0, 0).otherwise(yo + (ty - 1) * th)
+    t_w = F.when(tx == 0, xo).otherwise(
+        F.when(tx <= F.col("_numx"), tw).otherwise(F.col("_remx")))
+    t_h = F.when(ty == 0, yo).otherwise(
+        F.when(ty <= F.col("_numy"), th).otherwise(F.col("_remy")))
+    return (
+        df.withColumn("txmin", F.greatest(c_x - ov, F.lit(0)))
+        .withColumn("txmax", F.least(c_x + t_w + ov, w))
+        .withColumn("tymin", F.greatest(c_y - ov, F.lit(0)))
+        .withColumn("tymax", F.least(c_y + t_h + ov, h))
+        .withColumn("tile_name",
+                    F.concat(F.col("image_id"), F.lit("_tile"),
+                             F.col("tile_idx")))
+        .drop("_numx", "_numy", "_remx", "_remy", "_cols", "_rows")
+    )
+
+
+def block_iter_specs(images: DataFrame, block_w: int, block_h: int,
+                     img_w: str = "w", img_h: str = "h") -> DataFrame:
+    """StdImgBlockIter grid: end blocks re-read SHIFTED to full size.
+
+    Reference: python/rsgislib/imageutils/stdimgblockiter.py:214-288 —
+    every block is exactly (block_w, block_h); the last block per axis
+    starts at ``size - block`` (clamped to 0), overlapping its
+    predecessor instead of shrinking.  The rule that matters for ML
+    feeds (fixed tensor shapes) — replicated as pure Catalyst columns.
+    """
+    bw, bh = int(block_w), int(block_h)
+    w, h = F.col(img_w), F.col(img_h)
+    cols = F.ceil(w / F.lit(bw)).cast("int")
+    rows = F.ceil(h / F.lit(bh)).cast("int")
+    df = (
+        images
+        .withColumn("_cols", cols).withColumn("_rows", rows)
+        .withColumn("block_idx",
+                    F.explode(F.sequence(F.lit(0),
+                                         F.col("_cols") * F.col("_rows") - 1)))
+        .withColumn("block_x", F.col("block_idx") % F.col("_cols"))
+        .withColumn("block_y", (F.col("block_idx") / F.col("_cols")).cast("int"))
+    )
+    x0 = F.greatest(F.least(F.col("block_x") * bw, w - bw), F.lit(0))
+    y0 = F.greatest(F.least(F.col("block_y") * bh, h - bh), F.lit(0))
+    return (
+        df.withColumn("bxmin", x0)
+        .withColumn("bxmax", F.least(x0 + bw, w))
+        .withColumn("bymin", y0)
+        .withColumn("bymax", F.least(y0 + bh, h))
+        .drop("_cols", "_rows")
+    )
 
 
 TILE_PIXEL_SCHEMA = StructType([

@@ -81,6 +81,117 @@ SELECT image_id, tile_idx,
 FROM t
 """
 
+ORACLES["tile_specs_overlap"] = f"""
+{_PREFIX},
+g AS (
+  SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         CAST(w // {_TW} AS BIGINT) AS numx, CAST(h // {_TH} AS BIGINT) AS numy,
+         CAST(w % {_TW} AS BIGINT) AS remx, CAST(h % {_TH} AS BIGINT) AS remy
+  FROM img),
+gg AS (
+  SELECT *, numx + CASE WHEN remx > 0 THEN 1 ELSE 0 END AS cols,
+            numy + CASE WHEN remy > 0 THEN 1 ELSE 0 END AS rows_
+  FROM g),
+t AS (
+  SELECT *, unnest(generate_series(0, cols * rows_ - 1)) AS tile_idx FROM gg),
+c AS (
+  SELECT *, tile_idx % cols AS tx, tile_idx // cols AS ty,
+         CASE WHEN tile_idx % cols < numx THEN {_TW} ELSE remx END AS tw_,
+         CASE WHEN tile_idx // cols < numy THEN {_TH} ELSE remy END AS th_
+  FROM t)
+SELECT image_id, tile_idx, tx AS tile_x, ty AS tile_y,
+  greatest(tx * {_TW} - 8, 0) AS txmin,
+  least(tx * {_TW} + tw_ + 8, w) AS txmax,
+  greatest(ty * {_TH} - 8, 0) AS tymin,
+  least(ty * {_TH} + th_ + 8, h) AS tymax,
+  concat(image_id, '_tile', tile_idx) AS tile_name
+FROM c
+"""
+
+ORACLES["tile_specs_offset"] = f"""
+{_PREFIX},
+g AS (
+  SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         CAST((w - 24) // {_TW} AS BIGINT) AS numx,
+         CAST((h - 16) // {_TH} AS BIGINT) AS numy
+  FROM img),
+gg AS (
+  SELECT *, w - numx * {_TW} AS remx, h - numy * {_TH} AS remy,
+         1 + numx + CASE WHEN w - numx * {_TW} > 0 THEN 1 ELSE 0 END AS cols,
+         1 + numy + CASE WHEN h - numy * {_TH} > 0 THEN 1 ELSE 0 END AS rows_
+  FROM g),
+t AS (
+  SELECT *, unnest(generate_series(0, cols * rows_ - 1)) AS tile_idx FROM gg),
+x AS (SELECT *, tile_idx % cols AS tx, tile_idx // cols AS ty FROM t),
+c AS (
+  SELECT *,
+    CASE WHEN tx = 0 THEN 0 ELSE 24 + (tx - 1) * {_TW} END AS cx,
+    CASE WHEN ty = 0 THEN 0 ELSE 16 + (ty - 1) * {_TH} END AS cy,
+    CASE WHEN tx = 0 THEN 24 WHEN tx <= numx THEN {_TW} ELSE remx END AS tw_,
+    CASE WHEN ty = 0 THEN 16 WHEN ty <= numy THEN {_TH} ELSE remy END AS th_
+  FROM x)
+SELECT image_id, tile_idx, tx AS tile_x, ty AS tile_y,
+  greatest(cx, 0) AS txmin, least(cx + tw_, w) AS txmax,
+  greatest(cy, 0) AS tymin, least(cy + th_, h) AS tymax,
+  concat(image_id, '_tile', tile_idx) AS tile_name
+FROM c
+"""
+
+ORACLES["block_iter"] = f"""
+{_PREFIX},
+g AS (
+  SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         CAST(ceil(w / 48.0) AS BIGINT) AS cols,
+         CAST(ceil(h / 48.0) AS BIGINT) AS rows_
+  FROM img),
+t AS (
+  SELECT *, unnest(generate_series(0, cols * rows_ - 1)) AS block_idx FROM g),
+c AS (
+  SELECT *, greatest(least((block_idx % cols) * 48, w - 48), 0) AS x0,
+            greatest(least((block_idx // cols) * 48, h - 48), 0) AS y0
+  FROM t)
+SELECT image_id, block_idx, x0 AS bxmin, least(x0 + 48, w) AS bxmax,
+       y0 AS bymin, least(y0 + 48, h) AS bymax
+FROM c
+"""
+
+_PXE = synth.pixel_value_sql("wid", "sx", "sy", "wfmt")
+
+_POINT_EXTRACT_CTE = """
+cand AS (SELECT p.pid, p.plon, p.plat, i.id, i.image_id, i.fmt,
+                i.w, i.h, i.xmin, i.ymax,
+                row_number() OVER (PARTITION BY p.pid ORDER BY i.id DESC)
+                  AS rn
+         FROM pts p JOIN imgf i
+           ON p.plon >= i.xmin AND p.plon < i.xmax
+          AND p.plat > i.ymin AND p.plat <= i.ymax),
+won AS (SELECT pid, plon, plat, id AS wid, image_id, fmt AS wfmt,
+               least(CAST(floor((plon - xmin) / 0.001) AS BIGINT),
+                     w - 1) AS sx,
+               least(CAST(floor((ymax - plat) / 0.001) AS BIGINT),
+                     h - 1) AS sy
+        FROM cand WHERE rn = 1)
+""".strip()
+
+ORACLES["point_extract"] = f"""
+{_PREFIX},
+pts AS (SELECT qid AS pid, qlon AS plon, qlat AS plat FROM qpts),
+{_POINT_EXTRACT_CTE}
+SELECT p.pid AS qid, p.plon AS qlon, p.plat AS qlat, w.image_id,
+       coalesce(CAST({_PXE} AS DOUBLE), -9999.0) AS pix_val
+FROM pts p LEFT JOIN won w ON p.pid = w.pid
+"""
+
+ORACLES["zonal_centroid"] = f"""
+{_PREFIX},
+pts AS (SELECT zone_id AS pid, (zxmin + zxmax) / 2.0 AS plon,
+               (zymin + zymax) / 2.0 AS plat FROM zones),
+{_POINT_EXTRACT_CTE}
+SELECT p.pid AS zone_id, p.plon AS c_lon, p.plat AS c_lat, w.image_id,
+       coalesce(CAST({_PXE} AS DOUBLE), -9999.0) AS pix_val
+FROM pts p LEFT JOIN won w ON p.pid = w.pid
+"""
+
 ORACLES["knn_closest"] = f"""
 {_PREFIX},
 d AS (
@@ -191,6 +302,45 @@ FROM c GROUP BY image_id
 
 ORACLES["filter_mean3"] = _conv_oracle(f"({_MEAN3_S})")
 ORACLES["filter_sobel"] = _conv_oracle(f"abs({_SOBEL_S})")
+
+_ALL9 = [_pxv_at(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _morph_oracle(fn: str) -> str:
+    term = f"{fn}({', '.join(_ALL9)})"
+    return f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(1, w - 2)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+c AS (SELECT image_id, {term} AS s FROM pxy)
+SELECT image_id, count(*) AS n_interior,
+       CAST(sum(s) AS BIGINT) AS sum_m,
+       CAST(min(s) AS BIGINT) AS min_m,
+       CAST(max(s) AS BIGINT) AS max_m
+FROM c GROUP BY image_id
+"""
+
+
+ORACLES["morph_dilate"] = _morph_oracle("greatest")
+ORACLES["morph_erode"] = _morph_oracle("least")
+
+ORACLES["psnr_check"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id, {_PXV} AS v,
+              (({_PXV} + 2) // 4) * 4 - {_PXV} AS e
+       FROM pxy),
+s AS (SELECT image_id, count(*) AS n_pix,
+             CAST(sum(e * e) AS BIGINT) AS sum_sq_err,
+             CAST(max(abs(e)) AS BIGINT) AS max_abs_err,
+             CAST(max(v) AS BIGINT) AS peak
+      FROM px GROUP BY image_id)
+SELECT image_id, n_pix, sum_sq_err, max_abs_err,
+       (peak * peak * n_pix >= 10000 * sum_sq_err) AS psnr_ok
+FROM s
+"""
 
 _PXV2 = synth.pixel_value_sql("id", "(w - 1 - x)", "y", "fmt")
 
@@ -381,6 +531,29 @@ SELECT px, py, count(*) AS n_imgs,
        min(v) AS v_min, max(v) AS v_max,
        max(v * 1099511627776 + id) % 1099511627776 AS idx_max
 FROM v GROUP BY px, py
+"""
+
+ORACLES["mosaic_mode"] = f"""
+{_PREFIX},
+gx AS (SELECT unnest(generate_series(0, 59)) AS px),
+gy AS (SELECT unnest(generate_series(0, 59)) AS py),
+grid AS (SELECT px, py, 10.0 + (px + 0.5) * 0.001 AS cx,
+                45.0 + (py + 0.5) * 0.001 AS cy
+         FROM gx, gy),
+j AS (SELECT g.px, g.py, i.id, i.fmt,
+             least(CAST(floor((g.cx - i.xmin) / 0.001) AS BIGINT),
+                   i.w - 1) AS sx,
+             least(CAST(floor((i.ymax - g.cy) / 0.001) AS BIGINT),
+                   i.h - 1) AS sy
+      FROM grid g JOIN imgf i
+        ON i.id % 5 = 0
+       AND g.cx >= i.xmin AND g.cx < i.xmax
+       AND g.cy > i.ymin AND g.cy <= i.ymax),
+v AS (SELECT px, py, {_PXSRC} AS v FROM j),
+c AS (SELECT px, py, v, count(*) AS n FROM v GROUP BY px, py, v)
+SELECT px, py, CAST(sum(n) AS BIGINT) AS n_imgs,
+       2047 - (max(n * 2048 + (2047 - v)) % 2048) AS mode_v
+FROM c GROUP BY px, py
 """
 
 ORACLES["attr_filter"] = """

@@ -20,13 +20,14 @@ from .geo.cellindex import cell_sql_expr
 from .operators import imagemath as im
 from .operators import similarity as simi
 from .operators import textops as tx
-from .operators.mosaic import mosaic_window
+from .operators.mosaic import mosaic_mode_window, mosaic_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
 from .operators.knn import match_closest_points, npts_in_radius
 from .operators.spatial_join import spatial_join, spatial_select, with_point_cell
-from .operators.tiling import tile_pixels, tile_spec_df
-from .operators.zonal import zonal_stats
+from .operators.tiling import (block_iter_specs, tile_pixels, tile_spec_df,
+                               tile_spec_offset_df)
+from .operators.zonal import extract_point_values, zonal_stats
 from .plans.lineage import lineage_records
 from .session import load_tables
 from .sources.imagelut import build_img_lut, query_img_lut
@@ -93,6 +94,67 @@ def q_tile_specs(spark, sf_dir) -> DataFrame:
     )
 
 
+def _spec_cols(t):
+    return t.select(
+        "image_id",
+        F.col("tile_idx").cast("long").alias("tile_idx"),
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        F.col("txmin").cast("long").alias("txmin"),
+        F.col("txmax").cast("long").alias("txmax"),
+        F.col("tymin").cast("long").alias("tymin"),
+        F.col("tymax").cast("long").alias("tymax"),
+        "tile_name",
+    )
+
+
+def q_tile_specs_overlap(spark, sf_dir) -> DataFrame:
+    """create_tiles with tileOverlap=8: expanded + clamped windows (§2.4)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    return _spec_cols(tile_spec_df(img, 48, 32, overlap=8))
+
+
+def q_tile_specs_offset(spark, sf_dir) -> DataFrame:
+    """offsetTiling half-tile grid with leading half tiles (§2.4)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    return _spec_cols(tile_spec_offset_df(img, 48, 32))
+
+
+def q_block_iter(spark, sf_dir) -> DataFrame:
+    """StdImgBlockIter shifted-end-block windows (§2.4)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    t = block_iter_specs(img, 48, 48)
+    return t.select(
+        "image_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("bxmin").cast("long").alias("bxmin"),
+        F.col("bxmax").cast("long").alias("bxmax"),
+        F.col("bymin").cast("long").alias("bymin"),
+        F.col("bymax").cast("long").alias("bymax"),
+    )
+
+
+def q_point_extract(spark, sf_dir) -> DataFrame:
+    """ext_point_band_values: pixel under each point, -9999 outside (§2.5)."""
+    img = _images(spark, sf_dir, with_bytes=True)
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    return extract_point_values(qpts, img) \
+        .select("qid", "qlon", "qlat", "image_id", "pix_val")
+
+
+def q_zonal_centroid(spark, sf_dir) -> DataFrame:
+    """calc_zonal_poly_pts_band_stats: sample at zone centroids (§2.5)."""
+    img = _images(spark, sf_dir, with_bytes=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    cents = zones.select(
+        "zone_id",
+        ((F.col("zxmin") + F.col("zxmax")) / 2.0).alias("c_lon"),
+        ((F.col("zymin") + F.col("zymax")) / 2.0).alias("c_lat"))
+    return extract_point_values(cents, img, pt_id="zone_id",
+                                pt_lon="c_lon", pt_lat="c_lat") \
+        .select("zone_id", "c_lon", "c_lat", "image_id", "pix_val")
+
+
 def q_knn_closest(spark, sf_dir) -> DataFrame:
     """match_closest_vec_pts: exact 1-NN with dist (§2.3)."""
     img = _images(spark, sf_dir, with_footprint=False)
@@ -149,6 +211,34 @@ def q_filter_sobel(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19)
     return im.conv3x3_stats(img, im.SOBEL_X, absolute=True) \
         .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
+
+
+def q_morph_dilate(spark, sf_dir) -> DataFrame:
+    """3x3 grayscale dilation (window max) over the interior (§2.6)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.morph3x3_stats(img, "dilate") \
+        .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
+
+
+def q_morph_erode(spark, sf_dir) -> DataFrame:
+    """3x3 grayscale erosion (window min) over the interior (§2.6)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.morph3x3_stats(img, "erode") \
+        .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
+
+
+def q_psnr_check(spark, sf_dir) -> DataFrame:
+    """lossy roundtrip + PSNR>=40dB invariant as integer math (§2.9)."""
+    img = _px_images(spark, sf_dir)
+    return im.lossy_roundtrip_check(img) \
+        .select("image_id", "n_pix", "sum_sq_err", "max_abs_err", "psnr_ok")
+
+
+def q_mosaic_mode(spark, sf_dir) -> DataFrame:
+    """calc_imgs_pxl_mode per output pixel over the megacity (§2.5)."""
+    img = _images(spark, sf_dir, with_bytes=True).where("id % 5 = 0")
+    return mosaic_mode_window(img, 10.0, 45.0, 60, 60, 0.001) \
+        .select("px", "py", "n_imgs", "mode_v")
 
 
 def q_ndvi_index(spark, sf_dir) -> DataFrame:
@@ -473,13 +563,19 @@ def flagship(spark, sf_dir) -> DataFrame:
     pixel decode and per-tile checksums; result is one row per zone with
     image/tile/pixel totals.
     """
-    img = _images(spark, sf_dir, with_bytes=True)
+    # late materialization: the join/filter runs on metadata columns
+    # only (column pruning), payloads are decoded AFTER the match and
+    # never cross a shuffle — the plan shape a column-pruned Iceberg
+    # scan + broadcast join produces at cluster scale.
+    img = _images(spark, sf_dir, with_footprint=False)
     zones = synth.synth_zones(spark, sf_dir)
     matched = spatial_join(img, zones, how="inner", op="within")
-    tiles = tile_pixels(
-        matched.select("image_id", "bytes", "w", "h", "fmt").dropDuplicates(["image_id"]),
-        48, 32, encode=False,
+    work = (
+        matched.select("id", "image_id", "w", "h", "fmt")
+        .dropDuplicates(["image_id"])
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+    tiles = tile_pixels(synth.attach_bytes(work), 48, 32, encode=False)
     per_img = tiles.groupBy("image_id").agg(
         F.count(F.lit(1)).alias("n_tiles"),
         F.sum("checksum").alias("pix_sum"),
@@ -509,6 +605,11 @@ QUERIES = {
     "sjoin_inner_within": q_sjoin_inner_within,
     "zone_point_counts": q_zone_point_counts,
     "tile_specs": q_tile_specs,
+    "tile_specs_overlap": q_tile_specs_overlap,
+    "tile_specs_offset": q_tile_specs_offset,
+    "block_iter": q_block_iter,
+    "point_extract": q_point_extract,
+    "zonal_centroid": q_zonal_centroid,
     "knn_closest": q_knn_closest,
     "npts_radius": q_npts_radius,
     "pixel_stats": q_pixel_stats,
@@ -522,6 +623,10 @@ QUERIES = {
     "img_histogram": q_img_histogram,
     "band_percentiles": q_band_percentiles,
     "mosaic_window": q_mosaic_window,
+    "mosaic_mode": q_mosaic_mode,
+    "morph_dilate": q_morph_dilate,
+    "morph_erode": q_morph_erode,
+    "psnr_check": q_psnr_check,
     "attr_filter": q_attr_filter,
     "value_counts": q_value_counts,
     "dedup_exact": q_dedup_exact,

@@ -36,10 +36,19 @@ def get_spark(app: str = "rsgislib_spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # decode/codec stages carry wide binary rows: the 64 MB default
+        # advisory size would coalesce them onto a handful of tasks and
+        # serialize the Python stage; 8 MB keeps them at ~core count.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # measured: each Python-runner launch costs ~0.25 core-seconds
+        # on this build, so Arrow-stage partition counts should stay
+        # near the core count (see synth_images/tile callers).
+        .config("spark.python.worker.reuse", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.locality.wait", "0")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

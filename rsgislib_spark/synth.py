@@ -205,6 +205,22 @@ def _gen_bytes(iterator):
         yield pdf
 
 
+def attach_bytes(df):
+    """Add the encoded ``bytes`` payload to any image-metadata frame.
+
+    Needs (id, w, h, fmt) columns.  Callers repartition first if the
+    frame isn't already laid out at core count — payload rows are wide,
+    so generate them as late as possible (after filters/joins) and never
+    shuffle them: the late-materialization analog of a column-pruned
+    Iceberg scan.
+    """
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields)
+                        + [StructField("bytes", BinaryType())])
+    return df.mapInPandas(_gen_bytes, schema=schema)
+
+
 def synth_images(spark, sf_dir: str, with_bytes: bool = False,
                  with_footprint: bool = True):
     """Synthesize the images DataFrame from ``{sf_dir}/part.parquet``.
@@ -226,9 +242,15 @@ def synth_images(spark, sf_dir: str, with_bytes: bool = False,
     if with_bytes:
         from pyspark.sql.types import BinaryType, StructField, StructType
 
-        schema = StructType(list(df.schema.fields)
-                            + [StructField("bytes", BinaryType())])
-        df = df.mapInPandas(_gen_bytes, schema=schema)
+        # the driver tables are single parquet files -> one scan
+        # partition; without this repartition the Arrow codec stage
+        # (the expensive part) would run on ONE task no matter how many
+        # executors exist.  Shuffling metadata-only rows is cheap; the
+        # heavy bytes column is born already-parallel.  Exactly core
+        # count: every extra Python task costs ~0.25 core-s of runner
+        # startup on this build.
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+        df = attach_bytes(df)
     return df
 
 
