@@ -10,10 +10,10 @@ line::
 ``value`` is the wall-clock of the flagship end-to-end pipeline (cell
 encode -> spatial join -> tiling with pixel decode), the BASELINE.json
 metric; ``images_per_sec`` reports the throughput form.  ``--scaling``
-additionally runs the identical flagship job at local[8] and local[32]
-on the same input and reports throughput at both plus the scaling
-efficiency (sandbox evidence for the >=0.8 two-cluster-size criterion —
-see BENCH.md).
+additionally runs the identical compute-dominated job (512-fold
+replicated input, ~10M images) at local[2], local[8] and local[32] and
+reports throughput plus N->4N scaling efficiencies (sandbox evidence
+for the >=0.8 two-cluster-size criterion — analysis in BENCH.md).
 """
 
 from __future__ import annotations
@@ -38,7 +38,7 @@ BENCH_QUERIES = [
 ]
 
 
-def scaling_job(spark, sf_dir: str, k: int = 128) -> int:
+def scaling_job(spark, sf_dir: str, k: int = 512) -> int:
     """Compute-dominated flagship variant for the scaling measurement.
 
     The plain sf0.1 flagship finishes in a few seconds, so fixed driver/
@@ -143,7 +143,7 @@ def main() -> None:
             try:
                 scaling_job(spark, "/root/testdata/sf0.001", k=1)  # warmup
                 t0 = time.perf_counter()
-                n_img = scaling_job(spark, sf_dir, k=128)
+                n_img = scaling_job(spark, sf_dir, k=512)
                 sec = time.perf_counter() - t0
             finally:
                 spark.stop()

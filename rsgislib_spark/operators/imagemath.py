@@ -51,6 +51,9 @@ __all__ = [
     "value_counts",
     "percentiles_from_hist",
     "lossy_roundtrip_check",
+    "hist2d",
+    "valid_frac_rank",
+    "coarse_cell_stats",
 ]
 
 _PLANE_AGG_SCHEMA = StructType([
@@ -291,6 +294,121 @@ def value_counts(images: DataFrame, max_val: int | None = None,
     if max_val is not None:
         out = out.where(F.col("val") < max_val)
     return out
+
+
+def hist2d(images: DataFrame, bin_width: int = 128,
+           bins: int = 8) -> DataFrame:
+    """get_2d_img_histogram: joint histogram of (plane, mirrored plane).
+
+    Per-image 2-D bincount partials flattened to codes, merged by
+    Catalyst — same partial+final shape as the 1-D histogram
+    (python/src/imagecalc.cpp:2174).
+    """
+    nb = int(bins)
+
+    def gen(it):
+        for pdf in it:
+            codes_all = []
+            for _image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                 pdf["w"], pdf["h"],
+                                                 pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                b1 = (arr // bin_width).clip(0, nb - 1)
+                b2 = (arr[:, ::-1] // bin_width).clip(0, nb - 1)
+                codes_all.append((b1 * nb + b2).ravel())
+            if codes_all:
+                uniq, cnt = np.unique(np.concatenate(codes_all),
+                                      return_counts=True)
+                yield pd.DataFrame({"code": uniq,
+                                    "cnt": cnt.astype(np.int64)})
+            else:
+                yield pd.DataFrame({"code": np.zeros(0, np.int64),
+                                    "cnt": np.zeros(0, np.int64)})
+
+    schema = StructType([StructField("code", LongType()),
+                         StructField("cnt", LongType())])
+    return (
+        images.select("image_id", "bytes", "w", "h", "fmt")
+        .mapInPandas(gen, schema=schema)
+        .groupBy("code").agg(F.sum("cnt").alias("n"))
+        .select((F.col("code") / nb).cast("long").alias("b1"),
+                (F.col("code") % nb).alias("b2"), "n")
+    )
+
+
+def valid_frac_rank(images: DataFrame, threshold: int,
+                    top_k: int = 10) -> DataFrame:
+    """order_img_using_prop_valid_pxls: rank images by valid fraction.
+
+    valid = pixel >= threshold; fraction is one exact division; ranking
+    tie-breaks on image_id so the top-k is deterministic (§2.7).
+    """
+    counted = _plane_agg(images, lambda a: (a >= threshold).astype(np.int64))
+    frac = counted.withColumn(
+        "valid_frac",
+        F.col("sum_pix").cast("double") / F.col("n_pix").cast("double"))
+    w = Window.orderBy(F.desc("valid_frac"), F.asc("image_id"))
+    return (
+        frac.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("image_id", "n_pix",
+                F.col("sum_pix").alias("n_valid"), "valid_frac", "rank")
+    )
+
+
+_COARSE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cx", LongType()),
+    StructField("cy", LongType()),
+    StructField("n", LongType()),
+    StructField("s", LongType()),
+    StructField("mn", LongType()),
+    StructField("mx", LongType()),
+])
+
+
+def coarse_cell_stats(images: DataFrame, cell: int = 16) -> DataFrame:
+    """get_img_sum_stats_in_pxl: stats of fine pixels per coarse cell.
+
+    The tumbling-2-D-window downsample (src/cmds/RSGISCmdImageCalc.cpp:
+    2680): each (cell x cell) block of every image reduces to
+    count/sum/min/max — np.ufunc.reduceat block reduction, one row per
+    coarse cell.
+    """
+    cs = int(cell)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "cx", "cy", "n", "s",
+                                   "mn", "mx")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                xb = np.arange(0, int(w), cs)
+                yb = np.arange(0, int(h), cs)
+                s = np.add.reduceat(np.add.reduceat(arr, yb, 0), xb, 1)
+                mn = np.minimum.reduceat(
+                    np.minimum.reduceat(arr, yb, 0), xb, 1)
+                mx = np.maximum.reduceat(
+                    np.maximum.reduceat(arr, yb, 0), xb, 1)
+                wdt = np.minimum(xb + cs, int(w)) - xb
+                hgt = np.minimum(yb + cs, int(h)) - yb
+                cnt = hgt[:, None] * wdt[None, :]
+                ncx, ncy = xb.size, yb.size
+                gx, gy = np.meshgrid(np.arange(ncx), np.arange(ncy))
+                out["image_id"].extend([image_id] * (ncx * ncy))
+                out["cx"].extend(gx.ravel())
+                out["cy"].extend(gy.ravel())
+                out["n"].extend(cnt.ravel())
+                out["s"].extend(s.ravel())
+                out["mn"].extend(mn.ravel())
+                out["mx"].extend(mx.ravel())
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_COARSE_SCHEMA)
 
 
 def percentiles_from_hist(images: DataFrame, ps=(0.25, 0.5, 0.75, 0.9),

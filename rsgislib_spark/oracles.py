@@ -374,6 +374,56 @@ SELECT CAST(v // 64 AS BIGINT) AS bin, count(*) AS n
 FROM px GROUP BY 1
 """
 
+ORACLES["hist2d"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id, {_PXV} // 128 AS b1, {_PXV2} // 128 AS b2
+       FROM pxy)
+SELECT CAST(b1 AS BIGINT) AS b1, CAST(b2 AS BIGINT) AS b2, count(*) AS n
+FROM px GROUP BY 1, 2
+"""
+
+ORACLES["valid_frac_rank"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id, CASE WHEN {_PXV} >= 512 THEN 1 ELSE 0 END AS v
+       FROM pxy),
+s AS (SELECT image_id, count(*) AS n_pix,
+             CAST(sum(v) AS BIGINT) AS n_valid
+      FROM px GROUP BY image_id),
+r AS (SELECT image_id, n_pix, n_valid,
+             CAST(n_valid AS DOUBLE) / CAST(n_pix AS DOUBLE) AS valid_frac,
+             row_number() OVER (
+               ORDER BY CAST(n_valid AS DOUBLE) / CAST(n_pix AS DOUBLE)
+                 DESC, image_id) AS rank
+      FROM s)
+SELECT image_id, n_pix, n_valid, valid_frac, rank FROM r WHERE rank <= 10
+"""
+
+ORACLES["coarse_cell_stats"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 19 = 0),
+px AS (SELECT image_id, x // 16 AS cx, y // 16 AS cy, {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs))
+SELECT image_id, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+       CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx
+FROM px GROUP BY image_id, cx, cy
+"""
+
+ORACLES["stats_by_fmt"] = f"""
+{_PREFIX},
+{_px_cte()},
+px AS (SELECT image_id, fmt, {_PXV} AS v FROM pxy)
+SELECT fmt, count(*) AS n_pix, CAST(sum(v) AS BIGINT) AS sum_pix,
+       CAST(min(v) AS BIGINT) AS min_pix, CAST(max(v) AS BIGINT) AS max_pix,
+       CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_pix
+FROM px GROUP BY fmt
+"""
+
 ORACLES["band_percentiles"] = f"""
 {_PREFIX},
 {_px_cte()},

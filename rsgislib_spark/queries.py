@@ -248,6 +248,41 @@ def q_ndvi_index(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_pix", "sum_idx", "min_idx", "max_idx")
 
 
+def q_hist2d(spark, sf_dir) -> DataFrame:
+    """get_2d_img_histogram over (plane, mirror) joint bins (§2.5)."""
+    img = _px_images(spark, sf_dir)
+    return im.hist2d(img, bin_width=128, bins=8).select("b1", "b2", "n")
+
+
+def q_valid_frac_rank(spark, sf_dir) -> DataFrame:
+    """order_img_using_prop_valid_pxls top-10 (§2.7)."""
+    img = _px_images(spark, sf_dir)
+    return im.valid_frac_rank(img, threshold=512, top_k=10) \
+        .select("image_id", "n_pix", "n_valid", "valid_frac", "rank")
+
+
+def q_coarse_cell_stats(spark, sf_dir) -> DataFrame:
+    """get_img_sum_stats_in_pxl 16x16 downsample stats (§2.5)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.coarse_cell_stats(img, cell=16) \
+        .select("image_id", "cx", "cy", "n", "s", "mn", "mx")
+
+
+def q_stats_by_fmt(spark, sf_dir) -> DataFrame:
+    """calc_multi_img_band_stats: global per-format stats (§2.5)."""
+    img = _px_images(spark, sf_dir)
+    meta = _images(spark, sf_dir, with_footprint=False) \
+        .select("image_id", "fmt")
+    st = pixel_stats(img).join(meta, "image_id")
+    return st.groupBy("fmt").agg(
+        F.sum("n_pix").alias("n_pix"),
+        F.sum("sum_pix").alias("sum_pix"),
+        F.min("min_pix").alias("min_pix"),
+        F.max("max_pix").alias("max_pix"),
+        (F.sum("sum_pix").cast("double")
+         / F.sum("n_pix").cast("double")).alias("mean_pix"))
+
+
 def q_pxl_value_counts(spark, sf_dir) -> DataFrame:
     """count_pxls_of_val / get_unique_values for v < 40 (§2.5)."""
     img = _px_images(spark, sf_dir)
@@ -620,6 +655,10 @@ QUERIES = {
     "filter_sobel": q_filter_sobel,
     "ndvi_index": q_ndvi_index,
     "pxl_value_counts": q_pxl_value_counts,
+    "hist2d": q_hist2d,
+    "valid_frac_rank": q_valid_frac_rank,
+    "coarse_cell_stats": q_coarse_cell_stats,
+    "stats_by_fmt": q_stats_by_fmt,
     "img_histogram": q_img_histogram,
     "band_percentiles": q_band_percentiles,
     "mosaic_window": q_mosaic_window,

@@ -45,8 +45,19 @@ def get_spark(app: str = "rsgislib_spark", master: str | None = None,
         # near the core count (see synth_images/tile callers).
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # measured on this box (BENCH.md): binary-payload rows make big
+        # Arrow batches ~100 MB; at 32 concurrent workers those huge
+        # transient allocations collapse throughput ~6x (mmap/TLB
+        # churn).  512-row batches (~7 MB) keep every parallelism level
+        # in the linear regime.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.locality.wait", "0")
+        # at high worker counts a Python channel occasionally wedges
+        # (observed: 31/32 tasks done, one hung forever); speculation
+        # re-launches stragglers and unsticks the stage.
+        .config("spark.speculation", "true")
+        .config("spark.speculation.multiplier", "4")
+        .config("spark.speculation.quantile", "0.9")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.sql.session.timeZone", "UTC")
