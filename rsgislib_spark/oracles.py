@@ -476,6 +476,12 @@ SELECT z.zone_id, z.zname,
 FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
 """
 
+ORACLES["sjoin_salted"] = f"""
+{_PREFIX}
+SELECT i.image_id, z.zone_id, z.zname, i.lon, i.lat
+FROM img i JOIN zones z ON {_PIP}
+"""
+
 ORACLES["sjoin_left_intersects"] = f"""
 {_PREFIX}
 SELECT i.image_id, i.lon, i.lat, z.zone_id AS index_right, z.zname
@@ -867,6 +873,8 @@ SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM o GROUP BY user_id
 """
+
+ORACLES["sessionize_stateful"] = ORACLES["sessionize"]
 
 ORACLES["events_hourly"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type,

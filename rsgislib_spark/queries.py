@@ -32,7 +32,8 @@ from .plans.lineage import lineage_records
 from .session import load_tables
 from .sources.imagelut import build_img_lut, query_img_lut
 from .sources.multimodal import frame_sample_stats, resize_nn
-from .streaming.events import sessionize_batch, stream_hourly_counts
+from .streaming.events import (sessionize_batch, sessionize_stream,
+                               stream_hourly_counts)
 
 __all__ = ["QUERIES", "flagship"]
 
@@ -61,6 +62,17 @@ def q_sjoin_inner_within(spark, sf_dir) -> DataFrame:
     img = _images(spark, sf_dir)
     zones = synth.synth_zones(spark, sf_dir)
     out = spatial_join(img, zones, how="inner", op="within")
+    return out.select("image_id", "zone_id", "zname", "lon", "lat")
+
+
+def q_sjoin_salted(spark, sf_dir) -> DataFrame:
+    """the big-big join path: sort-merge on cell with explicit salting
+    (8-way salt-explode splits the hot megacity cell, §2.3/§4.2) —
+    result-identical to the broadcast plan, different physical strategy."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = spatial_join(img, zones, how="inner", op="within",
+                       broadcast=False, n_salt=8)
     return out.select("image_id", "zone_id", "zname", "lon", "lat")
 
 
@@ -573,6 +585,13 @@ def q_sessionize(spark, sf_dir) -> DataFrame:
         .select("user_id", "n_sessions", "n_events")
 
 
+def q_sessionize_stateful(spark, sf_dir) -> DataFrame:
+    """custom stateful streaming sessionization via
+    applyInPandasWithState (§2.10) — same semantics as q_sessionize."""
+    return sessionize_stream(spark, sf_dir, gap_minutes=30) \
+        .select("user_id", "n_sessions", "n_events")
+
+
 def q_events_hourly(spark, sf_dir) -> DataFrame:
     """batch analog of a streaming tumbling-window aggregation (§2.10)."""
     t = load_tables(spark, sf_dir, ["events"])
@@ -627,6 +646,7 @@ def flagship(spark, sf_dir) -> DataFrame:
 
 QUERIES = {
     "cell_encode": q_cell_encode,
+    "sjoin_salted": q_sjoin_salted,
     "sjoin_left_intersects": q_sjoin_left_intersects,
     "sjoin_right_within": q_sjoin_right_within,
     "sjoin_bbox_intersects": q_sjoin_bbox_intersects,
@@ -687,4 +707,5 @@ QUERIES = {
     "lineage_records": q_lineage_records,
     "stream_hourly": q_stream_hourly,
     "sessionize": q_sessionize,
+    "sessionize_stateful": q_sessionize_stateful,
 }

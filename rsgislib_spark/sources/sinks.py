@@ -1,0 +1,40 @@
+"""Sinks: materialization rules matching the reference's write semantics.
+
+* ``write_vec_if_nonempty`` — ``perform_spatial_join`` writes an output
+  file only when the join produced >= 1 row (reference: python/rsgislib/
+  vectorutils/__init__.py:2219-2223); an empty result leaves NO output.
+* ``write_partitioned`` — cell-partitioned parquet layout (the Iceberg
+  stand-in): ``partitionBy(cell)`` so downstream scans prune by the
+  spatial key, with sorted-within-partition layout for range locality.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+__all__ = ["write_vec_if_nonempty", "write_partitioned"]
+
+
+def write_vec_if_nonempty(df: DataFrame, path: str, fmt: str = "parquet") -> bool:
+    """Write ``df`` only if it has rows; return whether output exists.
+
+    Uses a cheap ``limit(1)`` probe (not a full count) before the write;
+    mirrors the reference's "empty sjoin => no output file" rule.
+    """
+    if not df.limit(1).take(1):
+        return False
+    df.write.mode("overwrite").format(fmt).save(path)
+    return True
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str = "cell",
+                      sort_cols=()) -> None:
+    """Cell-partitioned parquet sink with optional within-partition sort."""
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    # directory exists even for empty frames; parquet footers carry schema
+    assert os.path.exists(path)

@@ -28,6 +28,7 @@ __all__ = [
     "stream_hourly_counts",
     "stream_hourly_counts_append",
     "sessionize_batch",
+    "sessionize_stream",
 ]
 
 
@@ -80,6 +81,57 @@ def stream_hourly_counts_append(spark: SparkSession, sf_dir: str,
         .select(F.col("win.start").alias("hour"), "event_type", "n_events")
     )
     return _run_to_memory(agg, "append")
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 30) -> DataFrame:
+    """Stateful streaming sessionization (``applyInPandasWithState``).
+
+    Per-user state carries (last event epoch, session count, event
+    count) across micro-batches; each batch's events extend or open
+    sessions by the gap rule.  With ``Trigger.AvailableNow`` over the
+    static events file the result equals :func:`sessionize_batch` — the
+    batch operator is the oracle (tests/test_plans_streaming.py).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (LongType, StructField, StructType)
+
+    gap = gap_minutes * 60
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("last_ts", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ])
+
+    def update(key, pdf_iter, state):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0))
+        all_ts = []
+        for pdf in pdf_iter:
+            all_ts.extend(int(t.timestamp()) for t in pd.to_datetime(pdf["ts"]))
+        for t in sorted(all_ts):
+            if last_ts is None or t - last_ts > gap:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_sessions": [n_sessions],
+                            "n_events": [n_events]})
+
+    ev = _events_stream(spark, sf_dir) \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .select("user_id", "ts", "event_id")
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout)
+    return _run_to_memory(agg, "update")
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -74,6 +74,19 @@ def test_stream_append_withholds_open_windows(spark, sf_dir):
         assert fkey[(r.hour, r.event_type)] == r.n_events
 
 
+def test_stateful_stream_sessionize_matches_batch(spark, sf_dir):
+    """applyInPandasWithState sessionization == batch window-fn oracle."""
+    from rsgislib_spark.streaming.events import (sessionize_batch,
+                                                 sessionize_stream)
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    batch = {r.user_id: (r.n_sessions, r.n_events)
+             for r in sessionize_batch(events).collect()}
+    stream = {r.user_id: (r.n_sessions, r.n_events)
+              for r in sessionize_stream(spark, sf_dir).collect()}
+    assert stream == batch and batch
+
+
 def test_multimodal_decode_stub_raises(spark):
     from rsgislib_spark.sources.multimodal import decode_media
 
