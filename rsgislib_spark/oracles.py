@@ -589,6 +589,25 @@ SELECT px, py, count(*) AS n_imgs,
 FROM v GROUP BY px, py
 """
 
+ORACLES["rasterize_zones"] = f"""
+{_PREFIX},
+grid AS (
+  SELECT px, py, -180.0 + (px + 0.5) * 5.0 AS cx,
+         -60.0 + (py + 0.5) * 5.0 AS cy
+  FROM (SELECT unnest(generate_series(0, 71)) AS px),
+       (SELECT unnest(generate_series(0, 23)) AS py))
+SELECT g.px, g.py,
+       CAST(coalesce(max(z.zone_id), -1) AS BIGINT) AS burn
+FROM grid g LEFT JOIN zones z
+  ON g.cx >= z.zxmin AND g.cx < z.zxmax
+ AND g.cy >= z.zymin AND g.cy < z.zymax
+GROUP BY g.px, g.py
+"""
+
+# clump_stats / polygonize: iterative connected-component labeling has no
+# SQL expression — the driver records the weaker rows-only check; exact
+# semantics are pinned by tests/test_segmentation.py (BFS oracle).
+
 ORACLES["mosaic_mode"] = f"""
 {_PREFIX},
 gx AS (SELECT unnest(generate_series(0, 59)) AS px),
@@ -802,6 +821,36 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
+"""
+
+ORACLES["pricing_summary"] = """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(round(l_quantity) AS BIGINT) AS qty_i
+  FROM lineitem)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(qty_i) AS BIGINT) AS sum_qty,
+       CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+       CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS sum_disc_cc,
+       count(*) AS n_rows
+FROM li GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["revenue_by_nation"] = """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cc
+  FROM lineitem)
+SELECT n_name, CAST(sum(rev_cc) AS BIGINT) AS revenue_cc,
+       count(*) AS n_items
+FROM li
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
 """
 
 ORACLES["topk_largest"] = f"""

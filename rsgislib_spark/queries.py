@@ -21,6 +21,7 @@ from .operators import imagemath as im
 from .operators import similarity as simi
 from .operators import textops as tx
 from .operators.mosaic import mosaic_mode_window, mosaic_window
+from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
 from .operators.knn import match_closest_points, npts_in_radius
@@ -251,6 +252,32 @@ def q_mosaic_mode(spark, sf_dir) -> DataFrame:
     img = _images(spark, sf_dir, with_bytes=True).where("id % 5 = 0")
     return mosaic_mode_window(img, 10.0, 45.0, 60, 60, 0.001) \
         .select("px", "py", "n_imgs", "mode_v")
+
+
+def q_rasterize_zones(spark, sf_dir) -> DataFrame:
+    """rasterize: burn the zone layer onto a pixel grid, max-id wins
+    (gdal.RasterizeLayer semantics; Catalyst-only plan)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    return rasterize_window(spark, zones, -180.0, -60.0, 72, 24, 5.0) \
+        .select("px", "py", "burn")
+
+
+def q_clump_stats(spark, sf_dir) -> DataFrame:
+    """segmentation.clump rollup: per-image component count/extremes
+    (iterative labeling — no SQL oracle; verified vs BFS in
+    tests/test_segmentation.py)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return clump_stats(img, threshold=700) \
+        .select("image_id", "n_clumps", "max_clump", "n_fg")
+
+
+def q_polygonize(spark, sf_dir) -> DataFrame:
+    """polygonise_raster: one bbox-geometry row per clump (iterative
+    labeling — no SQL oracle; see tests/test_segmentation.py)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return polygonize_bboxes(img, threshold=700) \
+        .select("image_id", "clump_id", "n_pix",
+                "bxmin", "bxmax", "bymin", "bymax")
 
 
 def q_ndvi_index(spark, sf_dir) -> DataFrame:
@@ -528,6 +555,42 @@ def q_recode_region(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pricing_summary(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary in exact integer cents — the
+    relational agg workhorse (join-free groupBy; deterministic because
+    money is summed as int64 cents, never floats)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].withColumn(
+        "price_c", F.round(F.col("l_extendedprice") * 100).cast("long")
+    ).withColumn(
+        "disc_pct", F.round(F.col("l_discount") * 100).cast("long")
+    ).withColumn("qty_i", F.round(F.col("l_quantity")).cast("long"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_i").alias("sum_qty"),
+        F.sum("price_c").alias("sum_base_c"),
+        F.sum(F.col("price_c") * (100 - F.col("disc_pct"))).alias("sum_disc_cc"),
+        F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_revenue_by_nation(spark, sf_dir) -> DataFrame:
+    """multi-join revenue rollup (orders x lineitem x customer x nation)
+    — exercises Catalyst join reordering + broadcast of the dims."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "orders", "customer", "nation"])
+    li = t["lineitem"].withColumn(
+        "rev_cc", F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long")))
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev_cc").alias("revenue_cc"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
 def q_topk_largest(spark, sf_dir) -> DataFrame:
     """order_img_using_prop_valid_pxls-style top-k (§2.7)."""
     img = _images(spark, sf_dir, with_footprint=False)
@@ -683,6 +746,9 @@ QUERIES = {
     "band_percentiles": q_band_percentiles,
     "mosaic_window": q_mosaic_window,
     "mosaic_mode": q_mosaic_mode,
+    "rasterize_zones": q_rasterize_zones,
+    "clump_stats": q_clump_stats,
+    "polygonize": q_polygonize,
     "morph_dilate": q_morph_dilate,
     "morph_erode": q_morph_erode,
     "psnr_check": q_psnr_check,
@@ -699,6 +765,8 @@ QUERIES = {
     "embed_ann_lsh": q_embed_ann_lsh,
     "centroid_assign": q_centroid_assign,
     "recode_region": q_recode_region,
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
     "topk_largest": q_topk_largest,
     "events_hourly": q_events_hourly,
     "lut_query": q_lut_query,

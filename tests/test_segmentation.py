@@ -1,0 +1,97 @@
+"""Connected-component labeling vs an independent BFS reference, and the
+clump/polygonize operators over the synthetic image table."""
+
+import os
+import sys
+from collections import deque
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def bfs_labels(mask):
+    """Independent reference: plain BFS flood fill, scan order."""
+    h, w = mask.shape
+    lab = np.zeros((h, w), dtype=np.int64)
+    nxt = 0
+    for y in range(h):
+        for x in range(w):
+            if mask[y, x] and lab[y, x] == 0:
+                nxt += 1
+                q = deque([(y, x)])
+                lab[y, x] = nxt
+                while q:
+                    cy, cx = q.popleft()
+                    for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        ny, nx_ = cy + dy, cx + dx
+                        if (0 <= ny < h and 0 <= nx_ < w and mask[ny, nx_]
+                                and lab[ny, nx_] == 0):
+                            lab[ny, nx_] = nxt
+                            q.append((ny, nx_))
+    return lab
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_label_components_matches_bfs(seed):
+    from rsgislib_spark.operators.rasterize import label_components
+
+    rng = np.random.RandomState(seed)
+    mask = rng.rand(40, 53) < (0.25 + 0.15 * seed)
+    ours = label_components(mask)
+    ref = bfs_labels(mask)
+    # same partition of pixels into components, and identical label ids
+    # (both number components in first-pixel scan order)
+    assert (ours == ref).all()
+
+
+def test_label_components_edge_cases():
+    from rsgislib_spark.operators.rasterize import label_components
+
+    assert label_components(np.zeros((5, 5), bool)).max() == 0
+    assert label_components(np.ones((5, 5), bool)).max() == 1
+    snake = np.zeros((5, 5), bool)
+    snake[0, :] = True
+    snake[:, 4] = True
+    snake[4, :] = True
+    assert label_components(snake).max() == 1
+
+
+def test_polygonize_bboxes_consistency(spark, sf_dir):
+    from rsgislib_spark import synth
+    from rsgislib_spark.operators.rasterize import (clump_stats,
+                                                    polygonize_bboxes)
+
+    img = synth.synth_images(spark, sf_dir, with_bytes=True,
+                             with_footprint=False).where("id % 31 = 0")
+    thr = 700
+    rows = polygonize_bboxes(img, thr).collect()
+    assert rows
+    # bbox sanity + per-image totals equal foreground counts
+    per_img = {}
+    for r in rows:
+        assert r.bxmax > r.bxmin and r.bymax > r.bymin
+        assert r.n_pix <= (r.bxmax - r.bxmin) * (r.bymax - r.bymin)
+        per_img[r.image_id] = per_img.get(r.image_id, 0) + r.n_pix
+    meta = {r.image_id: (r.w, r.h, r.fmt, r.id)
+            for r in img.select("image_id", "w", "h", "fmt", "id").collect()}
+    for image_id, total in per_img.items():
+        w, h, fmt, iid = meta[image_id]
+        plane = synth.pixel_array(int(iid), int(w), int(h), str(fmt))
+        assert total == int((plane.astype(np.int64) >= thr).sum())
+    stats = {r.image_id: r.n_fg for r in clump_stats(img, thr).collect()}
+    assert stats == per_img
+
+
+def test_rasterize_window_burn(spark, sf_dir):
+    from rsgislib_spark import synth
+    from rsgislib_spark.operators.rasterize import rasterize_window
+
+    zones = synth.synth_zones(spark, sf_dir)
+    out = rasterize_window(spark, zones, 9.4, 44.4, 20, 20, 0.1).collect()
+    assert len(out) == 400
+    # the megacity zone 0 box [9.5,10.5]x[44.5,45.5] must be burnt
+    burns = {(r.px, r.py): r.burn for r in out}
+    assert burns[(5, 5)] >= 0          # center inside zone 0 footprint
+    assert min(burns.values()) >= -1
