@@ -37,11 +37,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
+                               StructType)
 
 from ..functions import codec
 
-__all__ = ["mosaic_window", "mosaic_mode_window"]
+__all__ = ["mosaic_window", "mosaic_mode_window", "pixel_trend_window"]
 
 _ENC_LAST = 2048                 # id * 2048 + v
 _ENC_IDX = 1 << 40               # v * 2^40 + id
@@ -150,6 +151,101 @@ def mosaic_window(images: DataFrame, x0: float, y0: float,
 
     return cand.mapInPandas(partials, schema=_PARTIAL_SCHEMA) \
         .groupBy("window_id").applyInPandas(merge, schema=_OUT_SCHEMA)
+
+
+_TREND_PARTIAL_SCHEMA = StructType([
+    StructField("window_id", LongType()),
+    StructField("n", ArrayType(LongType())),
+    StructField("st", ArrayType(LongType())),
+    StructField("stt", ArrayType(LongType())),
+    StructField("sv", ArrayType(LongType())),
+    StructField("stv", ArrayType(LongType())),
+])
+
+_TREND_OUT_SCHEMA = StructType([
+    StructField("px", LongType()),
+    StructField("py", LongType()),
+    StructField("n_imgs", LongType()),
+    StructField("slope", DoubleType()),
+    StructField("intercept", DoubleType()),
+])
+
+
+def pixel_trend_window(images: DataFrame, x0: float, y0: float,
+                       npx: int, npy: int, res: float) -> DataFrame:
+    """Per-pixel least-squares trend v ~ a + b*t across the image stack.
+
+    The reference's per-pixel regression family (``image_pixel_linear_fit``,
+    python/src/imagecalc.cpp method table; ``timeseries.modelfitting``)
+    with t = image ``id`` (the stack's time axis).  All five sufficient
+    statistics accumulate as exact int64 per output pixel (the same
+    batch-partial/final-merge shape as the mosaic); slope/intercept are
+    two final IEEE divisions — bit-stable under any partitioning.
+    Pixels seen by >= 2 images get a fit; others drop.
+    """
+    xw, yh = x0 + npx * res, y0 + npy * res
+    cand = images.where(
+        (F.col("xmax") > F.lit(x0)) & (F.col("xmin") < F.lit(xw))
+        & (F.col("ymax") > F.lit(y0)) & (F.col("ymin") < F.lit(yh))
+    ).select("id", "bytes", "w", "h", "fmt", "xmin", "xmax", "ymin", "ymax")
+
+    cxs = x0 + (np.arange(npx, dtype=np.float64) + 0.5) * res
+    cys = y0 + (np.arange(npy, dtype=np.float64) + 0.5) * res
+
+    def partials(it):
+        for pdf in it:
+            size = npx * npy
+            acc = {k: np.zeros(size, np.int64)
+                   for k in ("n", "st", "stt", "sv", "stv")}
+            a2 = {k: v.reshape(npy, npx) for k, v in acc.items()}
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode_image(bytes(row.bytes), int(row.w),
+                                         int(row.h), str(row.fmt))
+                sel_x = np.nonzero((cxs >= row.xmin) & (cxs < row.xmax))[0]
+                sel_y = np.nonzero((cys > row.ymin) & (cys <= row.ymax))[0]
+                if sel_x.size == 0 or sel_y.size == 0:
+                    continue
+                sx = np.minimum(np.floor((cxs[sel_x] - row.xmin) / res)
+                                .astype(np.int64), int(row.w) - 1)
+                sy = np.minimum(np.floor((row.ymax - cys[sel_y]) / res)
+                                .astype(np.int64), int(row.h) - 1)
+                v = arr[np.ix_(sy, sx)].astype(np.int64)
+                t = np.int64(row.id)
+                ix = np.ix_(sel_y, sel_x)
+                a2["n"][ix] += 1
+                a2["st"][ix] += t
+                a2["stt"][ix] += t * t
+                a2["sv"][ix] += v
+                a2["stv"][ix] += t * v
+            yield pd.DataFrame({"window_id": [0],
+                                **{k: [acc[k]] for k in acc}})
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        size = npx * npy
+        tot = {k: np.zeros(size, np.int64)
+               for k in ("n", "st", "stt", "sv", "stv")}
+        for r in pdf.itertuples(index=False):
+            for k in tot:
+                tot[k] += np.asarray(getattr(r, k), np.int64)
+        ok = np.nonzero(tot["n"] >= 2)[0]
+        n = tot["n"][ok].astype(np.float64)
+        st = tot["st"][ok].astype(np.float64)
+        stt = tot["stt"][ok].astype(np.float64)
+        sv = tot["sv"][ok].astype(np.float64)
+        stv = tot["stv"][ok].astype(np.float64)
+        num = (tot["n"][ok] * tot["stv"][ok]
+               - tot["st"][ok] * tot["sv"][ok]).astype(np.float64)
+        den = (tot["n"][ok] * tot["stt"][ok]
+               - tot["st"][ok] * tot["st"][ok]).astype(np.float64)
+        slope = num / den
+        intercept = (sv - slope * st) / n
+        return pd.DataFrame({
+            "px": ok % npx, "py": ok // npx, "n_imgs": tot["n"][ok],
+            "slope": slope, "intercept": intercept,
+        })
+
+    return cand.mapInPandas(partials, schema=_TREND_PARTIAL_SCHEMA) \
+        .groupBy("window_id").applyInPandas(merge, schema=_TREND_OUT_SCHEMA)
 
 
 _MODE_PARTIAL_SCHEMA = StructType([

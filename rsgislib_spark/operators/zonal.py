@@ -96,26 +96,50 @@ def _pair_partials(pdf_iter, res_deg: float, min_thres: float,
 
 _FINAL_SCHEMA = StructType([
     StructField("zone_id", LongType()),
+    StructField("n_pix", DoubleType()),
+    StructField("sum_pix", DoubleType()),
+    StructField("min_pix", DoubleType()),
+    StructField("max_pix", DoubleType()),
+    StructField("mean_pix", DoubleType()),
+    StructField("stddev_pix", DoubleType()),
     StructField("median_pix", DoubleType()),
     StructField("mode_pix", DoubleType()),
 ])
 
 
 def _hist_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map kernel: merge histograms of one zone -> exact median
-    (numpy convention: mean of the two central order statistics) and mode
-    (smallest modal value on ties, scipy.stats.mstats.mode convention)."""
+    """Grouped-map kernel: merge one zone's histograms -> ALL stats.
+
+    Every aggregate is derivable from the exact bounded histogram
+    (moments included: sum = dot(v, hist), sumsq = dot(v^2, hist)), so
+    the whole zonal pass needs exactly ONE shuffle (the per-zone
+    histogram merge).  Median = numpy convention (mean of the two
+    central order statistics); mode = smallest modal value on ties
+    (scipy.stats.mstats.mode, the reference's convention).
+    """
     hist = np.zeros(HIST_BINS, dtype=np.int64)
     for harr in pdf["hist"]:
         hist += np.asarray(harr, dtype=np.int64)
     n = int(hist.sum())
+    vals = np.arange(HIST_BINS, dtype=np.int64)
+    s = int(np.dot(vals, hist))
+    ss = int(np.dot(vals * vals, hist))
+    nz = np.nonzero(hist)[0]
+    mean = s / n
     cum = np.cumsum(hist)
     lo = int(np.searchsorted(cum, (n - 1) // 2 + 1))
     hi = int(np.searchsorted(cum, n // 2 + 1))
-    median = (lo + hi) / 2.0
-    mode = float(np.argmax(hist))  # argmax -> first (smallest) on ties
-    return pd.DataFrame({"zone_id": [int(pdf["zone_id"].iloc[0])],
-                         "median_pix": [median], "mode_pix": [mode]})
+    return pd.DataFrame({
+        "zone_id": [int(pdf["zone_id"].iloc[0])],
+        "n_pix": [float(n)],
+        "sum_pix": [float(s)],
+        "min_pix": [float(nz[0])],
+        "max_pix": [float(nz[-1])],
+        "mean_pix": [mean],
+        "stddev_pix": [float(np.sqrt(ss / n - mean * mean))],
+        "median_pix": [(lo + hi) / 2.0],
+        "mode_pix": [float(np.argmax(hist))],
+    })
 
 
 _EXTRACT_SCHEMA = StructType([
@@ -219,7 +243,6 @@ def zonal_stats(
     max_thres: float = float(2 ** 31),
     nodata=None,
     out_no_data_val: float = -9999.0,
-    with_median_mode: bool = True,
 ) -> DataFrame:
     """Per-zone stats over every image overlapping the zone.
 
@@ -256,32 +279,15 @@ def zonal_stats(
         schema=_PARTIAL_SCHEMA,
     )
 
-    # phase 3: final merge — moments in Catalyst, order stats from hists
-    # all stats surface as doubles: the reference writes every zonal field
-    # as OFTReal (zonalstats/__init__.py:289-319), and a uniform type lets
-    # empty zones take out_no_data_val.
-    moments = partials.groupBy("zone_id").agg(
-        F.sum("n").cast("double").alias("n_pix"),
-        F.sum("s").cast("double").alias("sum_pix"),
-        F.sum("ss").alias("_ss"),
-        F.min("mn").cast("double").alias("min_pix"),
-        F.max("mx").cast("double").alias("max_pix"),
-    ).withColumn(
-        "mean_pix", F.col("sum_pix").cast("double") / F.col("n_pix").cast("double")
-    ).withColumn(
-        "stddev_pix",
-        F.sqrt(F.col("_ss").cast("double") / F.col("n_pix").cast("double")
-               - F.col("mean_pix") * F.col("mean_pix")),
-    ).drop("_ss")
-
-    out = zones.join(moments, "zone_id", "left")
-
-    if with_median_mode:
-        order_stats = partials.select("zone_id", "hist").groupBy("zone_id") \
-            .applyInPandas(_hist_finalize, schema=_FINAL_SCHEMA)
-        out = out.join(order_stats, "zone_id", "left")
+    # phase 3: ONE shuffle — per-zone histogram merge; every statistic
+    # (moments included) finalizes from the exact bounded histogram.
+    # All stats surface as doubles: the reference writes every zonal
+    # field as OFTReal (zonalstats/__init__.py:289-319), and a uniform
+    # type lets empty zones take out_no_data_val.
+    stats = partials.select("zone_id", "hist").groupBy("zone_id") \
+        .applyInPandas(_hist_finalize, schema=_FINAL_SCHEMA)
+    out = zones.join(stats, "zone_id", "left")
 
     stat_cols = ["n_pix", "sum_pix", "min_pix", "max_pix", "mean_pix",
-                 "stddev_pix"] + (["median_pix", "mode_pix"]
-                                  if with_median_mode else [])
+                 "stddev_pix", "median_pix", "mode_pix"]
     return out.fillna({c: out_no_data_val for c in stat_cols})

@@ -521,6 +521,25 @@ SELECT zone_id,
 FROM zones
 """
 
+ORACLES["bbox_algebra"] = f"""
+{_PREFIX}
+SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,
+       greatest(a.zxmin, b.zxmin) AS ixmin,
+       least(a.zxmax, b.zxmax) AS ixmax,
+       greatest(a.zymin, b.zymin) AS iymin,
+       least(a.zymax, b.zymax) AS iymax,
+       (least(a.zxmax, b.zxmax) - greatest(a.zxmin, b.zxmin))
+         * (least(a.zymax, b.zymax) - greatest(a.zymin, b.zymin)) AS i_area,
+       least(a.zxmin, b.zxmin) AS uxmin,
+       greatest(a.zxmax, b.zxmax) AS uxmax,
+       least(a.zymin, b.zymin) AS uymin,
+       greatest(a.zymax, b.zymax) AS uymax
+FROM zones a JOIN zones b
+  ON a.zone_id < b.zone_id
+ AND a.zxmax > b.zxmin AND b.zxmax > a.zxmin
+ AND a.zymax > b.zymin AND b.zymax > a.zymin
+"""
+
 ORACLES["grid_gen"] = """
 SELECT gid AS grid_id, gid % 36 AS gx, gid // 36 AS gy,
        -180.0 + (gid % 36) * 10.0 AS gxmin,
@@ -587,6 +606,40 @@ SELECT px, py, count(*) AS n_imgs,
        min(v) AS v_min, max(v) AS v_max,
        max(v * 1099511627776 + id) % 1099511627776 AS idx_max
 FROM v GROUP BY px, py
+"""
+
+ORACLES["pixel_trend"] = f"""
+{_PREFIX},
+gx AS (SELECT unnest(generate_series(0, 59)) AS px),
+gy AS (SELECT unnest(generate_series(0, 59)) AS py),
+grid AS (SELECT px, py, 10.0 + (px + 0.5) * 0.001 AS cx,
+                45.0 + (py + 0.5) * 0.001 AS cy
+         FROM gx, gy),
+j AS (SELECT g.px, g.py, i.id, i.fmt,
+             least(CAST(floor((g.cx - i.xmin) / 0.001) AS BIGINT),
+                   i.w - 1) AS sx,
+             least(CAST(floor((i.ymax - g.cy) / 0.001) AS BIGINT),
+                   i.h - 1) AS sy
+      FROM grid g JOIN imgf i
+        ON i.id % 5 = 0
+       AND g.cx >= i.xmin AND g.cx < i.xmax
+       AND g.cy > i.ymin AND g.cy <= i.ymax),
+v AS (SELECT px, py, id, {_PXSRC} AS v FROM j),
+s AS (SELECT px, py, count(*) AS n,
+             CAST(sum(id) AS BIGINT) AS st,
+             CAST(sum(id * id) AS BIGINT) AS stt,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(id * v) AS BIGINT) AS stv
+      FROM v GROUP BY px, py),
+f AS (SELECT px, py, n,
+             CAST(n * stv - st * sv AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS slope,
+             st, sv
+      FROM s WHERE n >= 2)
+SELECT px, py, n AS n_imgs, slope,
+       (CAST(sv AS DOUBLE) - slope * CAST(st AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM f
 """
 
 ORACLES["rasterize_zones"] = f"""

@@ -20,7 +20,8 @@ from .geo.cellindex import cell_sql_expr
 from .operators import imagemath as im
 from .operators import similarity as simi
 from .operators import textops as tx
-from .operators.mosaic import mosaic_mode_window, mosaic_window
+from .operators.mosaic import (mosaic_mode_window, mosaic_window,
+                               pixel_trend_window)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
@@ -254,6 +255,14 @@ def q_mosaic_mode(spark, sf_dir) -> DataFrame:
         .select("px", "py", "n_imgs", "mode_v")
 
 
+def q_pixel_trend(spark, sf_dir) -> DataFrame:
+    """image_pixel_linear_fit / timeseries model fit: per-pixel OLS
+    trend across the megacity image stack (§2.6, timeseries module)."""
+    img = _images(spark, sf_dir, with_bytes=True).where("id % 5 = 0")
+    return pixel_trend_window(img, 10.0, 45.0, 60, 60, 0.001) \
+        .select("px", "py", "n_imgs", "slope", "intercept")
+
+
 def q_rasterize_zones(spark, sf_dir) -> DataFrame:
     """rasterize: burn the zone layer onto a pixel grid, max-id wins
     (gdal.RasterizeLayer semantics; Catalyst-only plan)."""
@@ -393,6 +402,33 @@ def q_zone_geom_cols(spark, sf_dir) -> DataFrame:
     out = vec.buffer_bbox_cols(vec.add_geom_bbox_cols(zones), 0.25)
     return out.select("zone_id", "g_width", "g_height", "g_area",
                       "g_cx", "g_cy", "b_xmin", "b_xmax", "b_ymin", "b_ymax")
+
+
+def q_bbox_algebra(spark, sf_dir) -> DataFrame:
+    """bbox_intersection / find_bbox_union / calc_bbox_area over every
+    strictly-intersecting zone pair (tools/geometrytools.py:82-506) —
+    pure Catalyst min/max arithmetic (§2.8, §2.9)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    a = zones.alias("a")
+    b = zones.alias("b")
+    pair = a.join(b, (F.col("a.zone_id") < F.col("b.zone_id"))
+                  & (F.col("a.zxmax") > F.col("b.zxmin"))
+                  & (F.col("b.zxmax") > F.col("a.zxmin"))
+                  & (F.col("a.zymax") > F.col("b.zymin"))
+                  & (F.col("b.zymax") > F.col("a.zymin")))
+    ixmin = F.greatest(F.col("a.zxmin"), F.col("b.zxmin"))
+    ixmax = F.least(F.col("a.zxmax"), F.col("b.zxmax"))
+    iymin = F.greatest(F.col("a.zymin"), F.col("b.zymin"))
+    iymax = F.least(F.col("a.zymax"), F.col("b.zymax"))
+    return pair.select(
+        F.col("a.zone_id").alias("zone_a"), F.col("b.zone_id").alias("zone_b"),
+        ixmin.alias("ixmin"), ixmax.alias("ixmax"),
+        iymin.alias("iymin"), iymax.alias("iymax"),
+        ((ixmax - ixmin) * (iymax - iymin)).alias("i_area"),
+        F.least(F.col("a.zxmin"), F.col("b.zxmin")).alias("uxmin"),
+        F.greatest(F.col("a.zxmax"), F.col("b.zxmax")).alias("uxmax"),
+        F.least(F.col("a.zymin"), F.col("b.zymin")).alias("uymin"),
+        F.greatest(F.col("a.zymax"), F.col("b.zymax")).alias("uymax"))
 
 
 def q_grid_gen(spark, sf_dir) -> DataFrame:
@@ -716,6 +752,7 @@ QUERIES = {
     "spatial_select": q_spatial_select,
     "zone_geom_cols": q_zone_geom_cols,
     "grid_gen": q_grid_gen,
+    "bbox_algebra": q_bbox_algebra,
     "reproj_utm": q_reproj_utm,
     "caption_replace": q_caption_replace,
     "rank_layer": q_rank_layer,
@@ -746,6 +783,7 @@ QUERIES = {
     "band_percentiles": q_band_percentiles,
     "mosaic_window": q_mosaic_window,
     "mosaic_mode": q_mosaic_mode,
+    "pixel_trend": q_pixel_trend,
     "rasterize_zones": q_rasterize_zones,
     "clump_stats": q_clump_stats,
     "polygonize": q_polygonize,
