@@ -142,9 +142,11 @@ def main() -> None:
                               shuffle_partitions=n)
             try:
                 scaling_job(spark, "/root/testdata/sf0.001", k=1)  # warmup
-                t0 = time.perf_counter()
-                n_img = scaling_job(spark, sf_dir, k=512)
-                sec = time.perf_counter() - t0
+                sec = None
+                for _rep in range(2):   # best-of-2 guards sandbox jitter
+                    t0 = time.perf_counter()
+                    n_img = scaling_job(spark, sf_dir, k=512)
+                    sec = min(sec or 1e18, time.perf_counter() - t0)
             finally:
                 spark.stop()
             scaling[f"local[{n}]"] = {

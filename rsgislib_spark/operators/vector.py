@@ -45,6 +45,7 @@ __all__ = [
     "define_grid",
     "reproj_affine",
     "reproj_webmerc",
+    "unwrap_bbox",
     "find_replace_str",
     "rank_layer",
     "merge_layers",
@@ -137,6 +138,37 @@ def reproj_webmerc(df: DataFrame, lon: str = "lon", lat: str = "lat",
         df.withColumn(x_out, F.lit(_R_MAJOR) * F.radians(F.col(lon)))
         .withColumn(y_out, F.lit(_R_MAJOR)
                     * F.log(F.tan(F.lit(math.pi / 4.0) + rad_lat / 2.0)))
+    )
+
+
+def unwrap_bbox(df: DataFrame, xmin: str = "zxmin", xmax: str = "zxmax") -> DataFrame:
+    """Antimeridian unwrap: split dateline-crossing bboxes into two rows.
+
+    Reference: ``unwrap_wgs84_bbox`` (tools/geometrytools.py:253) +
+    ``geopd_check_polys_wgs84_bounds_geometry`` (vectorutils/__init__.py:
+    2926).  A box with ``xmin > xmax`` crosses the antimeridian and
+    becomes two boxes: [xmin, 180] and [-180, xmax]; ``part`` numbers
+    the pieces (0 = single/western piece, 1 = eastern piece).  Pure
+    Catalyst: a conditional explode, no UDF.
+    """
+    pieces = F.when(
+        F.col(xmin) > F.col(xmax),
+        F.array(
+            F.struct(F.col(xmin).alias("pxmin"), F.lit(180.0).alias("pxmax"),
+                     F.lit(0).alias("part")),
+            F.struct(F.lit(-180.0).alias("pxmin"), F.col(xmax).alias("pxmax"),
+                     F.lit(1).alias("part")),
+        ),
+    ).otherwise(
+        F.array(F.struct(F.col(xmin).alias("pxmin"),
+                         F.col(xmax).alias("pxmax"), F.lit(0).alias("part")))
+    )
+    return (
+        df.withColumn("_p", F.explode(pieces))
+        .withColumn("pxmin", F.col("_p.pxmin"))
+        .withColumn("pxmax", F.col("_p.pxmax"))
+        .withColumn("part", F.col("_p.part").cast("long"))
+        .drop("_p")
     )
 
 

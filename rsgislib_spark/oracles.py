@@ -521,6 +521,24 @@ SELECT zone_id,
 FROM zones
 """
 
+_MODX = "(CASE WHEN {c} + 520.0 >= 0 THEN fmod({c} + 520.0, 360.0) " \
+        "ELSE fmod({c} + 520.0, 360.0) + 360.0 END - 180.0)"
+
+ORACLES["unwrap_bbox"] = f"""
+{_PREFIX},
+sh AS (SELECT zone_id,
+              {_MODX.format(c="zxmin")} AS sxmin,
+              {_MODX.format(c="zxmax")} AS sxmax
+       FROM zones)
+SELECT zone_id, CAST(0 AS BIGINT) AS part,
+       sxmin AS pxmin,
+       CASE WHEN sxmin > sxmax THEN 180.0 ELSE sxmax END AS pxmax
+FROM sh
+UNION ALL
+SELECT zone_id, CAST(1 AS BIGINT) AS part, -180.0 AS pxmin, sxmax AS pxmax
+FROM sh WHERE sxmin > sxmax
+"""
+
 ORACLES["bbox_algebra"] = f"""
 {_PREFIX}
 SELECT a.zone_id AS zone_a, b.zone_id AS zone_b,

@@ -404,6 +404,20 @@ def q_zone_geom_cols(spark, sf_dir) -> DataFrame:
                       "g_cx", "g_cy", "b_xmin", "b_xmax", "b_ymin", "b_ymax")
 
 
+def q_unwrap_bbox(spark, sf_dir) -> DataFrame:
+    """antimeridian unwrap: shift zone boxes +340 deg (wrapped) so some
+    cross the dateline, then split crossers into two rows (§2.9)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    shifted = zones.select(
+        "zone_id",
+        (F.pmod(F.col("zxmin") + 520.0, F.lit(360.0)) - 180.0)
+        .alias("zxmin"),
+        (F.pmod(F.col("zxmax") + 520.0, F.lit(360.0)) - 180.0)
+        .alias("zxmax"))
+    return vec.unwrap_bbox(shifted) \
+        .select("zone_id", "part", "pxmin", "pxmax")
+
+
 def q_bbox_algebra(spark, sf_dir) -> DataFrame:
     """bbox_intersection / find_bbox_union / calc_bbox_area over every
     strictly-intersecting zone pair (tools/geometrytools.py:82-506) —
@@ -753,6 +767,7 @@ QUERIES = {
     "zone_geom_cols": q_zone_geom_cols,
     "grid_gen": q_grid_gen,
     "bbox_algebra": q_bbox_algebra,
+    "unwrap_bbox": q_unwrap_bbox,
     "reproj_utm": q_reproj_utm,
     "caption_replace": q_caption_replace,
     "rank_layer": q_rank_layer,
