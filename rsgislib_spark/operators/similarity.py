@@ -33,7 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["quantize", "cosine_topk", "ann_lsh_top1", "centroid_assign"]
+__all__ = ["quantize", "cosine_topk", "ann_lsh_top1", "centroid_assign",
+           "gram_matrix"]
 
 
 def quantize(df: DataFrame, col: str = "embedding",
@@ -129,6 +130,44 @@ def ann_lsh_top1(vectors: DataFrame, n_planes: int = 8, dim: int = 64,
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return pairs.withColumn("rn", F.row_number().over(w)) \
         .where(F.col("rn") == 1).drop("rn")
+
+
+def gram_matrix(vectors: DataFrame, dim: int = 64) -> DataFrame:
+    """Exact integer Gram/scatter matrix G[i,j] = sum_v q_i * q_j.
+
+    The distributed core of PCA / whitening (reference:
+    ``perform_image_pca`` / ``whiten_image``, imagecalc/__init__.py:
+    594-818, imageutils/__init__.py:3933): the only cluster-scale step
+    is this d x d scatter accumulation — the eigendecomposition of a
+    64x64 matrix is a driver-side triviality afterwards.  Quantized
+    int64 sums are exact and associative, so G is bit-identical under
+    any partitioning (and SQL-oracle checkable).  Upper triangle only
+    (G is symmetric).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = int(dim)
+
+    def partials(it):
+        acc = np.zeros((d, d), dtype=np.int64)
+        for pdf in it:
+            m = np.stack([np.round(np.asarray(e, np.float64) * 1000)
+                          .astype(np.int64) for e in pdf["embedding"]])
+            acc += m.T @ m
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame({"i": iu.astype(np.int64),
+                            "j": ju.astype(np.int64),
+                            "g": acc[iu, ju]})
+
+    schema = StructType([StructField("i", LongType()),
+                         StructField("j", LongType()),
+                         StructField("g", LongType())])
+    # one partial d x d matrix per task (never per row), merged by a
+    # groupBy over <= d*(d+1)/2 keys — constant-size shuffle at any scale
+    return vectors.select("embedding").mapInPandas(partials, schema=schema) \
+        .groupBy("i", "j").agg(F.sum("g").alias("g"))
 
 
 def centroid_assign(vectors: DataFrame, dim: int = 64,

@@ -864,6 +864,16 @@ s AS (SELECT qid, vec_id, bucket,
 SELECT qid, vec_id, bucket, sim FROM s WHERE rn = 1
 """
 
+ORACLES["gram_matrix"] = f"""
+WITH v AS (SELECT {_QZ} AS q FROM embeddings)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+       CAST(sum(q[i] * q[j]) AS BIGINT) AS g
+FROM v, (SELECT unnest(generate_series(1, 64)) AS i),
+     (SELECT unnest(generate_series(1, 64)) AS j)
+WHERE j >= i
+GROUP BY i, j
+"""
+
 ORACLES["centroid_assign"] = f"""
 WITH v AS (SELECT vec_id, label, {_QZ} AS q FROM embeddings),
 comp AS (SELECT vec_id, label, i, q[i] AS x

@@ -585,6 +585,13 @@ def q_embed_ann_lsh(spark, sf_dir) -> DataFrame:
         .select("qid", "vec_id", "bucket", "sim")
 
 
+def q_gram_matrix(spark, sf_dir) -> DataFrame:
+    """PCA/whitening distributed core: exact integer scatter matrix
+    (perform_image_pca / whiten_image, §2.9)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.gram_matrix(t["embeddings"]).select("i", "j", "g")
+
+
 def q_centroid_assign(spark, sf_dir) -> DataFrame:
     """nearest-centroid classification with exact integer ordering."""
     t = load_tables(spark, sf_dir, ["embeddings"])
@@ -817,6 +824,7 @@ QUERIES = {
     "embed_topk": q_embed_topk,
     "embed_ann_lsh": q_embed_ann_lsh,
     "centroid_assign": q_centroid_assign,
+    "gram_matrix": q_gram_matrix,
     "recode_region": q_recode_region,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
