@@ -52,6 +52,7 @@ __all__ = [
     "with_point_cell",
     "with_bbox_cells",
     "spatial_join",
+    "spatial_join_poly",
     "spatial_select",
     "JOIN_OPS",
     "JOIN_HOWS",
@@ -227,6 +228,63 @@ def spatial_join(
     return join.withColumn("index_right", F.col(join_key)).join(
         attach, "index_right", "left"
     )
+
+
+_POLY_PAIR_SCHEMA = "image_id string, poly_id long"
+
+
+def spatial_join_poly(
+    points: DataFrame,
+    polys: DataFrame,
+    *,
+    point_key: str = "image_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_key: str = "poly_id",
+    verts_col: str = "verts",
+    res: int = DEFAULT_RES,
+) -> DataFrame:
+    """Point-in-POLYGON join for general (non-bbox) polygon layers.
+
+    The general-geometry path of ``perform_spatial_join``: candidate
+    generation is the same cell equi-join (polygon bboxes polyfilled to
+    cells), refinement is the vectorized ray-casting PIP of
+    ``geo.geometry.points_in_polygon`` run per-polygon over Arrow
+    batches (``applyInPandas`` grouped by polygon — each group holds one
+    polygon's candidate points, so the numpy kernel is vectorized over
+    points exactly like the reference's rasterize/GEOS inner loop).
+
+    ``polys`` needs (poly_key, verts_col = array<array<double>> ring
+    vertices, pxmin/pxmax/pymin/pymax bbox columns).  Output: matched
+    (point_key, poly_key) pairs.
+    """
+    import pandas as pd
+
+    from ..geo.geometry import points_in_polygon
+
+    keyed_pts = with_point_cell(
+        points.select(F.col(point_key), F.col(lon), F.col(lat)),
+        lon, lat, res)
+    keyed_polys = with_bbox_cells(
+        polys.select(poly_key, verts_col, "pxmin", "pxmax", "pymin", "pymax"),
+        "pxmin", "pxmax", "pymin", "pymax", res=res)
+    cand = (
+        keyed_pts.join(F.broadcast(keyed_polys), "cell", "inner")
+        .where((F.col(lon) >= F.col("pxmin")) & (F.col(lon) < F.col("pxmax"))
+               & (F.col(lat) >= F.col("pymin")) & (F.col(lat) < F.col("pymax")))
+        .select(point_key, lon, lat, poly_key, verts_col)
+    )
+
+    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
+        poly = np.asarray([list(v) for v in pdf[verts_col].iloc[0]],
+                          dtype=np.float64)
+        inside = points_in_polygon(pdf[lon].to_numpy(),
+                                   pdf[lat].to_numpy(), poly)
+        keep = pdf.loc[inside, [point_key, poly_key]]
+        return keep.rename(columns={point_key: "image_id",
+                                    poly_key: "poly_id"})
+
+    return cand.groupBy(poly_key).applyInPandas(refine, _POLY_PAIR_SCHEMA)
 
 
 def spatial_select(base: DataFrame, roi: DataFrame, **kw) -> DataFrame:

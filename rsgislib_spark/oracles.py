@@ -482,6 +482,16 @@ SELECT i.image_id, z.zone_id, z.zname, i.lon, i.lat
 FROM img i JOIN zones z ON {_PIP}
 """
 
+ORACLES["sjoin_polygon"] = f"""
+{_PREFIX}
+SELECT i.image_id, z.zone_id AS poly_id
+FROM img i JOIN zones z
+  ON {_PIP}
+ AND ((z.zymin > i.lat) != (z.zymax > i.lat))
+ AND i.lon < z.zxmax + (i.lat - z.zymin) * (z.zxmin - z.zxmax)
+                         / (z.zymax - z.zymin)
+"""
+
 ORACLES["sjoin_left_intersects"] = f"""
 {_PREFIX}
 SELECT i.image_id, i.lon, i.lat, z.zone_id AS index_right, z.zname

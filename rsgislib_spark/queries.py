@@ -26,7 +26,8 @@ from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_windo
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
 from .operators.knn import match_closest_points, npts_in_radius
-from .operators.spatial_join import spatial_join, spatial_select, with_point_cell
+from .operators.spatial_join import (spatial_join, spatial_join_poly,
+                                     spatial_select, with_point_cell)
 from .operators.tiling import (block_iter_specs, tile_pixels, tile_spec_df,
                                tile_spec_offset_df)
 from .operators.zonal import extract_point_values, zonal_stats
@@ -359,6 +360,23 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
     out = zonal_stats(img, zones)
     return out.select("zone_id", "zname", "n_pix", "sum_pix", "min_pix",
                       "max_pix", "mean_pix", "stddev_pix", "median_pix")
+
+
+def q_sjoin_polygon(spark, sf_dir) -> DataFrame:
+    """general-polygon PIP join: zones cut to triangles, refined by the
+    vectorized ray-casting kernel in Arrow batches (§2.3, §2.11)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    zones = synth.synth_zones(spark, sf_dir)
+    tris = zones.select(
+        F.col("zone_id").alias("poly_id"),
+        F.array(
+            F.array(F.col("zxmin"), F.col("zymin")),
+            F.array(F.col("zxmax"), F.col("zymin")),
+            F.array(F.col("zxmin"), F.col("zymax")),
+        ).alias("verts"),
+        F.col("zxmin").alias("pxmin"), F.col("zxmax").alias("pxmax"),
+        F.col("zymin").alias("pymin"), F.col("zymax").alias("pymax"))
+    return spatial_join_poly(img, tris).select("image_id", "poly_id")
 
 
 def q_sjoin_left_intersects(spark, sf_dir) -> DataFrame:
@@ -767,6 +785,7 @@ def flagship(spark, sf_dir) -> DataFrame:
 QUERIES = {
     "cell_encode": q_cell_encode,
     "sjoin_salted": q_sjoin_salted,
+    "sjoin_polygon": q_sjoin_polygon,
     "sjoin_left_intersects": q_sjoin_left_intersects,
     "sjoin_right_within": q_sjoin_right_within,
     "sjoin_bbox_intersects": q_sjoin_bbox_intersects,
