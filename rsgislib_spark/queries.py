@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import synth
-from .geo.cellindex import cell_sql_expr
 from .operators import imagemath as im
 from .operators import similarity as simi
 from .operators import textops as tx

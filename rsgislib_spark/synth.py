@@ -40,7 +40,7 @@ Zone (polygon) layer: 25 rectangular zones derived from ``nation``
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+
 
 from .functions import codec
 
@@ -231,7 +231,6 @@ def synth_images(spark, sf_dir: str, with_bytes: bool = False,
     """
     import os
 
-    from pyspark.sql import functions as F  # noqa: F401 (used by callers)
 
     spark.read.parquet(os.path.join(sf_dir, "part.parquet")) \
         .createOrReplaceTempView("part")

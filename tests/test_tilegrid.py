@@ -80,3 +80,27 @@ def test_multi_core_names_and_windows():
     assert names[-1] == "x5y5"
     assert tiles[4][1] == (800, 931, 0, 200)
     assert tiles[-1][1] == (800, 931, 800, 947)
+
+
+def test_reference_s2_tiles_golden_250():
+    """The reference's checked-in golden tile sets (python_tests/data/
+    imageutils/s2_tiles and s2_over_tiles: sen2_20210527_aber_tile{0..15})
+    are 250x250 tilings of the 931x947 fixture — 16 tiles in a 4x4
+    row-major layout with remainder column width 181 and remainder row
+    height 197; the overlapped set expands every window by 20 px clamped
+    into the image (include_imgs_with_overlap test uses overlap=20,
+    python_tests/test_imageutils.py:560-575)."""
+    from rsgislib_spark.geo.tilegrid import tile_specs
+
+    plain = tile_specs(931, 947, 250, 250)
+    assert len(plain) == 16
+    assert plain[0] == (0, 250, 0, 250)
+    assert plain[3] == (750, 931, 0, 250)       # remainder column
+    assert plain[12] == (0, 250, 750, 947)      # remainder row
+    assert plain[15] == (750, 931, 750, 947)    # corner remainder
+
+    over = tile_specs(931, 947, 250, 250, overlap=20)
+    assert len(over) == 16
+    assert over[0] == (0, 270, 0, 270)          # clamped at origin
+    assert over[5] == (230, 520, 230, 520)      # full halo both sides
+    assert over[15] == (730, 931, 730, 947)     # clamped at far edge
