@@ -45,6 +45,7 @@ __all__ = [
     "mask_img_stats",
     "conv3x3_stats",
     "morph3x3_stats",
+    "texture_var3x3_stats",
     "SOBEL_X",
     "MEAN3",
     "index_scaled_stats",
@@ -187,6 +188,35 @@ def conv3x3_stats(images: DataFrame, kernel=MEAN3,
         .withColumnRenamed("sum_pix", "sum_conv") \
         .withColumnRenamed("min_pix", "min_conv") \
         .withColumnRenamed("max_pix", "max_conv")
+
+
+def texture_var3x3_stats(images: DataFrame) -> DataFrame:
+    """3x3 texture-variance filter, integer-exact (scaled by 81).
+
+    Reference: ``apply_texture_var_filter`` / variance-window filters
+    (imagefilter/__init__.py:37-601) and the Lee/Kuwahara family's local
+    variance core.  Per interior pixel: 81*var = 9*sum(v^2) - (sum v)^2
+    over the 3x3 window — exact int64, so the whole filter class gets a
+    closed-form oracle (no float variance accumulation).
+    """
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < 3 or w < 3:
+            return np.zeros((0,), dtype=np.int64)
+        s = np.zeros((h - 2, w - 2), dtype=np.int64)
+        ss = np.zeros((h - 2, w - 2), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                v = a[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                s += v
+                ss += v * v
+        return 9 * ss - s * s
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_var81") \
+        .withColumnRenamed("min_pix", "min_var81") \
+        .withColumnRenamed("max_pix", "max_var81")
 
 
 def morph3x3_stats(images: DataFrame, op: str = "dilate") -> DataFrame:

@@ -33,8 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["quantize", "cosine_topk", "ann_lsh_top1", "centroid_assign",
-           "gram_matrix"]
+__all__ = ["quantize", "cosine_topk", "ann_lsh_top1", "neardup_pairs",
+           "centroid_assign", "gram_matrix"]
 
 
 def quantize(df: DataFrame, col: str = "embedding",
@@ -130,6 +130,33 @@ def ann_lsh_top1(vectors: DataFrame, n_planes: int = 8, dim: int = 64,
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return pairs.withColumn("rn", F.row_number().over(w)) \
         .where(F.col("rn") == 1).drop("rn")
+
+
+def neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
+                  n_planes: int = 8, dim: int = 64,
+                  id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed candidates).
+
+    The embedding-space dedup method: candidate pairs share a hyperplane
+    bucket (single-probe — recall grows with multi-probe ring union),
+    kept when exact cosine >= threshold.  Output: (vec_a < vec_b, sim).
+    """
+    v = quantize(vectors).withColumn(
+        "bucket", F.expr(_bucket_expr("q", n_planes, dim))
+    ).select(F.col(id_col).alias("vid"), "q", "bucket",
+             F.expr(_norm_sq("q")).alias("nrm"))
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.expr(_DOT.format(a="a.q", b="b.q"))
+    sim = dot.cast("double") / F.sqrt((F.col("a.nrm") * F.col("b.nrm"))
+                                      .cast("double"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+                sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
 
 
 def gram_matrix(vectors: DataFrame, dim: int = 64) -> DataFrame:

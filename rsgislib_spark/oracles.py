@@ -342,6 +342,23 @@ SELECT image_id, n_pix, sum_sq_err, max_abs_err,
 FROM s
 """
 
+_S9 = " + ".join(_ALL9)
+_SS9 = " + ".join(f"({t}) * ({t})" for t in _ALL9)
+
+ORACLES["filter_texture_var"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(1, w - 2)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+c AS (SELECT image_id, 9 * ({_SS9}) - ({_S9}) * ({_S9}) AS s FROM pxy)
+SELECT image_id, count(*) AS n_interior,
+       CAST(sum(s) AS BIGINT) AS sum_var81,
+       CAST(min(s) AS BIGINT) AS min_var81,
+       CAST(max(s) AS BIGINT) AS max_var81
+FROM c GROUP BY image_id
+"""
+
 _PXV2 = synth.pixel_value_sql("id", "(w - 1 - x)", "y", "fmt")
 
 ORACLES["ndvi_index"] = f"""
@@ -882,6 +899,34 @@ FROM v, (SELECT unnest(generate_series(1, 64)) AS i),
      (SELECT unnest(generate_series(1, 64)) AS j)
 WHERE j >= i
 GROUP BY i, j
+"""
+
+ORACLES["embed_neardup"] = f"""
+WITH v AS (SELECT vec_id, {_QZ} AS q FROM embeddings),
+proj AS (SELECT vec_id, p,
+                CAST(sum(q[i + 1] * ((p * 37 + i * 73) % 19 - 9))
+                     AS BIGINT) AS pr
+         FROM v, (SELECT unnest(generate_series(0, 63)) AS i),
+              (SELECT unnest(generate_series(0, 7)) AS p)
+         GROUP BY vec_id, p),
+buck AS (SELECT vec_id,
+                CAST(sum(CASE WHEN pr > 0
+                              THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         FROM proj GROUP BY vec_id),
+vb AS (SELECT v.vec_id, q, bucket FROM v JOIN buck USING (vec_id)),
+pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 CAST(sum(a.q[i] * b.q[i]) AS BIGINT) AS dot,
+                 CAST(sum(a.q[i] * a.q[i]) AS BIGINT) AS nq,
+                 CAST(sum(b.q[i] * b.q[i]) AS BIGINT) AS nc
+          FROM vb a JOIN vb b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+               (SELECT unnest(generate_series(1, 64)) AS i)
+          GROUP BY 1, 2)
+SELECT vec_a, vec_b,
+       CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) AS sim
+FROM pairs
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) >= 0.8
 """
 
 ORACLES["centroid_assign"] = f"""

@@ -227,6 +227,21 @@ def q_filter_sobel(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
 
 
+def q_filter_texture_var(spark, sf_dir) -> DataFrame:
+    """texture-variance window filter, 81-scaled exact (§2.6)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.texture_var3x3_stats(img) \
+        .select("image_id", "n_interior", "sum_var81",
+                "min_var81", "max_var81")
+
+
+def q_embed_neardup(spark, sf_dir) -> DataFrame:
+    """embedding-cosine near-dup pairs (LSH buckets + threshold 0.8)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.neardup_pairs(t["embeddings"], threshold=0.8) \
+        .select("vec_a", "vec_b", "sim")
+
+
 def q_morph_dilate(spark, sf_dir) -> DataFrame:
     """3x3 grayscale dilation (window max) over the interior (§2.6)."""
     img = _px_images(spark, sf_dir, mod=19)
@@ -829,6 +844,8 @@ QUERIES = {
     "polygonize": q_polygonize,
     "morph_dilate": q_morph_dilate,
     "morph_erode": q_morph_erode,
+    "filter_texture_var": q_filter_texture_var,
+    "embed_neardup": q_embed_neardup,
     "psnr_check": q_psnr_check,
     "attr_filter": q_attr_filter,
     "value_counts": q_value_counts,
