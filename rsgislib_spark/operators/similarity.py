@@ -33,8 +33,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["quantize", "cosine_topk", "ann_lsh_top1", "neardup_pairs",
-           "centroid_assign", "gram_matrix"]
+__all__ = ["quantize", "cosine_topk", "ann_lsh_top1",
+           "ann_lsh_multiprobe_top1", "neardup_pairs", "centroid_assign",
+           "gram_matrix"]
 
 
 def quantize(df: DataFrame, col: str = "embedding",
@@ -126,6 +127,42 @@ def ann_lsh_top1(vectors: DataFrame, n_planes: int = 8, dim: int = 64,
                & (F.col("a.vid") != F.col("b.vid")))
         .select(F.col("a.vid").alias("qid"), F.col("b.vid").alias("vec_id"),
                 F.col("a.bucket").alias("bucket"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return pairs.withColumn("rn", F.row_number().over(w)) \
+        .where(F.col("rn") == 1).drop("rn")
+
+
+def ann_lsh_multiprobe_top1(vectors: DataFrame, n_planes: int = 8,
+                            dim: int = 64,
+                            id_col: str = "vec_id") -> DataFrame:
+    """Multi-probe LSH 1-NN: probe own bucket + all 1-bit-flip buckets.
+
+    Single-probe LSH misses neighbours that land one hyperplane away;
+    probing the Hamming-1 ring (n_planes + 1 buckets per query) trades a
+    ~9x candidate fan-out for near-exact recall — the standard
+    multi-probe refinement.  The probe side explodes its bucket ring
+    (pure Catalyst); the build side stays keyed once.
+    """
+    v = quantize(vectors).withColumn(
+        "bucket", F.expr(_bucket_expr("q", n_planes, dim))
+    ).select(F.col(id_col).alias("vid"), "q", "bucket",
+             F.expr(_norm_sq("q")).alias("nrm"))
+    flips = ", ".join(f"CAST(bucket ^ {1 << p} AS BIGINT)"
+                      for p in range(n_planes))
+    probes = v.withColumn(
+        "probe", F.explode(F.expr(f"array(bucket, {flips})")))
+    a = probes.alias("a")
+    b = v.alias("b")
+    dot = F.expr(_DOT.format(a="a.q", b="b.q"))
+    sim = dot.cast("double") / F.sqrt((F.col("a.nrm") * F.col("b.nrm"))
+                                      .cast("double"))
+    pairs = (
+        a.join(b, (F.col("a.probe") == F.col("b.bucket"))
+               & (F.col("a.vid") != F.col("b.vid")))
+        .select(F.col("a.vid").alias("qid"), F.col("b.vid").alias("vec_id"),
+                sim.alias("sim"))
+        .dropDuplicates(["qid", "vec_id"])
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return pairs.withColumn("rn", F.row_number().over(w)) \

@@ -39,7 +39,8 @@ from ..functions import codec
 from ..geo.cellindex import DEFAULT_RES
 from .spatial_join import with_bbox_cells
 
-__all__ = ["zonal_stats", "extract_point_values", "HIST_BINS"]
+__all__ = ["zonal_stats", "zonal_stats_poly", "extract_point_values",
+           "HIST_BINS"]
 
 HIST_BINS = 1024  # pixel values are < 1024 in every supported format
 
@@ -140,6 +141,88 @@ def _hist_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         "median_pix": [(lo + hi) / 2.0],
         "mode_pix": [float(np.argmax(hist))],
     })
+
+
+def zonal_stats_poly(
+    images: DataFrame,
+    polys: DataFrame,
+    *,
+    poly_key: str = "poly_id",
+    verts_col: str = "verts",
+    res: int = DEFAULT_RES,
+    res_deg: float = 0.001,
+    out_no_data_val: float = -9999.0,
+) -> DataFrame:
+    """Zonal stats over GENERAL polygon zones (ray-casting pixel masks).
+
+    The reference rasterizes each feature (gdal.RasterizeLayer,
+    zonalstats/__init__.py:424-432 — pixel-center-in-polygon); here the
+    mask is ``geo.geometry.points_in_polygon`` over the pixel-center
+    grid, per (image, polygon) candidate pair, inside the same
+    Arrow-partial/histogram-merge plan as :func:`zonal_stats`.
+
+    ``polys`` needs (poly_key, verts_col = array<array<double>>,
+    pxmin/pxmax/pymin/pymax).  Output mirrors :func:`zonal_stats`.
+    """
+    from ..geo.geometry import points_in_polygon
+
+    pc = with_bbox_cells(
+        polys.select(poly_key, verts_col, "pxmin", "pxmax", "pymin", "pymax"),
+        "pxmin", "pxmax", "pymin", "pymax", res=res)
+    ic = with_bbox_cells(
+        images.select("image_id", "xmin", "xmax", "ymin", "ymax"),
+        "xmin", "xmax", "ymin", "ymax", res=res)
+    pairs = (
+        ic.join(F.broadcast(pc), "cell", "inner")
+        .where((F.col("xmax") > F.col("pxmin")) & (F.col("pxmax") > F.col("xmin"))
+               & (F.col("ymax") > F.col("pymin")) & (F.col("pymax") > F.col("ymin")))
+        .select("image_id", poly_key, verts_col)
+        .dropDuplicates(["image_id", poly_key])
+    )
+    px_cols = images.select("image_id", "bytes", "w", "h", "fmt",
+                            "xmin", "ymax")
+    work = pairs.join(px_cols, "image_id", "inner").repartition("image_id")
+
+    def gen(it):
+        for pdf in it:
+            rows = {"zone_id": [], "image_id": [], "n": [], "s": [],
+                    "ss": [], "mn": [], "mx": [], "hist": []}
+            for img_id_key, grp in pdf.groupby("image_id", sort=False):
+                r0 = grp.iloc[0]
+                w, h = int(r0["w"]), int(r0["h"])
+                arr = codec.decode_image(bytes(r0["bytes"]), w, h,
+                                         str(r0["fmt"])).astype(np.int64)
+                cx = float(r0["xmin"]) + (np.arange(w) + 0.5) * res_deg
+                cy = float(r0["ymax"]) - (np.arange(h) + 0.5) * res_deg
+                gx, gy = np.meshgrid(cx, cy)
+                for _, pr in grp.iterrows():
+                    poly = np.asarray([list(v) for v in pr[verts_col]],
+                                      dtype=np.float64)
+                    inside = points_in_polygon(gx.ravel(), gy.ravel(), poly)
+                    vals = arr.ravel()[inside]
+                    if vals.size == 0:
+                        continue
+                    rows["zone_id"].append(int(pr[poly_key]))
+                    rows["image_id"].append(img_id_key)
+                    rows["n"].append(int(vals.size))
+                    rows["s"].append(int(vals.sum()))
+                    rows["ss"].append(int((vals * vals).sum()))
+                    rows["mn"].append(int(vals.min()))
+                    rows["mx"].append(int(vals.max()))
+                    rows["hist"].append(
+                        np.bincount(vals, minlength=HIST_BINS)
+                        .astype(np.int64))
+            yield pd.DataFrame(rows)
+
+    partials = work.mapInPandas(gen, schema=_PARTIAL_SCHEMA)
+    stats = partials.select("zone_id", "hist").groupBy("zone_id") \
+        .applyInPandas(_hist_finalize, schema=_FINAL_SCHEMA)
+    out = polys.select(F.col(poly_key).alias("zone_id")) \
+        .join(stats, "zone_id", "left")
+    stat_cols = ["n_pix", "sum_pix", "min_pix", "max_pix", "mean_pix",
+                 "stddev_pix", "median_pix", "mode_pix"]
+    return out.fillna({c: out_no_data_val for c in stat_cols}) \
+        .withColumnRenamed("zone_id", poly_key)
 
 
 _EXTRACT_SCHEMA = StructType([

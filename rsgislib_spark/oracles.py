@@ -729,6 +729,48 @@ SELECT px, py, CAST(sum(n) AS BIGINT) AS n_imgs,
 FROM c GROUP BY px, py
 """
 
+ORACLES["zonal_stats_poly"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM imgf WHERE id % 7 = 0),
+px AS (SELECT image_id,
+              xmin + (x + 0.5) * {synth.IMG_RES_DEG} AS cx,
+              ymax - (y + 0.5) * {synth.IMG_RES_DEG} AS cy,
+              {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
+j AS (SELECT z.zone_id, p.v
+      FROM px p JOIN zones z
+        ON p.cx >= z.zxmin AND p.cx < z.zxmax
+       AND ((z.zymin > p.cy) != (z.zymax > p.cy))
+       AND p.cx < z.zxmax + (p.cy - z.zymin) * (z.zxmin - z.zxmax)
+                              / (z.zymax - z.zymin)),
+s AS (SELECT zone_id,
+             CAST(count(*) AS DOUBLE) AS n_pix,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) AS sum_pix,
+             CAST(min(v) AS DOUBLE) AS min_pix,
+             CAST(max(v) AS DOUBLE) AS max_pix,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_pix,
+             sqrt(CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)
+                  - (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE))
+                    * (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE))) AS stddev_pix,
+             CAST(median(v) AS DOUBLE) AS median_pix
+      FROM j GROUP BY zone_id)
+SELECT z.zone_id AS poly_id,
+       coalesce(s.n_pix, -9999.0) AS n_pix,
+       coalesce(s.sum_pix, -9999.0) AS sum_pix,
+       coalesce(s.min_pix, -9999.0) AS min_pix,
+       coalesce(s.max_pix, -9999.0) AS max_pix,
+       coalesce(s.mean_pix, -9999.0) AS mean_pix,
+       coalesce(s.stddev_pix, -9999.0) AS stddev_pix,
+       coalesce(s.median_pix, -9999.0) AS median_pix
+FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
+"""
+
 ORACLES["attr_filter"] = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
 FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
@@ -927,6 +969,46 @@ SELECT vec_a, vec_b,
        CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) AS sim
 FROM pairs
 WHERE CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) >= 0.8
+"""
+
+ORACLES["embed_ann_multiprobe"] = f"""
+WITH v AS (SELECT vec_id, {_QZ} AS q FROM embeddings),
+proj AS (SELECT vec_id, p,
+                CAST(sum(q[i + 1] * ((p * 37 + i * 73) % 19 - 9))
+                     AS BIGINT) AS pr
+         FROM v, (SELECT unnest(generate_series(0, 63)) AS i),
+              (SELECT unnest(generate_series(0, 7)) AS p)
+         GROUP BY vec_id, p),
+buck AS (SELECT vec_id,
+                CAST(sum(CASE WHEN pr > 0
+                              THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         FROM proj GROUP BY vec_id),
+vb AS (SELECT v.vec_id, q, bucket FROM v JOIN buck USING (vec_id)),
+probes AS (SELECT vec_id, q, bucket AS probe FROM vb
+           UNION ALL
+           SELECT vec_id, q,
+                  xor(bucket, (CAST(1 AS BIGINT) << CAST(p AS INT))) AS probe
+           FROM vb, (SELECT unnest(generate_series(0, 7)) AS p)),
+pairs AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+          FROM probes a JOIN vb b
+            ON a.probe = b.bucket AND a.vec_id != b.vec_id),
+d AS (SELECT p.qid, p.cid,
+             CAST(sum(x.q[i] * y.q[i]) AS BIGINT) AS dot,
+             CAST(sum(x.q[i] * x.q[i]) AS BIGINT) AS nq,
+             CAST(sum(y.q[i] * y.q[i]) AS BIGINT) AS nc
+      FROM pairs p JOIN v x ON p.qid = x.vec_id
+                   JOIN v y ON p.cid = y.vec_id,
+           (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY 1, 2),
+s AS (SELECT qid, cid AS vec_id,
+             CAST(dot AS DOUBLE) / sqrt(CAST(nq * nc AS DOUBLE)) AS sim,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY CAST(dot AS DOUBLE)
+                                  / sqrt(CAST(nq * nc AS DOUBLE)) DESC,
+                                  cid) AS rn
+      FROM d)
+SELECT qid, vec_id, sim FROM s WHERE rn = 1
 """
 
 ORACLES["centroid_assign"] = f"""

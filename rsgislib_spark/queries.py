@@ -29,7 +29,8 @@ from .operators.spatial_join import (spatial_join, spatial_join_poly,
                                      spatial_select, with_point_cell)
 from .operators.tiling import (block_iter_specs, tile_pixels, tile_spec_df,
                                tile_spec_offset_df)
-from .operators.zonal import extract_point_values, zonal_stats
+from .operators.zonal import (extract_point_values, zonal_stats,
+                              zonal_stats_poly)
 from .plans.lineage import lineage_records
 from .session import load_tables
 from .sources.imagelut import build_img_lut, query_img_lut
@@ -198,6 +199,28 @@ def _px_images(spark, sf_dir, mod: int = 7):
                    with_footprint=False).where(f"id % {mod} = 0")
 
 
+def _triangle_zones(zones):
+    return zones.select(
+        F.col("zone_id").alias("poly_id"),
+        F.array(
+            F.array(F.col("zxmin"), F.col("zymin")),
+            F.array(F.col("zxmax"), F.col("zymin")),
+            F.array(F.col("zxmin"), F.col("zymax")),
+        ).alias("verts"),
+        F.col("zxmin").alias("pxmin"), F.col("zxmax").alias("pxmax"),
+        F.col("zymin").alias("pymin"), F.col("zymax").alias("pymax"))
+
+
+def q_zonal_stats_poly(spark, sf_dir) -> DataFrame:
+    """calc_zonal_band_stats over GENERAL polygon zones (triangles):
+    ray-casting pixel-center masks replace the rect mask (§2.5, §2.3)."""
+    img = _images(spark, sf_dir, with_bytes=True).where("id % 7 = 0")
+    zones = synth.synth_zones(spark, sf_dir)
+    out = zonal_stats_poly(img, _triangle_zones(zones))
+    return out.select("poly_id", "n_pix", "sum_pix", "min_pix",
+                      "max_pix", "mean_pix", "stddev_pix", "median_pix")
+
+
 def q_band_math(spark, sf_dir) -> DataFrame:
     """band_math 'cond ? expr : 0' over decoded planes (§2.2, §2.11)."""
     img = _px_images(spark, sf_dir)
@@ -233,6 +256,13 @@ def q_filter_texture_var(spark, sf_dir) -> DataFrame:
     return im.texture_var3x3_stats(img) \
         .select("image_id", "n_interior", "sum_var81",
                 "min_var81", "max_var81")
+
+
+def q_embed_ann_multiprobe(spark, sf_dir) -> DataFrame:
+    """multi-probe LSH 1-NN (Hamming-1 bucket ring; near-exact recall)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.ann_lsh_multiprobe_top1(t["embeddings"]) \
+        .select("qid", "vec_id", "sim")
 
 
 def q_embed_neardup(spark, sf_dir) -> DataFrame:
@@ -381,16 +411,8 @@ def q_sjoin_polygon(spark, sf_dir) -> DataFrame:
     vectorized ray-casting kernel in Arrow batches (§2.3, §2.11)."""
     img = _images(spark, sf_dir, with_footprint=False)
     zones = synth.synth_zones(spark, sf_dir)
-    tris = zones.select(
-        F.col("zone_id").alias("poly_id"),
-        F.array(
-            F.array(F.col("zxmin"), F.col("zymin")),
-            F.array(F.col("zxmax"), F.col("zymin")),
-            F.array(F.col("zxmin"), F.col("zymax")),
-        ).alias("verts"),
-        F.col("zxmin").alias("pxmin"), F.col("zxmax").alias("pxmax"),
-        F.col("zymin").alias("pymin"), F.col("zymax").alias("pymax"))
-    return spatial_join_poly(img, tris).select("image_id", "poly_id")
+    return spatial_join_poly(img, _triangle_zones(zones)) \
+        .select("image_id", "poly_id")
 
 
 def q_sjoin_left_intersects(spark, sf_dir) -> DataFrame:
@@ -824,6 +846,7 @@ QUERIES = {
     "npts_radius": q_npts_radius,
     "pixel_stats": q_pixel_stats,
     "zonal_stats": q_zonal_stats,
+    "zonal_stats_poly": q_zonal_stats_poly,
     "band_math": q_band_math,
     "mask_img": q_mask_img,
     "filter_mean3": q_filter_mean3,
@@ -846,6 +869,7 @@ QUERIES = {
     "morph_erode": q_morph_erode,
     "filter_texture_var": q_filter_texture_var,
     "embed_neardup": q_embed_neardup,
+    "embed_ann_multiprobe": q_embed_ann_multiprobe,
     "psnr_check": q_psnr_check,
     "attr_filter": q_attr_filter,
     "value_counts": q_value_counts,

@@ -69,6 +69,29 @@ def test_ann_lsh_sim_not_worse_than_half_exact(emb):
         assert s <= exact[qid] + 1e-12
 
 
+def test_multiprobe_recall_beats_single_probe(emb):
+    """Hamming-1 multi-probe finds the true 1-NN for more queries than
+    single-probe, and answers a superset of the queries."""
+    from rsgislib_spark.operators import similarity as simi
+
+    exact = {r.qid: r.vec_id for r in simi.cosine_topk(emb, emb, k=1).collect()}
+    single = {r.qid: r.vec_id for r in simi.ann_lsh_top1(emb).collect()}
+    multi = {r.qid: r.vec_id
+             for r in simi.ann_lsh_multiprobe_top1(emb).collect()}
+    assert set(single) <= set(multi)
+    rec1 = sum(single.get(q) == v for q, v in exact.items()) / len(exact)
+    rec9 = sum(multi.get(q) == v for q, v in exact.items()) / len(exact)
+    assert rec9 >= rec1 > 0
+    # coverage grows: every query gains candidates from the probe ring
+    assert len(multi) >= len(single)
+    # and each query's multi-probe answer is at least as similar
+    s_sim = {r.qid: r.sim for r in simi.ann_lsh_top1(emb).collect()}
+    m_sim = {r.qid: r.sim
+             for r in simi.ann_lsh_multiprobe_top1(emb).collect()}
+    for q, s in s_sim.items():
+        assert m_sim[q] >= s - 1e-12
+
+
 def test_webmerc_matches_numpy(spark):
     from rsgislib_spark.operators.vector import reproj_webmerc
 
