@@ -31,8 +31,9 @@ def _force(df) -> int:
 
 BENCH_QUERIES = [
     "cell_encode", "sjoin_inner_within", "sjoin_bbox_intersects",
-    "zone_point_counts", "tile_specs", "knn_closest", "npts_radius",
-    "pixel_stats", "zonal_stats", "mosaic_window", "filter_mean3",
+    "sjoin_polygon", "zone_point_counts", "tile_specs", "knn_closest",
+    "npts_radius", "pixel_stats", "zonal_stats", "zonal_stats_poly",
+    "mosaic_window", "pixel_trend", "rasterize_zones", "filter_mean3",
     "dedup_exact", "minhash_lsh", "embed_topk", "sessionize",
     "resize_stats", "events_hourly",
 ]
