@@ -46,6 +46,7 @@ __all__ = [
     "conv3x3_stats",
     "morph3x3_stats",
     "texture_var3x3_stats",
+    "savgol5_stats",
     "SOBEL_X",
     "MEAN3",
     "index_scaled_stats",
@@ -188,6 +189,33 @@ def conv3x3_stats(images: DataFrame, kernel=MEAN3,
         .withColumnRenamed("sum_pix", "sum_conv") \
         .withColumnRenamed("min_pix", "min_conv") \
         .withColumnRenamed("max_pix", "max_conv")
+
+
+def savgol5_stats(images: DataFrame) -> DataFrame:
+    """Savitzky-Golay 5-tap quadratic smoothing along x, 35-scaled exact.
+
+    Reference: ``spectral_smoothing`` (imageutils/__init__.py:4088 —
+    SavGol along the band axis; here the x axis plays the spectral
+    role).  Window 5 / order 2 coefficients are (-3, 12, 17, 12, -3)/35;
+    keeping the integer numerator makes the filter exact:
+    out*35 = -3v(x-2)+12v(x-1)+17v(x)+12v(x+1)-3v(x+2), valid columns
+    2..w-3, aggregated per image.
+    """
+    taps = ((-2, -3), (-1, 12), (0, 17), (1, 12), (2, -3))
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if w < 5:
+            return np.zeros((0,), dtype=np.int64)
+        acc = np.zeros((h, w - 4), dtype=np.int64)
+        for dx, c in taps:
+            acc += c * a[:, 2 + dx:w - 2 + dx]
+        return acc
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_valid") \
+        .withColumnRenamed("sum_pix", "sum_sg35") \
+        .withColumnRenamed("min_pix", "min_sg35") \
+        .withColumnRenamed("max_pix", "max_sg35")
 
 
 def texture_var3x3_stats(images: DataFrame) -> DataFrame:

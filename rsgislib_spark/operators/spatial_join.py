@@ -153,6 +153,19 @@ def spatial_join(
     if op not in JOIN_OPS:
         raise ValueError("The join_op specified is not valid.")
 
+    # geopandas sjoin suffixing: attribute columns present on BOTH sides
+    # keep the base's name and the join side gains ``_right`` (geopandas
+    # lsuffix/rsuffix defaults with lsuffix applied only on true clashes;
+    # our base keeps its column so only the right side renames).
+    clash = (set(base.columns) & set(join.columns)) - {join_key}
+    if clash:
+        join = join.select(*[
+            F.col(c).alias(f"{c}_right") if c in clash else F.col(c)
+            for c in join.columns
+        ])
+        join_bbox = tuple(f"{c}_right" if c in clash else c
+                          for c in join_bbox)
+
     # --- candidate keying ------------------------------------------------
     if base_geom == "point":
         lon, lat = base_cols

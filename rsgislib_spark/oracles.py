@@ -359,6 +359,24 @@ SELECT image_id, count(*) AS n_interior,
 FROM c GROUP BY image_id
 """
 
+_SG5 = " + ".join(
+    f"({c}) * {synth.pixel_value_sql('id', f'(x + {dx})' if dx else 'x', 'y', 'fmt')}"
+    for dx, c in ((-2, -3), (-1, 12), (0, 17), (1, 12), (2, -3)))
+
+ORACLES["spectral_smooth"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt,
+              unnest(generate_series(2, w - 3)) AS x
+       FROM img WHERE id % 19 = 0),
+c AS (SELECT image_id, {_SG5} AS s
+      FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs))
+SELECT image_id, count(*) AS n_valid,
+       CAST(sum(s) AS BIGINT) AS sum_sg35,
+       CAST(min(s) AS BIGINT) AS min_sg35,
+       CAST(max(s) AS BIGINT) AS max_sg35
+FROM c GROUP BY image_id
+"""
+
 _PXV2 = synth.pixel_value_sql("id", "(w - 1 - x)", "y", "fmt")
 
 ORACLES["ndvi_index"] = f"""

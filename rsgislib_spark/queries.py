@@ -250,6 +250,13 @@ def q_filter_sobel(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
 
 
+def q_spectral_smooth(spark, sf_dir) -> DataFrame:
+    """spectral_smoothing: SavGol 5/2 along the spectral axis (§2.9)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.savgol5_stats(img) \
+        .select("image_id", "n_valid", "sum_sg35", "min_sg35", "max_sg35")
+
+
 def q_filter_texture_var(spark, sf_dir) -> DataFrame:
     """texture-variance window filter, 81-scaled exact (§2.6)."""
     img = _px_images(spark, sf_dir, mod=19)
@@ -868,6 +875,7 @@ QUERIES = {
     "morph_dilate": q_morph_dilate,
     "morph_erode": q_morph_erode,
     "filter_texture_var": q_filter_texture_var,
+    "spectral_smooth": q_spectral_smooth,
     "embed_neardup": q_embed_neardup,
     "embed_ann_multiprobe": q_embed_ann_multiprobe,
     "psnr_check": q_psnr_check,

@@ -23,6 +23,23 @@ def test_salted_join_equals_broadcast_join(spark, sf_dir):
     assert a == b and a
 
 
+def test_sjoin_suffixes_clashing_columns(spark, sf_dir):
+    """geopandas sjoin semantics: clashing attribute names gain _right."""
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark import synth
+    from rsgislib_spark.operators.spatial_join import spatial_join
+
+    img = synth.synth_images(spark, sf_dir, with_footprint=False)
+    zones = synth.synth_zones(spark, sf_dir) \
+        .withColumn("caption", F.lit("zone-side caption"))  # clashes
+    out = spatial_join(img, zones, how="inner", op="within")
+    assert "caption" in out.columns and "caption_right" in out.columns
+    row = out.limit(1).collect()[0]
+    assert row.caption.startswith("synthetic scene")
+    assert row.caption_right == "zone-side caption"
+
+
 def test_empty_join_writes_no_output(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
