@@ -46,6 +46,7 @@ __all__ = [
     "reproj_affine",
     "reproj_webmerc",
     "unwrap_bbox",
+    "wgs84_cell_area_m2",
     "find_replace_str",
     "rank_layer",
     "merge_layers",
@@ -139,6 +140,22 @@ def reproj_webmerc(df: DataFrame, lon: str = "lon", lat: str = "lat",
         .withColumn(y_out, F.lit(_R_MAJOR)
                     * F.log(F.tan(F.lit(math.pi / 4.0) + rad_lat / 2.0)))
     )
+
+
+def wgs84_cell_area_m2(df: DataFrame, lat: str = "lat",
+                       res_deg: float = 0.001,
+                       out: str = "px_area_m2") -> DataFrame:
+    """Approximate geodesic area (m^2) of one pixel at each row's latitude.
+
+    Reference: ``calc_wgs84_pixel_area`` (imageutils/__init__.py:2722) —
+    spherical approximation area = (res*110540) * (res*111320*cos(lat)).
+    Transcendental (cos), so parity checks use tolerance in pytest (like
+    reproj_webmerc), not the exact-hash oracle path.
+    """
+    return df.withColumn(
+        out,
+        F.lit(res_deg * 110540.0) * F.lit(res_deg * 111320.0)
+        * F.cos(F.radians(F.col(lat))))
 
 
 def unwrap_bbox(df: DataFrame, xmin: str = "zxmin", xmax: str = "zxmax") -> DataFrame:

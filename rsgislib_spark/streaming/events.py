@@ -32,13 +32,27 @@ __all__ = [
 ]
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(spark: SparkSession, sf_dir: str,
+                   max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-stream source over the events table.
+
+    ``sf_dir`` may be the driver's table directory (single
+    ``events.parquet`` file -> one micro-batch) or a directory of
+    time-ordered event files; ``max_files_per_trigger=1`` then replays
+    them as genuine incremental micro-batches (state crosses batches).
+    """
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
-    # the driver ships single-file tables; the file-stream source wants a
-    # directory, so stream the dir with a glob pinned to the events file.
-    return (spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    if os.path.exists(path):          # driver layout: one file in sf_dir
+        schema = spark.read.parquet(path).schema
+        reader = (spark.readStream.schema(schema)
+                  .option("pathGlobFilter", "events.parquet"))
+    else:                             # directory of event part-files
+        schema = spark.read.parquet(sf_dir).schema
+        reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(sf_dir)
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
@@ -84,7 +98,8 @@ def stream_hourly_counts_append(spark: SparkSession, sf_dir: str,
 
 
 def sessionize_stream(spark: SparkSession, sf_dir: str,
-                      gap_minutes: int = 30) -> DataFrame:
+                      gap_minutes: int = 30,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
     """Stateful streaming sessionization (``applyInPandasWithState``).
 
     Per-user state carries (last event epoch, session count, event
@@ -125,7 +140,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
                             "n_sessions": [n_sessions],
                             "n_events": [n_events]})
 
-    ev = _events_stream(spark, sf_dir) \
+    ev = _events_stream(spark, sf_dir, max_files_per_trigger) \
         .withColumn("ts", F.col("ts").cast("timestamp")) \
         .select("user_id", "ts", "event_id")
     agg = ev.groupBy("user_id").applyInPandasWithState(

@@ -87,6 +87,50 @@ def test_stateful_stream_sessionize_matches_batch(spark, sf_dir):
     assert stream == batch and batch
 
 
+def test_stateful_sessionize_across_micro_batches(spark, sf_dir, tmp_path):
+    """State must carry correctly across REAL micro-batches: the events
+    table is re-laid-out as three time-ordered files replayed with
+    maxFilesPerTrigger=1; the final per-user state must equal the batch
+    oracle (update-mode emits one row per touched batch — the final row
+    has the maxima)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark.streaming.events import (sessionize_batch,
+                                                 sessionize_stream)
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    qs = events.approxQuantile("event_id", [0.33, 0.66], 0.0)
+    chunks_dir = str(tmp_path / "event_chunks")
+    os.makedirs(chunks_dir)
+    bounds = [(None, qs[0]), (qs[0], qs[1]), (qs[1], None)]
+    ordered = events.orderBy("ts").withColumn(
+        "rk", F.row_number().over(__import__("pyspark").sql.Window
+                                  .orderBy("ts", "event_id")))
+    n = ordered.count()
+    for i in range(3):
+        lo, hi = i * n // 3, (i + 1) * n // 3
+        part = ordered.where((F.col("rk") > lo) & (F.col("rk") <= hi)) \
+            .drop("rk")
+        part.toPandas().to_parquet(
+            os.path.join(chunks_dir, f"chunk_{i}.parquet"),
+            coerce_timestamps="us", allow_truncated_timestamps=True)
+        time.sleep(1.1)   # distinct mtimes -> oldest-first replay order
+
+    out = sessionize_stream(spark, chunks_dir, max_files_per_trigger=1)
+    final = {r.user_id: (r.n_sessions, r.n_events)
+             for r in out.groupBy("user_id")
+             .agg(F.max("n_sessions").alias("n_sessions"),
+                  F.max("n_events").alias("n_events")).collect()}
+    ref = {r.user_id: (r.n_sessions, r.n_events)
+           for r in sessionize_batch(events).collect()}
+    assert final == ref
+    # and state really did cross batches: some users span >= 2 chunks
+    multi = out.groupBy("user_id").count().where("count >= 2").count()
+    assert multi > 0
+
+
 def test_multimodal_decode_stub_raises(spark):
     from rsgislib_spark.sources.multimodal import decode_media
 

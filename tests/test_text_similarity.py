@@ -106,6 +106,21 @@ def test_webmerc_matches_numpy(spark):
         assert abs(r.mx - x) < 1e-6 and abs(r.my - y) < 1e-6
 
 
+def test_wgs84_cell_area(spark):
+    import math
+
+    from rsgislib_spark.operators.vector import wgs84_cell_area_m2
+
+    pdf = spark.createDataFrame([(0.0,), (45.0,), (60.0,)], "lat double")
+    rows = {r.lat: r.px_area_m2
+            for r in wgs84_cell_area_m2(pdf, res_deg=0.001).collect()}
+    for lat, area in rows.items():
+        ref = (0.001 * 110540.0) * (0.001 * 111320.0) * math.cos(
+            math.radians(lat))
+        assert abs(area - ref) < 1e-6
+    assert rows[0.0] > rows[45.0] > rows[60.0] > 0
+
+
 def test_band_math_eval_sandboxed():
     from rsgislib_spark.operators.imagemath import eval_band_math
 
