@@ -188,15 +188,23 @@ def q_npts_radius(spark, sf_dir) -> DataFrame:
 
 def q_pixel_stats(spark, sf_dir) -> DataFrame:
     """pop_img_stats over decoded payloads, id%7 subset (§2.5)."""
-    img = _images(spark, sf_dir, with_bytes=True,
-                  with_footprint=False).where("id % 7 = 0")
+    img = _px_images(spark, sf_dir, mod=7)
     return pixel_stats(img).select("image_id", "n_pix", "sum_pix",
                                    "min_pix", "max_pix", "mean_pix")
 
 
-def _px_images(spark, sf_dir, mod: int = 7):
-    return _images(spark, sf_dir, with_bytes=True,
-                   with_footprint=False).where(f"id % {mod} = 0")
+def _px_images(spark, sf_dir, mod: int = 7, with_footprint: bool = False):
+    """Subset of images WITH payloads — filter pushed BELOW the codec.
+
+    Filters cannot push through mapInPandas, so the id-subset must be
+    applied on metadata BEFORE payload materialization (late
+    materialization, same rule as the flagship): synthesize bytes only
+    for surviving rows, laid out at core count.
+    """
+    meta = _images(spark, sf_dir,
+                   with_footprint=with_footprint).where(f"id % {mod} = 0")
+    return synth.attach_bytes(
+        meta.repartition(spark.sparkContext.defaultParallelism))
 
 
 def _triangle_zones(zones):
@@ -214,7 +222,7 @@ def _triangle_zones(zones):
 def q_zonal_stats_poly(spark, sf_dir) -> DataFrame:
     """calc_zonal_band_stats over GENERAL polygon zones (triangles):
     ray-casting pixel-center masks replace the rect mask (§2.5, §2.3)."""
-    img = _images(spark, sf_dir, with_bytes=True).where("id % 7 = 0")
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
     zones = synth.synth_zones(spark, sf_dir)
     out = zonal_stats_poly(img, _triangle_zones(zones))
     return out.select("poly_id", "n_pix", "sum_pix", "min_pix",
@@ -302,7 +310,7 @@ def q_psnr_check(spark, sf_dir) -> DataFrame:
 
 def q_mosaic_mode(spark, sf_dir) -> DataFrame:
     """calc_imgs_pxl_mode per output pixel over the megacity (§2.5)."""
-    img = _images(spark, sf_dir, with_bytes=True).where("id % 5 = 0")
+    img = _px_images(spark, sf_dir, mod=5, with_footprint=True)
     return mosaic_mode_window(img, 10.0, 45.0, 60, 60, 0.001) \
         .select("px", "py", "n_imgs", "mode_v")
 
@@ -310,7 +318,7 @@ def q_mosaic_mode(spark, sf_dir) -> DataFrame:
 def q_pixel_trend(spark, sf_dir) -> DataFrame:
     """image_pixel_linear_fit / timeseries model fit: per-pixel OLS
     trend across the megacity image stack (§2.6, timeseries module)."""
-    img = _images(spark, sf_dir, with_bytes=True).where("id % 5 = 0")
+    img = _px_images(spark, sf_dir, mod=5, with_footprint=True)
     return pixel_trend_window(img, 10.0, 45.0, 60, 60, 0.001) \
         .select("px", "py", "n_imgs", "slope", "intercept")
 
@@ -406,7 +414,7 @@ def q_band_percentiles(spark, sf_dir) -> DataFrame:
 
 def q_zonal_stats(spark, sf_dir) -> DataFrame:
     """calc_zonal_band_stats per zone across the id%7 image subset (§2.5)."""
-    img = _images(spark, sf_dir, with_bytes=True).where("id % 7 = 0")
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
     zones = synth.synth_zones(spark, sf_dir)
     out = zonal_stats(img, zones)
     return out.select("zone_id", "zname", "n_pix", "sum_pix", "min_pix",
@@ -550,7 +558,7 @@ def q_mosaic_window(spark, sf_dir) -> DataFrame:
     heavily-overlapping cluster) onto a 60x60 output window at native
     resolution; all overlap behaviours resolved in one pass.
     """
-    img = _images(spark, sf_dir, with_bytes=True).where("id % 5 = 0")
+    img = _px_images(spark, sf_dir, mod=5, with_footprint=True)
     return mosaic_window(img, 10.0, 45.0, 60, 60, 0.001) \
         .select("px", "py", "n_imgs", "v_last", "v_min", "v_max", "idx_max")
 
