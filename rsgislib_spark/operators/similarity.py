@@ -40,9 +40,19 @@ __all__ = ["quantize", "cosine_topk", "ann_lsh_top1",
 
 def quantize(df: DataFrame, col: str = "embedding",
              out: str = "q", scale: int = 1000) -> DataFrame:
-    """array<float> -> array<long> by round(v*scale) (exact thereafter)."""
+    """array<float> -> array<long> by round(double(v)*scale).
+
+    The cast to DOUBLE before scaling is load-bearing: float32 * 1000
+    evaluated in single precision can land EXACTLY on a .5 boundary that
+    double-precision math avoids (e.g. f32(0.3195)*1000 = 319.5 in f32
+    but 319.4999999... in f64), making the rounded grid engine-dependent.
+    In double, v*1000 = k+0.5 exactly would need v = (2k+1)/2000 — not
+    representable in binary — so no half-boundary ever occurs and every
+    engine rounds identically.
+    """
     return df.withColumn(
-        out, F.expr(f"transform({col}, v -> CAST(round(v * {scale}) AS BIGINT))")
+        out, F.expr(f"transform({col}, v -> "
+                    f"CAST(round(CAST(v AS DOUBLE) * {scale}.0) AS BIGINT))")
     )
 
 

@@ -897,7 +897,11 @@ SELECT doc_id,
 FROM v GROUP BY doc_id
 """
 
-_QZ = "list_transform(embedding, v -> CAST(round(v * 1000) AS BIGINT))"
+# the CAST to DOUBLE before scaling is load-bearing: float32*1000 in
+# single precision can hit exact .5 boundaries double math avoids
+# (see similarity.quantize)
+_QZ = ("list_transform(embedding, v -> "
+       "CAST(round(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))")
 
 ORACLES["embed_topk"] = f"""
 WITH qv AS (SELECT vec_id AS qid, {_QZ} AS q
