@@ -80,18 +80,60 @@ _BM_FUNCS = {
 }
 
 
+#: AST node types a band-math expression may contain.  No Attribute
+#: nodes — attribute access on the exposed numpy objects would let an
+#: expression escape the namespace sandbox (``b1.__class__...`` chains),
+#: so band-math is restricted to names / calls / arithmetic, the same
+#: surface muParser itself exposes.
+_BM_ALLOWED_NODES = (
+    "Expression", "Name", "Load", "Call", "Constant", "BinOp", "UnaryOp",
+    "BoolOp", "Compare", "IfExp", "Tuple", "keyword",
+    "Add", "Sub", "Mult", "Div", "FloorDiv", "Mod", "Pow",
+    "BitAnd", "BitOr", "BitXor", "LShift", "RShift",
+    "UAdd", "USub", "Invert", "Not", "And", "Or",
+    "Eq", "NotEq", "Lt", "LtE", "Gt", "GtE",
+)
+
+
+def validate_band_math(expr: str) -> None:
+    """Reject any band-math expression outside the muParser-like subset.
+
+    Whitelist validation (names, calls to the exposed functions,
+    arithmetic/comparison operators, constants); raises ``ValueError``
+    on anything else — in particular attribute access, subscripts,
+    lambdas and comprehensions, closing the ``__class__``-chain escape.
+    """
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    allowed_names = set(_BM_FUNCS) | {"b1", "b2", "x", "y"}
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _BM_ALLOWED_NODES:
+            raise ValueError(f"band_math: disallowed syntax {kind!r}")
+        if isinstance(node, ast.Name) and node.id not in allowed_names:
+            raise ValueError(f"band_math: unknown name {node.id!r}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) \
+                    or node.func.id not in _BM_FUNCS:
+                raise ValueError("band_math: calls limited to the exposed "
+                                 "function set")
+
+
 def eval_band_math(arr: np.ndarray, expr: str) -> np.ndarray:
     """Evaluate a muParser-style expression over a decoded plane.
 
     Names: ``b1`` = the plane (int64), ``x``/``y`` = pixel column/row
-    grids.  The expression runs once per image, fully vectorized.
+    grids.  The expression runs once per image, fully vectorized, after
+    AST-whitelist validation (see ``validate_band_math``).
     """
+    validate_band_math(expr)
     h, w = arr.shape
     env = dict(_BM_FUNCS)
     env["b1"] = arr.astype(np.int64)
     env["x"] = np.broadcast_to(np.arange(w, dtype=np.int64), (h, w))
     env["y"] = np.broadcast_to(np.arange(h, dtype=np.int64)[:, None], (h, w))
-    out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307 - sandboxed names
+    out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307 - AST-validated
     return np.asarray(out)
 
 
@@ -119,6 +161,7 @@ def _plane_agg(images: DataFrame, plane_fn) -> DataFrame:
 
 def band_math_stats(images: DataFrame, expr: str) -> DataFrame:
     """band_math + whole-image stats of the result plane (one Arrow pass)."""
+    validate_band_math(expr)  # driver-side: bad expressions fail fast
     return _plane_agg(images, lambda a: eval_band_math(a, expr))
 
 
@@ -163,32 +206,157 @@ SOBEL_X = ((-1, 0, 1), (-2, 0, 2), (-1, 0, 1))
 MEAN3 = ((1, 1, 1), (1, 1, 1), (1, 1, 1))
 
 
-def conv3x3_stats(images: DataFrame, kernel=MEAN3,
-                  absolute: bool = False) -> DataFrame:
-    """3x3 convolution over the interior (valid) region + exact stats.
-
-    Implemented as nine shifted adds — integer-exact, no float kernel.
-    ``absolute=True`` aggregates |conv| (Sobel edge magnitude).  Output:
-    one row per image (n_interior, sum_conv, min_conv, max_conv).
-    """
-    k = [[int(kernel[r][c]) for c in range(3)] for r in range(3)]
-
-    def fn(a: np.ndarray) -> np.ndarray:
-        h, w = a.shape
-        if h < 3 or w < 3:
-            return np.zeros((0,), dtype=np.int64)
-        acc = np.zeros((h - 2, w - 2), dtype=np.int64)
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                kv = k[dy + 1][dx + 1]
-                if kv:
-                    acc += kv * a[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
-        return np.abs(acc) if absolute else acc
-
-    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+def _conv_renames(df: DataFrame) -> DataFrame:
+    return df.withColumnRenamed("n_pix", "n_interior") \
         .withColumnRenamed("sum_pix", "sum_conv") \
         .withColumnRenamed("min_pix", "min_conv") \
         .withColumnRenamed("max_pix", "max_conv")
+
+
+def conv_stats(images: DataFrame, kernel,
+               absolute: bool = False) -> DataFrame:
+    """k x k integer convolution over the valid interior + exact stats.
+
+    The ``filter_size``-parameterized core of the reference's filter
+    bank (every ``apply_*_filter(filter_size=...)`` in
+    python/rsgislib/imagefilter/__init__.py takes an arbitrary odd
+    size).  Implemented as k^2 shifted adds — integer-exact, no float
+    kernel; ``absolute=True`` aggregates |conv| (edge magnitudes).
+    Output: one row per image (n_interior, sum_conv, min_conv,
+    max_conv) over the (h-k+1) x (w-k+1) valid region.
+    """
+    k = [[int(v) for v in row] for row in kernel]
+    ksz = len(k)
+    if ksz % 2 == 0 or any(len(row) != ksz for row in k):
+        raise ValueError("kernel must be square with odd size")
+    r = ksz // 2
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < ksz or w < ksz:
+            return np.zeros((0,), dtype=np.int64)
+        acc = np.zeros((h - 2 * r, w - 2 * r), dtype=np.int64)
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                kv = k[dy + r][dx + r]
+                if kv:
+                    acc += kv * a[r + dy:h - r + dy, r + dx:w - r + dx]
+        return np.abs(acc) if absolute else acc
+
+    return _conv_renames(_plane_agg(images, fn))
+
+
+def conv3x3_stats(images: DataFrame, kernel=MEAN3,
+                  absolute: bool = False) -> DataFrame:
+    """3x3 convolution over the interior (valid) region + exact stats."""
+    return conv_stats(images, kernel, absolute=absolute)
+
+
+def window_rank_stats(images: DataFrame, size: int,
+                      stat: str = "median") -> DataFrame:
+    """Sliding k x k order-statistic filter + exact whole-image stats.
+
+    The reference's rank-filter family at arbitrary ``filter_size``
+    (python/rsgislib/imagefilter/__init__.py:37 ``apply_median_filter``,
+    :161 ``apply_mode_filter``, :223 ``apply_range_filter``, plus
+    min/max = grayscale erosion/dilation at size k).  All outputs are
+    integer-exact:
+
+    * ``median`` — k^2 is odd, so the median IS an element (selected
+      with ``np.partition``, no float interpolation);
+    * ``mode`` — most frequent value, ties -> smallest value (the same
+      deterministic tiebreak as ``mosaic_mode``);
+    * ``range`` / ``min`` / ``max`` — window extremes.
+
+    One Arrow pass per image; tiled deployment uses halo tiles of
+    ``overlap=size//2`` exactly like the 3x3 filters (SURVEY.md §4.2).
+    """
+    ksz = int(size)
+    if ksz % 2 == 0 or ksz < 3:
+        raise ValueError("size must be odd and >= 3")
+    if stat not in ("median", "mode", "range", "min", "max"):
+        raise ValueError(f"unknown window stat {stat!r}")
+    kk = ksz * ksz
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        h, w = a.shape
+        if h < ksz or w < ksz:
+            return np.zeros((0,), dtype=np.int64)
+        win = sliding_window_view(a.astype(np.int64), (ksz, ksz)) \
+            .reshape(-1, kk)
+        if stat == "median":
+            return np.partition(win, kk // 2, axis=1)[:, kk // 2]
+        if stat == "range":
+            return win.max(axis=1) - win.min(axis=1)
+        if stat == "min":
+            return win.min(axis=1)
+        if stat == "max":
+            return win.max(axis=1)
+        # mode: per-row run lengths over the sorted window, argmax of
+        # (count, -value) — fully vectorized, bounded-domain (< 2048)
+        s = np.sort(win, axis=1)
+        m = s.shape[0]
+        pos = np.broadcast_to(np.arange(kk, dtype=np.int64), (m, kk))
+        isnew = np.ones((m, kk), dtype=bool)
+        isnew[:, 1:] = s[:, 1:] != s[:, :-1]
+        first = np.maximum.accumulate(np.where(isnew, pos, 0), axis=1)
+        isend = np.ones((m, kk), dtype=bool)
+        isend[:, :-1] = isnew[:, 1:]
+        last = np.minimum.accumulate(
+            np.where(isend, pos, kk - 1)[:, ::-1], axis=1)[:, ::-1]
+        cnt = last - first + 1
+        key = cnt * 2048 + (2047 - s)
+        return 2047 - (key.max(axis=1) % 2048)
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", f"sum_{stat}") \
+        .withColumnRenamed("min_pix", f"min_{stat}") \
+        .withColumnRenamed("max_pix", f"max_{stat}")
+
+
+def _binomial_row(n_taps: int) -> np.ndarray:
+    row = np.array([1], dtype=np.int64)
+    for _ in range(n_taps - 1):
+        row = np.convolve(row, np.array([1, 1], dtype=np.int64))
+    return row
+
+
+def gaussian_kernel(size: int, deriv: int = 0) -> tuple:
+    """Integer-scaled separable Gaussian(-derivative) kernel, k x k.
+
+    Semantic role of ``apply_gaussian_smooth_filter`` /
+    ``apply_gaussian_1st_deriv_filter`` / ``apply_gaussian_2nd_deriv_filter``
+    (python/rsgislib/imagefilter/__init__.py:763,813,863), re-expressed
+    with the binomial approximation to the Gaussian so every coefficient
+    is an exact integer (the same trick SavGol uses with its 35-scale):
+
+    * smoothing row  = Pascal row of length k (sigma ~ sqrt(k-1)/2);
+    * 1st derivative = Pascal row of length k-1 convolved with [1, -1];
+    * 2nd derivative = Pascal row of length k-2 convolved with [1,-2,1].
+
+    Derivatives apply along x with binomial smoothing along y.  Returns
+    the dense k x k integer kernel (tuple of tuples) ready for
+    :func:`conv_stats`; the divisor (sum of the smoothing kernel,
+    2^(2k-2) for deriv=0) stays unapplied so the oracle is exact.
+    """
+    ksz = int(size)
+    if ksz % 2 == 0 or ksz < 3:
+        raise ValueError("size must be odd and >= 3")
+    if deriv == 0:
+        kx = _binomial_row(ksz)
+    elif deriv == 1:
+        kx = np.convolve(_binomial_row(ksz - 1),
+                         np.array([1, -1], dtype=np.int64))
+    elif deriv == 2:
+        kx = np.convolve(_binomial_row(ksz - 2),
+                         np.array([1, -2, 1], dtype=np.int64))
+    else:
+        raise ValueError("deriv must be 0, 1 or 2")
+    ky = _binomial_row(ksz)
+    k2d = np.outer(ky, kx)
+    return tuple(tuple(int(v) for v in row) for row in k2d)
 
 
 def savgol5_stats(images: DataFrame) -> DataFrame:

@@ -58,12 +58,19 @@ def shingles(docs: DataFrame, n: int = 3, text: str = "text",
 
     ``transform(sequence(...))`` builds the shingle array JVM-side; the
     explode is the only row expansion in the dedup pipeline.
+
+    Docs with fewer than ``n`` tokens yield no shingles (the CASE guard
+    is load-bearing: Spark's ``sequence(1, 0)`` steps DOWN to [1, 0] and
+    ``slice(toks, 0, n)`` raises, while DuckDB's ``generate_series(1, 0)``
+    is empty — the guard makes both engines agree on "no rows").
     """
     return (
         tokens(docs, text)
         .select(key, F.explode(F.expr(
-            f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
-            f" i -> concat_ws(' ', slice(toks, i, {n})))"
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(1, size(toks) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(toks, i, {n}))) "
+            f"ELSE CAST(array() AS array<string>) END"
         )).alias("s"))
         .distinct()
     )

@@ -106,8 +106,12 @@ def tile_spec_offset_df(images: DataFrame, width: int, height: int,
     xo, yo = tw // 2, th // 2
     w, h = F.col(img_w), F.col(img_h)
 
-    num_x = ((w - xo) / tw).cast("int")
-    num_y = ((h - yo) / th).cast("int")
+    # F.floor (not a bare int cast) so images narrower than the half
+    # offset give num = -1 exactly like the python/DuckDB floor-division
+    # oracles, instead of truncating toward zero and emitting a spurious
+    # degenerate tile.
+    num_x = F.floor((w - xo) / tw).cast("int")
+    num_y = F.floor((h - yo) / th).cast("int")
     rem_x = w - num_x * tw
     rem_y = h - num_y * th
     cols = F.lit(1) + num_x + F.when(rem_x > 0, 1).otherwise(0)

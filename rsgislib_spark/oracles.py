@@ -112,8 +112,11 @@ ORACLES["tile_specs_offset"] = f"""
 {_PREFIX},
 g AS (
   SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
-         CAST((w - 24) // {_TW} AS BIGINT) AS numx,
-         CAST((h - 16) // {_TH} AS BIGINT) AS numy
+         -- floor(), not //: DuckDB's // truncates toward zero, but the
+         -- reference grid floors (images narrower than the half offset
+         -- give num = -1) — keep all engines on floor semantics
+         CAST(floor((w - 24) / {_TW}.0) AS BIGINT) AS numx,
+         CAST(floor((h - 16) / {_TH}.0) AS BIGINT) AS numy
   FROM img),
 gg AS (
   SELECT *, w - numx * {_TW} AS remx, h - numy * {_TH} AS remy,
@@ -720,9 +723,89 @@ FROM grid g LEFT JOIN zones z
 GROUP BY g.px, g.py
 """
 
-# clump_stats / polygonize: iterative connected-component labeling has no
-# SQL expression — the driver records the weaker rows-only check; exact
-# semantics are pinned by tests/test_segmentation.py (BFS oracle).
+# clump_stats / polygonize: connected-component labeling IS SQL-expressible
+# with bounded unrolling — pointer-doubling label propagation (min over
+# 4-neighbours, then jump lab := lab[lab]) reaches the component minimum
+# in far fewer rounds than plain propagation; empirically the synthetic
+# band masks converge in 8 rounds (probe in tests/test_segmentation.py),
+# and 13 rounds are unrolled for margin (image dims are SF-independent, so
+# the diameter never grows with scale factor).  MATERIALIZED hints are
+# load-bearing: without them DuckDB inlines each doubly-referenced CTE and
+# the plan blows up exponentially in the round count.
+
+
+def _cc_clumps_cte(mod: int = 19, threshold: int = 700,
+                   rounds: int = 13) -> str:
+    """CTE chain ending in ``cl``: one row per (image, component).
+
+    ``root`` = minimum flat pixel index of the component (exactly the
+    provisional label ``operators.rasterize.label_components`` converges
+    to), so the dense relabel ``row_number() OVER (ORDER BY root)``
+    reproduces the engine's clump ids bit-for-bit.
+    """
+    parts = [f"""
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % {mod} = 0),
+pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
+fg AS MATERIALIZED (SELECT image_id, w, x, y, y * w + x AS pid
+       FROM pxy WHERE {_PXV} >= {threshold}),
+e0 AS MATERIALIZED (SELECT a.image_id, a.pid AS pa, b.pid AS pb
+       FROM fg a JOIN fg b
+         ON b.image_id = a.image_id AND b.pid = a.pid + 1
+       WHERE a.x + 1 < a.w
+       UNION ALL
+       SELECT a.image_id, a.pid, b.pid
+       FROM fg a JOIN fg b
+         ON b.image_id = a.image_id AND b.pid = a.pid + a.w),
+e AS MATERIALIZED (SELECT image_id, pa, pb FROM e0
+      UNION ALL SELECT image_id, pb, pa FROM e0),
+l0 AS (SELECT image_id, pid, pid AS lab FROM fg)"""]
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+m{k} AS MATERIALIZED (SELECT l.image_id, l.pid,
+                least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+         FROM {prev} l
+         LEFT JOIN e ON e.image_id = l.image_id AND e.pa = l.pid
+         LEFT JOIN {prev} nl
+           ON nl.image_id = l.image_id AND nl.pid = e.pb
+         GROUP BY l.image_id, l.pid),
+l{k} AS MATERIALIZED (SELECT m.image_id, m.pid, t.lab
+         FROM m{k} m JOIN m{k} t
+           ON t.image_id = m.image_id AND t.pid = m.lab)""")
+        prev = f"l{k}"
+    parts.append(f""",
+comp AS (SELECT f.image_id, f.x, f.y, l.lab AS root
+         FROM fg f JOIN {prev} l
+           ON l.image_id = f.image_id AND l.pid = f.pid),
+cl AS (SELECT image_id, root, count(*) AS n_pix,
+              CAST(min(x) AS BIGINT) AS bxmin,
+              CAST(max(x) + 1 AS BIGINT) AS bxmax,
+              CAST(min(y) AS BIGINT) AS bymin,
+              CAST(max(y) + 1 AS BIGINT) AS bymax
+       FROM comp GROUP BY image_id, root)""")
+    return "".join(parts)
+
+
+ORACLES["polygonize"] = f"""
+{_PREFIX},
+{_cc_clumps_cte()}
+SELECT image_id,
+       CAST(row_number() OVER (PARTITION BY image_id ORDER BY root)
+            AS BIGINT) AS clump_id,
+       CAST(n_pix AS BIGINT) AS n_pix, bxmin, bxmax, bymin, bymax
+FROM cl
+"""
+
+ORACLES["clump_stats"] = f"""
+{_PREFIX},
+{_cc_clumps_cte()}
+SELECT image_id, count(*) AS n_clumps,
+       CAST(max(n_pix) AS BIGINT) AS max_clump,
+       CAST(sum(n_pix) AS BIGINT) AS n_fg
+FROM cl GROUP BY image_id
+"""
 
 ORACLES["mosaic_mode"] = f"""
 {_PREFIX},

@@ -19,9 +19,12 @@ Design (works identically on Iceberg; parquet stands in here):
   loses nothing; re-running skips completed cells (idempotent).
 
 On Iceberg the lineage append and the data append share one snapshot
-commit; with plain parquet we order writes (data first, lineage last) so
-a crash can only produce un-recorded data, which the resume pass simply
-rewrites (at-least-once -> exactly-once via the final lineage filter).
+commit; with plain parquet we order writes (data first, lineage last)
+and write the data with DYNAMIC partition overwrite: a crash between the
+two writes leaves un-recorded data for some cells, and the resume pass
+re-processes exactly those cells, *replacing* their partitions rather
+than appending a duplicate copy — at-least-once execution, exactly-once
+data.
 """
 
 from __future__ import annotations
@@ -69,9 +72,12 @@ def run_resumable(images: DataFrame, out_dir: str, process,
     """Process only cells without a lineage record; returns #cells done.
 
     ``process(df) -> DataFrame`` maps the pending slice (rows whose cell
-    has no lineage row) to its output, which is appended under
-    ``{out_dir}/data`` partitioned by cell; the matching lineage rows are
-    appended under ``{out_dir}/lineage`` *after* the data commit.
+    has no lineage row) to its output, which is written under
+    ``{out_dir}/data`` partitioned by cell with dynamic partition
+    overwrite (only the pending cells' partitions are replaced — a
+    crashed run's partial data for those cells is discarded, not
+    duplicated); the matching lineage rows are appended under
+    ``{out_dir}/lineage`` *after* the data commit.
     """
     spark = images.sparkSession
     lineage_path = os.path.join(out_dir, "lineage")
@@ -89,7 +95,15 @@ def run_resumable(images: DataFrame, out_dir: str, process,
         return 0
 
     out = process(pending)
-    out.write.mode("append").partitionBy("cell").parquet(data_path)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        # dynamic overwrite = replace ONLY the partitions present in
+        # `out` (the pending cells); completed cells are untouched.
+        out.write.mode("overwrite").partitionBy("cell").parquet(data_path)
+    finally:
+        spark.conf.set(mode_key, prev)
     todo.write.mode("append").parquet(lineage_path)
     todo.unpersist()
     return int(n_cells)

@@ -333,16 +333,17 @@ def q_rasterize_zones(spark, sf_dir) -> DataFrame:
 
 def q_clump_stats(spark, sf_dir) -> DataFrame:
     """segmentation.clump rollup: per-image component count/extremes
-    (iterative labeling — no SQL oracle; verified vs BFS in
-    tests/test_segmentation.py)."""
+    (BFS-verified in tests/test_segmentation.py; DuckDB oracle =
+    pointer-doubling label propagation, oracles._cc_clumps_cte)."""
     img = _px_images(spark, sf_dir, mod=19)
     return clump_stats(img, threshold=700) \
         .select("image_id", "n_clumps", "max_clump", "n_fg")
 
 
 def q_polygonize(spark, sf_dir) -> DataFrame:
-    """polygonise_raster: one bbox-geometry row per clump (iterative
-    labeling — no SQL oracle; see tests/test_segmentation.py)."""
+    """polygonise_raster: one bbox-geometry row per clump (BFS-verified
+    in tests/test_segmentation.py; DuckDB oracle = pointer-doubling
+    label propagation, oracles._cc_clumps_cte)."""
     img = _px_images(spark, sf_dir, mod=19)
     return polygonize_bboxes(img, threshold=700) \
         .select("image_id", "clump_id", "n_pix",

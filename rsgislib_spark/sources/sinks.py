@@ -10,8 +10,6 @@
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
 __all__ = ["write_vec_if_nonempty", "write_partitioned"]
@@ -35,6 +33,7 @@ def write_partitioned(df: DataFrame, path: str, partition_col: str = "cell",
     out = df
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
+    # no post-write existence probe here: os.path checks only hold for
+    # local paths (hdfs:// / s3:// URIs would fail them even on success)
+    # — tests verify by reading the written path back through Spark.
     out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    # directory exists even for empty frames; parquet footers carry schema
-    assert os.path.exists(path)

@@ -1,0 +1,153 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+* shingles() on documents shorter than n tokens (sequence(1,0) crash);
+* tile_spec_offset_df floor vs truncate on images narrower than the
+  half-tile offset;
+* band-math sandbox: attribute-chain escapes must be rejected;
+* run_resumable exactly-once: a crash between the data write and the
+  lineage write must not leave duplicated rows after resume.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_shingles_short_documents(spark):
+    from rsgislib_spark.operators.textops import shingles
+
+    docs = _docs(spark, ["", "one", "one two", "one two three",
+                         "one two three four"])
+    rows = shingles(docs, n=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, set()).add(r.s)
+    # <3 tokens -> no shingles; 3 tokens -> 1; 4 tokens -> 2
+    assert set(got) == {3, 4}
+    assert got[3] == {"one two three"}
+    assert got[4] == {"one two three", "two three four"}
+
+
+def test_minhash_pairs_survive_short_documents(spark):
+    """The full dedup pipeline must not crash when short/empty docs are
+    mixed in, and short docs can never appear in any pair."""
+    from rsgislib_spark.operators.textops import minhash_pairs, \
+        ngram_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, ["", "x", "x y", base, base + " extra"])
+    for fn in (ngram_jaccard_pairs, minhash_pairs):
+        pairs = fn(docs).collect()
+        ids = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+        assert ids <= {3, 4}
+        assert (3, 4) in {(r.doc_a, r.doc_b) for r in pairs}
+
+
+def test_offset_tiling_floor_semantics_narrow_image(spark):
+    """w < tile_width//2: floor gives num_x = -1 (one clamped half tile
+    per row), never a spurious degenerate tile with txmin > txmax."""
+    from rsgislib_spark.operators.tiling import tile_spec_offset_df
+
+    img = spark.createDataFrame([("tiny", 10, 100)],
+                                "image_id string, w int, h int")
+    rows = tile_spec_offset_df(img, 48, 32).collect()
+    assert rows
+    for r in rows:
+        assert r.txmin <= r.txmax and r.tymin <= r.tymax
+        assert 0 <= r.txmin and r.txmax <= 10
+    # exactly one column of tiles (the clamped leading half tile)
+    assert {r.tile_x for r in rows} == {0}
+
+
+def test_offset_tiling_unchanged_on_regular_sizes(spark):
+    """Floor fix is behavior-preserving for w >= half offset: still
+    matches the pure-python reference-grid oracle."""
+    from rsgislib_spark.geo.tilegrid import tile_specs
+    from rsgislib_spark.operators.tiling import tile_spec_offset_df
+
+    sizes = [(32, 35), (48, 32), (100, 97), (128, 33)]
+    img = spark.createDataFrame(
+        [(f"i{k}", w, h) for k, (w, h) in enumerate(sizes)],
+        "image_id string, w int, h int")
+    got = {}
+    for r in tile_spec_offset_df(img, 48, 32).collect():
+        got.setdefault(r.image_id, []).append(
+            (r.tile_idx, (r.txmin, r.txmax, r.tymin, r.tymax)))
+    for k, (w, h) in enumerate(sizes):
+        want = [(i, (xa, xb, ya, yb)) for i, (xa, xb, ya, yb)
+                in enumerate(tile_specs(w, h, 48, 32, offset=True))]
+        assert sorted(got[f"i{k}"]) == want, (w, h)
+
+
+def test_band_math_rejects_attribute_escape():
+    import numpy as np
+
+    from rsgislib_spark.operators.imagemath import eval_band_math
+
+    a = np.arange(16, dtype=np.int64).reshape(4, 4)
+    # legitimate expressions still work
+    assert eval_band_math(a, "where(b1 > 7, 2*b1 + 1, 0)").shape == (4, 4)
+    for bad in (
+        "b1.__class__",
+        "b1.__class__.__subclasses__()",
+        "abs.__self__",
+        "(1).__class__",
+        "[x for x in b1]",
+        "b1[0]",
+        "lambda: 1",
+        "__import__('os')",
+    ):
+        with pytest.raises(ValueError):
+            eval_band_math(a, bad)
+
+
+def test_run_resumable_crash_between_writes_no_duplicates(spark, sf_dir,
+                                                          tmp_path):
+    """Simulate a crash AFTER the data write but BEFORE the lineage
+    write: the resume pass re-processes those cells and must replace
+    (not duplicate) their data partitions."""
+    from rsgislib_spark import synth
+    from rsgislib_spark.plans.lineage import run_resumable
+
+    img = synth.synth_images(spark, sf_dir, with_footprint=False)
+    out = str(tmp_path / "job")
+
+    def process(df):
+        return df.select("cell", "image_id", "phash")
+
+    # "crashed run": data written for every pending cell, lineage never
+    # committed (the exact failure window the protocol must survive)
+    from rsgislib_spark.operators.spatial_join import with_point_cell
+    keyed = with_point_cell(img)
+    keyed.select("cell", "image_id", "phash").write \
+        .partitionBy("cell").parquet(os.path.join(out, "data"))
+
+    n = run_resumable(img, out, process)   # resume: all cells pending
+    assert n > 0
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert data.count() == img.count()
+    assert data.select("image_id").distinct().count() == img.count()
+
+
+def test_write_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    from rsgislib_spark import synth
+    from rsgislib_spark.operators.spatial_join import with_point_cell
+    from rsgislib_spark.sources.sinks import write_partitioned
+
+    img = with_point_cell(
+        synth.synth_images(spark, sf_dir, with_footprint=False)) \
+        .select("cell", "image_id", "phash")
+    path = str(tmp_path / "sink")
+    write_partitioned(img, path, sort_cols=("image_id",))
+    back = spark.read.parquet(path)
+    assert back.count() == img.count()
