@@ -11,12 +11,16 @@ Re-expresses:
   coarse-cell ring (a single hash equi-join; ~tens of candidates per
   base point at any density), and accept a best candidate at distance
   ``d < coarse_cell_height`` — every unexplored cell lies provably
-  farther; (2) the few unresolved stragglers (isolated points, edge
-  cases) fall back to one brute-force join against the match layer —
-  exact, and bounded because phase 1 resolves the overwhelming majority.
-  Two shuffle rounds total, independent of density, vs the former
-  iterative ring-doubling (O(log n) rounds with two driver actions
-  each — the profiled bottleneck).  Distances are planar euclidean in
+  farther; (2) unresolved stragglers ESCALATE through coarser levels
+  (res - 3, res - 6, ...) with the same 3x3-ring invariant, ending at
+  a terminal level (grid <= 8x8) whose ring radius spans the full
+  grid, so the ladder is exact with NO unbounded cross join anywhere — a
+  pathological distribution (heavy clustering + empty oceans) just
+  climbs a couple of extra rungs, each a small equi-join over the
+  surviving stragglers (their population shrinks doubly-exponentially
+  with level, cell area 4x-ing per rung).  All rungs are lazy — one
+  union'd plan, no per-rung driver actions.  Distances are planar
+  euclidean in
   coordinate units, exactly ``calc_pt_distance`` (tools/geometrytools.
   py:592).  Ties raise, as the reference does (vectorutils/__init__.py:
   3430-3434); output columns default to ``x_match / y_match /
@@ -79,99 +83,152 @@ def match_closest_points(
     res: int = DEFAULT_RES,
     tolerance: float | None = None,
     check_ties: bool = True,
+    match_count: int | None = None,
     out_x_col: str = "x_match",
     out_y_col: str = "y_match",
     out_dist_col: str = "dist_match",
 ) -> DataFrame:
     """Exact 1-NN of every base point into the match layer.
 
-    Phase 1: 3x3-ring candidate join at a density-chosen coarse
-    resolution; a best candidate at ``d < coarse_cell_height`` is
-    provably the true 1-NN (no unexplored cell can be nearer).  Phase 2:
-    unresolved stragglers brute-force against the whole match layer.
-    Both phases are single equi-/cross-joins — two shuffle rounds total,
-    no driver-side iteration.
+    Escalation ladder: a 3x3-ring candidate join at a density-chosen
+    coarse resolution (a best candidate at ``d < cell_height`` is
+    provably the true 1-NN — no unexplored cell can be nearer), then
+    the same join at successively coarser levels for the stragglers;
+    the terminal level (grid <= 8x8) probes its full ring, so the
+    result is exact with no cross join.  Every rung is a lazy
+    equi-join — no driver-side iteration.
+
+    ``match_count`` seeds the density heuristic; pass it when known to
+    avoid the one metadata-only ``count()`` action (a wrong value only
+    shifts work between rungs, never changes the result).
 
     Returns ``base`` columns + match coordinates/key/distance.  Raises
-    :class:`TieError` when a base point has two equally-near matches.
+    :class:`TieError` when a base point has two equally-near matches
+    (skip with ``check_ties=False`` to avoid the validation action).
     """
     # ---- density-adaptive coarse resolution ------------------------------
     # Poisson-expected NN distance ~ 0.5 / sqrt(m / world_area); make the
-    # coarse cell ~3x that so phase 1 resolves the vast majority.
-    m_count = match.count()
-    exp_nn = 0.5 / math.sqrt(max(m_count, 1) / (360.0 * 180.0))
-    res_c = int(max(0, min(res, math.floor(math.log2(180.0 / (3.0 * exp_nn))))))
-    n = 1 << res_c
-    cell_h = 180.0 / n
+    # coarse cell ~3x that so the first rung resolves the vast majority.
+    if match_count is None:
+        match_count = match.count()
+    exp_nn = 0.5 / math.sqrt(max(match_count, 1) / (360.0 * 180.0))
+    res_c = int(max(1, min(res,
+                           math.floor(math.log2(180.0 / (3.0 * exp_nn))))))
+    # rung resolutions: res_c, res_c-3, ... (step 3 = 8x cell area per
+    # rung, so straggler populations collapse fast), ending at a
+    # TERMINAL rung of res <= 3 (grid <= 8x8) whose ring radius is the
+    # full grid (K = n-1, deduped) — provably global coverage, at most
+    # (2n-1)^2 <= 225 probe cells per surviving straggler.  Typical
+    # densities need exactly 2 rungs.
+    non_term = list(range(res_c, 3, -3))
+    rungs = non_term + [max(non_term[-1] - 3 if non_term else res_c, 0)]
 
-    m_nx, m_ny = _cell_parts(F.col(match_lon), F.col(match_lat), res_c)
-    keyed_match = match.select(
-        F.col(match_key).alias("_mkey"),
-        F.col(match_lon).alias("_mlon"),
-        F.col(match_lat).alias("_mlat"),
-        (m_nx * F.lit(_X_SHIFT) + m_ny).alias("_mxy"),
-    )
-
+    # key both layers ONCE at the finest rung resolution; every coarser
+    # rung's cell id is an exact shiftright (power-of-2 grids nest), so
+    # no rung re-derives cells from coordinates or re-scans the inputs.
+    # The persisted projections are key + 2 doubles + 2 ints — at
+    # extreme scale swap persist() for a re-scan of the pruned columns.
     b_nx, b_ny = _cell_parts(F.col(base_lon), F.col(base_lat), res_c)
     keyed_base = base.select(
         F.col(base_key).alias("_bkey"),
         F.col(base_lon).alias("_blon"),
         F.col(base_lat).alias("_blat"),
         b_nx.alias("_bnx"), b_ny.alias("_bny"),
-    )
-
-    w = Window.partitionBy("_bkey")
+    ).persist()
+    m_nx, m_ny = _cell_parts(F.col(match_lon), F.col(match_lat), res_c)
+    keyed_match = match.select(
+        F.col(match_key).alias("_mkey"),
+        F.col(match_lon).alias("_mlon"),
+        F.col(match_lat).alias("_mlat"),
+        m_nx.alias("_mnx"), m_ny.alias("_mny"),
+    ).persist()
 
     def _best(cand):
-        return (
-            cand.withColumn("_mind", F.min("_d").over(w))
-            .where(F.col("_d") == F.col("_mind"))
-            .withColumn("_nbest", F.count(F.lit(1)).over(w))
+        """Top-1 per base key as a partial-aggregating groupBy.
+
+        Deliberately NOT a window function: a window shuffles every
+        candidate of a key to one task and sorts (the megacity hot cell
+        makes that a straggler); min/max of ordered structs combine
+        map-side, so only one row per (partition, key) crosses the
+        shuffle regardless of candidate skew.  Tie detection: the
+        smallest and largest match key at the minimum distance differ
+        iff >= 2 distinct equally-near matches exist (idempotent, so
+        ring-wrap duplicate candidates cannot false-trigger it).
+        """
+        ag = cand.groupBy("_bkey").agg(
+            F.min(F.struct(F.col("_d"), F.col("_mkey"),
+                           F.col("_mlon"), F.col("_mlat"))).alias("_a"),
+            F.max(F.struct((-F.col("_d")).alias("_nd"),
+                           F.col("_mkey").alias("_k"))).alias("_z"),
+        )
+        return ag.select(
+            "_bkey",
+            F.col("_a._mkey").alias("_mkey"),
+            F.col("_a._mlon").alias("_mlon"),
+            F.col("_a._mlat").alias("_mlat"),
+            F.col("_a._d").alias("_d"),
+            F.col("_a._d").alias("_mind"),
+            F.when(F.col("_z._k") != F.col("_a._mkey"), F.lit(2))
+            .otherwise(F.lit(1)).alias("_nbest"),
         )
 
-    # ---- phase 1: 3x3 coarse ring ---------------------------------------
-    # (skipped for degenerate grids n < 4, where longitude wrap could
-    # duplicate ring cells — brute force is trivially cheap there anyway)
-    if n >= 4:
+    pending = keyed_base
+    resolved_parts = []
+    for r in rungs:
+        n = 1 << r
+        cell_h = 180.0 / n
+        terminal = (r == rungs[-1])
+        shift = res_c - r
+        K = (n - 1) if terminal else 1
+
+        rb_nx = F.shiftright(F.col("_bnx"), shift)
+        rb_ny = F.shiftright(F.col("_bny"), shift)
         probe = (
-            keyed_base
-            .withColumn("_rx", F.explode(F.sequence(F.col("_bnx") - 1,
-                                                    F.col("_bnx") + 1)))
-            .withColumn("_ry", F.explode(F.sequence(F.col("_bny") - 1,
-                                                    F.col("_bny") + 1)))
+            pending
+            .withColumn("_rx", F.explode(F.sequence(rb_nx - K, rb_nx + K)))
+            .withColumn("_ry", F.explode(F.sequence(rb_ny - K, rb_ny + K)))
             .where((F.col("_ry") >= 0) & (F.col("_ry") < n))
             .withColumn("_mxy",
                         F.pmod(F.col("_rx"), F.lit(n)) * F.lit(_X_SHIFT)
                         + F.col("_ry"))
             .drop("_rx", "_ry")
         )
-        cand1 = probe.join(keyed_match, "_mxy", "inner").withColumn(
+        # (longitude wrap can duplicate ring cells when 2K+1 > n; the
+        # duplicated candidates are harmless — _best's min/max aggs are
+        # idempotent — so no dedup exchange is spent on them)
+
+        rung_match = keyed_match.withColumn(
+            "_mxy",
+            F.shiftright(F.col("_mnx"), shift) * F.lit(_X_SHIFT)
+            + F.shiftright(F.col("_mny"), shift))
+
+        cand = probe.join(rung_match, "_mxy", "inner").withColumn(
             "_d", _dist(F.col("_blon"), F.col("_blat"),
                         F.col("_mlon"), F.col("_mlat"))
         )
-        # any unexplored cell is >= cell_h away from the base point, so
-        # a best below that bound is provably the global 1-NN
-        resolved1 = _best(cand1).where(F.col("_mind") < F.lit(cell_h))
-    else:
-        resolved1 = _best(
-            keyed_base.limit(0).crossJoin(keyed_match.drop("_mxy"))
-            .withColumn("_d", F.lit(0.0)))
+        best = _best(cand)
+        # any unexplored cell is >= cell_h away, so a best below that
+        # bound is the global 1-NN; the terminal ring explored everything
+        resolved = best if terminal else best.where(
+            F.col("_mind") < F.lit(cell_h))
+        # persist: each rung's result feeds BOTH the final union and the
+        # next rung's anti-join — without this the union branch would
+        # recompute every earlier rung (O(rungs^2) subplan blowup)
+        resolved = resolved.select("_bkey", "_mkey", "_mlon", "_mlat",
+                                   "_d", "_nbest").persist()
+        resolved_parts.append(resolved)
+        if terminal:
+            break
+        pending = pending.join(resolved.select("_bkey"), "_bkey",
+                               "left_anti")
 
-    # ---- phase 2: brute-force fallback for the stragglers ----------------
-    pending = keyed_base.join(resolved1.select("_bkey"), "_bkey", "left_anti")
-    cand2 = pending.drop("_bnx", "_bny").crossJoin(
-        keyed_match.drop("_mxy")).withColumn(
-        "_d", _dist(F.col("_blon"), F.col("_blat"),
-                    F.col("_mlon"), F.col("_mlat"))
-    )
-    resolved2 = _best(cand2)
-
-    matched = resolved1.select("_bkey", "_mkey", "_mlon", "_mlat",
-                               "_d", "_nbest") \
-        .unionByName(resolved2.select("_bkey", "_mkey", "_mlon", "_mlat",
-                                      "_d", "_nbest")).cache()
+    matched = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        matched = matched.unionByName(part)
 
     if check_ties:
+        # cache only when the tie probe adds a second consumer
+        matched = matched.cache()
         if matched.where(F.col("_nbest") > 1).limit(1).count():
             raise TieError(
                 "Multiple features found - don't know what to do with that!"

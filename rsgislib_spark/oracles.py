@@ -287,24 +287,74 @@ _SOBEL_S = (f"({_pxv_at(1, -1)} + 2 * {_pxv_at(1, 0)} + {_pxv_at(1, 1)}"
             f" - {_pxv_at(-1, -1)} - 2 * {_pxv_at(-1, 0)} - {_pxv_at(-1, 1)})")
 
 
-def _conv_oracle(term: str, mod: int = 19) -> str:
+def _conv_oracle(term: str, mod: int = 19, r: int = 1,
+                 suffix: str = "conv") -> str:
     return f"""
 {_PREFIX},
 xs AS (SELECT image_id, id, w, h, fmt,
-              unnest(generate_series(1, w - 2)) AS x
+              unnest(generate_series({r}, w - {r + 1})) AS x
        FROM img WHERE id % {mod} = 0),
-pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+pxy AS (SELECT *, unnest(generate_series({r}, h - {r + 1})) AS y FROM xs),
 c AS (SELECT image_id, {term} AS s FROM pxy)
 SELECT image_id, count(*) AS n_interior,
-       CAST(sum(s) AS BIGINT) AS sum_conv,
-       CAST(min(s) AS BIGINT) AS min_conv,
-       CAST(max(s) AS BIGINT) AS max_conv
+       CAST(sum(s) AS BIGINT) AS sum_{suffix},
+       CAST(min(s) AS BIGINT) AS min_{suffix},
+       CAST(max(s) AS BIGINT) AS max_{suffix}
 FROM c GROUP BY image_id
 """
 
 
+def _kernel_term(kernel) -> str:
+    """SQL sum-of-terms for an arbitrary odd k x k integer kernel."""
+    ksz = len(kernel)
+    r = ksz // 2
+    terms = []
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            c = int(kernel[dy + r][dx + r])
+            if c:
+                terms.append(f"({c}) * {_pxv_at(dx, dy)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _win_list(ksz: int) -> str:
+    """SQL list literal of the k x k window's pixel values."""
+    r = ksz // 2
+    return "[" + ", ".join(_pxv_at(dx, dy)
+                           for dy in range(-r, r + 1)
+                           for dx in range(-r, r + 1)) + "]"
+
+
 ORACLES["filter_mean3"] = _conv_oracle(f"({_MEAN3_S})")
 ORACLES["filter_sobel"] = _conv_oracle(f"abs({_SOBEL_S})")
+
+# parameterized filter_size rank/convolution filters: the window's k^2
+# closed-form pixel values as a SQL list, reduced with scalar list ops
+_L5 = _win_list(5)
+_L3 = _win_list(3)
+
+ORACLES["filter_median5"] = _conv_oracle(
+    f"list_sort({_L5})[13]", r=2, suffix="median")
+
+ORACLES["filter_mode3"] = _conv_oracle(
+    f"2047 - (list_max(list_transform(list_distinct({_L3}),"
+    f" v -> len(list_filter({_L3}, x -> x = v)) * 2048 + (2047 - v)))"
+    f" % 2048)", r=1, suffix="mode")
+
+ORACLES["filter_range5"] = _conv_oracle(
+    f"list_max({_L5}) - list_min({_L5})", r=2, suffix="range")
+
+# gaussian-family kernels: the integer kernels are operator PARAMETERS
+# (like tile size 48) — the oracle shares the constants, not the
+# execution path (Spark convolves numpy planes; DuckDB sums closed-form
+# pixel expressions)
+from .operators.imagemath import gaussian_kernel as _gk  # noqa: E402
+
+ORACLES["filter_mean5"] = _conv_oracle(
+    _kernel_term([[1] * 5] * 5), r=2)
+ORACLES["filter_gauss5"] = _conv_oracle(_kernel_term(_gk(5, 0)), r=2)
+ORACLES["filter_gauss_d1"] = _conv_oracle(_kernel_term(_gk(5, 1)), r=2)
+ORACLES["filter_gauss_d2"] = _conv_oracle(_kernel_term(_gk(5, 2)), r=2)
 
 _ALL9 = [_pxv_at(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
 

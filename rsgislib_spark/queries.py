@@ -171,10 +171,14 @@ def q_zonal_centroid(spark, sf_dir) -> DataFrame:
 
 
 def q_knn_closest(spark, sf_dir) -> DataFrame:
-    """match_closest_vec_pts: exact 1-NN with dist (§2.3)."""
+    """match_closest_vec_pts: exact 1-NN with dist (§2.3).
+
+    ``check_ties=False``: the deferred-validation mode — tie raising is
+    covered by tests/test_knn.py and would cost a second driver action
+    here (the oracle's row_number cannot express "raise" either)."""
     img = _images(spark, sf_dir, with_footprint=False)
     qpts = synth.synth_qpoints(spark, sf_dir)
-    out = match_closest_points(qpts, img)
+    out = match_closest_points(qpts, img, check_ties=False)
     return out.select("qid", "qlon", "qlat", "match_image_id",
                       "x_match", "y_match", "dist_match")
 
@@ -255,6 +259,65 @@ def q_filter_sobel(spark, sf_dir) -> DataFrame:
     """apply_sobel_x_filter |gx| over the interior (§2.6)."""
     img = _px_images(spark, sf_dir, mod=19)
     return im.conv3x3_stats(img, im.SOBEL_X, absolute=True) \
+        .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
+
+
+def q_filter_median5(spark, sf_dir) -> DataFrame:
+    """apply_median_filter(filter_size=5): exact sliding median (§2.6,
+    imagefilter/__init__.py:37)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.window_rank_stats(img, 5, "median") \
+        .select("image_id", "n_interior", "sum_median",
+                "min_median", "max_median")
+
+
+def q_filter_mode3(spark, sf_dir) -> DataFrame:
+    """apply_mode_filter(filter_size=3), ties -> smallest value (§2.6,
+    imagefilter/__init__.py:161)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.window_rank_stats(img, 3, "mode") \
+        .select("image_id", "n_interior", "sum_mode",
+                "min_mode", "max_mode")
+
+
+def q_filter_range5(spark, sf_dir) -> DataFrame:
+    """apply_range_filter(filter_size=5): window max - min (§2.6,
+    imagefilter/__init__.py:223)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.window_rank_stats(img, 5, "range") \
+        .select("image_id", "n_interior", "sum_range",
+                "min_range", "max_range")
+
+
+def q_filter_mean5(spark, sf_dir) -> DataFrame:
+    """apply_mean_filter at filter_size=5 — evidences the arbitrary-k
+    convolution path (§2.6, imagefilter/__init__.py:68)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.conv_stats(img, [[1] * 5] * 5) \
+        .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
+
+
+def q_filter_gauss5(spark, sf_dir) -> DataFrame:
+    """apply_gaussian_smooth_filter, integer binomial kernel (§2.6,
+    imagefilter/__init__.py:763)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.conv_stats(img, im.gaussian_kernel(5, 0)) \
+        .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
+
+
+def q_filter_gauss_d1(spark, sf_dir) -> DataFrame:
+    """apply_gaussian_1st_deriv_filter along x (§2.6,
+    imagefilter/__init__.py:813)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.conv_stats(img, im.gaussian_kernel(5, 1)) \
+        .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
+
+
+def q_filter_gauss_d2(spark, sf_dir) -> DataFrame:
+    """apply_gaussian_2nd_deriv_filter along x (§2.6,
+    imagefilter/__init__.py:863)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.conv_stats(img, im.gaussian_kernel(5, 2)) \
         .select("image_id", "n_interior", "sum_conv", "min_conv", "max_conv")
 
 
@@ -867,6 +930,13 @@ QUERIES = {
     "mask_img": q_mask_img,
     "filter_mean3": q_filter_mean3,
     "filter_sobel": q_filter_sobel,
+    "filter_median5": q_filter_median5,
+    "filter_mode3": q_filter_mode3,
+    "filter_range5": q_filter_range5,
+    "filter_mean5": q_filter_mean5,
+    "filter_gauss5": q_filter_gauss5,
+    "filter_gauss_d1": q_filter_gauss_d1,
+    "filter_gauss_d2": q_filter_gauss_d2,
     "ndvi_index": q_ndvi_index,
     "pxl_value_counts": q_pxl_value_counts,
     "hist2d": q_hist2d,

@@ -58,3 +58,47 @@ def test_npts_in_radius_matches_brute(layers):
         exp[ipdf.image_id.iloc[i]] = int((d <= r).sum()) - 1
     got = dict(zip(out.image_id, out.n_pts_r))
     assert got == exp
+
+
+def test_match_closest_pathological_skew(spark):
+    """All match points piled in one cell + isolated base points across
+    empty oceans: the escalation ladder must stay exact (the old
+    brute-force fallback's worst case)."""
+    import numpy as np
+
+    rng = [(i, 10.0 + (i % 7) * 1e-4, 45.0 + (i % 11) * 1e-4)
+           for i in range(200)]  # dense cluster, one cell
+    match = spark.createDataFrame(
+        [(f"m{i}", lo, la) for i, lo, la in rng],
+        "image_id string, lon double, lat double")
+    base = spark.createDataFrame(
+        [(1, -170.0, -80.0), (2, 170.0, 80.0), (3, 0.0, 0.0),
+         (4, 10.0, 45.0), (5, -90.0, 30.0)],
+        "qid long, qlon double, qlat double")
+    out = {r.qid: (r.match_image_id, r.dist_match)
+           for r in match_closest_points(base, match,
+                                         check_ties=False).collect()}
+    mlon = np.array([lo for _, lo, _ in rng])
+    mlat = np.array([la for _, _, la in rng])
+    for qid, (qlon, qlat) in {1: (-170.0, -80.0), 2: (170.0, 80.0),
+                              3: (0.0, 0.0), 4: (10.0, 45.0),
+                              5: (-90.0, 30.0)}.items():
+        d = np.sqrt((mlon - qlon) ** 2 + (mlat - qlat) ** 2)
+        # the cluster pattern repeats every 77 points, so exact-distance
+        # ties exist; with check_ties=False the engine deterministically
+        # returns the lexicographically-smallest key among the tied set
+        tied = np.nonzero(d == d.min())[0]
+        assert out[qid][0] == min(f"m{j}" for j in tied), qid
+        assert abs(out[qid][1] - d.min()) < 1e-12
+
+
+def test_match_closest_match_count_hint(layers):
+    """Passing match_count skips the count() action and cannot change
+    the result (even when the hint is wildly wrong)."""
+    images, qpts, ipdf, _ = layers
+    exact = match_closest_points(qpts, images).toPandas() \
+        .sort_values("qid").reset_index(drop=True)
+    for hint in (1, 10**12):
+        got = match_closest_points(qpts, images, match_count=hint) \
+            .toPandas().sort_values("qid").reset_index(drop=True)
+        assert got.equals(exact), hint
