@@ -42,7 +42,8 @@ from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
 
 from ..functions import codec
 
-__all__ = ["mosaic_window", "mosaic_mode_window", "pixel_trend_window"]
+__all__ = ["mosaic_window", "mosaic_thresh_window", "mosaic_mode_window",
+           "pixel_trend_window"]
 
 _ENC_LAST = 2048                 # id * 2048 + v
 _ENC_IDX = 1 << 40               # v * 2^40 + id
@@ -151,6 +152,108 @@ def mosaic_window(images: DataFrame, x0: float, y0: float,
 
     return cand.mapInPandas(partials, schema=_PARTIAL_SCHEMA) \
         .groupBy("window_id").applyInPandas(merge, schema=_OUT_SCHEMA)
+
+
+_THRESH_PARTIAL_SCHEMA = StructType([
+    StructField("window_id", LongType()),
+    StructField("cnt", ArrayType(LongType())),
+    StructField("enc_last", ArrayType(LongType())),
+    StructField("v_min", ArrayType(LongType())),
+    StructField("v_max", ArrayType(LongType())),
+])
+
+_THRESH_OUT_SCHEMA = StructType([
+    StructField("px", LongType()),
+    StructField("py", LongType()),
+    StructField("n_imgs", LongType()),
+    StructField("v_last", LongType()),
+    StructField("v_min", LongType()),
+    StructField("v_max", LongType()),
+])
+
+
+def mosaic_thresh_window(images: DataFrame, x0: float, y0: float,
+                         npx: int, npy: int, res: float,
+                         lower: float, upper: float) -> DataFrame:
+    """``mosaicSkipThresh``: composite ONLY pixels inside a validity
+    window.
+
+    Reference: src/img/RSGISImageMosaic.cpp:627-735 — a source pixel
+    contributes iff ``lower < v < upper`` (STRICT both sides, :772);
+    within the valid set the overlap behaviours are the usual 0/1/2
+    (last-wins / min / max), all resolved here in one pass with the
+    same order-encoded integer partials as :func:`mosaic_window`.
+    Output pixels with no valid contribution are absent (the reference
+    leaves the background value there).
+    """
+    xw, yh = x0 + npx * res, y0 + npy * res
+    cand = images.where(
+        (F.col("xmax") > F.lit(x0)) & (F.col("xmin") < F.lit(xw))
+        & (F.col("ymax") > F.lit(y0)) & (F.col("ymin") < F.lit(yh))
+    ).select("id", "bytes", "w", "h", "fmt", "xmin", "xmax", "ymin", "ymax")
+
+    cxs = x0 + (np.arange(npx, dtype=np.float64) + 0.5) * res
+    cys = y0 + (np.arange(npy, dtype=np.float64) + 0.5) * res
+    big = np.iinfo(np.int64).max
+
+    def partials(it):
+        for pdf in it:
+            n = npx * npy
+            cnt = np.zeros(n, np.int64)
+            enc_last = np.full(n, -1, np.int64)
+            vmin = np.full(n, big, np.int64)
+            vmax = np.full(n, -1, np.int64)
+            c2 = cnt.reshape(npy, npx)
+            el2 = enc_last.reshape(npy, npx)
+            mn2 = vmin.reshape(npy, npx)
+            mx2 = vmax.reshape(npy, npx)
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode_image(bytes(row.bytes), int(row.w),
+                                         int(row.h), str(row.fmt))
+                sel_x = np.nonzero((cxs >= row.xmin) & (cxs < row.xmax))[0]
+                sel_y = np.nonzero((cys > row.ymin) & (cys <= row.ymax))[0]
+                if sel_x.size == 0 or sel_y.size == 0:
+                    continue
+                sx = np.minimum(np.floor((cxs[sel_x] - row.xmin) / res)
+                                .astype(np.int64), int(row.w) - 1)
+                sy = np.minimum(np.floor((row.ymax - cys[sel_y]) / res)
+                                .astype(np.int64), int(row.h) - 1)
+                v = arr[np.ix_(sy, sx)].astype(np.int64)
+                ok = (v > lower) & (v < upper)   # strict, the reference rule
+                iid = int(row.id)
+                ix = np.ix_(sel_y, sel_x)
+                c2[ix] += ok
+                el2[ix] = np.maximum(el2[ix],
+                                     np.where(ok, iid * _ENC_LAST + v, -1))
+                mn2[ix] = np.minimum(mn2[ix], np.where(ok, v, big))
+                mx2[ix] = np.maximum(mx2[ix], np.where(ok, v, -1))
+            yield pd.DataFrame({"window_id": [0], "cnt": [cnt],
+                                "enc_last": [enc_last], "v_min": [vmin],
+                                "v_max": [vmax]})
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = npx * npy
+        cnt = np.zeros(n, np.int64)
+        enc_last = np.full(n, -1, np.int64)
+        vmin = np.full(n, big, np.int64)
+        vmax = np.full(n, -1, np.int64)
+        for r in pdf.itertuples(index=False):
+            cnt += np.asarray(r.cnt, np.int64)
+            enc_last = np.maximum(enc_last, np.asarray(r.enc_last, np.int64))
+            vmin = np.minimum(vmin, np.asarray(r.v_min, np.int64))
+            vmax = np.maximum(vmax, np.asarray(r.v_max, np.int64))
+        covered = np.nonzero(cnt > 0)[0]
+        return pd.DataFrame({
+            "px": covered % npx,
+            "py": covered // npx,
+            "n_imgs": cnt[covered],
+            "v_last": enc_last[covered] % _ENC_LAST,
+            "v_min": vmin[covered],
+            "v_max": vmax[covered],
+        })
+
+    return cand.mapInPandas(partials, schema=_THRESH_PARTIAL_SCHEMA) \
+        .groupBy("window_id").applyInPandas(merge, schema=_THRESH_OUT_SCHEMA)
 
 
 _TREND_PARTIAL_SCHEMA = StructType([

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["quantize", "cosine_topk", "ann_lsh_top1",
+__all__ = ["quantize", "adaptive_planes", "cosine_topk", "ann_lsh_top1",
            "ann_lsh_multiprobe_top1", "neardup_pairs", "centroid_assign",
            "gram_matrix"]
 
@@ -98,6 +98,26 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     )
 
 
+def adaptive_planes(n_rows: int, target_load: int = 64,
+                    lo: int = 4, hi: int = 24) -> int:
+    """Corpus-size-adaptive hyperplane count: ~``target_load`` vectors
+    per bucket.
+
+    Within-bucket candidate pairing is quadratic in bucket load, so a
+    FIXED plane count silently degenerates toward all-pairs as the
+    corpus grows (256 buckets at 10^12 rows = 4x10^9 per bucket).
+    ``n_planes = ceil(log2(n / target_load))`` keeps the expected load
+    constant at any corpus size; clamped to [lo, hi] because past ~24
+    planes single-probe recall collapses (the right scale-out beyond
+    that is MinHash-style banding over more bits, several independent
+    plane sets OR'd together — see ``minhash_bands`` for the pattern).
+    """
+    import math
+
+    need = max(float(n_rows), 1.0) / float(target_load)
+    return max(lo, min(hi, int(math.ceil(math.log2(max(need, 2.0))))))
+
+
 def _bucket_expr(qcol: str, n_planes: int, dim: int) -> str:
     """Random-hyperplane LSH bucket id from the quantized vector.
 
@@ -114,7 +134,7 @@ def _bucket_expr(qcol: str, n_planes: int, dim: int) -> str:
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"
 
 
-def ann_lsh_top1(vectors: DataFrame, n_planes: int = 8, dim: int = 64,
+def ann_lsh_top1(vectors: DataFrame, n_planes: int | None = None, dim: int = 64,
                  id_col: str = "vec_id") -> DataFrame:
     """Approximate 1-NN: hyperplane-LSH bucket join + exact rerank.
 
@@ -123,6 +143,10 @@ def ann_lsh_top1(vectors: DataFrame, n_planes: int = 8, dim: int = 64,
     n^2.  Vectors alone in their bucket drop out (standard single-probe
     LSH recall loss; multi-probe = union over neighbour buckets).
     """
+    if n_planes is None:
+        # corpus-adaptive sizing (one metadata-only count); pass an
+        # explicit n_planes to pin the bucketing (e.g. for oracles)
+        n_planes = adaptive_planes(vectors.count())
     v = quantize(vectors).withColumn(
         "bucket", F.expr(_bucket_expr("q", n_planes, dim))
     ).select(F.col(id_col).alias("vid"), "q", "bucket",
@@ -143,7 +167,7 @@ def ann_lsh_top1(vectors: DataFrame, n_planes: int = 8, dim: int = 64,
         .where(F.col("rn") == 1).drop("rn")
 
 
-def ann_lsh_multiprobe_top1(vectors: DataFrame, n_planes: int = 8,
+def ann_lsh_multiprobe_top1(vectors: DataFrame, n_planes: int | None = None,
                             dim: int = 64,
                             id_col: str = "vec_id") -> DataFrame:
     """Multi-probe LSH 1-NN: probe own bucket + all 1-bit-flip buckets.
@@ -154,6 +178,10 @@ def ann_lsh_multiprobe_top1(vectors: DataFrame, n_planes: int = 8,
     multi-probe refinement.  The probe side explodes its bucket ring
     (pure Catalyst); the build side stays keyed once.
     """
+    if n_planes is None:
+        # corpus-adaptive sizing (one metadata-only count); pass an
+        # explicit n_planes to pin the bucketing (e.g. for oracles)
+        n_planes = adaptive_planes(vectors.count())
     v = quantize(vectors).withColumn(
         "bucket", F.expr(_bucket_expr("q", n_planes, dim))
     ).select(F.col(id_col).alias("vid"), "q", "bucket",
@@ -180,7 +208,7 @@ def ann_lsh_multiprobe_top1(vectors: DataFrame, n_planes: int = 8,
 
 
 def neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
-                  n_planes: int = 8, dim: int = 64,
+                  n_planes: int | None = None, dim: int = 64,
                   id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH-bucketed candidates).
 
@@ -188,6 +216,10 @@ def neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
     bucket (single-probe — recall grows with multi-probe ring union),
     kept when exact cosine >= threshold.  Output: (vec_a < vec_b, sim).
     """
+    if n_planes is None:
+        # corpus-adaptive sizing (one metadata-only count); pass an
+        # explicit n_planes to pin the bucketing (e.g. for oracles)
+        n_planes = adaptive_planes(vectors.count())
     v = quantize(vectors).withColumn(
         "bucket", F.expr(_bucket_expr("q", n_planes, dim))
     ).select(F.col(id_col).alias("vid"), "q", "bucket",

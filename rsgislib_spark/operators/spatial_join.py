@@ -262,10 +262,12 @@ def spatial_join_poly(
     The general-geometry path of ``perform_spatial_join``: candidate
     generation is the same cell equi-join (polygon bboxes polyfilled to
     cells), refinement is the vectorized ray-casting PIP of
-    ``geo.geometry.points_in_polygon`` run per-polygon over Arrow
-    batches (``applyInPandas`` grouped by polygon — each group holds one
-    polygon's candidate points, so the numpy kernel is vectorized over
-    points exactly like the reference's rasterize/GEOS inner loop).
+    ``geo.geometry.points_in_polygon`` run over Arrow batches with
+    ``mapInPandas`` on the candidates' EXISTING partitioning — each
+    batch vectorizes per polygon-within-batch, so no shuffle is spent
+    on refinement and a continent-sized hot polygon's candidates stay
+    spread across however many tasks produced them (the per-point PIP
+    test is row-independent, so any partitioning is correct).
 
     ``polys`` needs (poly_key, verts_col = array<array<double>> ring
     vertices, pxmin/pxmax/pymin/pymax bbox columns).  Output: matched
@@ -288,16 +290,23 @@ def spatial_join_poly(
         .select(point_key, lon, lat, poly_key, verts_col)
     )
 
-    def refine(pdf: pd.DataFrame) -> pd.DataFrame:
-        poly = np.asarray([list(v) for v in pdf[verts_col].iloc[0]],
-                          dtype=np.float64)
-        inside = points_in_polygon(pdf[lon].to_numpy(),
-                                   pdf[lat].to_numpy(), poly)
-        keep = pdf.loc[inside, [point_key, poly_key]]
-        return keep.rename(columns={point_key: "image_id",
-                                    poly_key: "poly_id"})
+    def refine(it):
+        for pdf in it:
+            kept = []
+            for _pk, grp in pdf.groupby(poly_key, sort=False):
+                poly = np.asarray([list(v) for v in grp[verts_col].iloc[0]],
+                                  dtype=np.float64)
+                inside = points_in_polygon(grp[lon].to_numpy(),
+                                           grp[lat].to_numpy(), poly)
+                kept.append(grp.loc[inside, [point_key, poly_key]])
+            if kept:
+                out = pd.concat(kept, ignore_index=True)
+            else:
+                out = pd.DataFrame({point_key: [], poly_key: []})
+            yield out.rename(columns={point_key: "image_id",
+                                      poly_key: "poly_id"})
 
-    return cand.groupBy(poly_key).applyInPandas(refine, _POLY_PAIR_SCHEMA)
+    return cand.mapInPandas(refine, _POLY_PAIR_SCHEMA)
 
 
 def spatial_select(base: DataFrame, roi: DataFrame, **kw) -> DataFrame:

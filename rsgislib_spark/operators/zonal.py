@@ -39,8 +39,8 @@ from ..functions import codec
 from ..geo.cellindex import DEFAULT_RES
 from .spatial_join import with_bbox_cells
 
-__all__ = ["zonal_stats", "zonal_stats_poly", "extract_point_values",
-           "HIST_BINS"]
+__all__ = ["zonal_stats", "zonal_stats_poly", "zonal_stats_hybrid",
+           "extract_point_values", "HIST_BINS"]
 
 HIST_BINS = 1024  # pixel values are < 1024 in every supported format
 
@@ -107,40 +107,63 @@ _FINAL_SCHEMA = StructType([
     StructField("mode_pix", DoubleType()),
 ])
 
+_FINAL_SCHEMA_P = StructType(
+    _FINAL_SCHEMA.fields + [StructField("perc_pix", DoubleType())])
 
-def _hist_finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map kernel: merge one zone's histograms -> ALL stats.
+
+def _make_hist_finalize(percentile: float | None = None):
+    """Build the grouped-map kernel: merge one zone's histograms -> stats.
 
     Every aggregate is derivable from the exact bounded histogram
     (moments included: sum = dot(v, hist), sumsq = dot(v^2, hist)), so
     the whole zonal pass needs exactly ONE shuffle (the per-zone
     histogram merge).  Median = numpy convention (mean of the two
     central order statistics); mode = smallest modal value on ties
-    (scipy.stats.mstats.mode, the reference's convention).
+    (scipy.stats.mstats.mode, the reference's convention); percentile
+    (when requested) = numpy.percentile linear interpolation between
+    the bracketing order statistics — with a dyadic percentile (25/50/
+    75) every intermediate is an exact double, so DuckDB's
+    quantile_cont reproduces it bit-for-bit.
     """
-    hist = np.zeros(HIST_BINS, dtype=np.int64)
-    for harr in pdf["hist"]:
-        hist += np.asarray(harr, dtype=np.int64)
-    n = int(hist.sum())
-    vals = np.arange(HIST_BINS, dtype=np.int64)
-    s = int(np.dot(vals, hist))
-    ss = int(np.dot(vals * vals, hist))
-    nz = np.nonzero(hist)[0]
-    mean = s / n
-    cum = np.cumsum(hist)
-    lo = int(np.searchsorted(cum, (n - 1) // 2 + 1))
-    hi = int(np.searchsorted(cum, n // 2 + 1))
-    return pd.DataFrame({
-        "zone_id": [int(pdf["zone_id"].iloc[0])],
-        "n_pix": [float(n)],
-        "sum_pix": [float(s)],
-        "min_pix": [float(nz[0])],
-        "max_pix": [float(nz[-1])],
-        "mean_pix": [mean],
-        "stddev_pix": [float(np.sqrt(ss / n - mean * mean))],
-        "median_pix": [(lo + hi) / 2.0],
-        "mode_pix": [float(np.argmax(hist))],
-    })
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        hist = np.zeros(HIST_BINS, dtype=np.int64)
+        for harr in pdf["hist"]:
+            hist += np.asarray(harr, dtype=np.int64)
+        n = int(hist.sum())
+        vals = np.arange(HIST_BINS, dtype=np.int64)
+        s = int(np.dot(vals, hist))
+        ss = int(np.dot(vals * vals, hist))
+        nz = np.nonzero(hist)[0]
+        mean = s / n
+        cum = np.cumsum(hist)
+        lo = int(np.searchsorted(cum, (n - 1) // 2 + 1))
+        hi = int(np.searchsorted(cum, n // 2 + 1))
+        out = {
+            "zone_id": [int(pdf["zone_id"].iloc[0])],
+            "n_pix": [float(n)],
+            "sum_pix": [float(s)],
+            "min_pix": [float(nz[0])],
+            "max_pix": [float(nz[-1])],
+            "mean_pix": [mean],
+            "stddev_pix": [float(np.sqrt(ss / n - mean * mean))],
+            "median_pix": [(lo + hi) / 2.0],
+            "mode_pix": [float(np.argmax(hist))],
+        }
+        if percentile is not None:
+            rank = (n - 1) * (percentile / 100.0)
+            k = int(np.floor(rank))
+            frac = rank - k
+            vk = int(np.searchsorted(cum, k + 1))
+            vk1 = int(np.searchsorted(cum, min(k + 1, n - 1) + 1))
+            out["perc_pix"] = [vk + (vk1 - vk) * frac]
+        return pd.DataFrame(out)
+
+    return finalize
+
+
+#: default kernel (no percentile) — the zonal_stats/zonal_stats_poly path
+_hist_finalize = _make_hist_finalize(None)
 
 
 def zonal_stats_poly(
@@ -152,6 +175,7 @@ def zonal_stats_poly(
     res: int = DEFAULT_RES,
     res_deg: float = 0.001,
     out_no_data_val: float = -9999.0,
+    n_salt: int = 8,
 ) -> DataFrame:
     """Zonal stats over GENERAL polygon zones (ray-casting pixel masks).
 
@@ -163,6 +187,13 @@ def zonal_stats_poly(
 
     ``polys`` needs (poly_key, verts_col = array<array<double>>,
     pxmin/pxmax/pymin/pymax).  Output mirrors :func:`zonal_stats`.
+
+    ``n_salt``: the Arrow stage partitions by (image, salt-of-polygon)
+    so a hot image overlapped by many polygons fans across up to
+    ``n_salt`` tasks instead of one straggler (each task re-decodes the
+    image once — decode is cheap next to the per-polygon PIP masks).
+    The histogram partials are order-independent, so salting cannot
+    change results.
     """
     from ..geo.geometry import points_in_polygon
 
@@ -181,7 +212,9 @@ def zonal_stats_poly(
     )
     px_cols = images.select("image_id", "bytes", "w", "h", "fmt",
                             "xmin", "ymax")
-    work = pairs.join(px_cols, "image_id", "inner").repartition("image_id")
+    work = pairs.join(px_cols, "image_id", "inner").repartition(
+        F.col("image_id"),
+        F.pmod(F.xxhash64(F.col(poly_key)), F.lit(int(n_salt))))
 
     def gen(it):
         for pdf in it:
@@ -281,10 +314,13 @@ def extract_point_values(
         .where(F.col("_rn") == 1) \
         .select("pt_id", "_plon", "_plat", "image_id")
 
+    # (image, salt-of-point) layout: an image winning many points fans
+    # across up to 8 tasks instead of one straggler
     work = won.join(
         images.select("image_id", "bytes", "w", "h", "fmt", "xmin", "ymax"),
         "image_id", "inner",
-    ).repartition("image_id")
+    ).repartition(F.col("image_id"),
+                  F.pmod(F.xxhash64(F.col("pt_id")), F.lit(8)))
 
     def gen(it):
         for pdf in it:
@@ -316,25 +352,23 @@ def extract_point_values(
     )
 
 
-def zonal_stats(
+def _zonal_stats_raw(
     images: DataFrame,
     zones: DataFrame,
     *,
-    res: int = DEFAULT_RES,
-    res_deg: float = 0.001,
-    min_thres: float = 0.0,
-    max_thres: float = float(2 ** 31),
-    nodata=None,
-    out_no_data_val: float = -9999.0,
+    res: int,
+    res_deg: float,
+    min_thres: float,
+    max_thres: float,
+    nodata,
+    percentile: float | None = None,
+    n_salt: int = 8,
 ) -> DataFrame:
-    """Per-zone stats over every image overlapping the zone.
+    """zones left-joined with NULLABLE per-zone stats (pre-fillna).
 
-    ``images`` needs (image_id, bytes, w, h, fmt, xmin, xmax, ymin, ymax);
-    ``zones`` needs (zone_id, zxmin, zxmax, zymin, zymax [+ attrs]).
-    Returns one row per zone: n_pix, sum_pix, min_pix, max_pix, mean_pix,
-    stddev_pix (population), and exact median_pix / mode_pix; zones with
-    no pixels carry ``out_no_data_val`` (reference empty-set semantics,
-    zonalstats/__init__.py:477-499).
+    The Arrow stage partitions by (image, salt-of-zone): a hot image
+    overlapped by many zones fans across up to ``n_salt`` tasks (the
+    partials are order-independent, so salting cannot change results).
     """
     # phase 1: candidate pairs (broadcast zones on cell key + bbox refine)
     zc = with_bbox_cells(zones.select("zone_id", "zxmin", "zxmax",
@@ -355,7 +389,9 @@ def zonal_stats(
     # image-keyed join (each image decoded once per task batch).
     px_cols = images.select("image_id", "bytes", "w", "h", "fmt",
                             "xmin", "ymax")
-    work = pairs.join(px_cols, "image_id", "inner").repartition("image_id")
+    work = pairs.join(px_cols, "image_id", "inner").repartition(
+        F.col("image_id"),
+        F.pmod(F.xxhash64(F.col("zone_id")), F.lit(int(n_salt))))
 
     partials = work.mapInPandas(
         lambda it: _pair_partials(it, res_deg, min_thres, max_thres, nodata),
@@ -367,10 +403,98 @@ def zonal_stats(
     # All stats surface as doubles: the reference writes every zonal
     # field as OFTReal (zonalstats/__init__.py:289-319), and a uniform
     # type lets empty zones take out_no_data_val.
+    schema = _FINAL_SCHEMA if percentile is None else _FINAL_SCHEMA_P
     stats = partials.select("zone_id", "hist").groupBy("zone_id") \
-        .applyInPandas(_hist_finalize, schema=_FINAL_SCHEMA)
-    out = zones.join(stats, "zone_id", "left")
+        .applyInPandas(_make_hist_finalize(percentile), schema=schema)
+    return zones.join(stats, "zone_id", "left")
 
+
+def zonal_stats(
+    images: DataFrame,
+    zones: DataFrame,
+    *,
+    res: int = DEFAULT_RES,
+    res_deg: float = 0.001,
+    min_thres: float = 0.0,
+    max_thres: float = float(2 ** 31),
+    nodata=None,
+    out_no_data_val: float = -9999.0,
+) -> DataFrame:
+    """Per-zone stats over every image overlapping the zone.
+
+    ``images`` needs (image_id, bytes, w, h, fmt, xmin, xmax, ymin, ymax);
+    ``zones`` needs (zone_id, zxmin, zxmax, zymin, zymax [+ attrs]).
+    Returns one row per zone: n_pix, sum_pix, min_pix, max_pix, mean_pix,
+    stddev_pix (population), and exact median_pix / mode_pix; zones with
+    no pixels carry ``out_no_data_val`` (reference empty-set semantics,
+    zonalstats/__init__.py:477-499).
+    """
+    out = _zonal_stats_raw(images, zones, res=res, res_deg=res_deg,
+                           min_thres=min_thres, max_thres=max_thres,
+                           nodata=nodata)
     stat_cols = ["n_pix", "sum_pix", "min_pix", "max_pix", "mean_pix",
                  "stddev_pix", "median_pix", "mode_pix"]
     return out.fillna({c: out_no_data_val for c in stat_cols})
+
+
+def zonal_stats_hybrid(
+    images: DataFrame,
+    zones: DataFrame,
+    *,
+    percentile: float = 75.0,
+    res: int = DEFAULT_RES,
+    res_deg: float = 0.001,
+    min_thres: float = 0.0,
+    max_thres: float = float(2 ** 31),
+    nodata=None,
+    out_no_data_val: float = -9999.0,
+) -> DataFrame:
+    """calc_zonal_band_stats_test_poly_pts: polygon stats with centroid
+    fallback + per-zone percentile.
+
+    Reference semantics (zonalstats/__init__.py:878-1321): zones with
+    >= 1 pixel get full stats including ``perc_pix`` =
+    ``numpy.percentile`` (linear interpolation); empty zones sample the
+    pixel under their centroid (floor world->pixel, clamped; highest-id
+    image wins, the ``ext_point_band_values`` rule) — a valid centroid
+    value fills every stat with that value (stddev 0.0, count 1.0), an
+    invalid one (off-image / nodata / outside thresholds) writes
+    ``out_no_data_val`` with count 0.0 (:1240-1295).
+
+    ``images`` additionally needs the ``id`` column (centroid winner
+    rule).  Keep ``percentile`` dyadic (25/50/75) for bit-exact
+    cross-engine results.
+    """
+    raw = _zonal_stats_raw(images, zones, res=res, res_deg=res_deg,
+                           min_thres=min_thres, max_thres=max_thres,
+                           nodata=nodata, percentile=percentile)
+
+    # centroid sampling for the zones the polygon pass left empty
+    cents = zones.select(
+        "zone_id",
+        ((F.col("zxmin") + F.col("zxmax")) / 2.0).alias("_clon"),
+        ((F.col("zymin") + F.col("zymax")) / 2.0).alias("_clat"))
+    sampled = extract_point_values(
+        cents, images, pt_id="zone_id", pt_lon="_clon", pt_lat="_clat",
+        res=res, res_deg=res_deg, out_no_data_val=out_no_data_val,
+    ).select("zone_id", F.col("pix_val").alias("_cval"))
+
+    valid = (F.col("_cval") != F.lit(out_no_data_val)) \
+        & (F.col("_cval") >= F.lit(min_thres)) \
+        & (F.col("_cval") <= F.lit(max_thres))
+    if nodata is not None:
+        valid = valid & (F.col("_cval") != F.lit(float(nodata)))
+
+    cval = F.when(valid, F.col("_cval")).otherwise(F.lit(out_no_data_val))
+    fallback = {
+        "n_pix": F.when(valid, F.lit(1.0)).otherwise(F.lit(0.0)),
+        "sum_pix": cval, "min_pix": cval, "max_pix": cval,
+        "mean_pix": cval,
+        "stddev_pix": F.when(valid, F.lit(0.0))
+                       .otherwise(F.lit(out_no_data_val)),
+        "median_pix": cval, "mode_pix": cval, "perc_pix": cval,
+    }
+    out = raw.join(sampled, "zone_id", "left")
+    for c, fb in fallback.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), fb))
+    return out.drop("_cval")

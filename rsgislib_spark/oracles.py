@@ -724,6 +724,30 @@ SELECT px, py, count(*) AS n_imgs,
 FROM v GROUP BY px, py
 """
 
+ORACLES["mosaic_thresh"] = f"""
+{_PREFIX},
+gx AS (SELECT unnest(generate_series(0, 59)) AS px),
+gy AS (SELECT unnest(generate_series(0, 59)) AS py),
+grid AS (SELECT px, py, 10.0 + (px + 0.5) * 0.001 AS cx,
+                45.0 + (py + 0.5) * 0.001 AS cy
+         FROM gx, gy),
+j AS (SELECT g.px, g.py, i.id, i.fmt,
+             least(CAST(floor((g.cx - i.xmin) / 0.001) AS BIGINT),
+                   i.w - 1) AS sx,
+             least(CAST(floor((i.ymax - g.cy) / 0.001) AS BIGINT),
+                   i.h - 1) AS sy
+      FROM grid g JOIN imgf i
+        ON i.id % 5 = 0
+       AND g.cx >= i.xmin AND g.cx < i.xmax
+       AND g.cy > i.ymin AND g.cy <= i.ymax),
+v AS (SELECT px, py, id, {_PXSRC} AS v FROM j
+      WHERE {_PXSRC} > 200 AND {_PXSRC} < 900)
+SELECT px, py, count(*) AS n_imgs,
+       max(id * 2048 + v) % 2048 AS v_last,
+       min(v) AS v_min, max(v) AS v_max
+FROM v GROUP BY px, py
+"""
+
 ORACLES["pixel_trend"] = f"""
 {_PREFIX},
 gx AS (SELECT unnest(generate_series(0, 59)) AS px),
@@ -920,6 +944,72 @@ SELECT z.zone_id AS poly_id,
        coalesce(s.stddev_pix, -9999.0) AS stddev_pix,
        coalesce(s.median_pix, -9999.0) AS median_pix
 FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
+"""
+
+ORACLES["zonal_stats_hybrid"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM imgf WHERE id % 7 = 0),
+px AS (SELECT image_id,
+              xmin + (x + 0.5) * {synth.IMG_RES_DEG} AS cx,
+              ymax - (y + 0.5) * {synth.IMG_RES_DEG} AS cy,
+              {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
+j AS (SELECT z.zone_id, p.v
+      FROM px p JOIN zones z
+        ON p.cx >= z.zxmin AND p.cx < z.zxmax
+       AND p.cy >= z.zymin AND p.cy < z.zymax),
+s AS (SELECT zone_id,
+             CAST(count(*) AS DOUBLE) AS n_pix,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) AS sum_pix,
+             CAST(min(v) AS DOUBLE) AS min_pix,
+             CAST(max(v) AS DOUBLE) AS max_pix,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_pix,
+             sqrt(CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)
+                  - (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE))
+                    * (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE))) AS stddev_pix,
+             CAST(median(v) AS DOUBLE) AS median_pix,
+             CAST(quantile_cont(v, 0.75) AS DOUBLE) AS perc_pix
+      FROM j GROUP BY zone_id),
+pts AS (SELECT zone_id AS pid, (zxmin + zxmax) / 2.0 AS plon,
+               (zymin + zymax) / 2.0 AS plat FROM zones),
+cc AS (SELECT p.pid, p.plon, p.plat, i.id, i.fmt, i.w, i.h,
+              i.xmin, i.ymax,
+              row_number() OVER (PARTITION BY p.pid ORDER BY i.id DESC)
+                AS rn
+       FROM pts p JOIN imgf i
+         ON i.id % 7 = 0
+        AND p.plon >= i.xmin AND p.plon < i.xmax
+        AND p.plat > i.ymin AND p.plat <= i.ymax),
+won AS (SELECT pid, id AS wid, fmt AS wfmt,
+               least(CAST(floor((plon - xmin) / 0.001) AS BIGINT),
+                     w - 1) AS sx,
+               least(CAST(floor((ymax - plat) / 0.001) AS BIGINT),
+                     h - 1) AS sy
+        FROM cc WHERE rn = 1),
+cent AS (SELECT p.pid AS zone_id,
+                coalesce(CAST({_PXE} AS DOUBLE), -9999.0) AS cv
+         FROM pts p LEFT JOIN won w ON p.pid = w.pid)
+SELECT z.zone_id, z.zname,
+       coalesce(s.n_pix,
+                CASE WHEN c.cv != -9999.0 THEN 1.0 ELSE 0.0 END) AS n_pix,
+       coalesce(s.sum_pix, c.cv) AS sum_pix,
+       coalesce(s.min_pix, c.cv) AS min_pix,
+       coalesce(s.max_pix, c.cv) AS max_pix,
+       coalesce(s.mean_pix, c.cv) AS mean_pix,
+       coalesce(s.stddev_pix,
+                CASE WHEN c.cv != -9999.0 THEN 0.0 ELSE -9999.0 END)
+         AS stddev_pix,
+       coalesce(s.median_pix, c.cv) AS median_pix,
+       coalesce(s.perc_pix, c.cv) AS perc_pix
+FROM zones z
+LEFT JOIN s ON z.zone_id = s.zone_id
+LEFT JOIN cent c ON z.zone_id = c.zone_id
 """
 
 ORACLES["attr_filter"] = """

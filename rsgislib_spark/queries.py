@@ -19,8 +19,8 @@ from . import synth
 from .operators import imagemath as im
 from .operators import similarity as simi
 from .operators import textops as tx
-from .operators.mosaic import (mosaic_mode_window, mosaic_window,
-                               pixel_trend_window)
+from .operators.mosaic import (mosaic_mode_window, mosaic_thresh_window,
+                               mosaic_window, pixel_trend_window)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
@@ -30,7 +30,7 @@ from .operators.spatial_join import (spatial_join, spatial_join_poly,
 from .operators.tiling import (block_iter_specs, tile_pixels, tile_spec_df,
                                tile_spec_offset_df)
 from .operators.zonal import (extract_point_values, zonal_stats,
-                              zonal_stats_poly)
+                              zonal_stats_hybrid, zonal_stats_poly)
 from .plans.lineage import lineage_records
 from .session import load_tables
 from .sources.imagelut import build_img_lut, query_img_lut
@@ -339,14 +339,15 @@ def q_filter_texture_var(spark, sf_dir) -> DataFrame:
 def q_embed_ann_multiprobe(spark, sf_dir) -> DataFrame:
     """multi-probe LSH 1-NN (Hamming-1 bucket ring; near-exact recall)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return simi.ann_lsh_multiprobe_top1(t["embeddings"]) \
+    return simi.ann_lsh_multiprobe_top1(t["embeddings"], n_planes=8) \
         .select("qid", "vec_id", "sim")
 
 
 def q_embed_neardup(spark, sf_dir) -> DataFrame:
     """embedding-cosine near-dup pairs (LSH buckets + threshold 0.8)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return simi.neardup_pairs(t["embeddings"], threshold=0.8) \
+    return simi.neardup_pairs(t["embeddings"], threshold=0.8,
+                              n_planes=8) \
         .select("vec_a", "vec_b", "sim")
 
 
@@ -483,6 +484,17 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
     out = zonal_stats(img, zones)
     return out.select("zone_id", "zname", "n_pix", "sum_pix", "min_pix",
                       "max_pix", "mean_pix", "stddev_pix", "median_pix")
+
+
+def q_zonal_stats_hybrid(spark, sf_dir) -> DataFrame:
+    """calc_zonal_band_stats_test_poly_pts: polygon stats + centroid
+    fallback for empty zones + per-zone 75th percentile (§2.5)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = zonal_stats_hybrid(img, zones, percentile=75.0)
+    return out.select("zone_id", "zname", "n_pix", "sum_pix", "min_pix",
+                      "max_pix", "mean_pix", "stddev_pix", "median_pix",
+                      "perc_pix")
 
 
 def q_sjoin_polygon(spark, sf_dir) -> DataFrame:
@@ -627,6 +639,14 @@ def q_mosaic_window(spark, sf_dir) -> DataFrame:
         .select("px", "py", "n_imgs", "v_last", "v_min", "v_max", "idx_max")
 
 
+def q_mosaic_thresh(spark, sf_dir) -> DataFrame:
+    """mosaicSkipThresh: composite only pixels with 200 < v < 900
+    (strict validity window; §2.4, RSGISImageMosaic.cpp:627)."""
+    img = _px_images(spark, sf_dir, mod=5, with_footprint=True)
+    return mosaic_thresh_window(img, 10.0, 45.0, 60, 60, 0.001, 200, 900) \
+        .select("px", "py", "n_imgs", "v_last", "v_min", "v_max")
+
+
 # --------------------------------------------------------------------------
 # relational / vector-attribute operators over the driver tables
 # --------------------------------------------------------------------------
@@ -714,7 +734,9 @@ def q_embed_topk(spark, sf_dir) -> DataFrame:
 def q_embed_ann_lsh(spark, sf_dir) -> DataFrame:
     """hyperplane-LSH bucketed approximate 1-NN (the scale path)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return simi.ann_lsh_top1(t["embeddings"]) \
+    # n_planes pinned: the DuckDB oracle hardcodes the 8-plane bucket
+    # formula; the operator default is corpus-adaptive (adaptive_planes)
+    return simi.ann_lsh_top1(t["embeddings"], n_planes=8) \
         .select("qid", "vec_id", "bucket", "sim")
 
 
@@ -926,6 +948,7 @@ QUERIES = {
     "pixel_stats": q_pixel_stats,
     "zonal_stats": q_zonal_stats,
     "zonal_stats_poly": q_zonal_stats_poly,
+    "zonal_stats_hybrid": q_zonal_stats_hybrid,
     "band_math": q_band_math,
     "mask_img": q_mask_img,
     "filter_mean3": q_filter_mean3,
@@ -946,6 +969,7 @@ QUERIES = {
     "img_histogram": q_img_histogram,
     "band_percentiles": q_band_percentiles,
     "mosaic_window": q_mosaic_window,
+    "mosaic_thresh": q_mosaic_thresh,
     "mosaic_mode": q_mosaic_mode,
     "pixel_trend": q_pixel_trend,
     "rasterize_zones": q_rasterize_zones,

