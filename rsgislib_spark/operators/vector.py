@@ -43,7 +43,9 @@ __all__ = [
     "add_geom_bbox_cols",
     "buffer_bbox_cols",
     "define_grid",
+    "create_hex_grid_bbox",
     "reproj_affine",
+    "reproj_wgs84_to_utm",
     "reproj_webmerc",
     "unwrap_bbox",
     "wgs84_cell_area_m2",
@@ -108,6 +110,61 @@ def define_grid(spark: SparkSession, xmin: float, xmax: float, ymin: float,
     )
 
 
+def create_hex_grid_bbox(spark: SparkSession, xmin: float, xmax: float,
+                         ymin: float, ymax: float, size: float) -> DataFrame:
+    """Hexagon grid covering a bbox — one row per hex VERTEX.
+
+    Reference: ``create_hex_grid_bbox`` / ``create_hex_grid_polys``
+    (vectorutils/createvectors.py:1235-1397) — there h3.polyfill; here a
+    planar pointy-top hex lattice with edge length ``size`` (the
+    H3-free equivalent product: a hex layer a user tiles a bbox with).
+    Centers: cx = xmin + sqrt3*s*(q + (r%2)/2), cy = ymin + 1.5*s*r for
+    centers inside the bbox; vertices at the six 60-degree multiples,
+    whose sin/cos are exact literals (0, ±1/2, ±sqrt3/2 ·s) — so the
+    whole layer is bit-deterministic column arithmetic, no libm.
+    Output: (hex_id, q, r, cx, cy, v_idx, vx, vy).
+    """
+    import math as _m
+
+    s = float(size)
+    sq3 = _m.sqrt(3.0)       # one Python-side constant, embedded as literal
+    w, vstep = sq3 * s, 1.5 * s
+    n_r = max(0, int(_m.floor((ymax - ymin) / vstep)) + 1)
+    n_q = max(0, int(_m.floor((xmax - xmin) / w)) + 1)
+
+    # vertex offsets, pointy-top, counter-clockwise from the top; the
+    # bbox origin is FOLDED INTO the per-vertex literal Python-side so
+    # no expression carries two additive constants (Catalyst would
+    # reassociate `origin + term + offset` and fold the constants in a
+    # different order than the oracle — a 1-ulp divergence)
+    offs = [(0.0, s), (-sq3 / 2 * s, s / 2), (-sq3 / 2 * s, -s / 2),
+            (0.0, -s), (sq3 / 2 * s, -s / 2), (sq3 / 2 * s, s / 2)]
+    off_arr = ", ".join(f"array({xmin + ox!r}, {ymin + oy!r})"
+                        for ox, oy in offs)
+
+    g = (
+        spark.range(n_r * n_q)
+        .select((F.col("id") % n_q).alias("q"),
+                (F.col("id") / n_q).cast("long").alias("r"))
+        .withColumn("cx", F.lit(xmin) + F.lit(w)
+                    * (F.col("q") + F.pmod(F.col("r"), F.lit(2))
+                       .cast("double") * 0.5))
+        .withColumn("cy", F.lit(ymin) + F.lit(vstep) * F.col("r"))
+        .where((F.col("cx") < F.lit(xmax)) & (F.col("cy") < F.lit(ymax)))
+        .withColumn("hex_id", (F.col("r") * n_q + F.col("q")).cast("long"))
+    )
+    out = g.select(
+        "hex_id", "q", "r", "cx", "cy",
+        F.posexplode(F.expr(f"array({off_arr})")).alias("v_idx0", "_o"))
+    return out.select(
+        "hex_id", "q", "r", "cx", "cy",
+        (F.col("v_idx0") + 1).cast("long").alias("v_idx"),
+        (F.element_at("_o", 1) + F.lit(w)
+         * (F.col("q") + F.pmod(F.col("r"), F.lit(2)).cast("double") * 0.5))
+        .alias("vx"),
+        (F.element_at("_o", 2) + F.lit(vstep) * F.col("r")).alias("vy"))
+
+
 def reproj_affine(df: DataFrame, lon: str = "lon", lat: str = "lat",
                   lon0: float = 9.0, lat0: float = 0.0,
                   scale: float = 111320.0, false_easting: float = 500000.0,
@@ -122,6 +179,29 @@ def reproj_affine(df: DataFrame, lon: str = "lon", lat: str = "lat",
         df.withColumn(x_out, (F.col(lon) - F.lit(lon0)) * F.lit(scale)
                       + F.lit(false_easting))
         .withColumn(y_out, (F.col(lat) - F.lit(lat0)) * F.lit(scale))
+    )
+
+
+def reproj_wgs84_to_utm(df: DataFrame, zone: int, lon: str = "lon",
+                        lat: str = "lat", x_out: str = "utm_x",
+                        y_out: str = "utm_y") -> DataFrame:
+    """TRUE WGS84 -> UTM forward transform (transverse Mercator series).
+
+    Reference: ``reproj_wgs84_vec_to_utm`` (vectorutils/__init__.py:2459)
+    and ``reproj_vector_layer`` (:779).  The Snyder series is evaluated
+    with polynomial sin/cos (geo.transverse_mercator) so the doubles are
+    bit-identical in every engine — accuracy ~3e-8 m vs libm, far inside
+    the reference's tolerance.  Southern-hemisphere rows get the 10^7 m
+    false northing (per-point, the reference rule).
+    """
+    from ..geo.transverse_mercator import utm_forward_sql
+
+    ex, ny = utm_forward_sql(lon, lat, int(zone))
+    return (
+        df.withColumn(x_out, F.expr(ex))
+        .withColumn(y_out, F.expr(ny) + F.when(F.col(lat) < 0,
+                                               F.lit(10000000.0))
+                    .otherwise(F.lit(0.0)))
     )
 
 

@@ -656,6 +656,124 @@ FROM zones a JOIN zones b
  AND a.zymax > b.zymin AND b.zymax > a.zymin
 """
 
+from .operators.overlay import clip_rect_expr_sql as _clip_sql  # noqa: E402
+
+_CLIP_D = _clip_sql("duckdb", "verts", "rxmin", "rxmax", "rymin", "rymax")
+
+ORACLES["overlay_intersection"] = f"""
+{_PREFIX},
+tri AS (SELECT zone_id AS poly_id,
+               [[zxmin, zymin], [zxmax, zymin], [zxmin, zymax]] AS verts,
+               zxmin AS pxmin, zxmax AS pxmax,
+               zymin AS pymin, zymax AS pymax
+        FROM zones),
+grid AS (SELECT gid AS rect_id,
+                -180.0 + (gid % 36) * 10.0 AS rxmin,
+                least(-180.0 + (gid % 36 + 1) * 10.0, 180.0) AS rxmax,
+                -60.0 + (gid // 36) * 10.0 AS rymin,
+                least(-60.0 + (gid // 36 + 1) * 10.0, 60.0) AS rymax
+         FROM (SELECT unnest(generate_series(0, 431)) AS gid)),
+cand AS (SELECT t.poly_id, g.rect_id, t.verts,
+                g.rxmin, g.rxmax, g.rymin, g.rymax
+         FROM tri t JOIN grid g
+           ON t.pxmax > g.rxmin AND g.rxmax > t.pxmin
+          AND t.pymax > g.rymin AND g.rymax > t.pymin),
+clipped AS (SELECT poly_id, rect_id,
+                   flatten(list_transform([{_CLIP_D}], _f ->
+                     CASE WHEN len(_f) >= 3 THEN _f
+                          ELSE CAST([] AS DOUBLE[][]) END)) AS cl
+            FROM cand),
+ex AS (SELECT poly_id, rect_id,
+              unnest(generate_series(1, len(cl))) AS v_idx, cl
+       FROM clipped)
+SELECT poly_id, rect_id, CAST(v_idx AS BIGINT) AS v_idx,
+       list_extract(cl, v_idx)[1] AS vx,
+       list_extract(cl, v_idx)[2] AS vy
+FROM ex
+"""
+
+from .operators.geomtransforms import (ring_area2_sql as _ra2,  # noqa: E402
+                                       simplify_ring_sql as _simp)
+
+_RECT_D = ("[[zxmin, zymin], [zxmax, zymin], [zxmax, zymax], "
+           "[zxmin, zymax]]")
+_TRI_D = "[[zxmin, zymin], [zxmax, zymin], [zxmin, zymax]]"
+
+ORACLES["poly_polyline"] = f"""
+{_PREFIX},
+tri AS (SELECT zone_id AS poly_id,
+               [[zxmin, zymin], [zxmax, zymin], [zxmin, zymax],
+                [zxmin, zymin]] AS cl
+        FROM zones),
+e AS (SELECT poly_id, unnest(generate_series(1, len(cl))) AS v_idx, cl
+      FROM tri)
+SELECT poly_id, CAST(v_idx AS BIGINT) AS v_idx,
+       list_extract(cl, v_idx)[1] AS vx, list_extract(cl, v_idx)[2] AS vy
+FROM e
+"""
+
+ORACLES["explode_multi"] = f"""
+{_PREFIX},
+m AS (SELECT zone_id AS geom_id, [{_RECT_D}, {_TRI_D}] AS parts
+      FROM zones),
+e AS (SELECT geom_id, unnest(generate_series(1, len(parts))) AS part_idx,
+             parts
+      FROM m),
+r AS (SELECT geom_id, part_idx,
+             list_extract(parts, part_idx) AS ring
+      FROM e)
+SELECT geom_id, CAST(part_idx AS BIGINT) AS part_idx,
+       CAST(len(ring) AS BIGINT) AS n_verts,
+       abs({_ra2('duckdb', 'ring')}) / 2.0 AS area
+FROM r
+"""
+
+_W_D, _H_D = "(zxmax - zxmin)", "(zymax - zymin)"
+_HOLE1_D = (f"[[zxmin + {_W_D}*0.25, zymin + {_H_D}*0.25], "
+            f"[zxmin + {_W_D}*0.5, zymin + {_H_D}*0.25], "
+            f"[zxmin + {_W_D}*0.5, zymin + {_H_D}*0.5], "
+            f"[zxmin + {_W_D}*0.25, zymin + {_H_D}*0.5]]")
+_HOLE2_D = (f"[[zxmin + {_W_D}*0.1, zymin + {_H_D}*0.1], "
+            f"[zxmin + {_W_D}*0.12, zymin + {_H_D}*0.1], "
+            f"[zxmin + {_W_D}*0.12, zymin + {_H_D}*0.12], "
+            f"[zxmin + {_W_D}*0.1, zymin + {_H_D}*0.12]]")
+
+ORACLES["remove_holes"] = f"""
+{_PREFIX},
+m AS (SELECT zone_id AS geom_id,
+             [{_RECT_D}, {_HOLE1_D}, {_HOLE2_D}] AS rings
+      FROM zones),
+e AS (SELECT geom_id, unnest(generate_series(1, len(rings))) AS ridx,
+             rings
+      FROM m),
+r AS (SELECT geom_id, ridx, list_extract(rings, ridx) AS ring FROM e),
+a AS (SELECT geom_id, ridx, ring,
+             abs({_ra2('duckdb', 'ring')}) / 2.0 AS area
+      FROM r),
+k AS (SELECT * FROM a WHERE ridx = 1 OR area >= 0.1)
+SELECT geom_id,
+       CAST(row_number() OVER (PARTITION BY geom_id ORDER BY ridx)
+            AS BIGINT) AS ring_idx,
+       CAST(len(ring) AS BIGINT) AS n_verts, area
+FROM k
+"""
+
+_MX_D, _MY_D = "((zxmin + zxmax) / 2.0)", "((zymin + zymax) / 2.0)"
+_OCTO_D = (f"[[zxmin, zymin], [{_MX_D}, zymin], [zxmax, zymin], "
+           f"[zxmax, {_MY_D}], [zxmax, zymax], [{_MX_D}, zymax], "
+           f"[zxmin, zymax], [zxmin, {_MY_D}]]")
+
+ORACLES["simplify_geom"] = f"""
+{_PREFIX},
+p AS (SELECT zone_id AS poly_id, {_OCTO_D} AS verts FROM zones),
+s AS (SELECT poly_id, {_simp('duckdb', 'verts', 1e-9)} AS cl FROM p),
+e AS (SELECT poly_id, unnest(generate_series(1, len(cl))) AS v_idx, cl
+      FROM s)
+SELECT poly_id, CAST(v_idx AS BIGINT) AS v_idx,
+       list_extract(cl, v_idx)[1] AS vx, list_extract(cl, v_idx)[2] AS vy
+FROM e
+"""
+
 ORACLES["grid_gen"] = """
 SELECT gid AS grid_id, gid % 36 AS gx, gid // 36 AS gy,
        -180.0 + (gid % 36) * 10.0 AS gxmin,
@@ -669,10 +787,58 @@ SELECT gid AS grid_id, gid % 36 AS gx, gid // 36 AS gy,
 FROM (SELECT unnest(generate_series(0, 431)) AS gid)
 """
 
+def _hex_oracle(xmin: float, xmax: float, ymin: float, ymax: float,
+                size: float) -> str:
+    """DuckDB twin of vector.create_hex_grid_bbox (identical literals)."""
+    import math as _math
+
+    s = float(size)
+    sq3 = _math.sqrt(3.0)
+    w, vstep = sq3 * s, 1.5 * s
+    n_r = max(0, int(_math.floor((ymax - ymin) / vstep)) + 1)
+    n_q = max(0, int(_math.floor((xmax - xmin) / w)) + 1)
+    offs = [(0.0, s), (-sq3 / 2 * s, s / 2), (-sq3 / 2 * s, -s / 2),
+            (0.0, -s), (sq3 / 2 * s, -s / 2), (sq3 / 2 * s, s / 2)]
+    # bbox origin folded into the vertex literals (see
+    # vector.create_hex_grid_bbox — keeps both engines' fp op order
+    # identical)
+    off_list = ", ".join(f"[{xmin + ox!r}, {ymin + oy!r}]"
+                         for ox, oy in offs)
+    def D(x: float) -> str:
+        # bare numeric literals are DECIMAL in DuckDB (exact decimal
+        # arithmetic!) — every constant must be a DOUBLE to match Spark
+        return f"CAST({x!r} AS DOUBLE)"
+
+    off_list = ", ".join(f"[{D(xmin + ox)}, {D(ymin + oy)}]"
+                         for ox, oy in offs)
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n_r * n_q - 1})) AS id),
+g AS (SELECT id % {n_q} AS q, id // {n_q} AS r FROM ids),
+c AS (SELECT q, r,
+             {D(xmin)} + {D(w)} * (q + (r % 2) * CAST(0.5 AS DOUBLE)) AS cx,
+             {D(ymin)} + {D(vstep)} * r AS cy
+      FROM g),
+f AS (SELECT *, CAST(r * {n_q} + q AS BIGINT) AS hex_id
+      FROM c WHERE cx < {D(xmax)} AND cy < {D(ymax)}),
+v AS (SELECT *, unnest(generate_series(1, 6)) AS v_idx FROM f)
+SELECT hex_id, q, r, cx, cy, CAST(v_idx AS BIGINT) AS v_idx,
+       list_extract([{off_list}], v_idx)[1]
+         + {D(w)} * (q + (r % 2) * CAST(0.5 AS DOUBLE)) AS vx,
+       list_extract([{off_list}], v_idx)[2] + {D(vstep)} * r AS vy
+FROM v
+"""
+
+
+ORACLES["hex_grid"] = _hex_oracle(0.0, 10.0, 40.0, 48.0, 0.8)
+
+from .geo.transverse_mercator import utm_forward_sql as _utm  # noqa: E402
+
+_UTM_E, _UTM_N = _utm("qlon", "qlat", 32)
+
 ORACLES["reproj_utm"] = f"""
 {_PREFIX}
-SELECT qid, (qlon - 9.0) * 111320.0 + 500000.0 AS utm_x,
-       (qlat - 0.0) * 111320.0 AS utm_y
+SELECT qid, {_UTM_E} AS utm_x,
+       {_UTM_N} + CASE WHEN qlat < 0 THEN 10000000.0 ELSE 0.0 END AS utm_y
 FROM qpts
 """
 

@@ -21,6 +21,9 @@ from .operators import similarity as simi
 from .operators import textops as tx
 from .operators.mosaic import (mosaic_mode_window, mosaic_thresh_window,
                                mosaic_window, pixel_trend_window)
+from .operators.geomtransforms import (delete_holes, explode_multi,
+                                       poly_to_polyline, simplify_polys)
+from .operators.overlay import overlay_intersection_rect
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
@@ -486,6 +489,81 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
                       "max_pix", "mean_pix", "stddev_pix", "median_pix")
 
 
+def q_overlay_intersection(spark, sf_dir) -> DataFrame:
+    """vec_lyr_intersection_gp with geometry output: triangle zones
+    clipped by the 10-deg world grid — Sutherland–Hodgman entirely in
+    Catalyst array functions, one row per clipped vertex (§2.8, §2.9)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    grid = vec.define_grid(spark, -180.0, 180.0, -60.0, 60.0, 10.0, 10.0) \
+        .select(F.col("grid_id").alias("rect_id"),
+                F.col("gxmin").alias("rxmin"), F.col("gxmax").alias("rxmax"),
+                F.col("gymin").alias("rymin"), F.col("gymax").alias("rymax"))
+    return overlay_intersection_rect(_triangle_zones(zones), grid) \
+        .select("poly_id", "rect_id", "v_idx", "vx", "vy")
+
+
+_RECT_RING = ("array(array(zxmin, zymin), array(zxmax, zymin), "
+              "array(zxmax, zymax), array(zxmin, zymax))")
+_TRI_RING = "array(array(zxmin, zymin), array(zxmax, zymin), array(zxmin, zymax))"
+
+
+def q_poly_polyline(spark, sf_dir) -> DataFrame:
+    """polygon -> closed polyline vertex rows (§2.9,
+    vectorgeoms/__init__.py:20)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    tri = zones.select(F.col("zone_id").alias("poly_id"),
+                       F.expr(_TRI_RING).alias("verts"))
+    return poly_to_polyline(tri).select("poly_id", "v_idx", "vx", "vy")
+
+
+def q_explode_multi(spark, sf_dir) -> DataFrame:
+    """multi -> single parts with per-part area (§2.9,
+    vectorgeoms/__init__.py:1609 explode_vec_lyr)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    multi = zones.select(
+        F.col("zone_id").alias("geom_id"),
+        F.expr(f"array({_RECT_RING}, {_TRI_RING})").alias("parts"))
+    return explode_multi(multi).select("geom_id", "part_idx",
+                                       "n_verts", "area")
+
+
+def q_remove_holes(spark, sf_dir) -> DataFrame:
+    """delete_polygon_holes with area threshold: exterior kept, the
+    large hole survives, the sliver hole drops (§2.9,
+    vectorgeoms/__init__.py:1885)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    w, h = "(zxmax - zxmin)", "(zymax - zymin)"
+    hole1 = (f"array(array(zxmin + {w}*0.25, zymin + {h}*0.25), "
+             f"array(zxmin + {w}*0.5, zymin + {h}*0.25), "
+             f"array(zxmin + {w}*0.5, zymin + {h}*0.5), "
+             f"array(zxmin + {w}*0.25, zymin + {h}*0.5))")
+    hole2 = (f"array(array(zxmin + {w}*0.1, zymin + {h}*0.1), "
+             f"array(zxmin + {w}*0.12, zymin + {h}*0.1), "
+             f"array(zxmin + {w}*0.12, zymin + {h}*0.12), "
+             f"array(zxmin + {w}*0.1, zymin + {h}*0.12))")
+    polys = zones.select(
+        F.col("zone_id").alias("geom_id"),
+        F.expr(f"array({_RECT_RING}, {hole1}, {hole2})").alias("rings"))
+    return delete_holes(polys, area_thres=0.1) \
+        .select("geom_id", "ring_idx", "n_verts", "area")
+
+
+def q_simplify_geom(spark, sf_dir) -> DataFrame:
+    """simplify_geometries (one-pass decimation): rect rings with
+    collinear edge midpoints collapse back to the 4 corners (§2.9,
+    vectorgeoms/__init__.py:1797)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    mx, my = "((zxmin + zxmax) / 2.0)", "((zymin + zymax) / 2.0)"
+    octo = (f"array(array(zxmin, zymin), array({mx}, zymin), "
+            f"array(zxmax, zymin), array(zxmax, {my}), "
+            f"array(zxmax, zymax), array({mx}, zymax), "
+            f"array(zxmin, zymax), array(zxmin, {my}))")
+    polys = zones.select(F.col("zone_id").alias("poly_id"),
+                         F.expr(octo).alias("verts"))
+    return simplify_polys(polys, tolerance=1e-9) \
+        .select("poly_id", "v_idx", "vx", "vy")
+
+
 def q_zonal_stats_hybrid(spark, sf_dir) -> DataFrame:
     """calc_zonal_band_stats_test_poly_pts: polygon stats + centroid
     fallback for empty zones + per-zone 75th percentile (§2.5)."""
@@ -597,10 +675,18 @@ def q_grid_gen(spark, sf_dir) -> DataFrame:
                     "gymin", "gymax", "g_cx", "g_cy")
 
 
+def q_hex_grid(spark, sf_dir) -> DataFrame:
+    """create_hex_grid_bbox: pointy-top hex lattice over a bbox, one
+    row per hex vertex (§2.9, vectorutils/createvectors.py:1235)."""
+    return vec.create_hex_grid_bbox(spark, 0.0, 10.0, 40.0, 48.0, 0.8) \
+        .select("hex_id", "q", "r", "cx", "cy", "v_idx", "vx", "vy")
+
+
 def q_reproj_utm(spark, sf_dir) -> DataFrame:
-    """reproj_wgs84_vec_to_utm-style affine reprojection (§2.9)."""
+    """TRUE reproj_wgs84_vec_to_utm: transverse-Mercator series with
+    polynomial trig — bit-exact across engines (§2.9)."""
     qpts = synth.synth_qpoints(spark, sf_dir)
-    return vec.reproj_affine(qpts, lon="qlon", lat="qlat") \
+    return vec.reproj_wgs84_to_utm(qpts, zone=32, lon="qlon", lat="qlat") \
         .select("qid", "utm_x", "utm_y")
 
 
@@ -929,7 +1015,13 @@ QUERIES = {
     "spatial_select": q_spatial_select,
     "zone_geom_cols": q_zone_geom_cols,
     "grid_gen": q_grid_gen,
+    "hex_grid": q_hex_grid,
     "bbox_algebra": q_bbox_algebra,
+    "overlay_intersection": q_overlay_intersection,
+    "poly_polyline": q_poly_polyline,
+    "explode_multi": q_explode_multi,
+    "remove_holes": q_remove_holes,
+    "simplify_geom": q_simplify_geom,
     "unwrap_bbox": q_unwrap_bbox,
     "reproj_utm": q_reproj_utm,
     "caption_replace": q_caption_replace,
