@@ -44,8 +44,12 @@ __all__ = [
     "band_math_stats",
     "mask_img_stats",
     "conv3x3_stats",
+    "conv_stats",
+    "window_rank_stats",
+    "gaussian_kernel",
     "morph3x3_stats",
     "texture_var3x3_stats",
+    "kuwahara5_stats",
     "savgol5_stats",
     "SOBEL_X",
     "MEAN3",
@@ -314,6 +318,201 @@ def window_rank_stats(images: DataFrame, size: int,
         .withColumnRenamed("sum_pix", f"sum_{stat}") \
         .withColumnRenamed("min_pix", f"min_{stat}") \
         .withColumnRenamed("max_pix", f"max_{stat}")
+
+
+LAPLACIAN3 = ((0, 1, 0), (1, -4, 1), (0, 1, 0))
+
+#: derivable bands over the single-plane payloads (the engine's stand-in
+#: for multi-band imagery): identity, horizontal mirror, vertical flip,
+#: half-intensity
+_BAND_DERIVS = {
+    "b1": lambda a: a,
+    "mirror": lambda a: a[:, ::-1],
+    "flip": lambda a: a[::-1, :],
+    "half": lambda a: a // 2,
+}
+
+
+def band_stack_stats(images: DataFrame, bands) -> DataFrame:
+    """``stack_img_bands`` + ``select_img_bands``: build a band stack
+    and project a subset, with per-band stats rows.
+
+    Reference: ``stack_img_bands`` (imageutils/__init__.py — stack
+    layers into one multiband image) and ``select_img_bands`` (pull a
+    band subset in a given order).  Payloads are single-plane, so the
+    stack's bands are the deterministic derivations in ``_BAND_DERIVS``;
+    ``bands`` is an ordered list of their names (the selection).
+    Output: (image_id, band_pos, band_name, n_pix, sum_pix, min_pix,
+    max_pix) — one row per selected band per image, band_pos = position
+    in the selection (1-based), one decode per image for the whole
+    stack.
+    """
+    sel = [(i + 1, str(b)) for i, b in enumerate(bands)]
+    for _, b in sel:
+        if b not in _BAND_DERIVS:
+            raise ValueError(f"unknown band {b!r}")
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("band_pos", LongType()),
+        StructField("band_name", StringType()),
+        StructField("n_pix", LongType()),
+        StructField("sum_pix", LongType()),
+        StructField("min_pix", LongType()),
+        StructField("max_pix", LongType()),
+    ])
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "band_pos", "band_name",
+                                   "n_pix", "sum_pix", "min_pix",
+                                   "max_pix")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"],
+                                                pdf["bytes"], pdf["w"],
+                                                pdf["h"], pdf["fmt"]):
+                a = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                for pos, name in sel:
+                    b = _BAND_DERIVS[name](a)
+                    out["image_id"].append(image_id)
+                    out["band_pos"].append(pos)
+                    out["band_name"].append(name)
+                    out["n_pix"].append(int(b.size))
+                    out["sum_pix"].append(int(b.sum()))
+                    out["min_pix"].append(int(b.min()))
+                    out["max_pix"].append(int(b.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)
+
+
+def lm_lite_bank() -> dict:
+    """A Leung–Malik-style filter bank from the engine's integer kernels.
+
+    Reference: ``leung_malik_filter_bank`` (imagefilter/__init__.py:950)
+    — a bank of Gaussian smoothings, 1st/2nd derivatives at several
+    scales/orientations and blob filters, applied together.  This bank
+    keeps the exact-integer property: smoothings + x/y derivatives at
+    two scales (y = transposed x kernel), Sobel pair, Laplacian blob.
+    """
+    def t(k):
+        return tuple(tuple(row) for row in zip(*k))
+
+    g3, g5 = gaussian_kernel(3, 0), gaussian_kernel(5, 0)
+    d1, d2 = gaussian_kernel(5, 1), gaussian_kernel(5, 2)
+    return {
+        "gauss3": g3, "gauss5": g5,
+        "d1x5": d1, "d1y5": t(d1),
+        "d2x5": d2, "d2y5": t(d2),
+        "sobel_x": SOBEL_X, "sobel_y": t(SOBEL_X),
+        "laplace3": LAPLACIAN3,
+    }
+
+
+def filter_bank_stats(images: DataFrame, kernels: dict) -> DataFrame:
+    """Apply a whole filter bank in ONE decode pass per image.
+
+    ``kernels``: {name: odd k x k integer kernel}.  Each image is
+    decoded once and every kernel convolves the same plane (the filter-
+    bank execution shape the reference's ``apply_filters`` uses —
+    imagefilter/__init__.py:20, one reader pass, many outputs).
+    Output: (image_id, kernel_id, n_interior, sum_conv, min_conv,
+    max_conv) — one row per (image, kernel).
+    """
+    banks = {str(name): [[int(v) for v in row] for row in k]
+             for name, k in kernels.items()}
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("kernel_id", StringType()),
+        StructField("n_interior", LongType()),
+        StructField("sum_conv", LongType()),
+        StructField("min_conv", LongType()),
+        StructField("max_conv", LongType()),
+    ])
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "kernel_id", "n_interior",
+                                   "sum_conv", "min_conv", "max_conv")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"],
+                                                pdf["bytes"], pdf["w"],
+                                                pdf["h"], pdf["fmt"]):
+                a = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                hh, ww = a.shape
+                for name, k in banks.items():
+                    ksz = len(k)
+                    r = ksz // 2
+                    if hh < ksz or ww < ksz:
+                        continue
+                    acc = np.zeros((hh - 2 * r, ww - 2 * r), np.int64)
+                    for dy in range(-r, r + 1):
+                        for dx in range(-r, r + 1):
+                            kv = k[dy + r][dx + r]
+                            if kv:
+                                acc += kv * a[r + dy:hh - r + dy,
+                                              r + dx:ww - r + dx]
+                    out["image_id"].append(image_id)
+                    out["kernel_id"].append(name)
+                    out["n_interior"].append(int(acc.size))
+                    out["sum_conv"].append(int(acc.sum()))
+                    out["min_conv"].append(int(acc.min()))
+                    out["max_conv"].append(int(acc.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)
+
+
+def kuwahara5_stats(images: DataFrame) -> DataFrame:
+    """Kuwahara 5x5 adaptive smoothing, 9-scaled integer-exact (§2.6).
+
+    Reference: ``apply_kuwahara_filter`` (imagefilter/__init__.py:570;
+    C++ kernel python/src/imagefilter.cpp) — per pixel, the four
+    overlapping 3x3 quadrants of the 5x5 window are ranked by variance
+    and the output is the mean of the least-variance quadrant
+    (tie -> first quadrant in NW, NE, SW, SE order).  Here the output
+    keeps the exact integer numerator (quadrant SUM, i.e. 9x the mean)
+    so the whole filter is oracle-checkable; variance ranking compares
+    the exact ints 9*ss - s^2.
+    """
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < 5 or w < 5:
+            return np.zeros((0,), dtype=np.int64)
+        oh, ow = h - 4, w - 4
+        # 3x3 window sums/sumsqs at every position via shifted adds
+        s3 = np.zeros((h - 2, w - 2), dtype=np.int64)
+        ss3 = np.zeros((h - 2, w - 2), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                v = a[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                s3 += v
+                ss3 += v * v
+        # quadrant centers relative to the 5x5 center: NW(-1,-1),
+        # NE(-1,+1), SW(+1,-1), SE(+1,+1) in the (h-2, w-2) sum grid
+        quads = [(0, 0), (0, 2), (2, 0), (2, 2)]
+        key = None
+        sel = None
+        for qi, (qy, qx) in enumerate(quads):
+            s = s3[qy:qy + oh, qx:qx + ow]
+            ss = ss3[qy:qy + oh, qx:qx + ow]
+            k = (9 * ss - s * s) * 4 + qi      # tie -> lowest index
+            if key is None:
+                key, sel = k, s.copy()
+            else:
+                better = k < key
+                key = np.where(better, k, key)
+                sel = np.where(better, s, sel)
+        return sel
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_k9") \
+        .withColumnRenamed("min_pix", "min_k9") \
+        .withColumnRenamed("max_pix", "max_k9")
 
 
 def _binomial_row(n_taps: int) -> np.ndarray:

@@ -43,7 +43,7 @@ from pyspark.sql.types import (ArrayType, DoubleType, LongType, StructField,
 from ..functions import codec
 
 __all__ = ["mosaic_window", "mosaic_thresh_window", "mosaic_mode_window",
-           "pixel_trend_window"]
+           "composite_max_index_window", "pixel_trend_window"]
 
 _ENC_LAST = 2048                 # id * 2048 + v
 _ENC_IDX = 1 << 40               # v * 2^40 + id
@@ -349,6 +349,111 @@ def pixel_trend_window(images: DataFrame, x0: float, y0: float,
 
     return cand.mapInPandas(partials, schema=_TREND_PARTIAL_SCHEMA) \
         .groupBy("window_id").applyInPandas(merge, schema=_TREND_OUT_SCHEMA)
+
+
+_CMI_PARTIAL_SCHEMA = StructType([
+    StructField("window_id", LongType()),
+    StructField("cnt", ArrayType(LongType())),
+    StructField("enc", ArrayType(LongType())),
+])
+
+_CMI_OUT_SCHEMA = StructType([
+    StructField("px", LongType()),
+    StructField("py", LongType()),
+    StructField("n_imgs", LongType()),
+    StructField("best_idx", LongType()),
+    StructField("best_id", LongType()),
+    StructField("best_v", LongType()),
+])
+
+#: composite encoding limits: |index| < 2^21, id < 2^21, v < 2^11
+_CMI_IDX_OFF = 1 << 21
+_CMI_ID_SHIFT = 1 << 32
+_CMI_V_SHIFT = 1 << 11
+
+
+def composite_max_index_window(images: DataFrame, x0: float, y0: float,
+                               npx: int, npy: int, res: float) -> DataFrame:
+    """Max-index composite: per output pixel, keep the source pixel whose
+    NDVI-shaped index is largest (ties -> larger image id), in ONE pass.
+
+    The reference's two-stage pipeline — ``get_img_idx_for_stat`` to
+    build the index raster, then ``create_ref_img_composite_img`` to
+    gather pixels by it (python/src/imageutils.cpp method table; the
+    classic max-NDVI compositing workflow) — fuses into a single
+    order-encoded max:
+
+        enc = (idx + 2^21) * 2^32 + id * 2^11 + v
+
+    which is associative/commutative, so partials merge exactly like
+    :func:`mosaic_window`'s.  Index = ``floor((b2-b1)*1e6/(b2+b1+1))``
+    (|idx| <= 1e6 < 2^21; b2 = mirrored plane — the engine's standing
+    two-band stand-in, see imagemath.index_scaled_stats).
+    Encoding limits: ~2M distinct image ids and 11-bit pixel values;
+    beyond that, widen to a struct max (documented, not needed here).
+    """
+    xw, yh = x0 + npx * res, y0 + npy * res
+    cand = images.where(
+        (F.col("xmax") > F.lit(x0)) & (F.col("xmin") < F.lit(xw))
+        & (F.col("ymax") > F.lit(y0)) & (F.col("ymin") < F.lit(yh))
+    ).select("id", "bytes", "w", "h", "fmt", "xmin", "xmax", "ymin", "ymax")
+
+    cxs = x0 + (np.arange(npx, dtype=np.float64) + 0.5) * res
+    cys = y0 + (np.arange(npy, dtype=np.float64) + 0.5) * res
+
+    def partials(it):
+        for pdf in it:
+            n = npx * npy
+            cnt = np.zeros(n, np.int64)
+            enc = np.full(n, -1, np.int64)
+            c2 = cnt.reshape(npy, npx)
+            e2 = enc.reshape(npy, npx)
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode_image(bytes(row.bytes), int(row.w),
+                                         int(row.h), str(row.fmt))
+                sel_x = np.nonzero((cxs >= row.xmin) & (cxs < row.xmax))[0]
+                sel_y = np.nonzero((cys > row.ymin) & (cys <= row.ymax))[0]
+                if sel_x.size == 0 or sel_y.size == 0:
+                    continue
+                sx = np.minimum(np.floor((cxs[sel_x] - row.xmin) / res)
+                                .astype(np.int64), int(row.w) - 1)
+                sy = np.minimum(np.floor((row.ymax - cys[sel_y]) / res)
+                                .astype(np.int64), int(row.h) - 1)
+                b1 = arr.astype(np.int64)
+                b2 = b1[:, ::-1]
+                idx_plane = np.floor(
+                    (b2 - b1) * 1000000.0 / (b2 + b1 + 1)).astype(np.int64)
+                v = b1[np.ix_(sy, sx)]
+                ix_v = idx_plane[np.ix_(sy, sx)]
+                iid = int(row.id)
+                e_new = ((ix_v + _CMI_IDX_OFF) * _CMI_ID_SHIFT
+                         + iid * _CMI_V_SHIFT + v)
+                ix = np.ix_(sel_y, sel_x)
+                c2[ix] += 1
+                e2[ix] = np.maximum(e2[ix], e_new)
+            yield pd.DataFrame({"window_id": [0], "cnt": [cnt],
+                                "enc": [enc]})
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = npx * npy
+        cnt = np.zeros(n, np.int64)
+        enc = np.full(n, -1, np.int64)
+        for r in pdf.itertuples(index=False):
+            cnt += np.asarray(r.cnt, np.int64)
+            enc = np.maximum(enc, np.asarray(r.enc, np.int64))
+        covered = np.nonzero(cnt > 0)[0]
+        e = enc[covered]
+        return pd.DataFrame({
+            "px": covered % npx,
+            "py": covered // npx,
+            "n_imgs": cnt[covered],
+            "best_idx": e // _CMI_ID_SHIFT - _CMI_IDX_OFF,
+            "best_id": (e % _CMI_ID_SHIFT) // _CMI_V_SHIFT,
+            "best_v": e % _CMI_V_SHIFT,
+        })
+
+    return cand.mapInPandas(partials, schema=_CMI_PARTIAL_SCHEMA) \
+        .groupBy("window_id").applyInPandas(merge, schema=_CMI_OUT_SCHEMA)
 
 
 _MODE_PARTIAL_SCHEMA = StructType([

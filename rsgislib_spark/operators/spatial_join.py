@@ -53,6 +53,7 @@ __all__ = [
     "with_bbox_cells",
     "spatial_join",
     "spatial_join_poly",
+    "vec_intersects_vec",
     "spatial_select",
     "JOIN_OPS",
     "JOIN_HOWS",
@@ -320,3 +321,78 @@ def spatial_select(base: DataFrame, roi: DataFrame, **kw) -> DataFrame:
     """
     kw.setdefault("op", "intersects")
     return spatial_join(base, roi, how="semi", **kw)
+
+
+_VIV_SCHEMA = "zone_id long, hit long"
+
+
+def vec_intersects_vec(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    *,
+    a_key: str = "poly_id",
+    b_key: str = "poly_id",
+    verts_col: str = "verts",
+    exclude_same_key: bool = False,
+) -> DataFrame:
+    """Layer-vs-layer polygon boolean join: ``vec_intersects_vec``.
+
+    Reference: the exists-join family (``vec_intersects_vec`` /
+    ``vec_within_vec`` ..., vectorutils/__init__.py) — for every A
+    feature, whether (and how many) B features it intersects.  Candidate
+    pairs come from an INCLUSIVE bbox join (touching bboxes are
+    candidates, matching ``geo.geometry.polys_intersect``'s strict-only
+    rejection); the exact test is the ``polys_intersect`` kernel run
+    over Arrow batches on the candidates' existing partitioning (the
+    same shuffle-free refine shape as ``spatial_join_poly``).
+
+    Both layers need (key, verts array<array<double>>, pxmin/pxmax/
+    pymin/pymax).  Output: one row per A feature — (a_key,
+    n_intersecting, any_intersects), zeros kept.
+    """
+    from ..geo.geometry import polys_intersect
+
+    a = polys_a.select(F.col(a_key).alias("_ak"),
+                       F.col(verts_col).alias("_av"),
+                       F.col("pxmin").alias("_axmin"),
+                       F.col("pxmax").alias("_axmax"),
+                       F.col("pymin").alias("_aymin"),
+                       F.col("pymax").alias("_aymax"))
+    b = polys_b.select(F.col(b_key).alias("_bk"),
+                       F.col(verts_col).alias("_bv"),
+                       F.col("pxmin").alias("_bxmin"),
+                       F.col("pxmax").alias("_bxmax"),
+                       F.col("pymin").alias("_bymin"),
+                       F.col("pymax").alias("_bymax"))
+    cond = ((F.col("_axmax") >= F.col("_bxmin"))
+            & (F.col("_bxmax") >= F.col("_axmin"))
+            & (F.col("_aymax") >= F.col("_bymin"))
+            & (F.col("_bymax") >= F.col("_aymin")))
+    if exclude_same_key:
+        cond = cond & (F.col("_ak") != F.col("_bk"))
+    # column names without leading underscores: itertuples drops those
+    cand = a.join(F.broadcast(b), cond, "inner") \
+        .select(F.col("_ak").alias("zone_id"), F.col("_av").alias("av"),
+                F.col("_bv").alias("bv"))
+
+    def refine(it):
+        for pdf in it:
+            out = {"zone_id": [], "hit": []}
+            for row in pdf.itertuples(index=False):
+                pa = np.asarray([list(v) for v in row.av], np.float64)
+                pb = np.asarray([list(v) for v in row.bv], np.float64)
+                out["zone_id"].append(int(row.zone_id))
+                out["hit"].append(int(polys_intersect(pa, pb)))
+            yield pd.DataFrame(out)
+
+    agg = (
+        cand.mapInPandas(refine, _VIV_SCHEMA)
+        .groupBy("zone_id").agg(F.sum("hit").alias("n_intersecting"))
+    )
+    return (
+        polys_a.select(F.col(a_key).alias("zone_id"))
+        .join(agg, "zone_id", "left")
+        .fillna({"n_intersecting": 0})
+        .withColumn("any_intersects", F.col("n_intersecting") > 0)
+        .withColumnRenamed("zone_id", a_key)
+    )

@@ -40,7 +40,7 @@ from ..geo.cellindex import DEFAULT_RES
 from .spatial_join import with_bbox_cells
 
 __all__ = ["zonal_stats", "zonal_stats_poly", "zonal_stats_hybrid",
-           "extract_point_values", "HIST_BINS"]
+           "mask_by_vec_stats", "extract_point_values", "HIST_BINS"]
 
 HIST_BINS = 1024  # pixel values are < 1024 in every supported format
 
@@ -256,6 +256,82 @@ def zonal_stats_poly(
                  "stddev_pix", "median_pix", "mode_pix"]
     return out.fillna({c: out_no_data_val for c in stat_cols}) \
         .withColumnRenamed("zone_id", poly_key)
+
+
+_MASKVEC_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_in", LongType()),
+    StructField("sum_in", LongType()),
+    StructField("min_in", LongType()),
+    StructField("max_in", LongType()),
+])
+
+
+def mask_by_vec_stats(
+    images: DataFrame,
+    zones: DataFrame,
+    *,
+    res: int = DEFAULT_RES,
+    res_deg: float = 0.001,
+) -> DataFrame:
+    """``mask_img_with_vec`` / ``subset_to_vec``: per-image stats of the
+    pixels inside the vector layer (center in ANY zone, counted once).
+
+    Reference: ``mask_img_with_vec`` (imageutils/__init__.py — rasterize
+    the layer, mask the image) and ``subset_to_vec``.  The OR-mask must
+    see every zone of an image at once (per-(image,zone) partials would
+    double-count overlap pixels), so the zone RECTS are aggregated into
+    one small list per image and broadcast-joined back — the byte
+    payloads never cross a shuffle, and the Arrow kernel stays
+    row-independent (each row carries its image + its zone list).
+    Images with no pixel inside any zone emit no row.
+    """
+    zc = with_bbox_cells(zones.select("zone_id", "zxmin", "zxmax",
+                                      "zymin", "zymax"),
+                         "zxmin", "zxmax", "zymin", "zymax", res=res)
+    ic = with_bbox_cells(images.select("image_id", "xmin", "xmax",
+                                       "ymin", "ymax"),
+                         "xmin", "xmax", "ymin", "ymax", res=res)
+    pairs = (
+        ic.join(F.broadcast(zc), "cell", "inner")
+        .where((F.col("xmax") > F.col("zxmin")) & (F.col("zxmax") > F.col("xmin"))
+               & (F.col("ymax") > F.col("zymin")) & (F.col("zymax") > F.col("ymin")))
+        .select("image_id", "zone_id", "zxmin", "zxmax", "zymin", "zymax")
+        .dropDuplicates(["image_id", "zone_id"])
+    )
+    rects = pairs.groupBy("image_id").agg(
+        F.collect_list(F.struct("zxmin", "zxmax", "zymin", "zymax"))
+        .alias("zrects"))
+    work = images.select("image_id", "bytes", "w", "h", "fmt",
+                         "xmin", "ymax") \
+        .join(F.broadcast(rects), "image_id", "inner")
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_in", "sum_in",
+                                   "min_in", "max_in")}
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode_image(bytes(row.bytes), int(row.w),
+                                         int(row.h), str(row.fmt)) \
+                    .astype(np.int64)
+                cx = float(row.xmin) + (np.arange(int(row.w)) + 0.5) * res_deg
+                cy = float(row.ymax) - (np.arange(int(row.h)) + 0.5) * res_deg
+                mask = np.zeros((int(row.h), int(row.w)), dtype=bool)
+                for r in row.zrects:
+                    in_x = (cx >= r["zxmin"]) & (cx < r["zxmax"])
+                    in_y = (cy >= r["zymin"]) & (cy < r["zymax"])
+                    mask |= in_y[:, None] & in_x[None, :]
+                vals = arr[mask]
+                if vals.size == 0:
+                    continue
+                out["image_id"].append(row.image_id)
+                out["n_in"].append(int(vals.size))
+                out["sum_in"].append(int(vals.sum()))
+                out["min_in"].append(int(vals.min()))
+                out["max_in"].append(int(vals.max()))
+            yield pd.DataFrame(out)
+
+    return work.mapInPandas(gen, schema=_MASKVEC_SCHEMA)
 
 
 _EXTRACT_SCHEMA = StructType([

@@ -344,6 +344,147 @@ ORACLES["filter_mode3"] = _conv_oracle(
 ORACLES["filter_range5"] = _conv_oracle(
     f"list_max({_L5}) - list_min({_L5})", r=2, suffix="range")
 
+# Kuwahara 5x5: four overlapping 3x3 quadrant (sum, sumsq) pairs from
+# closed-form pixel values; least-variance quadrant wins (exact integer
+# keys, ties -> NW,NE,SW,SE order via the *4+i encoding)
+def _kuwahara_term() -> str:
+    quads = []
+    for qi, (dy0, dx0) in enumerate(((-1, -1), (-1, 1), (1, -1), (1, 1))):
+        terms = [_pxv_at(dx0 + dx, dy0 + dy)
+                 for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        s = "(" + " + ".join(terms) + ")"
+        ss = "(" + " + ".join(f"({t}) * ({t})" for t in terms) + ")"
+        k = f"((9 * {ss} - {s} * {s}) * 4 + {qi})"
+        quads.append((k, s))
+    least = "least(" + ", ".join(k for k, _ in quads) + ")"
+    case = " ".join(f"WHEN {k} THEN {s}" for k, s in quads)
+    return f"(CASE {least} {case} END)"
+
+
+ORACLES["filter_kuwahara"] = _conv_oracle(_kuwahara_term(), r=2,
+                                          suffix="k9")
+
+ORACLES["band_select"] = f"""
+{_PREFIX},
+{_px_cte(mod=19)},
+px AS (SELECT image_id, {_PXV} AS v FROM pxy)
+SELECT image_id, CAST(1 AS BIGINT) AS band_pos, 'half' AS band_name,
+       count(*) AS n_pix, CAST(sum(v // 2) AS BIGINT) AS sum_pix,
+       CAST(min(v // 2) AS BIGINT) AS min_pix,
+       CAST(max(v // 2) AS BIGINT) AS max_pix
+FROM px GROUP BY image_id
+UNION ALL
+SELECT image_id, CAST(2 AS BIGINT), 'b1',
+       count(*), CAST(sum(v) AS BIGINT),
+       CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT)
+FROM px GROUP BY image_id
+UNION ALL
+-- the mirror band is a permutation of b1, so its whole-image stats are
+-- identical by construction
+SELECT image_id, CAST(3 AS BIGINT), 'mirror',
+       count(*), CAST(sum(v) AS BIGINT),
+       CAST(min(v) AS BIGINT), CAST(max(v) AS BIGINT)
+FROM px GROUP BY image_id
+"""
+
+
+def _filter_bank_oracle() -> str:
+    """UNION ALL of per-kernel conv oracles, tagged with kernel_id."""
+    from .operators.imagemath import lm_lite_bank
+
+    parts = []
+    for name, k in lm_lite_bank().items():
+        r = len(k) // 2
+        term = _kernel_term(k)
+        parts.append(f"""
+SELECT image_id, '{name}' AS kernel_id, count(*) AS n_interior,
+       CAST(sum(s) AS BIGINT) AS sum_conv,
+       CAST(min(s) AS BIGINT) AS min_conv,
+       CAST(max(s) AS BIGINT) AS max_conv
+FROM (
+  SELECT image_id, {term} AS s
+  FROM (SELECT *, unnest(generate_series({r}, h - {r + 1})) AS y
+        FROM (SELECT image_id, id, w, h, fmt,
+                     unnest(generate_series({r}, w - {r + 1})) AS x
+              FROM img WHERE id % 19 = 0)))
+GROUP BY image_id""")
+    return _PREFIX + "\n" + "\nUNION ALL\n".join(parts)
+
+
+ORACLES["filter_bank"] = _filter_bank_oracle()
+
+ORACLES["block_iter_batches"] = f"""
+{_PREFIX},
+g AS (
+  SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+         CAST(ceil(w / 48.0) AS BIGINT) AS cols,
+         CAST(ceil(h / 48.0) AS BIGINT) AS rows_
+  FROM img),
+t AS (
+  SELECT *, unnest(generate_series(0, cols * rows_ - 1)) AS block_idx FROM g),
+c AS (
+  SELECT *, greatest(least((block_idx % cols) * 48, w - 48), 0) AS x0,
+            greatest(least((block_idx // cols) * 48, h - 48), 0) AS y0
+  FROM t)
+SELECT image_id, block_idx, block_idx // 8 AS batch_id,
+       block_idx % 8 AS pos_in_batch, x0 AS bxmin, y0 AS bymin
+FROM c
+"""
+
+_PXSRC_B2 = synth.pixel_value_sql("id", "(w - 1 - sx)", "sy", "fmt")
+
+ORACLES["composite_max_ndvi"] = f"""
+{_PREFIX},
+gx AS (SELECT unnest(generate_series(0, 59)) AS px),
+gy AS (SELECT unnest(generate_series(0, 59)) AS py),
+grid AS (SELECT px, py, 10.0 + (px + 0.5) * 0.001 AS cx,
+                45.0 + (py + 0.5) * 0.001 AS cy
+         FROM gx, gy),
+j AS (SELECT g.px, g.py, i.id, i.fmt, i.w,
+             least(CAST(floor((g.cx - i.xmin) / 0.001) AS BIGINT),
+                   i.w - 1) AS sx,
+             least(CAST(floor((i.ymax - g.cy) / 0.001) AS BIGINT),
+                   i.h - 1) AS sy
+      FROM grid g JOIN imgf i
+        ON i.id % 5 = 0
+       AND g.cx >= i.xmin AND g.cx < i.xmax
+       AND g.cy > i.ymin AND g.cy <= i.ymax),
+v AS (SELECT px, py, id,
+             {synth.pixel_value_sql("id", "sx", "sy", "fmt")} AS v,
+             CAST(floor((({_PXSRC_B2} - {synth.pixel_value_sql("id", "sx", "sy", "fmt")}) * 1000000.0)
+                        / ({_PXSRC_B2} + {synth.pixel_value_sql("id", "sx", "sy", "fmt")} + 1)) AS BIGINT) AS idx
+      FROM j),
+e AS (SELECT px, py, count(*) AS n_imgs,
+             max((idx + 2097152) * 4294967296 + id * 2048 + v) AS enc
+      FROM v GROUP BY px, py)
+SELECT px, py, n_imgs,
+       enc // 4294967296 - 2097152 AS best_idx,
+       (enc % 4294967296) // 2048 AS best_id,
+       enc % 2048 AS best_v
+FROM e
+"""
+
+ORACLES["mask_img_vec"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM imgf WHERE id % 7 = 0),
+px AS (SELECT image_id,
+              xmin + (x + 0.5) * {synth.IMG_RES_DEG} AS cx,
+              ymax - (y + 0.5) * {synth.IMG_RES_DEG} AS cy,
+              {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs))
+SELECT image_id, count(*) AS n_in,
+       CAST(sum(v) AS BIGINT) AS sum_in,
+       CAST(min(v) AS BIGINT) AS min_in,
+       CAST(max(v) AS BIGINT) AS max_in
+FROM px p
+WHERE EXISTS (SELECT 1 FROM zones z
+              WHERE p.cx >= z.zxmin AND p.cx < z.zxmax
+                AND p.cy >= z.zymin AND p.cy < z.zymax)
+GROUP BY image_id
+"""
+
 # gaussian-family kernels: the integer kernels are operator PARAMETERS
 # (like tile size 48) — the oracle shares the constants, not the
 # execution path (Spark convolves numpy planes; DuckDB sums closed-form
@@ -772,6 +913,62 @@ e AS (SELECT poly_id, unnest(generate_series(1, len(cl))) AS v_idx, cl
 SELECT poly_id, CAST(v_idx AS BIGINT) AS v_idx,
        list_extract(cl, v_idx)[1] AS vx, list_extract(cl, v_idx)[2] AS vy
 FROM e
+"""
+
+def _tri_intersect_pred() -> str:
+    """Triangle-vs-triangle intersects predicate over pair columns
+    (axmn/axmx/aymn/aymx, bxmn/...), unrolled to plain arithmetic —
+    the exact algorithm of geo.geometry.polys_intersect (first-vertex
+    PIP both ways + 3x3 proper edge crossings)."""
+    ta = [("axmn", "aymn"), ("axmx", "aymn"), ("axmn", "aymx")]
+    tb = [("bxmn", "bymn"), ("bxmx", "bymn"), ("bxmn", "bymx")]
+
+    def pip(px, py, tri):
+        edges = [(tri[-1], tri[0]), (tri[0], tri[1]), (tri[1], tri[2])]
+        terms = []
+        for (x1, y1), (x2, y2) in edges:
+            terms.append(
+                f"CASE WHEN (({y1} > {py}) != ({y2} > {py})) AND "
+                f"{px} < {x1} + ({py} - {y1}) * ({x2} - {x1})"
+                f" / ({y2} - {y1}) THEN 1 ELSE 0 END")
+        return f"((({') + ('.join(terms)})) % 2 = 1)"
+
+    def orient(a, b, c):
+        return (f"(({b[0]} - {a[0]}) * ({c[1]} - {a[1]})"
+                f" - ({b[1]} - {a[1]}) * ({c[0]} - {a[0]}))")
+
+    hits = []
+    ea = [(ta[i], ta[(i + 1) % 3]) for i in range(3)]
+    eb = [(tb[i], tb[(i + 1) % 3]) for i in range(3)]
+    for p1, p2 in ea:
+        for q1, q2 in eb:
+            d1, d2 = orient(p1, p2, q1), orient(p1, p2, q2)
+            d3, d4 = orient(q1, q2, p1), orient(q1, q2, p2)
+            hits.append(f"((({d1} > 0) != ({d2} > 0))"
+                        f" AND (({d3} > 0) != ({d4} > 0)))")
+    return (f"({pip(ta[0][0], ta[0][1], tb)}"
+            f" OR {pip(tb[0][0], tb[0][1], ta)}"
+            f" OR {' OR '.join(hits)})")
+
+
+ORACLES["vec_intersects"] = f"""
+{_PREFIX},
+pair AS (SELECT a.zone_id AS za,
+                a.zxmin AS axmn, a.zxmax AS axmx,
+                a.zymin AS aymn, a.zymax AS aymx,
+                b.zxmin AS bxmn, b.zxmax AS bxmx,
+                b.zymin AS bymn, b.zymax AS bymx
+         FROM zones a JOIN zones b
+           ON a.zone_id != b.zone_id
+          AND a.zxmax >= b.zxmin AND b.zxmax >= a.zxmin
+          AND a.zymax >= b.zymin AND b.zymax >= a.zymin),
+hit AS (SELECT za,
+               CASE WHEN {_tri_intersect_pred()} THEN 1 ELSE 0 END AS h
+        FROM pair),
+agg AS (SELECT za, CAST(sum(h) AS BIGINT) AS n FROM hit GROUP BY za)
+SELECT z.zone_id, coalesce(a.n, 0) AS n_intersecting,
+       coalesce(a.n, 0) > 0 AS any_intersects
+FROM zones z LEFT JOIN agg a ON z.zone_id = a.za
 """
 
 ORACLES["grid_gen"] = """

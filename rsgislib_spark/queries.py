@@ -19,8 +19,9 @@ from . import synth
 from .operators import imagemath as im
 from .operators import similarity as simi
 from .operators import textops as tx
-from .operators.mosaic import (mosaic_mode_window, mosaic_thresh_window,
-                               mosaic_window, pixel_trend_window)
+from .operators.mosaic import (composite_max_index_window, mosaic_mode_window,
+                               mosaic_thresh_window, mosaic_window,
+                               pixel_trend_window)
 from .operators.geomtransforms import (delete_holes, explode_multi,
                                        poly_to_polyline, simplify_polys)
 from .operators.overlay import overlay_intersection_rect
@@ -29,11 +30,13 @@ from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
 from .operators.knn import match_closest_points, npts_in_radius
 from .operators.spatial_join import (spatial_join, spatial_join_poly,
-                                     spatial_select, with_point_cell)
+                                     spatial_select, vec_intersects_vec,
+                                     with_point_cell)
 from .operators.tiling import (block_iter_specs, tile_pixels, tile_spec_df,
                                tile_spec_offset_df)
-from .operators.zonal import (extract_point_values, zonal_stats,
-                              zonal_stats_hybrid, zonal_stats_poly)
+from .operators.zonal import (extract_point_values, mask_by_vec_stats,
+                              zonal_stats, zonal_stats_hybrid,
+                              zonal_stats_poly)
 from .plans.lineage import lineage_records
 from .session import load_tables
 from .sources.imagelut import build_img_lut, query_img_lut
@@ -489,6 +492,16 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
                       "max_pix", "mean_pix", "stddev_pix", "median_pix")
 
 
+def q_vec_intersects(spark, sf_dir) -> DataFrame:
+    """vec_intersects_vec exists-join: for each triangle zone, how many
+    OTHER zone triangles it intersects (§2.3)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    tri = _triangle_zones(zones)
+    return vec_intersects_vec(tri, tri, exclude_same_key=True) \
+        .select(F.col("poly_id").alias("zone_id"), "n_intersecting",
+                "any_intersects")
+
+
 def q_overlay_intersection(spark, sf_dir) -> DataFrame:
     """vec_lyr_intersection_gp with geometry output: triangle zones
     clipped by the 10-deg world grid — Sutherland–Hodgman entirely in
@@ -723,6 +736,64 @@ def q_mosaic_window(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=5, with_footprint=True)
     return mosaic_window(img, 10.0, 45.0, 60, 60, 0.001) \
         .select("px", "py", "n_imgs", "v_last", "v_min", "v_max", "idx_max")
+
+
+def q_band_select(spark, sf_dir) -> DataFrame:
+    """stack_img_bands + select_img_bands: 3-band stack, reordered
+    2-band selection, per-band stats (§2.2)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.band_stack_stats(img, ["half", "b1", "mirror"]) \
+        .select("image_id", "band_pos", "band_name", "n_pix", "sum_pix",
+                "min_pix", "max_pix")
+
+
+def q_filter_bank(spark, sf_dir) -> DataFrame:
+    """leung_malik_filter_bank (LM-lite): 9 integer kernels in one
+    decode pass per image (§2.6, imagefilter/__init__.py:950)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.filter_bank_stats(img, im.lm_lite_bank()) \
+        .select("image_id", "kernel_id", "n_interior", "sum_conv",
+                "min_conv", "max_conv")
+
+
+def q_filter_kuwahara(spark, sf_dir) -> DataFrame:
+    """apply_kuwahara_filter 5x5: least-variance quadrant mean, 9-scaled
+    exact (§2.6, imagefilter/__init__.py:570)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.kuwahara5_stats(img) \
+        .select("image_id", "n_interior", "sum_k9", "min_k9", "max_k9")
+
+
+def q_composite_max_ndvi(spark, sf_dir) -> DataFrame:
+    """max-NDVI composite: get_img_idx_for_stat + gather fused into one
+    order-encoded max pass (§2.4)."""
+    img = _px_images(spark, sf_dir, mod=5, with_footprint=True)
+    return composite_max_index_window(img, 10.0, 45.0, 60, 60, 0.001) \
+        .select("px", "py", "n_imgs", "best_idx", "best_id", "best_v")
+
+
+def q_block_iter_batches(spark, sf_dir) -> DataFrame:
+    """StdImgBlockIterBatches: block windows grouped into fixed-size
+    batches (§2.4, imageutils/stdimgblockiter.py batched variant)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    t = block_iter_specs(img, 48, 48)
+    return t.select(
+        "image_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        (F.col("block_idx") / 8).cast("long").alias("batch_id"),
+        (F.col("block_idx") % 8).cast("long").alias("pos_in_batch"),
+        F.col("bxmin").cast("long").alias("bxmin"),
+        F.col("bymin").cast("long").alias("bymin"),
+    )
+
+
+def q_mask_img_vec(spark, sf_dir) -> DataFrame:
+    """mask_img_with_vec / subset_to_vec: per-image stats of pixels
+    inside ANY zone, overlap counted once (§2.1, §2.2)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    return mask_by_vec_stats(img, zones) \
+        .select("image_id", "n_in", "sum_in", "min_in", "max_in")
 
 
 def q_mosaic_thresh(spark, sf_dir) -> DataFrame:
@@ -1013,6 +1084,7 @@ QUERIES = {
     "sjoin_right_within": q_sjoin_right_within,
     "sjoin_bbox_intersects": q_sjoin_bbox_intersects,
     "spatial_select": q_spatial_select,
+    "vec_intersects": q_vec_intersects,
     "zone_geom_cols": q_zone_geom_cols,
     "grid_gen": q_grid_gen,
     "hex_grid": q_hex_grid,
@@ -1033,6 +1105,7 @@ QUERIES = {
     "tile_specs_overlap": q_tile_specs_overlap,
     "tile_specs_offset": q_tile_specs_offset,
     "block_iter": q_block_iter,
+    "block_iter_batches": q_block_iter_batches,
     "point_extract": q_point_extract,
     "zonal_centroid": q_zonal_centroid,
     "knn_closest": q_knn_closest,
@@ -1070,6 +1143,11 @@ QUERIES = {
     "morph_dilate": q_morph_dilate,
     "morph_erode": q_morph_erode,
     "filter_texture_var": q_filter_texture_var,
+    "filter_kuwahara": q_filter_kuwahara,
+    "filter_bank": q_filter_bank,
+    "band_select": q_band_select,
+    "composite_max_ndvi": q_composite_max_ndvi,
+    "mask_img_vec": q_mask_img_vec,
     "spectral_smooth": q_spectral_smooth,
     "embed_neardup": q_embed_neardup,
     "embed_ann_multiprobe": q_embed_ann_multiprobe,
