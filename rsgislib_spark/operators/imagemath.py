@@ -50,6 +50,7 @@ __all__ = [
     "morph3x3_stats",
     "texture_var3x3_stats",
     "kuwahara5_stats",
+    "lee3_stats",
     "savgol5_stats",
     "SOBEL_X",
     "MEAN3",
@@ -464,6 +465,42 @@ def filter_bank_stats(images: DataFrame, kernels: dict) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=schema)
+
+
+def lee3_stats(images: DataFrame, noise_var: int = 100) -> DataFrame:
+    """Lee adaptive speckle filter (3x3), fully integer-exact.
+
+    Reference: ``apply_lee_filter`` (imagefilter/__init__.py:950; C++
+    python/src/imagefilter.cpp) — ``out = mean + W*(v - mean)`` with
+    ``W = var / (var + noise_var)`` over the window.  Multiplying
+    through by ``9*(var81 + 81*noise_var)`` clears every division:
+
+        out_scaled = S*(var81 + 81*NV) + var81*(9*v - S)
+
+    (S = window sum, var81 = 9*sumsq - S^2) — exact int64, so the
+    filter gets the same closed-form oracle as the rest of the family.
+    """
+    nv81 = 81 * int(noise_var)
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < 3 or w < 3:
+            return np.zeros((0,), dtype=np.int64)
+        s = np.zeros((h - 2, w - 2), dtype=np.int64)
+        ss = np.zeros((h - 2, w - 2), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                v = a[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                s += v
+                ss += v * v
+        var81 = 9 * ss - s * s
+        v0 = a[1:h - 1, 1:w - 1]
+        return s * (var81 + nv81) + var81 * (9 * v0 - s)
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_lee") \
+        .withColumnRenamed("min_pix", "min_lee") \
+        .withColumnRenamed("max_pix", "max_lee")
 
 
 def kuwahara5_stats(images: DataFrame) -> DataFrame:

@@ -122,11 +122,22 @@ def overlay_intersection_rect(
     empty (or degenerate, < 3 vertices) produce no rows, matching
     geopandas ``overlay`` dropping empty geometries.
     """
-    cand = polys.join(
-        F.broadcast(rects),
-        (F.col("pxmax") > F.col("rxmin")) & (F.col("rxmax") > F.col("pxmin"))
-        & (F.col("pymax") > F.col("rymin")) & (F.col("rymax") > F.col("pymin")),
-        "inner")
+    # candidate generation on the grid-cell key (equi-join Catalyst can
+    # hash/sort-merge at any layer size), bbox-refined — a raw bbox
+    # predicate would force a nested-loop join that only works while
+    # the clip layer broadcasts
+    from .spatial_join import with_bbox_cells
+
+    pc = with_bbox_cells(polys, "pxmin", "pxmax", "pymin", "pymax")
+    rc = with_bbox_cells(rects, "rxmin", "rxmax", "rymin", "rymax")
+    cand = (
+        pc.join(F.broadcast(rc), "cell", "inner")
+        .where((F.col("pxmax") > F.col("rxmin"))
+               & (F.col("rxmax") > F.col("pxmin"))
+               & (F.col("pymax") > F.col("rymin"))
+               & (F.col("rymax") > F.col("pymin")))
+        .dropDuplicates([poly_key, rect_key])
+    )
     clipped = clip_rect_expr_sql("spark", verts_col,
                                  "rxmin", "rxmax", "rymin", "rymax")
     out = cand.select(

@@ -495,6 +495,7 @@ def zonal_stats(
     max_thres: float = float(2 ** 31),
     nodata=None,
     out_no_data_val: float = -9999.0,
+    n_salt: int = 8,
 ) -> DataFrame:
     """Per-zone stats over every image overlapping the zone.
 
@@ -507,7 +508,7 @@ def zonal_stats(
     """
     out = _zonal_stats_raw(images, zones, res=res, res_deg=res_deg,
                            min_thres=min_thres, max_thres=max_thres,
-                           nodata=nodata)
+                           nodata=nodata, n_salt=n_salt)
     stat_cols = ["n_pix", "sum_pix", "min_pix", "max_pix", "mean_pix",
                  "stddev_pix", "median_pix", "mode_pix"]
     return out.fillna({c: out_no_data_val for c in stat_cols})

@@ -553,6 +553,15 @@ SELECT image_id, count(*) AS n_interior,
 FROM c GROUP BY image_id
 """
 
+
+# Lee 3x3: out_scaled = S*(var81 + 81*NV) + var81*(9*v - S), NV = 100
+_LEE_S = f"({_S9})"
+_LEE_V81 = f"(9 * ({_SS9}) - {_LEE_S} * {_LEE_S})"
+ORACLES["filter_lee"] = _conv_oracle(
+    f"({_LEE_S} * ({_LEE_V81} + 8100)"
+    f" + {_LEE_V81} * (9 * {_pxv_at(0, 0)} - {_LEE_S}))",
+    r=1, suffix="lee")
+
 _SG5 = " + ".join(
     f"({c}) * {synth.pixel_value_sql('id', f'(x + {dx})' if dx else 'x', 'y', 'fmt')}"
     for dx, c in ((-2, -3), (-1, 12), (0, 17), (1, 12), (2, -3)))

@@ -756,6 +756,14 @@ def q_filter_bank(spark, sf_dir) -> DataFrame:
                 "min_conv", "max_conv")
 
 
+def q_filter_lee(spark, sf_dir) -> DataFrame:
+    """apply_lee_filter 3x3: adaptive speckle smoothing, division-free
+    integer scaling (§2.6, imagefilter/__init__.py:950)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.lee3_stats(img, noise_var=100) \
+        .select("image_id", "n_interior", "sum_lee", "min_lee", "max_lee")
+
+
 def q_filter_kuwahara(spark, sf_dir) -> DataFrame:
     """apply_kuwahara_filter 5x5: least-variance quadrant mean, 9-scaled
     exact (§2.6, imagefilter/__init__.py:570)."""
@@ -1144,6 +1152,7 @@ QUERIES = {
     "morph_erode": q_morph_erode,
     "filter_texture_var": q_filter_texture_var,
     "filter_kuwahara": q_filter_kuwahara,
+    "filter_lee": q_filter_lee,
     "filter_bank": q_filter_bank,
     "band_select": q_band_select,
     "composite_max_ndvi": q_composite_max_ndvi,
