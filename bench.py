@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "mosaic_window", "pixel_trend", "rasterize_zones", "filter_mean3",
     "dedup_exact", "minhash_lsh", "embed_topk", "sessionize",
     "resize_stats", "events_hourly",
+    # round-2 operators
+    "zonal_stats_hybrid", "overlay_intersection", "filter_median5",
+    "composite_max_ndvi", "clump_stats", "vec_intersects",
 ]
 
 
@@ -136,30 +139,43 @@ def main() -> None:
         # executor 4-8 cores (each task = one JVM thread + one Python
         # worker, so task slots ~ cores/2 per box); a 32-slot single JVM
         # oversubscribes this machine 2x and measures contention, not
-        # the engine.  local[32] is still reported for context.
-        scaling = {}
-        for n in (2, 8, 32):
-            spark = get_spark(app=f"scaling-{n}", master=f"local[{n}]",
-                              shuffle_partitions=n)
+        # the engine.
+        #
+        # Measurement protocol: INTERLEAVED PAIRS — each efficiency
+        # sample runs local[2] and local[8] back-to-back (ABAB...), so
+        # slow host drift (this KVM guest wanders +-15% over tens of
+        # minutes) affects both sides of a ratio equally instead of
+        # biasing whichever config ran later.  Reported: every pair's
+        # efficiency plus the median.  local[32] once, for context.
+        def one(n: int) -> float:
+            spark = get_spark(app=f"scaling-{n}-{time.perf_counter()}",
+                              master=f"local[{n}]", shuffle_partitions=n)
             try:
                 scaling_job(spark, "/root/testdata/sf0.001", k=1)  # warmup
-                sec = None
-                for _rep in range(2):   # best-of-2 guards sandbox jitter
-                    t0 = time.perf_counter()
-                    n_img = scaling_job(spark, sf_dir, k=512)
-                    sec = min(sec or 1e18, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                n_img = scaling_job(spark, sf_dir, k=512)
+                return n_img / (time.perf_counter() - t0)
             finally:
                 spark.stop()
-            scaling[f"local[{n}]"] = {
-                "sec": round(sec, 3),
-                "images_per_sec": round(n_img / sec, 1),
-            }
-        t2 = scaling["local[2]"]["images_per_sec"]
-        t8 = scaling["local[8]"]["images_per_sec"]
-        t32 = scaling["local[32]"]["images_per_sec"]
-        # efficiency of the 4x scale-up: speedup achieved / speedup ideal
-        scaling["efficiency_2_to_8"] = round((t8 / t2) / 4.0, 3)
-        scaling["efficiency_8_to_32"] = round((t32 / t8) / 4.0, 3)
+
+        pair_effs = []
+        best = {2: 0.0, 8: 0.0}
+        for _rep in range(3):
+            t2 = one(2)
+            t8 = one(8)
+            best[2] = max(best[2], t2)
+            best[8] = max(best[8], t8)
+            pair_effs.append(round((t8 / t2) / 4.0, 3))
+        t32 = one(32)
+        pair_effs.sort()
+        scaling = {
+            "local[2]": {"images_per_sec": round(best[2], 1)},
+            "local[8]": {"images_per_sec": round(best[8], 1)},
+            "local[32]": {"images_per_sec": round(t32, 1)},
+            "pair_efficiencies_2_to_8": pair_effs,
+            "efficiency_2_to_8": pair_effs[len(pair_effs) // 2],  # median
+            "efficiency_8_to_32": round((t32 / best[8]) / 4.0, 3),
+        }
         out["scaling"] = scaling
 
     print(json.dumps(out))

@@ -40,7 +40,8 @@ from ..geo.cellindex import DEFAULT_RES
 from .spatial_join import with_bbox_cells
 
 __all__ = ["zonal_stats", "zonal_stats_poly", "zonal_stats_hybrid",
-           "mask_by_vec_stats", "extract_point_values", "HIST_BINS"]
+           "zonal_stats_weighted", "mask_by_vec_stats",
+           "extract_point_values", "HIST_BINS"]
 
 HIST_BINS = 1024  # pixel values are < 1024 in every supported format
 
@@ -256,6 +257,109 @@ def zonal_stats_poly(
                  "stddev_pix", "median_pix", "mode_pix"]
     return out.fillna({c: out_no_data_val for c in stat_cols}) \
         .withColumnRenamed("zone_id", poly_key)
+
+
+_WEIGHTED_SCHEMA = StructType([
+    StructField("zone_id", LongType()),
+    StructField("n_touched", LongType()),
+    StructField("sum_w", LongType()),
+    StructField("sum_wv", LongType()),
+])
+
+#: weight quantization scale for area fractions (2^20 — exact int sums)
+_W_SCALE = 1 << 20
+
+
+def zonal_stats_weighted(
+    images: DataFrame,
+    zones: DataFrame,
+    *,
+    res: int = DEFAULT_RES,
+    res_deg: float = 0.001,
+    n_salt: int = 8,
+) -> DataFrame:
+    """AREA-WEIGHTED zonal stats: the ``pixelAreaInPoly`` membership mode.
+
+    Reference: pixel-in-poly mode enum (src/img/RSGISPixelInPoly.h:48-60,
+    GEOS dispatch RSGISPixelInPoly.cpp:47-118) — instead of the binary
+    center-in-zone rule, each pixel contributes the FRACTION of its box
+    inside the zone.  For rect zones the overlap is closed-form
+    (clamped interval products); fractions are quantized to
+    ``round(frac * 2^20)`` so all partials are exact int64 sums (the
+    two engines compute the identical IEEE expression, so the rounding
+    is bit-identical even at boundaries).
+
+    Output per zone: ``n_touched`` (pixels with weight > 0), ``wsum``
+    (sum of fractions), ``wmean`` (area-weighted mean pixel value) —
+    zones touching no pixel are absent.
+    """
+    zc = with_bbox_cells(zones.select("zone_id", "zxmin", "zxmax",
+                                      "zymin", "zymax"),
+                         "zxmin", "zxmax", "zymin", "zymax", res=res)
+    ic = with_bbox_cells(images.select("image_id", "xmin", "xmax",
+                                       "ymin", "ymax"),
+                         "xmin", "xmax", "ymin", "ymax", res=res)
+    pairs = (
+        ic.join(F.broadcast(zc), "cell", "inner")
+        .where((F.col("xmax") > F.col("zxmin")) & (F.col("zxmax") > F.col("xmin"))
+               & (F.col("ymax") > F.col("zymin")) & (F.col("zymax") > F.col("ymin")))
+        .select("image_id", "zone_id", "zxmin", "zxmax", "zymin", "zymax")
+        .dropDuplicates(["image_id", "zone_id"])
+    )
+    px_cols = images.select("image_id", "bytes", "w", "h", "fmt",
+                            "xmin", "ymax")
+    work = pairs.join(px_cols, "image_id", "inner").repartition(
+        F.col("image_id"),
+        F.pmod(F.xxhash64(F.col("zone_id")), F.lit(int(n_salt))))
+
+    def gen(it):
+        for pdf in it:
+            rows = {k: [] for k in ("zone_id", "n_touched", "sum_w",
+                                    "sum_wv")}
+            for img_id_key, grp in pdf.groupby("image_id", sort=False):
+                r0 = grp.iloc[0]
+                w, h = int(r0["w"]), int(r0["h"])
+                arr = codec.decode_image(bytes(r0["bytes"]), w, h,
+                                         str(r0["fmt"])).astype(np.int64)
+                tlx, tly = float(r0["xmin"]), float(r0["ymax"])
+                # pixel box edges (identical formula in the oracle)
+                xl = tlx + np.arange(w) * res_deg
+                xr = tlx + (np.arange(w) + 1) * res_deg
+                yt = tly - np.arange(h) * res_deg
+                yb = tly - (np.arange(h) + 1) * res_deg
+                for _, pr in grp.iterrows():
+                    ox = (np.minimum(xr, pr["zxmax"])
+                          - np.maximum(xl, pr["zxmin"]))
+                    oy = (np.minimum(yt, pr["zymax"])
+                          - np.maximum(yb, pr["zymin"]))
+                    ox = np.maximum(ox, 0.0) / res_deg
+                    oy = np.maximum(oy, 0.0) / res_deg
+                    frac = oy[:, None] * ox[None, :]
+                    # floor(x + 0.5), NOT np.round: numpy rounds half to
+                    # even while SQL round() rounds half away — the
+                    # explicit formula is identical in every engine
+                    wq = np.floor(frac * _W_SCALE + 0.5).astype(np.int64)
+                    touched = wq > 0
+                    if not touched.any():
+                        continue
+                    rows["zone_id"].append(int(pr["zone_id"]))
+                    rows["n_touched"].append(int(touched.sum()))
+                    rows["sum_w"].append(int(wq.sum()))
+                    rows["sum_wv"].append(int((wq * arr).sum()))
+            yield pd.DataFrame(rows)
+
+    partials = work.mapInPandas(gen, schema=_WEIGHTED_SCHEMA)
+    return (
+        partials.groupBy("zone_id")
+        .agg(F.sum("n_touched").alias("n_touched"),
+             F.sum("sum_w").alias("_sw"),
+             F.sum("sum_wv").alias("_swv"))
+        .select(
+            "zone_id", "n_touched",
+            (F.col("_sw").cast("double") / float(_W_SCALE)).alias("wsum"),
+            (F.col("_swv").cast("double") / F.col("_sw").cast("double"))
+            .alias("wmean"))
+    )
 
 
 _MASKVEC_SCHEMA = StructType([

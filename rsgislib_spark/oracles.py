@@ -1384,6 +1384,38 @@ LEFT JOIN s ON z.zone_id = s.zone_id
 LEFT JOIN cent c ON z.zone_id = c.zone_id
 """
 
+_RD = "CAST(0.001 AS DOUBLE)"   # IMG_RES_DEG as an explicit DOUBLE
+
+ORACLES["zonal_weighted"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM imgf WHERE id % 7 = 0),
+px AS (SELECT image_id, x, y, xmin, ymax, {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
+wq AS (SELECT z.zone_id, p.v,
+              CAST(floor(
+                (greatest(least(p.ymax - p.y * {_RD}, z.zymax)
+                          - greatest(p.ymax - (p.y + 1) * {_RD}, z.zymin),
+                          CAST(0.0 AS DOUBLE)) / {_RD})
+                * (greatest(least(p.xmin + (p.x + 1) * {_RD}, z.zxmax)
+                            - greatest(p.xmin + p.x * {_RD}, z.zxmin),
+                            CAST(0.0 AS DOUBLE)) / {_RD})
+                * CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS wq
+       FROM px p JOIN zones z
+         ON p.xmin + (p.x + 1) * {_RD} > z.zxmin
+        AND p.xmin + p.x * {_RD} < z.zxmax
+        AND p.ymax - p.y * {_RD} > z.zymin
+        AND p.ymax - (p.y + 1) * {_RD} < z.zymax)
+SELECT zone_id, count(*) AS n_touched,
+       CAST(CAST(sum(wq) AS BIGINT) AS DOUBLE)
+         / CAST(1048576.0 AS DOUBLE) AS wsum,
+       CAST(CAST(sum(wq * v) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(wq) AS BIGINT) AS DOUBLE) AS wmean
+FROM wq WHERE wq > 0 GROUP BY zone_id
+"""
+
 ORACLES["attr_filter"] = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
 FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0

@@ -36,7 +36,7 @@ from .operators.tiling import (block_iter_specs, tile_pixels, tile_spec_df,
                                tile_spec_offset_df)
 from .operators.zonal import (extract_point_values, mask_by_vec_stats,
                               zonal_stats, zonal_stats_hybrid,
-                              zonal_stats_poly)
+                              zonal_stats_poly, zonal_stats_weighted)
 from .plans.lineage import lineage_records
 from .session import load_tables
 from .sources.imagelut import build_img_lut, query_img_lut
@@ -804,6 +804,15 @@ def q_mask_img_vec(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_in", "sum_in", "min_in", "max_in")
 
 
+def q_zonal_weighted(spark, sf_dir) -> DataFrame:
+    """pixelAreaInPoly membership mode: area-weighted zonal stats
+    (§2.3 pixel-in-poly modes, RSGISPixelInPoly.h:48-60)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    return zonal_stats_weighted(img, zones) \
+        .select("zone_id", "n_touched", "wsum", "wmean")
+
+
 def q_mosaic_thresh(spark, sf_dir) -> DataFrame:
     """mosaicSkipThresh: composite only pixels with 200 < v < 900
     (strict validity window; §2.4, RSGISImageMosaic.cpp:627)."""
@@ -1122,6 +1131,7 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "zonal_stats_poly": q_zonal_stats_poly,
     "zonal_stats_hybrid": q_zonal_stats_hybrid,
+    "zonal_weighted": q_zonal_weighted,
     "band_math": q_band_math,
     "mask_img": q_mask_img,
     "filter_mean3": q_filter_mean3,
