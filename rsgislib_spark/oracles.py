@@ -470,8 +470,8 @@ xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
               unnest(generate_series(0, w - 1)) AS x
        FROM imgf WHERE id % 7 = 0),
 px AS (SELECT image_id,
-              xmin + (x + 0.5) * {synth.IMG_RES_DEG} AS cx,
-              ymax - (y + 0.5) * {synth.IMG_RES_DEG} AS cy,
+              xmin + (x + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cx,
+              ymax - (y + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cy,
               {_PXV} AS v
        FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs))
 SELECT image_id, count(*) AS n_in,
@@ -680,8 +680,8 @@ xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
               unnest(generate_series(0, w - 1)) AS x
        FROM imgf WHERE id % 7 = 0),
 px AS (SELECT image_id,
-              xmin + (x + 0.5) * {synth.IMG_RES_DEG} AS cx,
-              ymax - (y + 0.5) * {synth.IMG_RES_DEG} AS cy,
+              xmin + (x + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cx,
+              ymax - (y + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cy,
               {_PXV} AS v
        FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
 j AS (SELECT z.zone_id, p.v
@@ -1282,8 +1282,8 @@ xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
               unnest(generate_series(0, w - 1)) AS x
        FROM imgf WHERE id % 7 = 0),
 px AS (SELECT image_id,
-              xmin + (x + 0.5) * {synth.IMG_RES_DEG} AS cx,
-              ymax - (y + 0.5) * {synth.IMG_RES_DEG} AS cy,
+              xmin + (x + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cx,
+              ymax - (y + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cy,
               {_PXV} AS v
        FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
 j AS (SELECT z.zone_id, p.v
@@ -1324,8 +1324,8 @@ xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
               unnest(generate_series(0, w - 1)) AS x
        FROM imgf WHERE id % 7 = 0),
 px AS (SELECT image_id,
-              xmin + (x + 0.5) * {synth.IMG_RES_DEG} AS cx,
-              ymax - (y + 0.5) * {synth.IMG_RES_DEG} AS cy,
+              xmin + (x + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cx,
+              ymax - (y + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cy,
               {_PXV} AS v
        FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
 j AS (SELECT z.zone_id, p.v
