@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["ring_area2_sql", "simplify_ring_sql", "poly_to_polyline",
-           "explode_multi", "delete_holes", "simplify_polys"]
+           "explode_multi", "delete_holes", "simplify_polys",
+           "shift_xy"]
 
 
 def _d(dialect: str):
@@ -158,3 +159,12 @@ def simplify_polys(polys: DataFrame, tolerance: float,
     return out.select(
         "poly_id", (F.col("v_idx0") + 1).cast("long").alias("v_idx"),
         F.element_at("_v", 1).alias("vx"), F.element_at("_v", 2).alias("vy"))
+
+
+def shift_xy(df: DataFrame, dx: float, dy: float,
+             lon: str = "lon", lat: str = "lat",
+             x_out: str = "sx", y_out: str = "sy") -> DataFrame:
+    """``shiftxy_vec_lyr`` (vectorgeoms/__init__.py:3022): translate a
+    layer by (dx, dy) — plain column arithmetic."""
+    return df.withColumn(x_out, F.col(lon) + F.lit(float(dx))) \
+        .withColumn(y_out, F.col(lat) + F.lit(float(dy)))

@@ -849,6 +849,13 @@ _RECT_D = ("[[zxmin, zymin], [zxmax, zymin], [zxmax, zymax], "
            "[zxmin, zymax]]")
 _TRI_D = "[[zxmin, zymin], [zxmax, zymin], [zxmin, zymax]]"
 
+ORACLES["shift_layer"] = f"""
+{_PREFIX}
+SELECT qid, qlon + CAST(0.25 AS DOUBLE) AS sx,
+       qlat + CAST(-0.125 AS DOUBLE) AS sy
+FROM qpts
+"""
+
 ORACLES["poly_polyline"] = f"""
 {_PREFIX},
 tri AS (SELECT zone_id AS poly_id,

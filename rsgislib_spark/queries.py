@@ -23,7 +23,8 @@ from .operators.mosaic import (composite_max_index_window, mosaic_mode_window,
                                mosaic_thresh_window, mosaic_window,
                                pixel_trend_window)
 from .operators.geomtransforms import (delete_holes, explode_multi,
-                                       poly_to_polyline, simplify_polys)
+                                       poly_to_polyline, shift_xy,
+                                       simplify_polys)
 from .operators.overlay import overlay_intersection_rect
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
@@ -518,6 +519,14 @@ def q_overlay_intersection(spark, sf_dir) -> DataFrame:
 _RECT_RING = ("array(array(zxmin, zymin), array(zxmax, zymin), "
               "array(zxmax, zymax), array(zxmin, zymax))")
 _TRI_RING = "array(array(zxmin, zymin), array(zxmax, zymin), array(zxmin, zymax))"
+
+
+def q_shift_layer(spark, sf_dir) -> DataFrame:
+    """shiftxy_vec_lyr: translate the query-point layer by (0.25, -0.125)
+    (§2.9, vectorgeoms/__init__.py:3022)."""
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    return shift_xy(qpts, 0.25, -0.125, lon="qlon", lat="qlat") \
+        .select("qid", "sx", "sy")
 
 
 def q_poly_polyline(spark, sf_dir) -> DataFrame:
@@ -1108,6 +1117,7 @@ QUERIES = {
     "bbox_algebra": q_bbox_algebra,
     "overlay_intersection": q_overlay_intersection,
     "poly_polyline": q_poly_polyline,
+    "shift_layer": q_shift_layer,
     "explode_multi": q_explode_multi,
     "remove_holes": q_remove_holes,
     "simplify_geom": q_simplify_geom,
