@@ -16,7 +16,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 QUERIES = ["cell_encode", "sjoin_inner_within", "zonal_stats",
-           "minhash_lsh", "embed_topk", "pixel_trend"]
+           "minhash_lsh", "embed_topk", "pixel_trend",
+           # round-2 operators with nontrivial merge/encoding logic
+           "zonal_stats_hybrid", "zonal_weighted", "composite_max_ndvi",
+           "overlay_intersection", "knn_closest", "clump_stats",
+           "reproj_utm"]
 
 _SCRIPT = r"""
 import hashlib, json, sys
