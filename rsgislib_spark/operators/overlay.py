@@ -112,6 +112,7 @@ def overlay_intersection_rect(
     poly_key: str = "poly_id",
     verts_col: str = "verts",
     rect_key: str = "rect_id",
+    res: int = 5,
 ) -> DataFrame:
     """``vec_lyr_intersection_gp`` for a rect clip layer, vertex rows out.
 
@@ -125,11 +126,17 @@ def overlay_intersection_rect(
     # candidate generation on the grid-cell key (equi-join Catalyst can
     # hash/sort-merge at any layer size), bbox-refined — a raw bbox
     # predicate would force a nested-loop join that only works while
-    # the clip layer broadcasts
+    # the clip layer broadcasts.  The cell res must be COARSE relative
+    # to the clip rects: polyfilling a rect explodes one row per
+    # covered cell, so fine cells square the row count (measured: the
+    # default res-12 grid blew a 432-rect layer into 5.6 M exploded
+    # rows and a 10 s join on 25 polygons; res 5 covers each in 1-4).
     from .spatial_join import with_bbox_cells
 
-    pc = with_bbox_cells(polys, "pxmin", "pxmax", "pymin", "pymax")
-    rc = with_bbox_cells(rects, "rxmin", "rxmax", "rymin", "rymax")
+    pc = with_bbox_cells(polys, "pxmin", "pxmax", "pymin", "pymax",
+                         res=res)
+    rc = with_bbox_cells(rects, "rxmin", "rxmax", "rymin", "rymax",
+                         res=res)
     cand = (
         pc.join(F.broadcast(rc), "cell", "inner")
         .where((F.col("pxmax") > F.col("rxmin"))
