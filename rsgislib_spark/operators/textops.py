@@ -144,23 +144,58 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
-                        threshold: float = 0.2) -> DataFrame:
+                        threshold: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard over shared-shingle pairs.
 
     Candidate pairs = docs sharing >= 1 shingle (equi-join on the shingle
     string); Jaccard = |A n B| / (|A| + |B| - |A n B|) from exact counts.
+
+    ``max_df``: the scale guard — shingles appearing in more than
+    ``max_df`` documents are excluded from CANDIDATE GENERATION (a
+    stopword-heavy shingle otherwise pairs every document containing
+    it: the quadratic hot key).  Verification stays EXACT over the full
+    shingle sets (candidate-driven joins, the same two-phase shape as
+    ``minhash_pairs``), so reported jaccard values are unaffected —
+    only pairs sharing NOTHING BUT ultra-common shingles are missed,
+    which at ``threshold`` >= 0.2 is precisely the noise class.  With
+    ``max_df=None`` the candidate join is the raw shared-shingle join
+    (small-corpus/oracle mode).
     """
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"),
-                 F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+    if max_df is None:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        common = (
+            a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")) \
+            .where(F.col("df") <= int(max_df)).select("s")
+        shc = sh.join(rare, "s", "left_semi")
+        a = shc.alias("a")
+        b = shc.alias("b")
+        cand = (
+            a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+        sh_b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+        common = (
+            F.broadcast(cand)
+            .join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "s"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     return (
         common
         .join(sizes.withColumnRenamed("doc_id", "doc_a")

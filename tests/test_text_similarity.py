@@ -179,3 +179,39 @@ def test_adaptive_lsh_bounded_bucket_load(spark, sf_dir):
         loads[planes] = b.groupBy("bucket").count() \
             .agg(F.max("count")).collect()[0][0]
     assert loads[p_big] < loads[p_small]
+
+
+def test_ngram_jaccard_df_cap(spark, sf_dir):
+    """The df-capped candidate path verifies EXACTLY: with a cap high
+    enough to keep all shingles it equals the uncapped result; a
+    constructed hot shingle shared by everything stops generating
+    candidate pairs under the cap, while real near-dups survive with
+    identical jaccard values."""
+    import os
+
+    from rsgislib_spark.operators.textops import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=0.2)
+                      .collect()))
+    capped = sorted(map(tuple,
+                        ngram_jaccard_pairs(docs, threshold=0.2,
+                                            max_df=10**9).collect()))
+    assert capped == base and base
+
+    hot = "zz yy xx"   # 3-gram present in EVERY doc below
+    near = "alpha beta gamma delta epsilon zeta eta theta"
+    synth_docs = spark.createDataFrame(
+        [(1, f"{hot} {near}"), (2, f"{hot} {near} extra"),
+         (3, f"{hot} totally different words here now")],
+        "doc_id long, text string")
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard
+                for r in ngram_jaccard_pairs(synth_docs,
+                                             threshold=0.0).collect()}
+    capped2 = {(r.doc_a, r.doc_b): r.jaccard
+               for r in ngram_jaccard_pairs(synth_docs, threshold=0.0,
+                                            max_df=2).collect()}
+    # the near-dup pair survives with the exact same jaccard...
+    assert capped2[(1, 2)] == uncapped[(1, 2)]
+    # ...while pairs connected ONLY by hot shingles are not generated
+    assert (1, 3) in uncapped and (1, 3) not in capped2
