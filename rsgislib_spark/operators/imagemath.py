@@ -128,14 +128,18 @@ def validate_band_math(expr: str) -> None:
 def eval_band_math(arr: np.ndarray, expr: str) -> np.ndarray:
     """Evaluate a muParser-style expression over a decoded plane.
 
-    Names: ``b1`` = the plane (int64), ``x``/``y`` = pixel column/row
-    grids.  The expression runs once per image, fully vectorized, after
-    AST-whitelist validation (see ``validate_band_math``).
+    Names: ``b1`` = the plane (int64), ``b2`` = its horizontal mirror
+    (the engine's standing second-band convention, see ``ndvi_plane``),
+    ``x``/``y`` = pixel column/row grids.  Every name the validator
+    whitelists is bound here, so a validated expression can never
+    escape as a ``NameError``.  The expression runs once per image,
+    fully vectorized, after AST-whitelist validation.
     """
     validate_band_math(expr)
     h, w = arr.shape
     env = dict(_BM_FUNCS)
     env["b1"] = arr.astype(np.int64)
+    env["b2"] = env["b1"][:, ::-1]
     env["x"] = np.broadcast_to(np.arange(w, dtype=np.int64), (h, w))
     env["y"] = np.broadcast_to(np.arange(h, dtype=np.int64)[:, None], (h, w))
     out = eval(expr, {"__builtins__": {}}, env)  # noqa: S307 - AST-validated

@@ -41,6 +41,7 @@ Re-expresses:
 from __future__ import annotations
 
 import math
+import weakref
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -51,6 +52,15 @@ __all__ = ["match_closest_points", "npts_in_radius"]
 
 class TieError(RuntimeError):
     """Multiple equally-near matches (the reference raises here too)."""
+
+
+def _release_cached(frames) -> None:
+    """Best-effort unpersist of a call's cached intermediates."""
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass
 
 
 def _dist(ax, ay, bx, by):
@@ -226,9 +236,11 @@ def match_closest_points(
     for part in resolved_parts[1:]:
         matched = matched.unionByName(part)
 
+    cached_final = []
     if check_ties:
         # cache only when the tie probe adds a second consumer
         matched = matched.cache()
+        cached_final.append(matched)
         if matched.where(F.col("_nbest") > 1).limit(1).count():
             raise TieError(
                 "Multiple features found - don't know what to do with that!"
@@ -243,6 +255,14 @@ def match_closest_points(
     out = base.join(matched, base_key, "left")
     if tolerance is not None:
         out = out.where(F.col(out_dist_col) < tolerance)
+    # cache lifetime = result lifetime: when the caller drops the
+    # returned DataFrame the persisted rung/input frames unpersist, so a
+    # long-lived session issuing many kNN calls never accumulates
+    # cached blocks (a dropped-but-still-referenced plan just recomputes
+    # — correctness is unaffected).
+    weakref.finalize(out, _release_cached,
+                     [keyed_base, keyed_match, *resolved_parts,
+                      *cached_final])
     return out
 
 

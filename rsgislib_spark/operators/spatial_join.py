@@ -54,6 +54,7 @@ __all__ = [
     "spatial_join",
     "spatial_join_poly",
     "vec_intersects_vec",
+    "vec_predicate_vec",
     "spatial_select",
     "JOIN_OPS",
     "JOIN_HOWS",
@@ -323,7 +324,108 @@ def spatial_select(base: DataFrame, roi: DataFrame, **kw) -> DataFrame:
     return spatial_join(base, roi, how="semi", **kw)
 
 
-_VIV_SCHEMA = "zone_id long, hit long"
+def vec_predicate_vec(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    *,
+    predicate: str = "intersects",
+    a_key: str = "poly_id",
+    b_key: str = "poly_id",
+    verts_col: str = "verts",
+    exclude_same_key: bool = False,
+    res: int = 5,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Layer-vs-layer polygon boolean join family (``vec_*_vec``).
+
+    Reference: the exists-join family ``vec_intersects_vec`` /
+    ``vec_within_vec`` / ``vec_contains_vec`` / ``vec_overlaps_vec`` /
+    ``vec_touches_vec`` / ``vec_crosses_vec`` (python/rsgislib/
+    vectorgeoms/__init__.py:2608, 2675, 2746 et seq.) — for every A
+    feature, whether (and how many) B features satisfy the predicate.
+
+    Scale shape: candidate pairs come from a grid-CELL equi-join
+    (coarse ``res``, one row per covered cell — the same key as every
+    other join here, so Catalyst gets hash/sort-merge + AQE skew
+    handling at ANY layer size; set ``broadcast=True`` only to force
+    the hint for a provably tiny B layer — by default AQE's runtime
+    size statistics make that call), refined by an INCLUSIVE bbox test
+    (touching bboxes stay candidates — required for ``touches``), then
+    the exact predicate runs VECTORIZED over each Arrow batch
+    (``geo.geometry.poly_pair_predicate``: pad-to-max-verts tensors,
+    no per-pair Python loop) on the candidates' existing partitioning —
+    no shuffle is spent on refinement.
+
+    Both layers need (key, verts array<array<double>>, pxmin/pxmax/
+    pymin/pymax).  Output: one row per A feature — (a_key, n_match,
+    any_match), zeros kept.  The output key column keeps ``polys_a``'s
+    key name AND type (string keys work; nothing is coerced).
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..geo.geometry import PAIR_PREDICATES, poly_pair_predicate
+
+    if predicate not in PAIR_PREDICATES:
+        raise ValueError(f"unknown pair predicate {predicate!r}")
+
+    key_field = polys_a.schema[a_key]
+    out_schema = StructType([
+        StructField("akey", key_field.dataType, True),
+        StructField("hit", LongType(), True),
+    ])
+
+    a = with_bbox_cells(
+        polys_a.select(F.col(a_key).alias("akey"),
+                       F.col(verts_col).alias("av"),
+                       F.col("pxmin").alias("_axmin"),
+                       F.col("pxmax").alias("_axmax"),
+                       F.col("pymin").alias("_aymin"),
+                       F.col("pymax").alias("_aymax")),
+        "_axmin", "_axmax", "_aymin", "_aymax", res=res)
+    b = with_bbox_cells(
+        polys_b.select(F.col(b_key).alias("bkey"),
+                       F.col(verts_col).alias("bv"),
+                       F.col("pxmin").alias("_bxmin"),
+                       F.col("pxmax").alias("_bxmax"),
+                       F.col("pymin").alias("_bymin"),
+                       F.col("pymax").alias("_bymax")),
+        "_bxmin", "_bxmax", "_bymin", "_bymax", res=res)
+    if broadcast:
+        b = F.broadcast(b)
+    # inclusive bbox prefilter: touching bboxes remain candidates
+    cand = (
+        a.join(b, "cell", "inner")
+        .where((F.col("_axmax") >= F.col("_bxmin"))
+               & (F.col("_bxmax") >= F.col("_axmin"))
+               & (F.col("_aymax") >= F.col("_bymin"))
+               & (F.col("_bymax") >= F.col("_aymin")))
+    )
+    if exclude_same_key:
+        cand = cand.where(F.col("akey") != F.col("bkey"))
+    cand = cand.dropDuplicates(["akey", "bkey"]).select("akey", "av", "bv")
+
+    def refine(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"akey": pdf["akey"],
+                                    "hit": pd.Series([], dtype="int64")})
+                continue
+            hits = poly_pair_predicate(list(pdf["av"]), list(pdf["bv"]),
+                                       predicate)
+            yield pd.DataFrame({"akey": pdf["akey"].to_numpy(),
+                                "hit": hits.astype("int64")})
+
+    agg = (
+        cand.mapInPandas(refine, out_schema)
+        .groupBy("akey").agg(F.sum("hit").alias("n_match"))
+    )
+    return (
+        polys_a.select(F.col(a_key).alias("akey"))
+        .join(agg, "akey", "left")
+        .fillna({"n_match": 0})
+        .withColumn("any_match", F.col("n_match") > 0)
+        .withColumnRenamed("akey", a_key)
+    )
 
 
 def vec_intersects_vec(
@@ -335,64 +437,13 @@ def vec_intersects_vec(
     verts_col: str = "verts",
     exclude_same_key: bool = False,
 ) -> DataFrame:
-    """Layer-vs-layer polygon boolean join: ``vec_intersects_vec``.
+    """``vec_intersects_vec`` — kept as the predicate family's front door.
 
-    Reference: the exists-join family (``vec_intersects_vec`` /
-    ``vec_within_vec`` ..., vectorutils/__init__.py) — for every A
-    feature, whether (and how many) B features it intersects.  Candidate
-    pairs come from an INCLUSIVE bbox join (touching bboxes are
-    candidates, matching ``geo.geometry.polys_intersect``'s strict-only
-    rejection); the exact test is the ``polys_intersect`` kernel run
-    over Arrow batches on the candidates' existing partitioning (the
-    same shuffle-free refine shape as ``spatial_join_poly``).
-
-    Both layers need (key, verts array<array<double>>, pxmin/pxmax/
-    pymin/pymax).  Output: one row per A feature — (a_key,
-    n_intersecting, any_intersects), zeros kept.
+    Output: one row per A feature — (a_key, n_intersecting,
+    any_intersects), zeros kept.  See :func:`vec_predicate_vec`.
     """
-    from ..geo.geometry import polys_intersect
-
-    a = polys_a.select(F.col(a_key).alias("_ak"),
-                       F.col(verts_col).alias("_av"),
-                       F.col("pxmin").alias("_axmin"),
-                       F.col("pxmax").alias("_axmax"),
-                       F.col("pymin").alias("_aymin"),
-                       F.col("pymax").alias("_aymax"))
-    b = polys_b.select(F.col(b_key).alias("_bk"),
-                       F.col(verts_col).alias("_bv"),
-                       F.col("pxmin").alias("_bxmin"),
-                       F.col("pxmax").alias("_bxmax"),
-                       F.col("pymin").alias("_bymin"),
-                       F.col("pymax").alias("_bymax"))
-    cond = ((F.col("_axmax") >= F.col("_bxmin"))
-            & (F.col("_bxmax") >= F.col("_axmin"))
-            & (F.col("_aymax") >= F.col("_bymin"))
-            & (F.col("_bymax") >= F.col("_aymin")))
-    if exclude_same_key:
-        cond = cond & (F.col("_ak") != F.col("_bk"))
-    # column names without leading underscores: itertuples drops those
-    cand = a.join(F.broadcast(b), cond, "inner") \
-        .select(F.col("_ak").alias("zone_id"), F.col("_av").alias("av"),
-                F.col("_bv").alias("bv"))
-
-    def refine(it):
-        for pdf in it:
-            out = {"zone_id": [], "hit": []}
-            for row in pdf.itertuples(index=False):
-                pa = np.asarray([list(v) for v in row.av], np.float64)
-                pb = np.asarray([list(v) for v in row.bv], np.float64)
-                out["zone_id"].append(int(row.zone_id))
-                out["hit"].append(int(polys_intersect(pa, pb)))
-            yield pd.DataFrame(out)
-
-    agg = (
-        cand.mapInPandas(refine, _VIV_SCHEMA)
-        .groupBy("zone_id").agg(F.sum("hit").alias("n_intersecting"))
-    )
-    return (
-        polys_a.select(F.col(a_key).alias("zone_id"))
-        .join(agg, "zone_id", "left")
-        .fillna({"n_intersecting": 0})
-        .withColumn("any_intersects", F.col("n_intersecting") > 0)
-        .withColumnRenamed("zone_id", a_key)
-    )
+    out = vec_predicate_vec(polys_a, polys_b, predicate="intersects",
+                            a_key=a_key, b_key=b_key, verts_col=verts_col,
+                            exclude_same_key=exclude_same_key)
+    return out.withColumnRenamed("n_match", "n_intersecting") \
+        .withColumnRenamed("any_match", "any_intersects")

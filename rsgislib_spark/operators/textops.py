@@ -189,8 +189,15 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
         )
         sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
         sh_b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+        # no broadcast hint on the candidate list: its size scales with
+        # the corpus near-dup rate (billions of pairs on a 100 TB crawl
+        # with a high dup rate), so a mandatory broadcast is an OOM.
+        # These are plain equi-joins; AQE's runtime size statistics
+        # promote the candidate side to a broadcast join whenever it is
+        # actually small (autoBroadcastJoinThreshold), which is the
+        # size-gate — measured stats, not a compile-time guess.
         common = (
-            F.broadcast(cand)
+            cand
             .join(sh_a, "doc_a")
             .join(sh_b, ["doc_b", "s"])
             .groupBy("doc_a", "doc_b")
@@ -259,14 +266,20 @@ def minhash_pairs(docs: DataFrame, n_hashes: int = 8, band_size: int = 4,
         .distinct()
     )
     # exact-verify ONLY the LSH candidates (the whole point of banding):
-    # the candidate list is tiny, so it broadcasts and the shingle joins
-    # are candidate-driven — never the all-pairs shared-shingle join.
+    # the shingle joins are candidate-driven — never the all-pairs
+    # shared-shingle join.  Deliberately NO broadcast hint on ``cand``:
+    # the candidate count scales with the corpus near-dup rate (a 100 TB
+    # crawl at a 20% dup rate has billions of pairs), so a mandatory
+    # broadcast is an OOM waiting to happen.  AQE size-gates at runtime:
+    # when the measured candidate side is under
+    # autoBroadcastJoinThreshold it becomes a broadcast join anyway,
+    # otherwise a sort-merge equi-join with bounded per-task memory.
     sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "s")
     common = (
-        F.broadcast(cand)
+        cand
         .join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "s"])
         .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))

@@ -987,6 +987,119 @@ SELECT z.zone_id, coalesce(a.n, 0) AS n_intersecting,
 FROM zones z LEFT JOIN agg a ON z.zone_id = a.za
 """
 
+# vec_within_vec: a triangle's vertices span its zone bbox, so "every
+# vertex inside-or-on the rect and no proper crossing" is EXACTLY
+# inclusive bbox containment (convexity makes crossings impossible once
+# all vertices are inside) — the self pair is within by construction.
+ORACLES["vec_within"] = f"""
+{_PREFIX},
+w AS (SELECT a.zone_id, count(*) AS n
+      FROM zones a JOIN zones b
+        ON a.zxmin >= b.zxmin AND a.zxmax <= b.zxmax
+       AND a.zymin >= b.zymin AND a.zymax <= b.zymax
+      GROUP BY a.zone_id)
+SELECT z.zone_id, CAST(coalesce(w.n, 0) AS BIGINT) AS n_within,
+       coalesce(w.n, 0) > 0 AS any_within
+FROM zones z LEFT JOIN w ON z.zone_id = w.zone_id
+"""
+
+
+def _tri_pair_parts() -> dict:
+    """SQL pieces for triangle-pair predicates over pair columns
+    (axmn/axmx/aymn/aymx vs bxmn/...): per-vertex PIP each way and the
+    STRICT proper-crossing test — the exact formulas of
+    geo.geometry.poly_pair_flags (generic position: no boundary
+    contact, so strict interior == crossing-number interior)."""
+    ta = [("axmn", "aymn"), ("axmx", "aymn"), ("axmn", "aymx")]
+    tb = [("bxmn", "bymn"), ("bxmx", "bymn"), ("bxmn", "bymx")]
+
+    def pip(px, py, tri):
+        edges = [(tri[-1], tri[0]), (tri[0], tri[1]), (tri[1], tri[2])]
+        terms = []
+        for (x1, y1), (x2, y2) in edges:
+            terms.append(
+                f"CASE WHEN (({y1} > {py}) != ({y2} > {py})) AND "
+                f"{px} < {x1} + ({py} - {y1}) * ({x2} - {x1})"
+                f" / ({y2} - {y1}) THEN 1 ELSE 0 END")
+        return f"((({') + ('.join(terms)})) % 2 = 1)"
+
+    def orient(a, b, c):
+        return (f"(({b[0]} - {a[0]}) * ({c[1]} - {a[1]})"
+                f" - ({b[1]} - {a[1]}) * ({c[0]} - {a[0]}))")
+
+    hits = []
+    ea = [(ta[i], ta[(i + 1) % 3]) for i in range(3)]
+    eb = [(tb[i], tb[(i + 1) % 3]) for i in range(3)]
+    for p1, p2 in ea:
+        for q1, q2 in eb:
+            d1, d2 = orient(p1, p2, q1), orient(p1, p2, q2)
+            d3, d4 = orient(q1, q2, p1), orient(q1, q2, p2)
+            hits.append(
+                f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0))"
+                f" AND (({d3} > 0 AND {d4} < 0)"
+                f" OR ({d3} < 0 AND {d4} > 0)))")
+    a_in = [pip(v[0], v[1], tb) for v in ta]
+    b_in = [pip(v[0], v[1], ta) for v in tb]
+    return {
+        "cross": f"({' OR '.join(hits)})",
+        "a_any": f"({' OR '.join(a_in)})",
+        "a_all": f"({' AND '.join(a_in)})",
+        "b_any": f"({' OR '.join(b_in)})",
+        "b_all": f"({' AND '.join(b_in)})",
+    }
+
+
+def _tri_overlaps_pred() -> str:
+    p = _tri_pair_parts()
+    interior = f"({p['cross']} OR {p['a_any']} OR {p['b_any']})"
+    win_ab = f"({p['a_all']} AND NOT {p['cross']})"
+    win_ba = f"({p['b_all']} AND NOT {p['cross']})"
+    return f"({interior} AND NOT {win_ab} AND NOT {win_ba})"
+
+
+ORACLES["vec_overlaps"] = f"""
+{_PREFIX},
+pair AS (SELECT a.zone_id AS za,
+                a.zxmin AS axmn, a.zxmax AS axmx,
+                a.zymin AS aymn, a.zymax AS aymx,
+                b.zxmin AS bxmn, b.zxmax AS bxmx,
+                b.zymin AS bymn, b.zymax AS bymx
+         FROM zones a JOIN zones b
+           ON a.zone_id != b.zone_id
+          AND a.zxmax >= b.zxmin AND b.zxmax >= a.zxmin
+          AND a.zymax >= b.zymin AND b.zymax >= a.zymin),
+hit AS (SELECT za,
+               CASE WHEN {_tri_overlaps_pred()} THEN 1 ELSE 0 END AS h
+        FROM pair),
+agg AS (SELECT za, CAST(sum(h) AS BIGINT) AS n FROM hit GROUP BY za)
+SELECT z.zone_id, coalesce(a.n, 0) AS n_overlapping,
+       coalesce(a.n, 0) > 0 AS any_overlaps
+FROM zones z LEFT JOIN agg a ON z.zone_id = a.za
+"""
+
+# vec_touches_vec on the world grid: disjoint-interior rects touch iff
+# their bboxes overlap inclusively but not strictly (shared edge or
+# corner, exact double equality — both engines compute the grid bounds
+# with the identical expression).
+ORACLES["vec_touches"] = """
+WITH g AS (SELECT gid AS grid_id,
+       -180.0 + (gid % 36) * 10.0 AS gxmin,
+       least(-180.0 + (gid % 36 + 1) * 10.0, 180.0) AS gxmax,
+       -60.0 + (gid // 36) * 10.0 AS gymin,
+       least(-60.0 + (gid // 36 + 1) * 10.0, 60.0) AS gymax
+FROM (SELECT unnest(generate_series(0, 431)) AS gid)),
+t AS (SELECT a.grid_id, count(*) AS n
+      FROM g a JOIN g b ON a.grid_id != b.grid_id
+       AND a.gxmax >= b.gxmin AND b.gxmax >= a.gxmin
+       AND a.gymax >= b.gymin AND b.gymax >= a.gymin
+       AND NOT (a.gxmax > b.gxmin AND b.gxmax > a.gxmin
+                AND a.gymax > b.gymin AND b.gymax > a.gymin)
+      GROUP BY a.grid_id)
+SELECT g.grid_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_touching,
+       coalesce(t.n, 0) > 0 AS any_touches
+FROM g LEFT JOIN t ON g.grid_id = t.grid_id
+"""
+
 ORACLES["grid_gen"] = """
 SELECT gid AS grid_id, gid % 36 AS gx, gid // 36 AS gy,
        -180.0 + (gid % 36) * 10.0 AS gxmin,
@@ -1495,9 +1608,21 @@ jac AS (SELECT doc_a, doc_b, n_common,
                 JOIN sn y ON cp.doc_b = y.doc_id)
 """.strip()
 
+# df-capped candidate generation (max_df=10), exact verify over the full
+# shingle sets — mirrors textops.ngram_jaccard_pairs(max_df=10): pairs
+# are candidates iff they share >= 1 shingle with document frequency
+# <= 10; jaccard is then computed over ALL shared shingles.
 ORACLES["ngram_jaccard"] = f"""
-WITH {_SHINGLES}
-SELECT doc_a, doc_b, n_common, jaccard FROM jac WHERE jaccard >= 0.2
+WITH {_SHINGLES},
+rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+         WHERE df <= 10),
+cnd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT * FROM sh WHERE s IN (SELECT s FROM rare)) a
+        JOIN (SELECT * FROM sh WHERE s IN (SELECT s FROM rare)) b
+          ON a.s = b.s AND a.doc_id < b.doc_id)
+SELECT j.doc_a, j.doc_b, j.n_common, j.jaccard
+FROM cnd c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= 0.2
 """
 
 ORACLES["minhash_lsh"] = f"""

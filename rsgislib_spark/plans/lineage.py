@@ -30,6 +30,7 @@ data.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -93,6 +94,21 @@ def run_resumable(images: DataFrame, out_dir: str, process,
     if n_cells == 0:
         todo.unpersist()
         return 0
+
+    # dynamic overwrite only replaces partitions PRESENT in this run's
+    # output: if ``process`` changed between attempts (or is
+    # non-deterministic) and now emits no rows for a crashed cell, that
+    # cell's stale partial data would survive while lineage marks it
+    # complete.  Deleting the pending cells' partition directories up
+    # front makes the replacement unconditional; a crash between the
+    # delete and the write just leaves the cells pending again (no
+    # lineage row yet), so the resume contract is unchanged.  On
+    # Iceberg this is a single atomic replacePartitions commit.
+    if os.path.exists(data_path):
+        for row in todo.select("cell").collect():
+            d = os.path.join(data_path, f"cell={row.cell}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
     out = process(pending)
     mode_key = "spark.sql.sources.partitionOverwriteMode"

@@ -32,7 +32,7 @@ from .operators.imagestats import pixel_histogram, pixel_stats
 from .operators.knn import match_closest_points, npts_in_radius
 from .operators.spatial_join import (spatial_join, spatial_join_poly,
                                      spatial_select, vec_intersects_vec,
-                                     with_point_cell)
+                                     vec_predicate_vec, with_point_cell)
 from .operators.tiling import (block_iter_specs, tile_pixels, tile_spec_df,
                                tile_spec_offset_df)
 from .operators.zonal import (extract_point_values, mask_by_vec_stats,
@@ -503,6 +503,66 @@ def q_vec_intersects(spark, sf_dir) -> DataFrame:
                 "any_intersects")
 
 
+def _rect_zones(zones):
+    return zones.select(
+        F.col("zone_id").alias("poly_id"),
+        F.array(
+            F.array(F.col("zxmin"), F.col("zymin")),
+            F.array(F.col("zxmax"), F.col("zymin")),
+            F.array(F.col("zxmax"), F.col("zymax")),
+            F.array(F.col("zxmin"), F.col("zymax")),
+        ).alias("verts"),
+        F.col("zxmin").alias("pxmin"), F.col("zxmax").alias("pxmax"),
+        F.col("zymin").alias("pymin"), F.col("zymax").alias("pymax"))
+
+
+def q_vec_within(spark, sf_dir) -> DataFrame:
+    """vec_within_vec: for each zone triangle, how many zone RECTS it
+    lies within — boundary sharing allowed, so every triangle is within
+    at least its own zone box (§2.3, vectorgeoms/__init__.py:2608)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    out = vec_predicate_vec(_triangle_zones(zones), _rect_zones(zones),
+                            predicate="within")
+    return out.select(F.col("poly_id").alias("zone_id"),
+                      F.col("n_match").alias("n_within"),
+                      F.col("any_match").alias("any_within"))
+
+
+def q_vec_overlaps(spark, sf_dir) -> DataFrame:
+    """vec_overlaps_vec: zone triangles that partially overlap OTHER
+    zone triangles — interiors intersect, neither within the other
+    (§2.3, vectorgeoms/__init__.py:2746)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    tri = _triangle_zones(zones)
+    out = vec_predicate_vec(tri, tri, predicate="overlaps",
+                            exclude_same_key=True)
+    return out.select(F.col("poly_id").alias("zone_id"),
+                      F.col("n_match").alias("n_overlapping"),
+                      F.col("any_match").alias("any_overlaps"))
+
+
+def q_vec_touches(spark, sf_dir) -> DataFrame:
+    """vec_touches_vec over the 10-deg world grid: each cell touches its
+    edge/corner neighbours (boundary contact, disjoint interiors) —
+    exact shared-coordinate arithmetic, no tolerance (§2.3)."""
+    g = vec.define_grid(spark, -180.0, 180.0, -60.0, 60.0, 10.0, 10.0)
+    cells = g.select(
+        F.col("grid_id").alias("poly_id"),
+        F.array(
+            F.array(F.col("gxmin"), F.col("gymin")),
+            F.array(F.col("gxmax"), F.col("gymin")),
+            F.array(F.col("gxmax"), F.col("gymax")),
+            F.array(F.col("gxmin"), F.col("gymax")),
+        ).alias("verts"),
+        F.col("gxmin").alias("pxmin"), F.col("gxmax").alias("pxmax"),
+        F.col("gymin").alias("pymin"), F.col("gymax").alias("pymax"))
+    out = vec_predicate_vec(cells, cells, predicate="touches",
+                            exclude_same_key=True)
+    return out.select(F.col("poly_id").alias("grid_id"),
+                      F.col("n_match").alias("n_touching"),
+                      F.col("any_match").alias("any_touches"))
+
+
 def q_overlay_intersection(spark, sf_dir) -> DataFrame:
     """vec_lyr_intersection_gp with geometry output: triangle zones
     clipped by the 10-deg world grid — Sutherland–Hodgman entirely in
@@ -886,9 +946,16 @@ def q_doc_fingerprint(spark, sf_dir) -> DataFrame:
 
 
 def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
-    """near-dup pairs by exact word-3-gram Jaccard (threshold 0.2)."""
+    """near-dup pairs by exact word-3-gram Jaccard (threshold 0.2).
+
+    Registers the df-CAPPED candidate path (``max_df=10``): shingles in
+    more than 10 docs are non-discriminative and would otherwise pair
+    every doc containing them (the quadratic hot key at corpus scale).
+    Verification stays exact over the full shingle sets.
+    """
     t = load_tables(spark, sf_dir, ["documents"])
-    return tx.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.2) \
+    return tx.ngram_jaccard_pairs(t["documents"], n=3, threshold=0.2,
+                                  max_df=10) \
         .select("doc_a", "doc_b", "n_common", "jaccard")
 
 
@@ -1111,6 +1178,9 @@ QUERIES = {
     "sjoin_bbox_intersects": q_sjoin_bbox_intersects,
     "spatial_select": q_spatial_select,
     "vec_intersects": q_vec_intersects,
+    "vec_within": q_vec_within,
+    "vec_overlaps": q_vec_overlaps,
+    "vec_touches": q_vec_touches,
     "zone_geom_cols": q_zone_geom_cols,
     "grid_gen": q_grid_gen,
     "hex_grid": q_hex_grid,

@@ -151,3 +151,16 @@ def test_write_partitioned_roundtrip(spark, sf_dir, tmp_path):
     write_partitioned(img, path, sort_cols=("image_id",))
     back = spark.read.parquet(path)
     assert back.count() == img.count()
+
+
+def test_band_math_b2_bound():
+    """ADVICE r2: 'b2' is whitelisted by validate_band_math, so the
+    eval env must bind it (the mirrored plane, the engine's standing
+    second-band convention) instead of escaping as a NameError."""
+    import numpy as np
+
+    from rsgislib_spark.operators.imagemath import eval_band_math
+
+    arr = np.arange(12, dtype=np.int64).reshape(3, 4)
+    out = eval_band_math(arr, "b1 + b2")
+    assert (out == arr + arr[:, ::-1]).all()

@@ -159,3 +159,90 @@ def test_zonal_poly_salt_invariance(spark, sf_dir):
     a = sorted(map(tuple, zonal_stats_poly(img, tri, n_salt=1).collect()))
     b = sorted(map(tuple, zonal_stats_poly(img, tri, n_salt=8).collect()))
     assert a == b and len(a) == 25
+
+
+def _poly_df(spark, rows, key_type="string"):
+    """rows: (key, [[x,y],...]) -> layer frame with bbox columns."""
+    from pyspark.sql import functions as F
+    data = []
+    for k, verts in rows:
+        xs = [v[0] for v in verts]
+        ys = [v[1] for v in verts]
+        data.append((k, verts, min(xs), max(xs), min(ys), max(ys)))
+    return spark.createDataFrame(
+        data, f"poly_id {key_type}, verts array<array<double>>, "
+              "pxmin double, pxmax double, pymin double, pymax double")
+
+
+def test_vec_predicate_family(spark):
+    """GEOS-semantics checks on crafted rings: within/contains allow
+    boundary sharing, overlaps needs mutual non-containment, touches is
+    boundary-only contact (edge AND corner), crosses is identically
+    False for polygon pairs, and string keys pass through untouched."""
+    from rsgislib_spark.operators.spatial_join import vec_predicate_vec
+
+    unit = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]
+    inner = [[2.0, 2.0], [5.0, 2.0], [5.0, 5.0], [2.0, 5.0]]
+    half_tri = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]     # shares boundary
+    shifted = [[5.0, 5.0], [15.0, 5.0], [15.0, 15.0], [5.0, 15.0]]
+    east = [[10.0, 0.0], [20.0, 0.0], [20.0, 10.0], [10.0, 10.0]]  # edge touch
+    corner = [[10.0, 10.0], [20.0, 10.0], [20.0, 20.0], [10.0, 20.0]]
+    far = [[50.0, 50.0], [60.0, 50.0], [60.0, 60.0], [50.0, 60.0]]
+    a = _poly_df(spark, [("unit", unit)])
+    b = _poly_df(spark, [("inner", inner), ("half", half_tri),
+                         ("shift", shifted), ("east", east),
+                         ("corner", corner), ("far", far)])
+
+    def run(pred, polys_a=a, polys_b=b):
+        out = vec_predicate_vec(polys_a, polys_b, predicate=pred)
+        return {r.poly_id: r.n_match for r in out.collect()}
+
+    # unit intersects everything except far
+    assert run("intersects") == {"unit": 5}
+    # inner and half are within unit -> contains; unit within nothing
+    assert run("contains") == {"unit": 2}
+    assert run("within") == {"unit": 0}
+    assert run("within", b, a) == {"inner": 1, "half": 1, "shift": 0,
+                                   "east": 0, "corner": 0, "far": 0}
+    # overlaps: only the partially-overlapping shifted square
+    assert run("overlaps") == {"unit": 1}
+    # touches: shared-edge AND shared-corner contact, nothing interior
+    assert run("touches") == {"unit": 2}
+    assert run("touches", b, a) == {"inner": 0, "half": 0, "shift": 0,
+                                    "east": 1, "corner": 1, "far": 0}
+    # crosses: identically False for area/area (OGC)
+    assert run("crosses") == {"unit": 0}
+
+
+def test_vec_predicate_refine_is_vectorized(spark):
+    """Timing guard on the batched refine: a candidate set of ~20k
+    polygon pairs must clear in seconds (the round-2 per-pair Python
+    loop took minutes at this size)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark.operators.spatial_join import vec_predicate_vec
+
+    # 30x30 grid of 1.5-unit squares on unit centers -> each overlaps
+    # its 8 neighbours; ~900 features, ~20k bbox-inclusive pairs
+    n = 30
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            x, y = float(i), float(j)
+            rows.append((i * n + j,
+                         [[x, y], [x + 1.5, y], [x + 1.5, y + 1.5],
+                          [x, y + 1.5]]))
+    layer = _poly_df(spark, rows, key_type="long")
+    t0 = time.time()
+    out = vec_predicate_vec(layer, layer, predicate="intersects",
+                            exclude_same_key=True, res=8)
+    total = out.agg(F.sum("n_match")).collect()[0][0]
+    dt = time.time() - t0
+    # interior cells intersect 8 neighbours (surrounding ring)
+    assert total == sum(1 for i in range(n) for j in range(n)
+                        for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                        if (di, dj) != (0, 0)
+                        and 0 <= i + di < n and 0 <= j + dj < n)
+    assert dt < 60, f"refine too slow: {dt:.1f}s"

@@ -215,3 +215,54 @@ def test_ngram_jaccard_df_cap(spark, sf_dir):
     assert capped2[(1, 2)] == uncapped[(1, 2)]
     # ...while pairs connected ONLY by hot shingles are not generated
     assert (1, 3) in uncapped and (1, 3) not in capped2
+
+
+def test_dedup_verify_no_forced_broadcast(spark):
+    """Scale guard: the candidate-verify joins in minhash_pairs and the
+    capped ngram path must NOT carry a mandatory broadcast hint — with
+    the static autoBroadcastJoinThreshold disabled, the compiled plan
+    has zero BroadcastHashJoin/BroadcastNestedLoopJoin nodes, proving
+    candidate-side memory is bounded by the shuffle machinery (AQE may
+    still promote a measured-small side at runtime, which is the
+    intended size gate)."""
+    from rsgislib_spark.operators.textops import (minhash_pairs,
+                                                  ngram_jaccard_pairs)
+
+    # pathological high-dup corpus: every doc shares a hot prefix
+    rows = [(i, "common shared prefix tokens here doc %d body %d" % (i % 7, i))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (minhash_pairs(docs),
+                   ngram_jaccard_pairs(docs, threshold=0.2, max_df=5)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, plan[:2000]
+            assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_dedup_pathological_corpus_correct(spark):
+    """On the high-dup corpus the (unhinted) verify joins still produce
+    exact jaccard values, equal to a brute-force python computation."""
+    from rsgislib_spark.operators.textops import minhash_pairs
+
+    rows = [(i, "common shared prefix tokens here doc %d body %d" % (i % 7, i))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(text, n=3):
+        t = text.split(" ")
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    texts = dict(rows)
+    got = {(r.doc_a, r.doc_b): (r.n_common, r.jaccard)
+           for r in minhash_pairs(docs, threshold=0.0).collect()}
+    for (a, b), (nc, jac) in got.items():
+        sa, sb = sh(texts[a]), sh(texts[b])
+        inter = len(sa & sb)
+        assert nc == inter
+        assert jac == inter / (len(sa) + len(sb) - inter)
+    assert got  # the corpus collides heavily, so pairs must exist
