@@ -842,6 +842,162 @@ SELECT poly_id, rect_id, CAST(v_idx AS BIGINT) AS v_idx,
 FROM ex
 """
 
+from .operators.overlay import diff_region_exprs_sql as _diff_sql  # noqa: E402
+
+_BAND_D = ("(SELECT CAST(1 AS BIGINT) AS rect_id, "
+           "CAST(-40.0 AS DOUBLE) AS rxmin, CAST(40.0 AS DOUBLE) AS rxmax, "
+           "CAST(-15.0 AS DOUBLE) AS rymin, CAST(15.0 AS DOUBLE) AS rymax)")
+
+_P0, _P1, _P2, _P3 = _diff_sql("duckdb", "verts",
+                               "rxmin", "rxmax", "rymin", "rymax")
+
+ORACLES["overlay_difference"] = f"""
+{_PREFIX},
+tri AS (SELECT zone_id AS poly_id,
+               [[zxmin, zymin], [zxmax, zymin], [zxmin, zymax]] AS verts,
+               zxmin AS pxmin, zxmax AS pxmax,
+               zymin AS pymin, zymax AS pymax
+        FROM zones),
+band AS {_BAND_D},
+cand AS (SELECT t.poly_id, b.rect_id, t.verts,
+                b.rxmin, b.rxmax, b.rymin, b.rymax
+         FROM tri t JOIN band b
+           ON t.pxmax > b.rxmin AND b.rxmax > t.pxmin
+          AND t.pymax > b.rymin AND b.rymax > t.pymin),
+parts AS (SELECT poly_id, rect_id, pi,
+                 list_extract([{_P0}, {_P1}, {_P2}, {_P3}], pi) AS pl
+          FROM cand, (SELECT unnest(generate_series(1, 4)) AS pi)),
+kept AS (SELECT poly_id, rect_id, CAST(pi AS BIGINT) AS part_idx, pl
+         FROM parts WHERE len(pl) >= 3),
+unm AS (SELECT t.poly_id, CAST(NULL AS BIGINT) AS rect_id,
+               CAST(0 AS BIGINT) AS part_idx, t.verts AS pl
+        FROM tri t WHERE NOT EXISTS (SELECT 1 FROM band b
+          WHERE t.pxmax > b.rxmin AND b.rxmax > t.pxmin
+            AND t.pymax > b.rymin AND b.rymax > t.pymin)),
+allp AS (SELECT * FROM kept UNION ALL SELECT * FROM unm),
+ex AS (SELECT poly_id, rect_id, part_idx,
+              unnest(generate_series(1, len(pl))) AS v_idx, pl FROM allp)
+SELECT poly_id, rect_id, part_idx, CAST(v_idx AS BIGINT) AS v_idx,
+       list_extract(pl, v_idx)[1] AS vx, list_extract(pl, v_idx)[2] AS vy
+FROM ex
+"""
+
+
+def _rect_erase_sql(p: str, base: str, erase: str, key: str) -> str:
+    """DuckDB twin of operators.overlay.rect_erase (same slab/gap
+    algebra, comparisons only).  ``base``: CTE (key, bx0,bx1,by0,by1);
+    ``erase``: CTE (ex0,ex1,ey0,ey1).  Emits CTEs ending in
+    ``{p}parts`` (key, part_idx, rxmin, rxmax, rymin, rymax)."""
+    return f"""
+{p}box AS (SELECT DISTINCT b.{key}, b.bx0, b.bx1, b.by0, b.by1,
+                greatest(e.ex0, b.bx0) AS cx0, least(e.ex1, b.bx1) AS cx1,
+                greatest(e.ey0, b.by0) AS cy0, least(e.ey1, b.by1) AS cy1
+           FROM {base} b JOIN {erase} e
+             ON b.bx1 > e.ex0 AND e.ex1 > b.bx0
+            AND b.by1 > e.ey0 AND e.ey1 > b.by0),
+{p}bps AS (SELECT DISTINCT {key}, x FROM (
+            SELECT {key}, cx0 AS x FROM {p}box
+            UNION ALL SELECT {key}, cx1 FROM {p}box
+            UNION ALL SELECT {key}, bx0 FROM {p}box
+            UNION ALL SELECT {key}, bx1 FROM {p}box)),
+{p}slab AS (SELECT * FROM (SELECT {key}, x,
+              lead(x) OVER (PARTITION BY {key} ORDER BY x) AS xn
+              FROM {p}bps) WHERE xn IS NOT NULL),
+{p}sb AS (SELECT s.{key}, s.x, s.xn, bo.cy0, bo.cy1
+          FROM {p}slab s LEFT JOIN {p}box bo
+            ON bo.{key} = s.{key} AND bo.cx0 <= s.x AND bo.cx1 >= s.xn),
+{p}sbe AS (SELECT q.*, b.by0, b.by1 FROM {p}sb q JOIN {base} b USING ({key})),
+{p}gb AS (SELECT {key}, x AS rxmin, xn AS rxmax,
+               greatest(coalesce(max(cy1) OVER (PARTITION BY {key}, x
+                 ORDER BY cy0 NULLS LAST, cy1 NULLS LAST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), by0),
+                 by0) AS rymin,
+               cy0 AS rymax
+          FROM {p}sbe WHERE cy0 IS NOT NULL),
+{p}ga AS (SELECT {key}, x AS rxmin, xn AS rxmax,
+               coalesce(max(cy1), min(by0)) AS rymin, min(by1) AS rymax
+          FROM {p}sbe GROUP BY {key}, x, xn),
+{p}unt AS (SELECT b.{key}, b.bx0 AS rxmin, b.bx1 AS rxmax,
+                b.by0 AS rymin, b.by1 AS rymax
+           FROM {base} b WHERE NOT EXISTS (SELECT 1 FROM {erase} e
+             WHERE b.bx1 > e.ex0 AND e.ex1 > b.bx0
+               AND b.by1 > e.ey0 AND e.ey1 > b.by0)),
+{p}parts AS (SELECT {key},
+                  CAST(row_number() OVER (PARTITION BY {key}
+                       ORDER BY rxmin, rymin) AS BIGINT) AS part_idx,
+                  rxmin, rxmax, rymin, rymax
+             FROM (SELECT * FROM {p}gb WHERE rymin < rymax
+                   UNION ALL SELECT * FROM {p}ga WHERE rymin < rymax
+                   UNION ALL SELECT * FROM {p}unt))"""
+
+
+ORACLES["overlay_erase"] = f"""
+{_PREFIX},
+gbase AS (SELECT gid AS grid_id,
+       -180.0 + (gid % 36) * 10.0 AS bx0,
+       least(-180.0 + (gid % 36 + 1) * 10.0, 180.0) AS bx1,
+       -60.0 + (gid // 36) * 10.0 AS by0,
+       least(-60.0 + (gid // 36 + 1) * 10.0, 60.0) AS by1
+  FROM (SELECT unnest(generate_series(0, 431)) AS gid)),
+zer AS (SELECT zxmin AS ex0, zxmax AS ex1, zymin AS ey0, zymax AS ey1
+        FROM zones),
+{_rect_erase_sql('e1', 'gbase', 'zer', 'grid_id')}
+SELECT grid_id, part_idx, rxmin, rxmax, rymin, rymax FROM e1parts
+"""
+
+ORACLES["overlay_sym_difference"] = f"""
+{_PREFIX},
+za AS (SELECT zone_id AS fid, zxmin AS bx0, zxmax AS bx1,
+              zymin AS by0, zymax AS by1 FROM zones),
+bandE AS (SELECT CAST(-40.0 AS DOUBLE) AS ex0, CAST(40.0 AS DOUBLE) AS ex1,
+                 CAST(-15.0 AS DOUBLE) AS ey0, CAST(15.0 AS DOUBLE) AS ey1),
+{_rect_erase_sql('sa', 'za', 'bandE', 'fid')},
+bb AS (SELECT CAST(1 AS BIGINT) AS fid,
+              CAST(-40.0 AS DOUBLE) AS bx0, CAST(40.0 AS DOUBLE) AS bx1,
+              CAST(-15.0 AS DOUBLE) AS by0, CAST(15.0 AS DOUBLE) AS by1),
+zaE AS (SELECT zxmin AS ex0, zxmax AS ex1, zymin AS ey0, zymax AS ey1
+        FROM zones),
+{_rect_erase_sql('sc', 'bb', 'zaE', 'fid')}
+SELECT 'a' AS side, fid AS feat_id, part_idx, rxmin, rxmax, rymin, rymax
+FROM saparts
+UNION ALL
+SELECT 'b' AS side, fid AS feat_id, part_idx, rxmin, rxmax, rymin, rymax
+FROM scparts
+"""
+
+ORACLES["overlay_union"] = f"""
+{_PREFIX},
+za AS (SELECT zone_id AS fid, zxmin AS bx0, zxmax AS bx1,
+              zymin AS by0, zymax AS by1 FROM zones),
+bandE AS (SELECT CAST(-40.0 AS DOUBLE) AS ex0, CAST(40.0 AS DOUBLE) AS ex1,
+                 CAST(-15.0 AS DOUBLE) AS ey0, CAST(15.0 AS DOUBLE) AS ey1),
+{_rect_erase_sql('sa', 'za', 'bandE', 'fid')},
+bb AS (SELECT CAST(1 AS BIGINT) AS fid,
+              CAST(-40.0 AS DOUBLE) AS bx0, CAST(40.0 AS DOUBLE) AS bx1,
+              CAST(-15.0 AS DOUBLE) AS by0, CAST(15.0 AS DOUBLE) AS by1),
+zaE AS (SELECT zxmin AS ex0, zxmax AS ex1, zymin AS ey0, zymax AS ey1
+        FROM zones),
+{_rect_erase_sql('sc', 'bb', 'zaE', 'fid')},
+ib AS (SELECT 'int' AS kind, z.zone_id AS a_id, CAST(1 AS BIGINT) AS b_id,
+              greatest(z.zxmin, CAST(-40.0 AS DOUBLE)) AS rxmin,
+              least(z.zxmax, CAST(40.0 AS DOUBLE)) AS rxmax,
+              greatest(z.zymin, CAST(-15.0 AS DOUBLE)) AS rymin,
+              least(z.zymax, CAST(15.0 AS DOUBLE)) AS rymax,
+              CAST(1 AS BIGINT) AS part_idx
+       FROM zones z
+       WHERE z.zxmax > CAST(-40.0 AS DOUBLE)
+         AND CAST(40.0 AS DOUBLE) > z.zxmin
+         AND z.zymax > CAST(-15.0 AS DOUBLE)
+         AND CAST(15.0 AS DOUBLE) > z.zymin)
+SELECT kind, a_id, b_id, part_idx, rxmin, rxmax, rymin, rymax FROM ib
+UNION ALL
+SELECT 'a' AS kind, fid AS a_id, CAST(NULL AS BIGINT) AS b_id, part_idx,
+       rxmin, rxmax, rymin, rymax FROM saparts
+UNION ALL
+SELECT 'b' AS kind, CAST(NULL AS BIGINT) AS a_id, fid AS b_id, part_idx,
+       rxmin, rxmax, rymin, rymax FROM scparts
+"""
+
 from .operators.geomtransforms import (ring_area2_sql as _ra2,  # noqa: E402
                                        simplify_ring_sql as _simp)
 

@@ -25,7 +25,9 @@ from .operators.mosaic import (composite_max_index_window, mosaic_mode_window,
 from .operators.geomtransforms import (delete_holes, explode_multi,
                                        poly_to_polyline, shift_xy,
                                        simplify_polys)
-from .operators.overlay import overlay_intersection_rect
+from .operators.overlay import (overlay_difference_rect,
+                                overlay_intersection_rect, rect_erase,
+                                rect_sym_difference, rect_union)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
@@ -579,6 +581,83 @@ def q_overlay_intersection(spark, sf_dir) -> DataFrame:
 _RECT_RING = ("array(array(zxmin, zymin), array(zxmax, zymin), "
               "array(zxmax, zymax), array(zxmin, zymax))")
 _TRI_RING = "array(array(zxmin, zymin), array(zxmax, zymin), array(zxmin, zymax))"
+
+#: fixed equatorial band clip rect for the overlay difference queries
+_BAND = (-40.0, 40.0, -15.0, 15.0)
+
+
+def _band_rect(spark):
+    return spark.range(1).select(
+        F.lit(1).cast("long").alias("rect_id"),
+        F.lit(_BAND[0]).alias("rxmin"), F.lit(_BAND[1]).alias("rxmax"),
+        F.lit(_BAND[2]).alias("rymin"), F.lit(_BAND[3]).alias("rymax"))
+
+
+def q_overlay_difference(spark, sf_dir) -> DataFrame:
+    """vec_lyr_difference_gp with geometry output: triangle zones minus
+    an equatorial band rect — poly \\ rect as the four complementary
+    W/E/S/N Sutherland–Hodgman clips, pure Catalyst; untouched
+    triangles pass through whole (§2.8, vectorgeoms/__init__.py:1189)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    out = overlay_difference_rect(_triangle_zones(zones), _band_rect(spark))
+    return out.select("poly_id", "rect_id", "part_idx", "v_idx", "vx", "vy")
+
+
+def q_overlay_erase(spark, sf_dir) -> DataFrame:
+    """LAYER-level rect difference: 10-deg grid cells minus the UNION of
+    every zone rect — vertical-slab decomposition + interval-gap
+    windows, comparisons only (bit-exact in any engine) (§2.8)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    g = vec.define_grid(spark, -180.0, 180.0, -60.0, 60.0, 10.0, 10.0)
+    base = g.select(F.col("grid_id").alias("base_id"),
+                    F.col("gxmin").alias("bxmin"),
+                    F.col("gxmax").alias("bxmax"),
+                    F.col("gymin").alias("bymin"),
+                    F.col("gymax").alias("bymax"))
+    erase = zones.select(F.col("zxmin").alias("exmin"),
+                         F.col("zxmax").alias("exmax"),
+                         F.col("zymin").alias("eymin"),
+                         F.col("zymax").alias("eymax"))
+    return rect_erase(base, erase).select(
+        F.col("base_id").alias("grid_id"), "part_idx",
+        "rxmin", "rxmax", "rymin", "rymax")
+
+
+def _zone_rect_layer_a(zones):
+    return zones.select(F.col("zone_id").alias("a_id"),
+                        F.col("zxmin").alias("axmin"),
+                        F.col("zxmax").alias("axmax"),
+                        F.col("zymin").alias("aymin"),
+                        F.col("zymax").alias("aymax"))
+
+
+def _band_rect_layer_b(spark):
+    return _band_rect(spark).select(F.col("rect_id").alias("b_id"),
+                                    F.col("rxmin").alias("bxmin"),
+                                    F.col("rxmax").alias("bxmax"),
+                                    F.col("rymin").alias("bymin"),
+                                    F.col("rymax").alias("bymax"))
+
+
+def q_overlay_sym_difference(spark, sf_dir) -> DataFrame:
+    """sym_difference with geometry output: zone rects vs the band —
+    A-outside-every-B plus B-outside-every-A rect parts (two slab-
+    decomposition erase passes) (§2.8, vectorgeoms/__init__.py:1241)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    out = rect_sym_difference(_zone_rect_layer_a(zones),
+                              _band_rect_layer_b(spark))
+    return out.select("side", "feat_id", "part_idx",
+                      "rxmin", "rxmax", "rymin", "rymax")
+
+
+def q_overlay_union(spark, sf_dir) -> DataFrame:
+    """overlay union with geometry output: pairwise intersection boxes
+    plus both difference remainders, geopandas how='union' semantics
+    (§2.8, vectorgeoms/__init__.py:1350)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    out = rect_union(_zone_rect_layer_a(zones), _band_rect_layer_b(spark))
+    return out.select("kind", "a_id", "b_id", "part_idx",
+                      "rxmin", "rxmax", "rymin", "rymax")
 
 
 def q_shift_layer(spark, sf_dir) -> DataFrame:
@@ -1186,6 +1265,10 @@ QUERIES = {
     "hex_grid": q_hex_grid,
     "bbox_algebra": q_bbox_algebra,
     "overlay_intersection": q_overlay_intersection,
+    "overlay_difference": q_overlay_difference,
+    "overlay_erase": q_overlay_erase,
+    "overlay_sym_difference": q_overlay_sym_difference,
+    "overlay_union": q_overlay_union,
     "poly_polyline": q_poly_polyline,
     "shift_layer": q_shift_layer,
     "explode_multi": q_explode_multi,
