@@ -26,8 +26,17 @@ partitionings and cluster sizes.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
-__all__ = ["utm_forward_sql", "utm_zone", "central_meridian_deg"]
+__all__ = [
+    "utm_forward_sql",
+    "utm_zone",
+    "central_meridian_deg",
+    "TMParams",
+    "tm_forward_sql",
+    "epsg_tm_params",
+    "EPSG_TM",
+]
 
 #: WGS84
 _A = 6378137.0
@@ -44,10 +53,39 @@ _COS_C = [1.0, -1.0 / 2, 1.0 / 24, -1.0 / 720, 1.0 / 40320,
           -1.0 / 3628800, 1.0 / 479001600, -1.0 / 87178291200]
 
 
+def dlit(x: float) -> str:
+    """Emit a double constant as exact integer-mantissa arithmetic.
+
+    ``repr(x)`` literals are parse-path hazards: DuckDB's in-engine
+    string->double CAST is off by one ulp for some 17-digit literals
+    (measured: CAST('0.39089081105203316' AS DOUBLE) != the Python/JVM
+    parse), and bare literals go through DECIMAL with its own rounding.
+    ``mant / 2^k`` sidesteps every parser: the integer mantissa
+    (< 2^53) converts exactly and power-of-two division is exact IEEE,
+    so the expression evaluates to bit-exactly ``x`` in any engine.
+    """
+    if x == 0.0:
+        return "CAST(0 AS DOUBLE)"
+    sign = "-" if x < 0 else ""
+    m, e = math.frexp(abs(x))
+    mant = int(m * (1 << 53))       # exact: m has <= 53 significant bits
+    shift = 53 - e                  # abs(x) = mant / 2^shift
+    expr = f"CAST({mant} AS DOUBLE)"
+    while shift > 0:
+        s = min(shift, 62)
+        expr = f"({expr} / {1 << s})"
+        shift -= s
+    while shift < 0:
+        s = min(-shift, 62)
+        expr = f"({expr} * {1 << s})"
+        shift += s
+    return f"({sign}{expr})"
+
+
 def _horner(x2: str, coeffs) -> str:
-    expr = repr(coeffs[-1])
+    expr = dlit(coeffs[-1])
     for c in reversed(coeffs[:-1]):
-        expr = f"({c!r} + ({x2}) * ({expr}))"
+        expr = f"({dlit(c)} + ({x2}) * ({expr}))"
     return expr
 
 
@@ -59,17 +97,51 @@ def central_meridian_deg(zone: int) -> float:
     return -183.0 + 6.0 * int(zone)
 
 
-def utm_forward_sql(lon: str, lat: str, zone: int,
-                    south: bool = False) -> tuple[str, str]:
-    """(easting_expr, northing_expr) SQL for the given UTM zone.
+@dataclass(frozen=True)
+class TMParams:
+    """A transverse-Mercator projected CRS: ellipsoid + TM parameters.
 
-    Pure arithmetic — valid verbatim in Spark SQL and DuckDB.  Callers
-    wrap in their own SELECT; inputs in degrees.
+    ``reproj_vector_layer`` (reference: python/rsgislib/vectorutils/
+    __init__.py:779) accepts any OGR SRS; the TM family (every UTM
+    zone, national grids like OSGB/ITM) is parameterized by exactly
+    these seven numbers.  Coordinates are assumed geodetic in the
+    CRS's own datum (the projection step of a reprojection; cross-
+    datum Helmert shifts are the one part the engine scopes out, as
+    they need iterated inverse trig that cannot be made bit-exact).
     """
-    lam0 = central_meridian_deg(zone)
-    deg2rad = repr(math.pi / 180.0)
+
+    a: float            # semi-major axis (m)
+    inv_f: float        # inverse flattening
+    lon0: float         # central meridian (deg)
+    lat0: float         # latitude of origin (deg)
+    k0: float           # scale at central meridian
+    fe: float           # false easting (m)
+    fn: float           # false northing (m)
+
+
+def _merid_arc_coeffs(e2: float):
+    m0 = 1.0 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256
+    m1 = 3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024
+    m2 = 15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024
+    m3 = 35 * e2 ** 3 / 3072
+    return m0, m1, m2, m3
+
+
+def tm_forward_sql(lon: str, lat: str, p: TMParams) -> tuple[str, str]:
+    """(easting_expr, northing_expr) SQL for any TM-family CRS.
+
+    The Snyder 1987 §8 series with the same polynomial-trig determinism
+    strategy as the UTM specialization; ``M0`` (the meridional arc at
+    ``lat0``) is folded driver-side into a single literal, so the SQL
+    stays one additive constant per expression (NOTES.md lesson 2).
+    Pure arithmetic — valid verbatim in Spark SQL and DuckDB.
+    """
+    f_ = 1.0 / p.inv_f
+    e2 = f_ * (2.0 - f_)
+    ep2 = e2 / (1.0 - e2)
+    deg2rad = dlit(math.pi / 180.0)
     phi = f"(({lat}) * {deg2rad})"
-    dlam = f"((({lon}) - {lam0!r}) * {deg2rad})"
+    dlam = f"((({lon}) - {dlit(p.lon0)}) * {deg2rad})"
 
     x2 = f"({phi} * {phi})"
     s = f"({phi} * {_horner(x2, _SIN_C)})"
@@ -81,32 +153,89 @@ def utm_forward_sql(lon: str, lat: str, zone: int,
     c4 = f"(1.0 - 2.0 * {s2} * {s2})"
     s6 = f"({s4} * {c2} + {c4} * {s2})"
 
-    n_ = f"({_A!r} / sqrt(1.0 - {_E2!r} * {s} * {s}))"
+    n_ = f"({dlit(p.a)} / sqrt(1.0 - {dlit(e2)} * {s} * {s}))"
     t = f"(({s} / {c}) * ({s} / {c}))"
-    cc = f"({_EP2!r} * {c} * {c})"
+    cc = f"({dlit(ep2)} * {c} * {c})"
     a_ = f"({dlam} * {c})"
 
-    m0 = 1.0 - _E2 / 4 - 3 * _E2 ** 2 / 64 - 5 * _E2 ** 3 / 256
-    m1 = 3 * _E2 / 8 + 3 * _E2 ** 2 / 32 + 45 * _E2 ** 3 / 1024
-    m2 = 15 * _E2 ** 2 / 256 + 45 * _E2 ** 3 / 1024
-    m3 = 35 * _E2 ** 3 / 3072
-    m = (f"({_A!r} * ({m0!r} * {phi} - {m1!r} * {s2}"
-         f" + {m2!r} * {s4} - {m3!r} * {s6}))")
+    m0, m1, m2, m3 = _merid_arc_coeffs(e2)
+    m = (f"({dlit(p.a)} * ({dlit(m0)} * {phi} - {dlit(m1)} * {s2}"
+         f" + {dlit(m2)} * {s4} - {dlit(m3)} * {s6}))")
+    # meridional arc at the latitude of origin: a driver-side constant
+    phi0 = math.radians(p.lat0)
+    m_at_0 = p.a * (m0 * phi0 - m1 * math.sin(2 * phi0)
+                    + m2 * math.sin(4 * phi0) - m3 * math.sin(6 * phi0))
+    # fold FN - k0*M0 into ONE literal (Catalyst reassociates chained
+    # additive constants, NOTES.md determinism lesson 2)
+    n_off = p.fn - p.k0 * m_at_0
 
     a2 = f"({a_} * {a_})"
+    # 58*ep2 / 330*ep2 folded in PYTHON (one literal each — NOTES.md
+    # lesson 2), emitted via dlit like every other constant
+    ep58 = 58.0 * ep2
+    ep330 = 330.0 * ep2
     easting = (
-        f"({_K0!r} * {n_} * ({a_}"
+        f"({dlit(p.k0)} * {n_} * ({a_}"
         f" + (1.0 - {t} + {cc}) * {a_} * {a2} / 6.0"
         f" + (5.0 - 18.0 * {t} + {t} * {t} + 72.0 * {cc}"
-        f" - 58.0 * {_EP2!r}) * {a_} * {a2} * {a2} / 120.0)"
-        f" + 500000.0)"
+        f" - {dlit(ep58)}) * {a_} * {a2} * {a2} / 120.0)"
+        f" + {dlit(p.fe)})"
     )
     northing = (
-        f"({_K0!r} * ({m} + {n_} * ({s} / {c}) * ({a2} / 2.0"
+        f"({dlit(p.k0)} * ({m} + {n_} * ({s} / {c}) * ({a2} / 2.0"
         f" + (5.0 - {t} + 9.0 * {cc} + 4.0 * {cc} * {cc})"
         f" * {a2} * {a2} / 24.0"
         f" + (61.0 - 58.0 * {t} + {t} * {t} + 600.0 * {cc}"
-        f" - 330.0 * {_EP2!r}) * {a2} * {a2} * {a2} / 720.0))"
-        f"{' + 10000000.0' if south else ''})"
+        f" - {dlit(ep330)}) * {a2} * {a2} * {a2} / 720.0))"
+        f" + {dlit(n_off)})"
     )
     return easting, northing
+
+
+#: ellipsoids (a, 1/f)
+_WGS84 = (6378137.0, 298.257223563)
+_GRS80 = (6378137.0, 298.257222101)
+_AIRY1830 = (6377563.396, 299.3249646)
+
+#: EPSG registry for the TM family the reference's workflows touch:
+#: WGS84 UTM north/south (326xx/327xx), ETRS89 UTM (258xx), NAD83 UTM
+#: (269xx), British National Grid (27700 — the reference's own test
+#: fixtures, python_tests/test_imageutils.py, are EPSG:27700), Irish TM
+#: (2157).
+EPSG_TM: dict[int, TMParams] = {}
+for _z in range(1, 61):
+    _cm = -183.0 + 6.0 * _z
+    EPSG_TM[32600 + _z] = TMParams(*_WGS84, _cm, 0.0, 0.9996, 500000.0, 0.0)
+    EPSG_TM[32700 + _z] = TMParams(*_WGS84, _cm, 0.0, 0.9996, 500000.0,
+                                   10000000.0)
+for _z in range(28, 39):
+    EPSG_TM[25800 + _z] = TMParams(*_GRS80, -183.0 + 6.0 * _z, 0.0, 0.9996,
+                                   500000.0, 0.0)
+for _z in range(1, 24):
+    EPSG_TM[26900 + _z] = TMParams(*_GRS80, -183.0 + 6.0 * _z, 0.0, 0.9996,
+                                   500000.0, 0.0)
+EPSG_TM[27700] = TMParams(*_AIRY1830, -2.0, 49.0, 0.9996012717,
+                          400000.0, -100000.0)
+EPSG_TM[2157] = TMParams(*_GRS80, -8.0, 53.5, 0.99982, 600000.0, 750000.0)
+
+
+def epsg_tm_params(epsg: int) -> TMParams:
+    try:
+        return EPSG_TM[int(epsg)]
+    except KeyError:
+        raise ValueError(
+            f"EPSG:{epsg} is not a registered TM-family CRS; supported: "
+            "UTM 326xx/327xx, ETRS89 258xx, NAD83 269xx, 27700, 2157"
+        ) from None
+
+
+def utm_forward_sql(lon: str, lat: str, zone: int,
+                    south: bool = False) -> tuple[str, str]:
+    """(easting_expr, northing_expr) SQL for the given UTM zone.
+
+    The WGS84 specialization of :func:`tm_forward_sql` (kept as the
+    existing oracle-stable entry point).
+    """
+    return tm_forward_sql(lon, lat, TMParams(
+        *_WGS84, central_meridian_deg(zone), 0.0, _K0,
+        500000.0, 10000000.0 if south else 0.0))

@@ -46,6 +46,7 @@ __all__ = [
     "create_hex_grid_bbox",
     "reproj_affine",
     "reproj_wgs84_to_utm",
+    "reproj_epsg",
     "reproj_webmerc",
     "unwrap_bbox",
     "wgs84_cell_area_m2",
@@ -203,6 +204,28 @@ def reproj_wgs84_to_utm(df: DataFrame, zone: int, lon: str = "lon",
                                                F.lit(10000000.0))
                     .otherwise(F.lit(0.0)))
     )
+
+
+def reproj_epsg(df: DataFrame, epsg: int, lon: str = "lon",
+                lat: str = "lat", x_out: str = "x_proj",
+                y_out: str = "y_proj") -> DataFrame:
+    """Arbitrary-EPSG TM-family forward reprojection (Catalyst math).
+
+    Reference: ``reproj_vector_layer`` (vectorutils/__init__.py:779)
+    accepts any OGR SRS; this covers its TM family — every UTM zone
+    (WGS84 326xx/327xx, ETRS89 258xx, NAD83 269xx), British National
+    Grid EPSG:27700 (the reference's own test-fixture SRS,
+    python_tests/test_imageutils.py) and Irish TM EPSG:2157 — via the
+    parameterized Snyder series with polynomial trig
+    (geo.transverse_mercator.tm_forward_sql): bit-identical doubles in
+    every engine, <1 mm vs the published OSGB worked example.  Input
+    coordinates are geodetic in the target CRS's datum (the projection
+    step; cross-datum shifts are out of scope).
+    """
+    from ..geo.transverse_mercator import epsg_tm_params, tm_forward_sql
+
+    ex, ny = tm_forward_sql(lon, lat, epsg_tm_params(epsg))
+    return df.withColumn(x_out, F.expr(ex)).withColumn(y_out, F.expr(ny))
 
 
 def reproj_webmerc(df: DataFrame, lon: str = "lon", lat: str = "lat",

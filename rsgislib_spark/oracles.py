@@ -1324,6 +1324,17 @@ SELECT qid, {_UTM_E} AS utm_x,
 FROM qpts
 """
 
+from .geo.transverse_mercator import (epsg_tm_params as _tmp,  # noqa: E402
+                                      tm_forward_sql as _tmf)
+
+_BNG_E, _BNG_N = _tmf("qlon", "qlat", _tmp(27700))
+
+ORACLES["reproj_epsg"] = f"""
+{_PREFIX}
+SELECT qid, {_BNG_E} AS x_proj, {_BNG_N} AS y_proj
+FROM qpts WHERE qlon > -12.0 AND qlon < 8.0
+"""
+
 ORACLES["caption_replace"] = f"""
 {_PREFIX}
 SELECT image_id, replace(caption, 'megacity', 'dense city') AS caption2

@@ -851,6 +851,16 @@ def q_reproj_utm(spark, sf_dir) -> DataFrame:
         .select("qid", "utm_x", "utm_y")
 
 
+def q_reproj_epsg(spark, sf_dir) -> DataFrame:
+    """arbitrary-EPSG TM-family reprojection: query points near the
+    British National Grid's central meridian projected to EPSG:27700
+    (parameterized Snyder series; §2.9, vectorutils/__init__.py:779)."""
+    qpts = synth.synth_qpoints(spark, sf_dir) \
+        .where((F.col("qlon") > -12.0) & (F.col("qlon") < 8.0))
+    return vec.reproj_epsg(qpts, 27700, lon="qlon", lat="qlat") \
+        .select("qid", "x_proj", "y_proj")
+
+
 def q_caption_replace(spark, sf_dir) -> DataFrame:
     """find_replace_str_vec_lyr over the caption column (§2.2)."""
     img = _images(spark, sf_dir, with_footprint=False)
@@ -1276,6 +1286,7 @@ QUERIES = {
     "simplify_geom": q_simplify_geom,
     "unwrap_bbox": q_unwrap_bbox,
     "reproj_utm": q_reproj_utm,
+    "reproj_epsg": q_reproj_epsg,
     "caption_replace": q_caption_replace,
     "rank_layer": q_rank_layer,
     "merge_layers": q_merge_layers,

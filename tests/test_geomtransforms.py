@@ -86,3 +86,44 @@ def test_overlay_clip_triangle_in_rect(spark):
     assert [(x, y) for _, x, y in rows] == [
         (1.5, 3.0), (1.0, 2.0), (1.0, 1.0), (3.0, 1.0), (3.0, 2.0),
         (2.5, 3.0)]
+
+
+def test_reproj_epsg_osgb_golden(spark):
+    """EPSG:27700 (Airy ellipsoid, non-zero lat0/k0/false origin) must
+    reproduce the Ordnance Survey's published worked example ('A guide
+    to coordinate systems in Great Britain': OSGB36 52°39'27.2531"N,
+    1°43'4.5177"E -> E 651409.903, N 313177.270) to the millimetre."""
+    from rsgislib_spark.operators.vector import reproj_epsg
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    df = spark.createDataFrame([(1, lon, lat)],
+                               "qid long, lon double, lat double")
+    r = reproj_epsg(df, 27700).collect()[0]
+    assert abs(r.x_proj - 651409.903) < 1e-3
+    assert abs(r.y_proj - 313177.270) < 1e-3
+
+
+def test_reproj_epsg_utm_consistency(spark):
+    """The EPSG registry's UTM entries must match the dedicated UTM path
+    bit-for-bit (same generator, same literals)."""
+    from rsgislib_spark.operators.vector import reproj_epsg, reproj_wgs84_to_utm
+
+    pts = [(i, 6.01 + (i % 17) * 0.37, 1.0 + (i % 29) * 2.0)
+           for i in range(40)]
+    df = spark.createDataFrame(pts, "qid long, lon double, lat double")
+    a = {r.qid: (r.utm_x, r.utm_y)
+         for r in reproj_wgs84_to_utm(df, zone=32).collect()}
+    b = {r.qid: (r.x_proj, r.y_proj)
+         for r in reproj_epsg(df, 32632).collect()}
+    assert a == b
+
+
+def test_reproj_epsg_unknown_raises(spark):
+    import pytest as _pytest
+
+    from rsgislib_spark.operators.vector import reproj_epsg
+
+    df = spark.range(1).selectExpr("id qid", "0.0 lon", "0.0 lat")
+    with _pytest.raises(ValueError, match="not a registered TM-family"):
+        reproj_epsg(df, 4326)
