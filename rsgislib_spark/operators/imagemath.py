@@ -683,6 +683,162 @@ def morph3x3_stats(images: DataFrame, op: str = "dilate") -> DataFrame:
         .withColumnRenamed("max_pix", "max_m")
 
 
+def _win_minmax(a: np.ndarray, fold) -> np.ndarray:
+    h, w = a.shape
+    acc = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = a[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+            acc = s.copy() if acc is None else fold(acc, s)
+    return acc
+
+
+def morph_compound_stats(images: DataFrame, op: str) -> DataFrame:
+    """Compound grayscale morphology: opening / closing / gradient /
+    top-hats, integer-exact over the two-pass valid interior.
+
+    Reference: ``image_opening`` / ``image_closing``
+    (python/src/imagemorphology.cpp:655,671), gradient (dilate-erode)
+    and white/black top-hats (:687,702).  Composition of the 3x3
+    min/max passes: open = dilate(erode), close = erode(dilate) —
+    interior shrinks by 2 per side (two halo'd passes in tiled
+    deployment); gradient is single-pass (shrink 1).  Output mirrors
+    ``morph3x3_stats`` (n_interior, sum_m, min_m, max_m).
+    """
+    if op not in ("open", "close", "gradient", "tophat_white",
+                  "tophat_black"):
+        raise ValueError(f"unknown morphology op {op!r}")
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if op == "gradient":
+            if h < 3 or w < 3:
+                return np.zeros((0,), dtype=np.int64)
+            return _win_minmax(a, np.maximum) - _win_minmax(a, np.minimum)
+        if h < 5 or w < 5:
+            return np.zeros((0,), dtype=np.int64)
+        if op in ("open", "tophat_white"):
+            two = _win_minmax(_win_minmax(a, np.minimum), np.maximum)
+        else:
+            two = _win_minmax(_win_minmax(a, np.maximum), np.minimum)
+        if op == "open" or op == "close":
+            return two
+        center = a[2:-2, 2:-2]
+        # white top-hat = img - opening; black top-hat = closing - img
+        return center - two if op == "tophat_white" else two - center
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_m") \
+        .withColumnRenamed("min_pix", "min_m") \
+        .withColumnRenamed("max_pix", "max_m")
+
+
+def corr_window3_stats(images: DataFrame) -> DataFrame:
+    """3x3 window Pearson correlation between the plane and its mirror.
+
+    Reference: ``correlation_window`` (python/src/imagecalc.cpp:875) —
+    sliding-window band-pair correlation.  Six integer moment planes
+    (n, Sx, Sy, Sxx, Syy, Sxy — each nine shifted adds) give
+    ``r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))``;
+    the emitted value is ``floor(1000 * r)`` with every intermediate
+    product < 2^53, so the single sqrt+divide is the only float step
+    and is correctly rounded identically in every engine.  Windows with
+    a constant band (zero variance) emit 0, the reference's no-data
+    convention.  Output mirrors the conv stats shape.
+    """
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < 3 or w < 3:
+            return np.zeros((0,), dtype=np.int64)
+        b = a[:, ::-1]
+
+        def wsum(p):
+            acc = np.zeros((h - 2, w - 2), dtype=np.int64)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    acc += p[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+            return acc
+
+        sx = wsum(a)
+        sy = wsum(b)
+        sxx = wsum(a * a)
+        syy = wsum(b * b)
+        sxy = wsum(a * b)
+        num = 9 * sxy - sx * sy
+        den = (9 * sxx - sx * sx) * (9 * syy - sy * sy)
+        out = np.zeros(num.shape, dtype=np.int64)
+        nz = den > 0
+        out[nz] = np.floor(num[nz].astype(np.float64) * 1000.0
+                           / np.sqrt(den[nz].astype(np.float64))
+                           ).astype(np.int64)
+        return out
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_r1000") \
+        .withColumnRenamed("min_pix", "min_r1000") \
+        .withColumnRenamed("max_pix", "max_r1000")
+
+
+def lm_full_bank(size: int = 5, scale: int = 256) -> dict:
+    """The FULL 48-filter Leung–Malik bank as integer kernels.
+
+    Reference: ``leung_malik_filter_bank`` (imagefilter/__init__.py /
+    python/src/imagefilter.cpp) — 36 oriented first/second Gaussian
+    derivatives (6 orientations x 3 scales, 3:1 elongation), 8
+    Laplacian-of-Gaussian and 4 Gaussian filters.  The continuous
+    filters are sampled on the k x k grid DRIVER-side and quantized to
+    integers (``round(f * scale)``), so execution stays in the
+    engine's exact-int64 convolution path (one decode pass for all 48
+    kernels via ``filter_bank_stats``) and the oracle shares the same
+    integer constants.  The reference uses 49x49 supports; the engine
+    defaults to 5x5 minis matched to its small test payloads — the
+    bank STRUCTURE (orientation/scale/shape lattice) is the spec.
+    """
+    import math as _m
+
+    r = size // 2
+    xs = range(-r, r + 1)
+
+    def sample(f):
+        kern = [[int(round(f(x, y) * scale)) for x in xs] for y in xs]
+        return tuple(tuple(row) for row in kern)
+
+    def g2(x, y, sx, sy):
+        return _m.exp(-(x * x / (2 * sx * sx) + y * y / (2 * sy * sy)))
+
+    bank = {}
+    d_scales = (0.6, 0.85, 1.2)     # sigma_u; sigma_v = 3 * sigma_u
+    for oi in range(6):
+        th = oi * _m.pi / 6.0
+        ct, st = _m.cos(th), _m.sin(th)
+        for si, su in enumerate(d_scales):
+            sv = 3.0 * su
+
+            def d1(x, y, ct=ct, st=st, su=su, sv=sv):
+                u = x * ct + y * st
+                v = -x * st + y * ct
+                return (u / su) * g2(u, v, su, sv)
+
+            def d2(x, y, ct=ct, st=st, su=su, sv=sv):
+                u = x * ct + y * st
+                v = -x * st + y * ct
+                return (u * u / (su * su) - 1.0) * g2(u, v, su, sv)
+
+            bank[f"d1_o{oi}_s{si}"] = sample(d1)
+            bank[f"d2_o{oi}_s{si}"] = sample(d2)
+    log_scales = (0.5, 0.6, 0.75, 0.9, 1.1, 1.3, 1.6, 2.0)
+    for i, sg in enumerate(log_scales):
+        bank[f"log{i}"] = sample(
+            lambda x, y, sg=sg: ((x * x + y * y) / (2 * sg * sg) - 1.0)
+            * _m.exp(-(x * x + y * y) / (2 * sg * sg)))
+    for i, sg in enumerate((0.5, 0.75, 1.1, 1.6)):
+        bank[f"gauss{i}"] = sample(
+            lambda x, y, sg=sg: _m.exp(-(x * x + y * y) / (2 * sg * sg)))
+    assert len(bank) == 48
+    return bank
+
+
 def lossy_roundtrip_check(images: DataFrame) -> DataFrame:
     """are_imgs_equal / PSNR gate for the lossy codec path.
 

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..geo.cellindex import DEFAULT_RES, _X_SHIFT
 
-__all__ = ["match_closest_points", "npts_in_radius"]
+__all__ = ["match_closest_points", "knn_classify", "npts_in_radius"]
 
 
 class TieError(RuntimeError):
@@ -264,6 +264,142 @@ def match_closest_points(
                      [keyed_base, keyed_match, *resolved_parts,
                       *cached_final])
     return out
+
+
+def knn_classify(
+    base: DataFrame,
+    match: DataFrame,
+    *,
+    k: int = 5,
+    base_key: str = "qid",
+    base_lon: str = "qlon",
+    base_lat: str = "qlat",
+    match_key: str = "id",
+    match_lon: str = "lon",
+    match_lat: str = "lat",
+    class_col: str = "cls",
+    res: int = DEFAULT_RES,
+    match_count: int | None = None,
+    n_salt: int = 16,
+) -> DataFrame:
+    """TRUE k-NN majority-vote classifier (``apply_rat_knn``, k > 1).
+
+    Reference: ``apply_rat_knn`` (python/src/rastergis.cpp method
+    table) — classify each base point by majority vote of its k nearest
+    match points.  The 1-NN escalation ladder generalizes: at each rung
+    a base point RESOLVES when its k-th best candidate distance is
+    provably inside the explored ring (``d_k < cell_height`` — every
+    unexplored cell lies at least one full cell away, so all k true
+    nearest neighbours have been seen); stragglers escalate to coarser
+    rungs, and the terminal rung probes the whole grid.  No cross join
+    and no per-key window sort at any skew: top-k per key is a
+    two-level TOURNAMENT — per (key, salt-of-neighbour) partial top-k
+    (bounded lists), then a re-aggregation of ≤ ``n_salt`` partials —
+    so a megacity cell's candidates spread over ``n_salt`` groups.
+    Ring-wrap duplicate candidates are removed by ``array_distinct``
+    (identical structs).  Ties: neighbour order is (distance,
+    match_key); vote ties pick the smallest class (deterministic, SQL-
+    oracle-matching).  Output: (base_key, pred_cls, n_votes).
+
+    ``match_key`` must order identically in Spark and SQL (use a
+    numeric key); ``match_count`` as in :func:`match_closest_points`.
+    """
+    if match_count is None:
+        match_count = match.count()
+    # coarse rung sized so the first ring holds ~k candidates
+    exp_nn = 0.5 * math.sqrt(max(k, 1)) / math.sqrt(
+        max(match_count, 1) / (360.0 * 180.0))
+    res_c = int(max(1, min(res,
+                           math.floor(math.log2(180.0 / (3.0 * exp_nn))))))
+    non_term = list(range(res_c, 3, -3))
+    rungs = non_term + [max(non_term[-1] - 3 if non_term else res_c, 0)]
+
+    b_nx, b_ny = _cell_parts(F.col(base_lon), F.col(base_lat), res_c)
+    keyed_base = base.select(
+        F.col(base_key).alias("_bkey"),
+        F.col(base_lon).alias("_blon"),
+        F.col(base_lat).alias("_blat"),
+        b_nx.alias("_bnx"), b_ny.alias("_bny"),
+    ).persist()
+    m_nx, m_ny = _cell_parts(F.col(match_lon), F.col(match_lat), res_c)
+    keyed_match = match.select(
+        F.col(match_key).alias("_mkey"),
+        F.col(class_col).alias("_cls"),
+        F.col(match_lon).alias("_mlon"),
+        F.col(match_lat).alias("_mlat"),
+        m_nx.alias("_mnx"), m_ny.alias("_mny"),
+    ).persist()
+
+    def _topk(cand):
+        part = cand.groupBy(
+            "_bkey", F.pmod(F.xxhash64(F.col("_mkey")), F.lit(n_salt))
+            .alias("_sg")
+        ).agg(F.expr(
+            f"slice(array_sort(array_distinct("
+            f"collect_list(struct(_d, _mkey, _cls)))), 1, {k})"
+        ).alias("_p"))
+        return part.groupBy("_bkey").agg(F.expr(
+            f"slice(array_sort(array_distinct(flatten(collect_list(_p)))),"
+            f" 1, {k})"
+        ).alias("_t"))
+
+    pending = keyed_base
+    resolved_parts = []
+    for r in rungs:
+        n = 1 << r
+        cell_h = 180.0 / n
+        terminal = (r == rungs[-1])
+        shift = res_c - r
+        kk = (n - 1) if terminal else 1
+
+        rb_nx = F.shiftright(F.col("_bnx"), shift)
+        rb_ny = F.shiftright(F.col("_bny"), shift)
+        probe = (
+            pending
+            .withColumn("_rx", F.explode(F.sequence(rb_nx - kk, rb_nx + kk)))
+            .withColumn("_ry", F.explode(F.sequence(rb_ny - kk, rb_ny + kk)))
+            .where((F.col("_ry") >= 0) & (F.col("_ry") < n))
+            .withColumn("_mxy",
+                        F.pmod(F.col("_rx"), F.lit(n)) * F.lit(_X_SHIFT)
+                        + F.col("_ry"))
+            .drop("_rx", "_ry")
+        )
+        rung_match = keyed_match.withColumn(
+            "_mxy",
+            F.shiftright(F.col("_mnx"), shift) * F.lit(_X_SHIFT)
+            + F.shiftright(F.col("_mny"), shift))
+        cand = probe.join(rung_match, "_mxy", "inner").withColumn(
+            "_d", _dist(F.col("_blon"), F.col("_blat"),
+                        F.col("_mlon"), F.col("_mlat")))
+        top = _topk(cand)
+        resolved = top if terminal else top.where(
+            (F.size("_t") >= k)
+            & (F.element_at("_t", k)["_d"] < F.lit(cell_h)))
+        resolved = resolved.persist()
+        resolved_parts.append(resolved)
+        if terminal:
+            break
+        pending = pending.join(resolved.select("_bkey"), "_bkey",
+                               "left_anti")
+
+    topk = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        topk = topk.unionByName(part)
+
+    votes = (
+        topk.select("_bkey", F.explode("_t").alias("_nb"))
+        .groupBy("_bkey", F.col("_nb._cls").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("_bkey")
+        .agg(F.max(F.struct(F.col("_n"), (-F.col("_c")).alias("_negc")))
+             .alias("_w"))
+        .select(F.col("_bkey").alias(base_key),
+                (-F.col("_w._negc")).alias("pred_cls"),
+                F.col("_w._n").alias("n_votes"))
+    )
+    weakref.finalize(votes, _release_cached,
+                     [keyed_base, keyed_match, *resolved_parts])
+    return votes
 
 
 def npts_in_radius(

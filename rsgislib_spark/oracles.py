@@ -211,6 +211,26 @@ SELECT qid, qlon, qlat, image_id AS match_image_id,
 FROM d WHERE rn = 1
 """
 
+# apply_rat_knn k=5: brute-force top-5 by (dist, id), majority vote,
+# vote ties -> smallest class — the deterministic tiebreaks the ladder
+# uses (array_sort on (d, key) / max(struct(n, -cls)))
+ORACLES["knn_classify"] = f"""
+{_PREFIX},
+d AS (
+  SELECT q.qid, i.id, i.id % 5 AS cls,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY sqrt((q.qlon - i.lon) * (q.qlon - i.lon)
+                         + (q.qlat - i.lat) * (q.qlat - i.lat)), i.id) AS rn
+  FROM qpts q CROSS JOIN img i),
+v AS (SELECT qid, cls, count(*) AS n FROM d WHERE rn <= 5
+      GROUP BY qid, cls),
+w AS (SELECT qid, max(n * 8 + (7 - cls)) AS enc FROM v GROUP BY qid)
+SELECT qid, CAST(7 - (enc % 8) AS BIGINT) AS pred_cls,
+       CAST(enc // 8 AS BIGINT) AS n_votes
+FROM w
+"""
+
 ORACLES["npts_radius"] = f"""
 {_PREFIX}
 SELECT a.image_id, count(*) - 1 AS n_pts_r
@@ -390,10 +410,10 @@ FROM px GROUP BY image_id
 
 def _filter_bank_oracle() -> str:
     """UNION ALL of per-kernel conv oracles, tagged with kernel_id."""
-    from .operators.imagemath import lm_lite_bank
+    from .operators.imagemath import lm_full_bank
 
     parts = []
-    for name, k in lm_lite_bank().items():
+    for name, k in lm_full_bank().items():
         r = len(k) // 2
         term = _kernel_term(k)
         parts.append(f"""
@@ -519,6 +539,88 @@ FROM c GROUP BY image_id
 
 ORACLES["morph_dilate"] = _morph_oracle("greatest")
 ORACLES["morph_erode"] = _morph_oracle("least")
+
+
+def _morph2_term(outer: str, inner: str) -> str:
+    """Two-pass morphology at (x, y): outer over the 3x3 ring of inner
+    3x3 window extremes (open = greatest of leasts, close = least of
+    greatests) — the exact composition morph_compound_stats runs."""
+    outs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            inner_vals = ", ".join(_pxv_at(dx + ex, dy + ey)
+                                   for ey in (-1, 0, 1)
+                                   for ex in (-1, 0, 1))
+            outs.append(f"{inner}({inner_vals})")
+    return f"{outer}({', '.join(outs)})"
+
+
+_OPEN_T = _morph2_term("greatest", "least")
+_CLOSE_T = _morph2_term("least", "greatest")
+
+ORACLES["morph_open"] = _conv_oracle(_OPEN_T, r=2, suffix="m")
+ORACLES["morph_close"] = _conv_oracle(_CLOSE_T, r=2, suffix="m")
+ORACLES["morph_gradient"] = _conv_oracle(
+    f"(greatest({', '.join(_ALL9)}) - least({', '.join(_ALL9)}))",
+    r=1, suffix="m")
+ORACLES["morph_tophat"] = _conv_oracle(
+    f"({_pxv_at(0, 0)} - {_OPEN_T})", r=2, suffix="m")
+
+
+def _pxv_mirror_at(dx: int, dy: int) -> str:
+    ys = f"(y + {dy})" if dy else "y"
+    return synth.pixel_value_sql("id", f"(w - 1 - (x + {dx}))", ys, "fmt")
+
+
+def _corr_window_term() -> str:
+    """3x3 Pearson r (x1000, floored) of plane vs mirror band — the
+    exact integer-moment formula of corr_window3_stats."""
+    va = [_pxv_at(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    vb = [_pxv_mirror_at(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    sx = "(" + " + ".join(va) + ")"
+    sy = "(" + " + ".join(vb) + ")"
+    sxx = "(" + " + ".join(f"({t}) * ({t})" for t in va) + ")"
+    syy = "(" + " + ".join(f"({t}) * ({t})" for t in vb) + ")"
+    sxy = "(" + " + ".join(f"({a}) * ({b})" for a, b in zip(va, vb)) + ")"
+    num = f"(9 * {sxy} - {sx} * {sy})"
+    d1 = f"(9 * {sxx} - {sx} * {sx})"
+    d2 = f"(9 * {syy} - {sy} * {sy})"
+    return (f"(CASE WHEN ({d1}) * ({d2}) > 0 THEN "
+            f"CAST(floor(CAST({num} AS DOUBLE) * 1000.0"
+            f" / sqrt(CAST(({d1}) * ({d2}) AS DOUBLE))) AS BIGINT) "
+            f"ELSE 0 END)")
+
+
+ORACLES["corr_window"] = _conv_oracle(_corr_window_term(), r=1,
+                                      suffix="r1000")
+
+_BL_X0 = "CASE WHEN nx < 0 THEN -1 ELSE nx // 96 END"
+_BL_Y0 = "CASE WHEN ny < 0 THEN -1 ELSE ny // 64 END"
+
+ORACLES["resize_bilinear"] = f"""
+{_PREFIX},
+ox AS (SELECT unnest(generate_series(0, 47)) AS xo),
+oy AS (SELECT unnest(generate_series(0, 31)) AS yo),
+g AS (SELECT i.image_id, i.id, i.w, i.h, i.fmt, ox.xo, oy.yo
+      FROM img i, ox, oy WHERE i.id % 7 = 0),
+c AS (SELECT *, (2 * xo + 1) * w - 48 AS nx,
+               (2 * yo + 1) * h - 32 AS ny FROM g),
+d AS (SELECT *, {_BL_X0} AS x0, {_BL_Y0} AS y0 FROM c),
+e AS (SELECT *, nx - x0 * 96 AS fx, ny - y0 * 64 AS fy,
+        greatest(least(x0, w - 1), 0) AS x0c,
+        greatest(least(x0 + 1, w - 1), 0) AS x1c,
+        greatest(least(y0, h - 1), 0) AS y0c,
+        greatest(least(y0 + 1, h - 1), 0) AS y1c FROM d),
+v AS (SELECT image_id,
+        (96 - fx) * (64 - fy) * {synth.pixel_value_sql('id', 'x0c', 'y0c', 'fmt')}
+        + fx * (64 - fy) * {synth.pixel_value_sql('id', 'x1c', 'y0c', 'fmt')}
+        + (96 - fx) * fy * {synth.pixel_value_sql('id', 'x0c', 'y1c', 'fmt')}
+        + fx * fy * {synth.pixel_value_sql('id', 'x1c', 'y1c', 'fmt')} AS s
+      FROM e)
+SELECT image_id, count(*) AS n_out, CAST(sum(s) AS BIGINT) AS sum_sc,
+       CAST(min(s) AS BIGINT) AS min_sc, CAST(max(s) AS BIGINT) AS max_sc
+FROM v GROUP BY image_id
+"""
 
 ORACLES["psnr_check"] = f"""
 {_PREFIX},

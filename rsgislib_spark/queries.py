@@ -31,7 +31,7 @@ from .operators.overlay import (overlay_difference_rect,
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
-from .operators.knn import match_closest_points, npts_in_radius
+from .operators.knn import knn_classify, match_closest_points, npts_in_radius
 from .operators.spatial_join import (spatial_join, spatial_join_poly,
                                      spatial_select, vec_intersects_vec,
                                      vec_predicate_vec, with_point_cell)
@@ -43,6 +43,7 @@ from .operators.zonal import (extract_point_values, mask_by_vec_stats,
 from .plans.lineage import lineage_records
 from .session import load_tables
 from .sources.imagelut import build_img_lut, query_img_lut
+from .sources import multimodal as rsz
 from .sources.multimodal import frame_sample_stats, resize_nn
 from .streaming.events import (sessionize_batch, sessionize_stream,
                                stream_hourly_counts)
@@ -192,6 +193,18 @@ def q_knn_closest(spark, sf_dir) -> DataFrame:
                       "x_match", "y_match", "dist_match")
 
 
+def q_knn_classify(spark, sf_dir) -> DataFrame:
+    """apply_rat_knn with k=5: majority-vote classification by the five
+    nearest images (class = id % 5), via the top-k escalation ladder —
+    exact, no cross join, no per-key window sort (§2.3)."""
+    img = _images(spark, sf_dir, with_footprint=False) \
+        .withColumn("cls", F.col("id") % 5)
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    out = knn_classify(qpts, img, k=5)
+    return out.select("qid", F.col("pred_cls").cast("long").alias("pred_cls"),
+                      F.col("n_votes").cast("long").alias("n_votes"))
+
+
 def q_npts_radius(spark, sf_dir) -> DataFrame:
     """calc_npts_in_radius r=0.2 deg on the image layer itself (§2.3)."""
     img = _images(spark, sf_dir, with_footprint=False)
@@ -206,18 +219,46 @@ def q_pixel_stats(spark, sf_dir) -> DataFrame:
                                    "min_pix", "max_pix", "mean_pix")
 
 
+#: cached part.parquet row counts per sf_dir (metadata-only read)
+_NPART_CACHE: dict = {}
+
+
+def _px_partitions(spark, sf_dir, mod: int) -> int:
+    """Task count for a payload (two chained Python stages) subset.
+
+    Measured on this box (BENCH.md r3): the encode+decode pipeline pays
+    two Python-runner launches per task, so small subsets at core-count
+    tasks are launch-bound — 1053 images ran 1.3 s at 32 tasks vs
+    0.74 s at 8.  Target ~128 wide rows per task, capped at 3x the
+    task slots (the usual oversubscription factor on a real cluster —
+    at 10^12 rows the cap binds and the heuristic degenerates to
+    "spread everywhere", which is correct there).
+    """
+    import math as _m
+    import os as _os
+
+    key = (sf_dir,)
+    if key not in _NPART_CACHE:
+        _NPART_CACHE[key] = spark.read.parquet(
+            _os.path.join(sf_dir, "part.parquet")).count()
+    n_sub = max(1, _NPART_CACHE[key] // max(1, mod))
+    dp = spark.sparkContext.defaultParallelism
+    return max(1, min(_m.ceil(n_sub / 128), 3 * dp))
+
+
 def _px_images(spark, sf_dir, mod: int = 7, with_footprint: bool = False):
     """Subset of images WITH payloads — filter pushed BELOW the codec.
 
     Filters cannot push through mapInPandas, so the id-subset must be
     applied on metadata BEFORE payload materialization (late
     materialization, same rule as the flagship): synthesize bytes only
-    for surviving rows, laid out at core count.
+    for surviving rows, laid out at ~128 rows/task (see
+    :func:`_px_partitions`).
     """
     meta = _images(spark, sf_dir,
                    with_footprint=with_footprint).where(f"id % {mod} = 0")
     return synth.attach_bytes(
-        meta.repartition(spark.sparkContext.defaultParallelism))
+        meta.repartition(_px_partitions(spark, sf_dir, mod)))
 
 
 def _triangle_zones(zones):
@@ -372,6 +413,53 @@ def q_morph_erode(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19)
     return im.morph3x3_stats(img, "erode") \
         .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
+
+
+def q_morph_open(spark, sf_dir) -> DataFrame:
+    """grayscale opening: dilate(erode) over the two-pass interior
+    (§2.6, python/src/imagemorphology.cpp:655)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.morph_compound_stats(img, "open") \
+        .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
+
+
+def q_morph_close(spark, sf_dir) -> DataFrame:
+    """grayscale closing: erode(dilate) (§2.6, imagemorphology.cpp:671)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.morph_compound_stats(img, "close") \
+        .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
+
+
+def q_morph_gradient(spark, sf_dir) -> DataFrame:
+    """morphological gradient: dilate - erode (§2.6)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.morph_compound_stats(img, "gradient") \
+        .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
+
+
+def q_morph_tophat(spark, sf_dir) -> DataFrame:
+    """white top-hat: img - opening (§2.6, imagemorphology.cpp:687)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.morph_compound_stats(img, "tophat_white") \
+        .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
+
+
+def q_corr_window(spark, sf_dir) -> DataFrame:
+    """correlation_window: 3x3 Pearson r (x1000, floored) between the
+    plane and its mirror band (§2.6, python/src/imagecalc.cpp:875)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.corr_window3_stats(img) \
+        .select("image_id", "n_interior", "sum_r1000", "min_r1000",
+                "max_r1000")
+
+
+def q_resize_bilinear(spark, sf_dir) -> DataFrame:
+    """resample_img_to_match INTERP_BILINEAR: rational half-pixel
+    bilinear with integer-scaled outputs (§2.9,
+    imageutils/__init__.py:2104)."""
+    img = _px_images(spark, sf_dir, mod=7)
+    return rsz.resize_bilinear_stats(img, 48, 32) \
+        .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
 
 
 def q_psnr_check(spark, sf_dir) -> DataFrame:
@@ -906,10 +994,12 @@ def q_band_select(spark, sf_dir) -> DataFrame:
 
 
 def q_filter_bank(spark, sf_dir) -> DataFrame:
-    """leung_malik_filter_bank (LM-lite): 9 integer kernels in one
-    decode pass per image (§2.6, imagefilter/__init__.py:950)."""
+    """leung_malik_filter_bank — the FULL 48-filter bank (6 orientations
+    x 3 scales of 1st/2nd Gaussian derivatives + 8 LoG + 4 Gaussians),
+    all 48 integer kernels in ONE decode pass per image (§2.6,
+    imagefilter/__init__.py:950, python/src/imagefilter.cpp)."""
     img = _px_images(spark, sf_dir, mod=19)
-    return im.filter_bank_stats(img, im.lm_lite_bank()) \
+    return im.filter_bank_stats(img, im.lm_full_bank()) \
         .select("image_id", "kernel_id", "n_interior", "sum_conv",
                 "min_conv", "max_conv")
 
@@ -1300,6 +1390,7 @@ QUERIES = {
     "point_extract": q_point_extract,
     "zonal_centroid": q_zonal_centroid,
     "knn_closest": q_knn_closest,
+    "knn_classify": q_knn_classify,
     "npts_radius": q_npts_radius,
     "pixel_stats": q_pixel_stats,
     "zonal_stats": q_zonal_stats,
@@ -1333,6 +1424,12 @@ QUERIES = {
     "clump_stats": q_clump_stats,
     "polygonize": q_polygonize,
     "morph_dilate": q_morph_dilate,
+    "morph_open": q_morph_open,
+    "morph_close": q_morph_close,
+    "morph_gradient": q_morph_gradient,
+    "morph_tophat": q_morph_tophat,
+    "corr_window": q_corr_window,
+    "resize_bilinear": q_resize_bilinear,
     "morph_erode": q_morph_erode,
     "filter_texture_var": q_filter_texture_var,
     "filter_kuwahara": q_filter_kuwahara,

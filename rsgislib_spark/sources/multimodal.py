@@ -31,7 +31,8 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 
 from ..functions import codec
 
-__all__ = ["decode_media", "resize_nn", "frame_sample_stats"]
+__all__ = ["decode_media", "resize_nn", "resize_bilinear_stats",
+           "frame_sample_stats"]
 
 _IMAGE_FMTS = {"raw8", "raw16", "png", "jpeg"}
 
@@ -86,6 +87,74 @@ def resize_nn(images: DataFrame, out_w: int, out_h: int,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_RESIZE_SCHEMA)
+
+
+_BILINEAR_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_out", LongType()),
+    StructField("sum_sc", LongType()),
+    StructField("min_sc", LongType()),
+    StructField("max_sc", LongType()),
+])
+
+
+def resize_bilinear_stats(images: DataFrame, out_w: int,
+                          out_h: int) -> DataFrame:
+    """Bilinear resize (INTERP_BILINEAR) with integer-exact outputs.
+
+    Reference: ``resample_img_to_match`` with ``INTERP_BILINEAR``
+    (python/rsgislib/imageutils/__init__.py:2104; kernel enum
+    rsgislib/__init__.py:214-220) — the kernel users reach for when
+    downsampling chips for ML.  Half-pixel-center mapping
+    ``src = (dst + 0.5) * in/out - 0.5`` is kept RATIONAL: with
+    ``Dx = 2*out_w`` the source position is ``nx/Dx`` where
+    ``nx = (2*dst+1)*w_in - out_w``, so the four neighbour weights are
+    exact integers ``(Dx-fx, fx) x (Dy-fy, fy)`` and each output value
+    is emitted SCALED by ``Dx*Dy`` — pure int64, no rounding anywhere,
+    hence an exact closed-form oracle.  Edge handling: indices clamp
+    (replicate), weights keep their value.  Output: per-image exact
+    stats of the scaled plane (n_out, sum_sc, min_sc, max_sc).
+    """
+    ow, oh = int(out_w), int(out_h)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_out", "sum_sc",
+                                   "min_sc", "max_sc")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"],
+                                                pdf["fmt"]):
+                a = decode_media(bytes(buf), int(w), int(h),
+                                 str(fmt)).astype(np.int64)
+                hh, ww = a.shape
+                dx, dy = 2 * ow, 2 * oh
+                nx = (2 * np.arange(ow, dtype=np.int64) + 1) * ww - ow
+                ny = (2 * np.arange(oh, dtype=np.int64) + 1) * hh - oh
+                x0 = np.floor_divide(nx, dx)
+                y0 = np.floor_divide(ny, dy)
+                fx = nx - x0 * dx
+                fy = ny - y0 * dy
+                x0c = np.clip(x0, 0, ww - 1)
+                x1c = np.clip(x0 + 1, 0, ww - 1)
+                y0c = np.clip(y0, 0, hh - 1)
+                y1c = np.clip(y0 + 1, 0, hh - 1)
+                wx0 = (dx - fx)[None, :]
+                wx1 = fx[None, :]
+                wy0 = (dy - fy)[:, None]
+                wy1 = fy[:, None]
+                res = (wy0 * (wx0 * a[np.ix_(y0c, x0c)]
+                              + wx1 * a[np.ix_(y0c, x1c)])
+                       + wy1 * (wx0 * a[np.ix_(y1c, x0c)]
+                                + wx1 * a[np.ix_(y1c, x1c)]))
+                out["image_id"].append(image_id)
+                out["n_out"].append(int(res.size))
+                out["sum_sc"].append(int(res.sum()))
+                out["min_sc"].append(int(res.min()))
+                out["max_sc"].append(int(res.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BILINEAR_SCHEMA)
 
 
 _FRAME_SCHEMA = StructType([

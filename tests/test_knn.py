@@ -102,3 +102,39 @@ def test_match_closest_match_count_hint(layers):
         got = match_closest_points(qpts, images, match_count=hint) \
             .toPandas().sort_values("qid").reset_index(drop=True)
         assert got.equals(exact), hint
+
+
+def test_knn_classify_matches_bruteforce_under_skew(spark):
+    """Top-k ladder vs numpy brute force on a pathological layout:
+    half the match points piled into one megacity cell, plus empty
+    oceans — the distribution that forces multi-rung escalation."""
+    import numpy as np
+
+    from rsgislib_spark.operators.knn import knn_classify
+
+    rng = np.random.RandomState(42)
+    m = 400
+    mx = np.concatenate([rng.uniform(-0.5, 0.5, m // 2),
+                         rng.uniform(-170, 170, m // 2)])
+    my = np.concatenate([rng.uniform(-0.5, 0.5, m // 2),
+                         rng.uniform(-80, 80, m // 2)])
+    match = spark.createDataFrame(
+        [(int(i), float(mx[i]), float(my[i]), int(i % 7))
+         for i in range(m)],
+        "id long, lon double, lat double, cls long")
+    qx = rng.uniform(-175, 175, 60)
+    qy = rng.uniform(-85, 85, 60)
+    base = spark.createDataFrame(
+        [(int(i), float(qx[i]), float(qy[i])) for i in range(60)],
+        "qid long, qlon double, qlat double")
+    got = {r.qid: (r.pred_cls, r.n_votes)
+           for r in knn_classify(base, match, k=3, match_lon="lon",
+                                 match_lat="lat").collect()}
+    for i in range(60):
+        d = np.sqrt((mx - qx[i]) ** 2 + (my - qy[i]) ** 2)
+        order = np.lexsort((np.arange(m), d))[:3]
+        cls = (order % 7)
+        vals, counts = np.unique(cls, return_counts=True)
+        best = vals[np.lexsort((vals, -counts))][0]
+        want = (int(best), int(counts[vals == best][0]))
+        assert got[i] == want, (i, got[i], want)
