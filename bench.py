@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     # round-2 operators
     "zonal_stats_hybrid", "overlay_intersection", "filter_median5",
     "composite_max_ndvi", "clump_stats", "vec_intersects",
+    # round-3 operators
+    "ngram_jaccard", "vec_within", "vec_touches", "overlay_erase",
+    "overlay_difference", "knn_classify", "morph_open", "corr_window",
+    "resize_bilinear", "filter_bank", "reproj_epsg",
 ]
 
 

@@ -200,9 +200,27 @@ def q_knn_classify(spark, sf_dir) -> DataFrame:
     img = _images(spark, sf_dir, with_footprint=False) \
         .withColumn("cls", F.col("id") % 5)
     qpts = synth.synth_qpoints(spark, sf_dir)
-    out = knn_classify(qpts, img, k=5)
+    # the images view is 1:1 with part.parquet, whose (cached) metadata
+    # count _px_partitions already tracks — saves the density-count job
+    out = knn_classify(qpts, img, k=5,
+                       match_count=_npart_count(spark, sf_dir))
     return out.select("qid", F.col("pred_cls").cast("long").alias("pred_cls"),
                       F.col("n_votes").cast("long").alias("n_votes"))
+
+
+def q_alpha_shape(spark, sf_dir) -> DataFrame:
+    """create_alpha_shape: per-group concave hull boundary edges via
+    Delaunay circumradius filtering (§2.9, vectorgeoms/__init__.py:1432).
+    No SQL oracle (Delaunay is not SQL-expressible) — geometric pytest
+    invariants in tests/test_alphashape.py are the correctness gate."""
+    from .operators.alphashape import alpha_shape_edges
+
+    qpts = synth.synth_qpoints(spark, sf_dir) \
+        .withColumn("grp", F.col("qid") % 3)
+    return alpha_shape_edges(qpts, alpha=0.02, group_col="grp",
+                             lon="qlon", lat="qlat") \
+        .select(F.col("grp").cast("long").alias("grp"), "edge_idx",
+                "x1", "y1", "x2", "y2")
 
 
 def q_npts_radius(spark, sf_dir) -> DataFrame:
@@ -223,6 +241,17 @@ def q_pixel_stats(spark, sf_dir) -> DataFrame:
 _NPART_CACHE: dict = {}
 
 
+def _npart_count(spark, sf_dir) -> int:
+    """Cached part.parquet row count (parquet metadata only)."""
+    import os as _os
+
+    key = (sf_dir,)
+    if key not in _NPART_CACHE:
+        _NPART_CACHE[key] = spark.read.parquet(
+            _os.path.join(sf_dir, "part.parquet")).count()
+    return _NPART_CACHE[key]
+
+
 def _px_partitions(spark, sf_dir, mod: int) -> int:
     """Task count for a payload (two chained Python stages) subset.
 
@@ -235,13 +264,8 @@ def _px_partitions(spark, sf_dir, mod: int) -> int:
     "spread everywhere", which is correct there).
     """
     import math as _m
-    import os as _os
 
-    key = (sf_dir,)
-    if key not in _NPART_CACHE:
-        _NPART_CACHE[key] = spark.read.parquet(
-            _os.path.join(sf_dir, "part.parquet")).count()
-    n_sub = max(1, _NPART_CACHE[key] // max(1, mod))
+    n_sub = max(1, _npart_count(spark, sf_dir) // max(1, mod))
     dp = spark.sparkContext.defaultParallelism
     return max(1, min(_m.ceil(n_sub / 128), 3 * dp))
 
@@ -1391,6 +1415,7 @@ QUERIES = {
     "zonal_centroid": q_zonal_centroid,
     "knn_closest": q_knn_closest,
     "knn_classify": q_knn_classify,
+    "alpha_shape": q_alpha_shape,
     "npts_radius": q_npts_radius,
     "pixel_stats": q_pixel_stats,
     "zonal_stats": q_zonal_stats,
