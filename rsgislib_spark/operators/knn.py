@@ -354,27 +354,41 @@ def knn_classify(
         cell_h = 180.0 / n
         terminal = (r == rungs[-1])
         shift = res_c - r
-        kk = (n - 1) if terminal else 1
 
-        rb_nx = F.shiftright(F.col("_bnx"), shift)
-        rb_ny = F.shiftright(F.col("_bny"), shift)
-        probe = (
-            pending
-            .withColumn("_rx", F.explode(F.sequence(rb_nx - kk, rb_nx + kk)))
-            .withColumn("_ry", F.explode(F.sequence(rb_ny - kk, rb_ny + kk)))
-            .where((F.col("_ry") >= 0) & (F.col("_ry") < n))
-            .withColumn("_mxy",
-                        F.pmod(F.col("_rx"), F.lit(n)) * F.lit(_X_SHIFT)
-                        + F.col("_ry"))
-            .drop("_rx", "_ry")
-        )
-        rung_match = keyed_match.withColumn(
-            "_mxy",
-            F.shiftright(F.col("_mnx"), shift) * F.lit(_X_SHIFT)
-            + F.shiftright(F.col("_mny"), shift))
-        cand = probe.join(rung_match, "_mxy", "inner").withColumn(
-            "_d", _dist(F.col("_blon"), F.col("_blat"),
-                        F.col("_mlon"), F.col("_mlat")))
+        if terminal:
+            # bounded brute force for the stragglers: at the terminal
+            # rung the grid is <= 4x4, so a ring join funnels
+            # |pending| x |match| rows through a handful of hot cell
+            # keys (measured: the whole stage on 2-4 tasks).  The
+            # straggler population has shrunk doubly-exponentially, so
+            # BROADCAST it and scan the match side in place — the same
+            # row volume spreads evenly over the match table's
+            # partitions with no shuffle and no hot key.
+            cand = keyed_match.crossJoin(F.broadcast(pending)).withColumn(
+                "_d", _dist(F.col("_blon"), F.col("_blat"),
+                            F.col("_mlon"), F.col("_mlat")))
+        else:
+            rb_nx = F.shiftright(F.col("_bnx"), shift)
+            rb_ny = F.shiftright(F.col("_bny"), shift)
+            probe = (
+                pending
+                .withColumn("_rx",
+                            F.explode(F.sequence(rb_nx - 1, rb_nx + 1)))
+                .withColumn("_ry",
+                            F.explode(F.sequence(rb_ny - 1, rb_ny + 1)))
+                .where((F.col("_ry") >= 0) & (F.col("_ry") < n))
+                .withColumn("_mxy",
+                            F.pmod(F.col("_rx"), F.lit(n)) * F.lit(_X_SHIFT)
+                            + F.col("_ry"))
+                .drop("_rx", "_ry")
+            )
+            rung_match = keyed_match.withColumn(
+                "_mxy",
+                F.shiftright(F.col("_mnx"), shift) * F.lit(_X_SHIFT)
+                + F.shiftright(F.col("_mny"), shift))
+            cand = probe.join(rung_match, "_mxy", "inner").withColumn(
+                "_d", _dist(F.col("_blon"), F.col("_blat"),
+                            F.col("_mlon"), F.col("_mlat")))
         top = _topk(cand)
         resolved = top if terminal else top.where(
             (F.size("_t") >= k)

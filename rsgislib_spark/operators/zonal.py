@@ -58,10 +58,18 @@ _PARTIAL_SCHEMA = StructType([
 
 
 def _pair_partials(pdf_iter, res_deg: float, min_thres: float,
-                   max_thres: float, nodata):
+                   max_thres: float, nodata, membership: str = "center"):
     """mapInPandas kernel: decode each image once, emit one partial row per
-    (image, zone) candidate pair.  Zone membership = pixel-center-in-rect,
-    half-open on the max edges (one grid slot per center)."""
+    (image, zone) candidate pair.  ``membership`` = the pixel-in-poly mode
+    (reference enum src/img/RSGISPixelInPoly.h:48-60):
+
+    * ``center`` — pixel-center-in-rect, half-open on the max edges
+      (``polyContainsPixelCenter``, the default everywhere);
+    * ``envelope`` — the pixel's BOX strictly overlaps the zone
+      (``polyOverlapsPixel`` / envelope mode);
+    * ``contains`` — the pixel's box lies fully inside the zone
+      (``polyContainsPixel``).
+    """
     for pdf in pdf_iter:
         rows = {k: [] for k in ("zone_id", "image_id", "n", "s", "ss",
                                 "mn", "mx", "hist")}
@@ -74,9 +82,23 @@ def _pair_partials(pdf_iter, res_deg: float, min_thres: float,
             tly = float(r0["ymax"])
             cx = tlx + (np.arange(w) + 0.5) * res_deg          # pixel centers
             cy = tly - (np.arange(h) + 0.5) * res_deg
+            if membership != "center":
+                ex0 = tlx + np.arange(w) * res_deg             # box edges
+                ex1 = tlx + (np.arange(w) + 1) * res_deg
+                ey1 = tly - np.arange(h) * res_deg             # top edge
+                ey0 = tly - (np.arange(h) + 1) * res_deg       # bottom edge
             for _, pr in grp.iterrows():
-                in_x = (cx >= pr["zxmin"]) & (cx < pr["zxmax"])
-                in_y = (cy >= pr["zymin"]) & (cy < pr["zymax"])
+                if membership == "center":
+                    in_x = (cx >= pr["zxmin"]) & (cx < pr["zxmax"])
+                    in_y = (cy >= pr["zymin"]) & (cy < pr["zymax"])
+                elif membership == "envelope":
+                    in_x = (ex1 > pr["zxmin"]) & (ex0 < pr["zxmax"])
+                    in_y = (ey1 > pr["zymin"]) & (ey0 < pr["zymax"])
+                elif membership == "contains":
+                    in_x = (ex0 >= pr["zxmin"]) & (ex1 <= pr["zxmax"])
+                    in_y = (ey0 >= pr["zymin"]) & (ey1 <= pr["zymax"])
+                else:
+                    raise ValueError(f"unknown membership {membership!r}")
                 sub = arr[np.ix_(in_y, in_x)]
                 vals = sub.ravel()
                 if nodata is not None:
@@ -543,6 +565,7 @@ def _zonal_stats_raw(
     nodata,
     percentile: float | None = None,
     n_salt: int = 8,
+    membership: str = "center",
 ) -> DataFrame:
     """zones left-joined with NULLABLE per-zone stats (pre-fillna).
 
@@ -574,7 +597,8 @@ def _zonal_stats_raw(
         F.pmod(F.xxhash64(F.col("zone_id")), F.lit(int(n_salt))))
 
     partials = work.mapInPandas(
-        lambda it: _pair_partials(it, res_deg, min_thres, max_thres, nodata),
+        lambda it: _pair_partials(it, res_deg, min_thres, max_thres, nodata,
+                                  membership),
         schema=_PARTIAL_SCHEMA,
     )
 
@@ -600,6 +624,7 @@ def zonal_stats(
     nodata=None,
     out_no_data_val: float = -9999.0,
     n_salt: int = 8,
+    membership: str = "center",
 ) -> DataFrame:
     """Per-zone stats over every image overlapping the zone.
 
@@ -608,11 +633,15 @@ def zonal_stats(
     Returns one row per zone: n_pix, sum_pix, min_pix, max_pix, mean_pix,
     stddev_pix (population), and exact median_pix / mode_pix; zones with
     no pixels carry ``out_no_data_val`` (reference empty-set semantics,
-    zonalstats/__init__.py:477-499).
+    zonalstats/__init__.py:477-499).  ``membership`` selects the
+    pixel-in-poly mode (center / envelope / contains — see
+    :func:`_pair_partials`; area-weighted lives in
+    :func:`zonal_stats_weighted`).
     """
     out = _zonal_stats_raw(images, zones, res=res, res_deg=res_deg,
                            min_thres=min_thres, max_thres=max_thres,
-                           nodata=nodata, n_salt=n_salt)
+                           nodata=nodata, n_salt=n_salt,
+                           membership=membership)
     stat_cols = ["n_pix", "sum_pix", "min_pix", "max_pix", "mean_pix",
                  "stddev_pix", "median_pix", "mode_pix"]
     return out.fillna({c: out_no_data_val for c in stat_cols})

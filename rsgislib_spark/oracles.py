@@ -816,6 +816,57 @@ SELECT z.zone_id, z.zname,
 FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
 """
 
+def _zonal_mode_oracle(join_pred: str) -> str:
+    """zonal_stats oracle with a pluggable pixel-membership predicate
+    over the pixel box edges (bx0/bx1 = x extent, by0/by1 = y extent)."""
+    return f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM imgf WHERE id % 7 = 0),
+px AS (SELECT image_id,
+              xmin + x * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS bx0,
+              xmin + (x + 1) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS bx1,
+              ymax - (y + 1) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS by0,
+              ymax - y * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS by1,
+              {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
+j AS (SELECT z.zone_id, p.v
+      FROM px p JOIN zones z ON {join_pred}),
+s AS (SELECT zone_id,
+             CAST(count(*) AS DOUBLE) AS n_pix,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) AS sum_pix,
+             CAST(min(v) AS DOUBLE) AS min_pix,
+             CAST(max(v) AS DOUBLE) AS max_pix,
+             CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_pix,
+             sqrt(CAST(CAST(sum(v * v) AS BIGINT) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE)
+                  - (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE))
+                    * (CAST(CAST(sum(v) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE))) AS stddev_pix,
+             CAST(median(v) AS DOUBLE) AS median_pix
+      FROM j GROUP BY zone_id)
+SELECT z.zone_id, z.zname,
+       coalesce(s.n_pix, -9999.0) AS n_pix,
+       coalesce(s.sum_pix, -9999.0) AS sum_pix,
+       coalesce(s.min_pix, -9999.0) AS min_pix,
+       coalesce(s.max_pix, -9999.0) AS max_pix,
+       coalesce(s.mean_pix, -9999.0) AS mean_pix,
+       coalesce(s.stddev_pix, -9999.0) AS stddev_pix,
+       coalesce(s.median_pix, -9999.0) AS median_pix
+FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
+"""
+
+
+ORACLES["zonal_envelope"] = _zonal_mode_oracle(
+    "p.bx1 > z.zxmin AND p.bx0 < z.zxmax"
+    " AND p.by1 > z.zymin AND p.by0 < z.zymax")
+ORACLES["zonal_contains"] = _zonal_mode_oracle(
+    "p.bx0 >= z.zxmin AND p.bx1 <= z.zxmax"
+    " AND p.by0 >= z.zymin AND p.by1 <= z.zymax")
+
 ORACLES["sjoin_salted"] = f"""
 {_PREFIX}
 SELECT i.image_id, z.zone_id, z.zname, i.lon, i.lat

@@ -607,6 +607,27 @@ def q_zonal_stats(spark, sf_dir) -> DataFrame:
                       "max_pix", "mean_pix", "stddev_pix", "median_pix")
 
 
+def q_zonal_envelope(spark, sf_dir) -> DataFrame:
+    """calc_zonal_band_stats with the polyOverlapsPixel (envelope)
+    membership mode: every pixel whose BOX overlaps the zone counts
+    (§2.5, src/img/RSGISPixelInPoly.h:48-60)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = zonal_stats(img, zones, membership="envelope")
+    return out.select("zone_id", "zname", "n_pix", "sum_pix", "min_pix",
+                      "max_pix", "mean_pix", "stddev_pix", "median_pix")
+
+
+def q_zonal_contains(spark, sf_dir) -> DataFrame:
+    """calc_zonal_band_stats with the polyContainsPixel mode: only
+    pixels whose box lies FULLY inside the zone count (§2.5)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = zonal_stats(img, zones, membership="contains")
+    return out.select("zone_id", "zname", "n_pix", "sum_pix", "min_pix",
+                      "max_pix", "mean_pix", "stddev_pix", "median_pix")
+
+
 def q_vec_intersects(spark, sf_dir) -> DataFrame:
     """vec_intersects_vec exists-join: for each triangle zone, how many
     OTHER zone triangles it intersects (§2.3)."""
@@ -1420,6 +1441,8 @@ QUERIES = {
     "pixel_stats": q_pixel_stats,
     "zonal_stats": q_zonal_stats,
     "zonal_stats_poly": q_zonal_stats_poly,
+    "zonal_envelope": q_zonal_envelope,
+    "zonal_contains": q_zonal_contains,
     "zonal_stats_hybrid": q_zonal_stats_hybrid,
     "zonal_weighted": q_zonal_weighted,
     "band_math": q_band_math,
