@@ -42,7 +42,8 @@ BENCH_QUERIES = [
     # round-3 operators
     "ngram_jaccard", "vec_within", "vec_touches", "overlay_erase",
     "overlay_difference", "knn_classify", "morph_open", "corr_window",
-    "resize_bilinear", "filter_bank", "reproj_epsg",
+    "resize_bilinear", "resize_cubic", "filter_bank", "reproj_epsg",
+    "zonal_envelope", "alpha_shape",
 ]
 
 

@@ -13,12 +13,14 @@ Re-expresses:
   ``d < coarse_cell_height`` — every unexplored cell lies provably
   farther; (2) unresolved stragglers ESCALATE through coarser levels
   (res - 3, res - 6, ...) with the same 3x3-ring invariant, ending at
-  a terminal level (grid <= 8x8) whose ring radius spans the full
-  grid, so the ladder is exact with NO unbounded cross join anywhere — a
+  a terminal BOUNDED brute force: the doubly-exponentially-shrunk
+  straggler set is broadcast against the match table scanned in place
+  (a terminal ring join would funnel the same rows through the tiny
+  grid's few cell keys — measured hot-task stragglers), so the ladder
+  is exact with no unbounded or hot-keyed join anywhere — a
   pathological distribution (heavy clustering + empty oceans) just
   climbs a couple of extra rungs, each a small equi-join over the
-  surviving stragglers (their population shrinks doubly-exponentially
-  with level, cell area 4x-ing per rung).  All rungs are lazy — one
+  surviving stragglers.  All rungs are lazy — one
   union'd plan, no per-rung driver actions.  Distances are planar
   euclidean in
   coordinate units, exactly ``calc_pt_distance`` (tools/geometrytools.
@@ -41,7 +43,7 @@ Re-expresses:
 from __future__ import annotations
 
 import math
-import weakref
+from collections import deque
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -54,13 +56,37 @@ class TieError(RuntimeError):
     """Multiple equally-near matches (the reference raises here too)."""
 
 
-def _release_cached(frames) -> None:
-    """Best-effort unpersist of a call's cached intermediates."""
-    for f in frames:
-        try:
-            f.unpersist()
-        except Exception:
-            pass
+#: bounded LRU of per-call cached intermediates (ADVICE r2: a long-
+#: lived session issuing many kNN calls must not accumulate cached
+#: blocks).  Eager unpersist tied to the returned DataFrame's lifetime
+#: does NOT work: callers derive `.select(...)` and drop the original,
+#: which would release the caches BEFORE the lazy plan executes and
+#: trigger full rung-recompute storms (measured 3x slowdowns).  A small
+#: LRU keeps the most recent calls' caches hot and evicts older ones —
+#: evicted frames are safe to unpersist (Spark just recomputes if some
+#: straggler plan still references them).
+_CACHE_LRU: deque = deque()
+_CACHE_LRU_LIMIT = 6
+
+
+def _register_cached(frames) -> None:
+    _CACHE_LRU.append(list(frames))
+    while len(_CACHE_LRU) > _CACHE_LRU_LIMIT:
+        for f in _CACHE_LRU.popleft():
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+
+
+def release_cached() -> None:
+    """Unpersist every registered kNN intermediate (explicit cleanup)."""
+    while _CACHE_LRU:
+        for f in _CACHE_LRU.popleft():
+            try:
+                f.unpersist()
+            except Exception:
+                pass
 
 
 def _dist(ax, ay, bx, by):
@@ -104,9 +130,10 @@ def match_closest_points(
     coarse resolution (a best candidate at ``d < cell_height`` is
     provably the true 1-NN — no unexplored cell can be nearer), then
     the same join at successively coarser levels for the stragglers;
-    the terminal level (grid <= 8x8) probes its full ring, so the
-    result is exact with no cross join.  Every rung is a lazy
-    equi-join — no driver-side iteration.
+    the terminal level broadcasts the shrunken straggler set against
+    the full match table (bounded brute force, evenly spread), so the
+    result is exact with no unbounded or hot-keyed join.  Every rung
+    is lazy — no driver-side iteration.
 
     ``match_count`` seeds the density heuristic; pass it when known to
     avoid the one metadata-only ``count()`` action (a wrong value only
@@ -189,33 +216,54 @@ def match_closest_points(
         cell_h = 180.0 / n
         terminal = (r == rungs[-1])
         shift = res_c - r
-        K = (n - 1) if terminal else 1
 
-        rb_nx = F.shiftright(F.col("_bnx"), shift)
-        rb_ny = F.shiftright(F.col("_bny"), shift)
-        probe = (
-            pending
-            .withColumn("_rx", F.explode(F.sequence(rb_nx - K, rb_nx + K)))
-            .withColumn("_ry", F.explode(F.sequence(rb_ny - K, rb_ny + K)))
-            .where((F.col("_ry") >= 0) & (F.col("_ry") < n))
-            .withColumn("_mxy",
-                        F.pmod(F.col("_rx"), F.lit(n)) * F.lit(_X_SHIFT)
-                        + F.col("_ry"))
-            .drop("_rx", "_ry")
-        )
-        # (longitude wrap can duplicate ring cells when 2K+1 > n; the
-        # duplicated candidates are harmless — _best's min/max aggs are
-        # idempotent — so no dedup exchange is spent on them)
-
-        rung_match = keyed_match.withColumn(
-            "_mxy",
-            F.shiftright(F.col("_mnx"), shift) * F.lit(_X_SHIFT)
-            + F.shiftright(F.col("_mny"), shift))
-
-        cand = probe.join(rung_match, "_mxy", "inner").withColumn(
-            "_d", _dist(F.col("_blon"), F.col("_blat"),
-                        F.col("_mlon"), F.col("_mlat"))
-        )
+        if terminal:
+            # bounded brute force for the stragglers: a terminal ring
+            # join would funnel |pending| x |match| rows through the
+            # <= 4x4 grid's handful of cell keys (a few hot tasks);
+            # broadcast the provably-small side instead and scan the
+            # other in place — same row volume, even spread, no
+            # shuffle, provably global.  After >= 1 ring rung the
+            # straggler set has shrunk doubly-exponentially (broadcast
+            # pending); a ladder that STARTS terminal means the match
+            # layer itself is tiny (res_c <= 3 ⇔ ~hundreds of points),
+            # so broadcast the match side and keep the base in place.
+            if len(rungs) > 1:
+                cand = keyed_match.crossJoin(F.broadcast(
+                    pending.select("_bkey", "_blon", "_blat")))
+            else:
+                cand = pending.select("_bkey", "_blon", "_blat") \
+                    .crossJoin(F.broadcast(keyed_match))
+            cand = cand.withColumn(
+                "_d", _dist(F.col("_blon"), F.col("_blat"),
+                            F.col("_mlon"), F.col("_mlat")))
+        else:
+            rb_nx = F.shiftright(F.col("_bnx"), shift)
+            rb_ny = F.shiftright(F.col("_bny"), shift)
+            probe = (
+                pending
+                .withColumn("_rx",
+                            F.explode(F.sequence(rb_nx - 1, rb_nx + 1)))
+                .withColumn("_ry",
+                            F.explode(F.sequence(rb_ny - 1, rb_ny + 1)))
+                .where((F.col("_ry") >= 0) & (F.col("_ry") < n))
+                .withColumn("_mxy",
+                            F.pmod(F.col("_rx"), F.lit(n)) * F.lit(_X_SHIFT)
+                            + F.col("_ry"))
+                .drop("_rx", "_ry")
+            )
+            # (longitude wrap can duplicate ring cells when the ring
+            # spans the grid; the duplicated candidates are harmless —
+            # _best's min/max aggs are idempotent — so no dedup
+            # exchange is spent on them)
+            rung_match = keyed_match.withColumn(
+                "_mxy",
+                F.shiftright(F.col("_mnx"), shift) * F.lit(_X_SHIFT)
+                + F.shiftright(F.col("_mny"), shift))
+            cand = probe.join(rung_match, "_mxy", "inner").withColumn(
+                "_d", _dist(F.col("_blon"), F.col("_blat"),
+                            F.col("_mlon"), F.col("_mlat"))
+            )
         best = _best(cand)
         # any unexplored cell is >= cell_h away, so a best below that
         # bound is the global 1-NN; the terminal ring explored everything
@@ -255,13 +303,7 @@ def match_closest_points(
     out = base.join(matched, base_key, "left")
     if tolerance is not None:
         out = out.where(F.col(out_dist_col) < tolerance)
-    # cache lifetime = result lifetime: when the caller drops the
-    # returned DataFrame the persisted rung/input frames unpersist, so a
-    # long-lived session issuing many kNN calls never accumulates
-    # cached blocks (a dropped-but-still-referenced plan just recomputes
-    # — correctness is unaffected).
-    weakref.finalize(out, _release_cached,
-                     [keyed_base, keyed_match, *resolved_parts,
+    _register_cached([keyed_base, keyed_match, *resolved_parts,
                       *cached_final])
     return out
 
@@ -359,12 +401,19 @@ def knn_classify(
             # bounded brute force for the stragglers: at the terminal
             # rung the grid is <= 4x4, so a ring join funnels
             # |pending| x |match| rows through a handful of hot cell
-            # keys (measured: the whole stage on 2-4 tasks).  The
-            # straggler population has shrunk doubly-exponentially, so
-            # BROADCAST it and scan the match side in place — the same
-            # row volume spreads evenly over the match table's
-            # partitions with no shuffle and no hot key.
-            cand = keyed_match.crossJoin(F.broadcast(pending)).withColumn(
+            # keys (measured: the whole stage on 2-4 tasks, 8-41 s
+            # swings).  Broadcast the provably-small side instead (the
+            # doubly-exponentially-shrunk stragglers; or, for a ladder
+            # that STARTS terminal — possible only when the match
+            # layer is ~hundreds of points — the match side) and scan
+            # the other in place: even spread, no shuffle, no hot key.
+            if len(rungs) > 1:
+                cand = keyed_match.crossJoin(
+                    F.broadcast(pending.select("_bkey", "_blon", "_blat")))
+            else:
+                cand = pending.select("_bkey", "_blon", "_blat") \
+                    .crossJoin(F.broadcast(keyed_match))
+            cand = cand.withColumn(
                 "_d", _dist(F.col("_blon"), F.col("_blat"),
                             F.col("_mlon"), F.col("_mlat")))
         else:
@@ -415,8 +464,7 @@ def knn_classify(
                 (-F.col("_w._negc")).alias("pred_cls"),
                 F.col("_w._n").alias("n_votes"))
     )
-    weakref.finalize(votes, _release_cached,
-                     [keyed_base, keyed_match, *resolved_parts])
+    _register_cached([keyed_base, keyed_match, *resolved_parts])
     return votes
 
 

@@ -325,12 +325,11 @@ def rect_erase(
                 F.least("_ey1", "_by1").alias("_cy1"))
         .dropDuplicates(["_bk", "_cx0", "_cx1", "_cy0", "_cy1"])
     )
-    # x breakpoints -> slabs [x, next_x)
+    # x breakpoints -> slabs [x, next_x); ONE scan of boxes (explode),
+    # not four union branches re-deriving the candidate join
     bps = (
-        boxes.select("_bk", F.col("_cx0").alias("_x"))
-        .unionByName(boxes.select("_bk", F.col("_cx1").alias("_x")))
-        .unionByName(boxes.select("_bk", F.col("_bx0").alias("_x")))
-        .unionByName(boxes.select("_bk", F.col("_bx1").alias("_x")))
+        boxes.select("_bk", F.explode(F.array(
+            "_cx0", "_cx1", "_bx0", "_bx1")).alias("_x"))
         .distinct()
     )
     w_bk = Window.partitionBy("_bk").orderBy("_x")

@@ -597,6 +597,51 @@ ORACLES["corr_window"] = _conv_oracle(_corr_window_term(), r=1,
 _BL_X0 = "CASE WHEN nx < 0 THEN -1 ELSE nx // 96 END"
 _BL_Y0 = "CASE WHEN ny < 0 THEN -1 ELSE ny // 64 END"
 
+
+def _cr_w_sql(f: str, d: int, k: int) -> str:
+    """Catmull-Rom tap-k weight scaled by 2*d^3 (integer polynomial)."""
+    f3 = f"({f} * {f} * {f})"
+    f2d = f"({f} * {f} * {d})"
+    fd2 = f"({f} * {d * d})"
+    if k == 0:
+        return f"(-{f3} + 2 * {f2d} - {fd2})"
+    if k == 1:
+        return f"(3 * {f3} - 5 * {f2d} + {2 * d ** 3})"
+    if k == 2:
+        return f"(-3 * {f3} + 4 * {f2d} + {fd2})"
+    return f"({f3} - {f2d})"
+
+
+def _cubic_taps_sql() -> str:
+    terms = []
+    for ky in range(4):
+        wy = _cr_w_sql("fy", 64, ky)
+        yi = f"greatest(least(y0 + {ky - 1}, h - 1), 0)"
+        for kx in range(4):
+            wx = _cr_w_sql("fx", 96, kx)
+            xi = f"greatest(least(x0 + {kx - 1}, w - 1), 0)"
+            terms.append(
+                f"{wy} * {wx} * "
+                f"{synth.pixel_value_sql('id', xi, yi, 'fmt')}")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+ORACLES["resize_cubic"] = f"""
+{_PREFIX},
+ox AS (SELECT unnest(generate_series(0, 47)) AS xo),
+oy AS (SELECT unnest(generate_series(0, 31)) AS yo),
+g AS (SELECT i.image_id, i.id, i.w, i.h, i.fmt, ox.xo, oy.yo
+      FROM img i, ox, oy WHERE i.id % 7 = 0),
+c AS (SELECT *, (2 * xo + 1) * w - 48 AS nx,
+               (2 * yo + 1) * h - 32 AS ny FROM g),
+d AS (SELECT *, {_BL_X0} AS x0, {_BL_Y0} AS y0 FROM c),
+e AS (SELECT *, nx - x0 * 96 AS fx, ny - y0 * 64 AS fy FROM d),
+v AS (SELECT image_id, {_cubic_taps_sql()} AS s FROM e)
+SELECT image_id, count(*) AS n_out, CAST(sum(s) AS BIGINT) AS sum_sc,
+       CAST(min(s) AS BIGINT) AS min_sc, CAST(max(s) AS BIGINT) AS max_sc
+FROM v GROUP BY image_id
+"""
+
 ORACLES["resize_bilinear"] = f"""
 {_PREFIX},
 ox AS (SELECT unnest(generate_series(0, 47)) AS xo),
@@ -1048,11 +1093,8 @@ def _rect_erase_sql(p: str, base: str, erase: str, key: str) -> str:
            FROM {base} b JOIN {erase} e
              ON b.bx1 > e.ex0 AND e.ex1 > b.bx0
             AND b.by1 > e.ey0 AND e.ey1 > b.by0),
-{p}bps AS (SELECT DISTINCT {key}, x FROM (
-            SELECT {key}, cx0 AS x FROM {p}box
-            UNION ALL SELECT {key}, cx1 FROM {p}box
-            UNION ALL SELECT {key}, bx0 FROM {p}box
-            UNION ALL SELECT {key}, bx1 FROM {p}box)),
+{p}bps AS (SELECT DISTINCT {key}, unnest([cx0, cx1, bx0, bx1]) AS x
+           FROM {p}box),
 {p}slab AS (SELECT * FROM (SELECT {key}, x,
               lead(x) OVER (PARTITION BY {key} ORDER BY x) AS xn
               FROM {p}bps) WHERE xn IS NOT NULL),

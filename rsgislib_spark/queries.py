@@ -486,6 +486,15 @@ def q_resize_bilinear(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
 
 
+def q_resize_cubic(spark, sf_dir) -> DataFrame:
+    """resample_img_to_match INTERP_CUBIC: Catmull-Rom 4x4 taps with
+    exact integer weights (scaled by 4*Dx^3*Dy^3) (§2.9,
+    imageutils/__init__.py:2104)."""
+    img = _px_images(spark, sf_dir, mod=7)
+    return rsz.resize_cubic_stats(img, 48, 32) \
+        .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
+
+
 def q_psnr_check(spark, sf_dir) -> DataFrame:
     """lossy roundtrip + PSNR>=40dB invariant as integer math (§2.9)."""
     img = _px_images(spark, sf_dir)
@@ -1478,6 +1487,7 @@ QUERIES = {
     "morph_tophat": q_morph_tophat,
     "corr_window": q_corr_window,
     "resize_bilinear": q_resize_bilinear,
+    "resize_cubic": q_resize_cubic,
     "morph_erode": q_morph_erode,
     "filter_texture_var": q_filter_texture_var,
     "filter_kuwahara": q_filter_kuwahara,

@@ -32,7 +32,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 from ..functions import codec
 
 __all__ = ["decode_media", "resize_nn", "resize_bilinear_stats",
-           "frame_sample_stats"]
+           "resize_cubic_stats", "frame_sample_stats"]
 
 _IMAGE_FMTS = {"raw8", "raw16", "png", "jpeg"}
 
@@ -146,6 +146,80 @@ def resize_bilinear_stats(images: DataFrame, out_w: int,
                               + wx1 * a[np.ix_(y0c, x1c)])
                        + wy1 * (wx0 * a[np.ix_(y1c, x0c)]
                                 + wx1 * a[np.ix_(y1c, x1c)]))
+                out["image_id"].append(image_id)
+                out["n_out"].append(int(res.size))
+                out["sum_sc"].append(int(res.sum()))
+                out["min_sc"].append(int(res.min()))
+                out["max_sc"].append(int(res.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BILINEAR_SCHEMA)
+
+
+def _cr_weights(f: np.ndarray, d: int):
+    """Catmull-Rom tap weights scaled by 2*d^3 — exact integers.
+
+    With t = f/d the classic kernel is w0 = (-t^3+2t^2-t)/2,
+    w1 = (3t^3-5t^2+2)/2, w2 = (-3t^3+4t^2+t)/2, w3 = (t^3-t^2)/2;
+    multiplying through by 2*d^3 clears every division.  The four
+    integer weights sum to exactly 2*d^3 for any f.
+    """
+    f = f.astype(np.int64)
+    f2 = f * f
+    f3 = f2 * f
+    d2 = d * d
+    d3 = d2 * d
+    w0 = -f3 + 2 * f2 * d - f * d2
+    w1 = 3 * f3 - 5 * f2 * d + 2 * d3
+    w2 = -3 * f3 + 4 * f2 * d + f * d2
+    w3 = f3 - f2 * d
+    return w0, w1, w2, w3
+
+
+def resize_cubic_stats(images: DataFrame, out_w: int,
+                       out_h: int) -> DataFrame:
+    """Bicubic (Catmull-Rom) resize with integer-exact outputs.
+
+    Reference: ``resample_img_to_match`` with ``INTERP_CUBIC``
+    (python/rsgislib/imageutils/__init__.py:2104; kernel enum
+    rsgislib/__init__.py:214-220).  Same rational half-pixel-center
+    mapping as the bilinear path; the 4x4 tap weights are the
+    Catmull-Rom cubic scaled by ``2*D^3`` per axis (see
+    :func:`_cr_weights`), so each output value is an exact int64
+    (scale ``4 * Dx^3 * Dy^3``; overshoot included, all products
+    < 2^53).  Indices clamp (replicate) at the edges.  Output:
+    per-image exact stats of the scaled plane.
+    """
+    ow, oh = int(out_w), int(out_h)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_out", "sum_sc",
+                                   "min_sc", "max_sc")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"],
+                                                pdf["fmt"]):
+                a = decode_media(bytes(buf), int(w), int(h),
+                                 str(fmt)).astype(np.int64)
+                hh, ww = a.shape
+                dx, dy = 2 * ow, 2 * oh
+                nx = (2 * np.arange(ow, dtype=np.int64) + 1) * ww - ow
+                ny = (2 * np.arange(oh, dtype=np.int64) + 1) * hh - oh
+                x0 = np.floor_divide(nx, dx)
+                y0 = np.floor_divide(ny, dy)
+                fx = nx - x0 * dx
+                fy = ny - y0 * dy
+                wxs = _cr_weights(fx, dx)
+                wys = _cr_weights(fy, dy)
+                xi = [np.clip(x0 + k, 0, ww - 1) for k in (-1, 0, 1, 2)]
+                yi = [np.clip(y0 + k, 0, hh - 1) for k in (-1, 0, 1, 2)]
+                res = np.zeros((oh, ow), dtype=np.int64)
+                for ky in range(4):
+                    row_acc = np.zeros((oh, ow), dtype=np.int64)
+                    for kx in range(4):
+                        row_acc += wxs[kx][None, :] * a[np.ix_(yi[ky], xi[kx])]
+                    res += wys[ky][:, None] * row_acc
                 out["image_id"].append(image_id)
                 out["n_out"].append(int(res.size))
                 out["sum_sc"].append(int(res.sum()))

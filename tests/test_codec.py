@@ -80,3 +80,65 @@ def test_jpeg_stub_psnr_above_40db():
 def test_jpeg_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         codec.decode_jpeg_stub(b"\xff\xd8\xff\xe0 not really")
+
+
+def test_catmull_rom_weights_exact_properties():
+    """The scaled integer Catmull-Rom weights must form an exact
+    partition of unity (sum = 2*d^3) and reproduce linear ramps
+    exactly — the two identities that define the kernel."""
+    import numpy as np
+
+    from rsgislib_spark.sources.multimodal import _cr_weights
+
+    for d in (96, 64, 10):
+        f = np.arange(d, dtype=np.int64)
+        w0, w1, w2, w3 = _cr_weights(f, d)
+        assert ((w0 + w1 + w2 + w3) == 2 * d ** 3).all()
+        x0 = 7
+        lin = w0 * (x0 - 1) + w1 * x0 + w2 * (x0 + 1) + w3 * (x0 + 2)
+        # sum_k w_k*(x0+k-1) = 2d^3*(x0 + f/d)  ==  lin*d = 2d^3*(x0*d+f)
+        assert (lin * d == 2 * d ** 3 * (x0 * d + f)).all()
+
+
+def test_resize_cubic_matches_float_reference(spark):
+    """The integer-exact bicubic stats must agree with an independent
+    float Catmull-Rom implementation to float tolerance."""
+    import numpy as np
+
+    from rsgislib_spark.sources.multimodal import resize_cubic_stats
+
+    rng = np.random.RandomState(3)
+    w, h, ow, oh = 40, 30, 16, 12
+    arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("i0", bytearray(arr.tobytes()), w, h, "raw8")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    r = resize_cubic_stats(df, ow, oh).collect()[0]
+
+    def cr(t):
+        return np.array([(-t**3 + 2*t**2 - t) / 2,
+                         (3*t**3 - 5*t**2 + 2) / 2,
+                         (-3*t**3 + 4*t**2 + t) / 2,
+                         (t**3 - t**2) / 2])
+
+    a = arr.astype(np.float64)
+    scale = 4.0 * (2*ow)**3 * (2*oh)**3 / 4.0  # (2Dx^3)*(2Dy^3)
+    total = 0.0
+    for yo in range(oh):
+        py = (yo + 0.5) * h / oh - 0.5
+        y0 = int(np.floor(py)); ty = py - y0
+        wy = cr(ty)
+        for xo in range(ow):
+            px = (xo + 0.5) * w / ow - 0.5
+            x0 = int(np.floor(px)); tx = px - x0
+            wx = cr(tx)
+            v = 0.0
+            for ky in range(4):
+                yy = min(max(y0 + ky - 1, 0), h - 1)
+                for kx in range(4):
+                    xx = min(max(x0 + kx - 1, 0), w - 1)
+                    v += wy[ky] * wx[kx] * a[yy, xx]
+            total += v
+    # scaled integer sum / (2Dx^3 * 2Dy^3) vs the float reference sum
+    denom = (2.0 * (2 * ow) ** 3) * (2.0 * (2 * oh) ** 3)
+    assert abs(r.sum_sc / denom - total) < 1e-6 * max(1.0, abs(total))
