@@ -165,25 +165,35 @@ def main() -> None:
 
         pair_effs = []
         best = {2: 0.0, 8: 0.0}
-        for _rep in range(3):
-            t2 = one(2)
-            t8 = one(8)
-            best[2] = max(best[2], t2)
-            best[8] = max(best[8], t8)
-            pair_effs.append(round((t8 / t2) / 4.0, 3))
+        # ABBA leg order: pair 1 runs (2,8), pair 2 runs (8,2), ... —
+        # a linear host-speed drift then biases consecutive pairs in
+        # OPPOSITE directions, so the median cancels it to second
+        # order (plain ABAB only cancels drift within a pair).
+        for rep in range(3):
+            order = (2, 8) if rep % 2 == 0 else (8, 2)
+            legs = {n: one(n) for n in order}
+            best[2] = max(best[2], legs[2])
+            best[8] = max(best[8], legs[8])
+            pair_effs.append(round((legs[8] / legs[2]) / 4.0, 3))
         # 8->32 is also measured as an ADJACENT pair (same drift-
         # cancelling protocol as 2->8) rather than dividing a lone
-        # local[32] sample by the best-of-3 local[8].
+        # local[32] sample by the best-of-3 local[8].  The adjacent
+        # leg is SANITY-GATED against the 2->8 legs: a single wedged
+        # worker can crater one run ~10x, and a ratio against that leg
+        # is noise, not scaling (both raw legs stay reported).
         t8_adj = one(8)
         t32 = one(32)
+        best[8] = max(best[8], t8_adj)
+        t8_for_ratio = t8_adj if t8_adj >= 0.5 * best[8] else best[8]
         pair_effs.sort()
         scaling = {
             "local[2]": {"images_per_sec": round(best[2], 1)},
             "local[8]": {"images_per_sec": round(best[8], 1)},
+            "local[8]_adjacent": {"images_per_sec": round(t8_adj, 1)},
             "local[32]": {"images_per_sec": round(t32, 1)},
             "pair_efficiencies_2_to_8": pair_effs,
             "efficiency_2_to_8": pair_effs[len(pair_effs) // 2],  # median
-            "efficiency_8_to_32": round((t32 / t8_adj) / 4.0, 3),
+            "efficiency_8_to_32": round((t32 / t8_for_ratio) / 4.0, 3),
         }
         out["scaling"] = scaling
 

@@ -49,7 +49,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..geo.cellindex import DEFAULT_RES, _X_SHIFT
 
-__all__ = ["match_closest_points", "knn_classify", "npts_in_radius"]
+__all__ = ["match_closest_points", "knn_classify", "npts_in_radius",
+           "release_cached"]
 
 
 class TieError(RuntimeError):

@@ -10,6 +10,7 @@ override via spark-submit --conf; nothing here is cluster-size specific).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -26,6 +27,12 @@ def get_spark(app: str = "rsgislib_spark", master: str | None = None,
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     )
+    # plain local[N] runs with task maxFailures = 1, so ONE crashed
+    # Python worker (the rare wedged-channel sibling, observed ~1 in
+    # thousands of tasks on this guest) aborts the whole job; the
+    # local[N, F] form restores the cluster default of retrying.
+    if re.fullmatch(r"local\[[0-9*]+\]", master):
+        master = master[:-1] + ", 4]"
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
@@ -54,10 +61,14 @@ def get_spark(app: str = "rsgislib_spark", master: str | None = None,
         .config("spark.locality.wait", "0")
         # at high worker counts a Python channel occasionally wedges
         # (observed: 31/32 tasks done, one hung forever); speculation
-        # re-launches stragglers and unsticks the stage.
+        # re-launches stragglers and unsticks the stage.  Quantile must
+        # be <= (n_tasks-1)/n_tasks for the SMALLEST stages or a wedge
+        # in the last task never qualifies: at 0.9, a local[8] stage
+        # stuck at 7/8 complete (87.5%) stalled FOREVER (observed this
+        # round); 0.7 covers every stage width >= 4.
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "4")
-        .config("spark.speculation.quantile", "0.9")
+        .config("spark.speculation.quantile", "0.7")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "20g"))
         .config("spark.sql.session.timeZone", "UTC")
