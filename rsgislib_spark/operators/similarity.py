@@ -34,8 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["quantize", "adaptive_planes", "cosine_topk", "ann_lsh_top1",
-           "ann_lsh_multiprobe_top1", "neardup_pairs", "centroid_assign",
-           "gram_matrix"]
+           "ann_lsh_multiprobe_top1", "ann_multiprobe_topk",
+           "neardup_pairs", "centroid_assign", "gram_matrix"]
 
 
 def quantize(df: DataFrame, col: str = "embedding",
@@ -64,14 +64,30 @@ def _norm_sq(col: str) -> str:
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id",
+                max_query_rows: int | None = 65536,
+                dim: int = 64) -> DataFrame:
     """Exact cosine top-k: every query against every corpus vector.
 
     Output: (qid, vec_id, rank, sim); self-matches excluded; ties broken
-    by vec_id.  The corpus side is broadcast when small; at scale the
-    cross join shards by corpus partition and the per-query top-k reduces
-    via the rank window — swap in ``ann_lsh_top1`` when n*m is too big.
+    by vec_id.  The small query side is broadcast so the corpus never
+    shuffles — exact-baseline semantics hold only while the broadcast is
+    bounded, so the query side is SIZE-GATED: if it exceeds
+    ``max_query_rows`` the operator falls over to the two-sided
+    multi-probe-LSH path (:func:`ann_multiprobe_topk`) instead of
+    broadcasting an unbounded relation into a cross join (at 10^12
+    corpus rows an unbounded query broadcast is a guaranteed OOM long
+    before the n*m pair cost bites).  The fall-over is approximate
+    (standard LSH recall); pass ``max_query_rows=None`` to force the
+    exact path for a query side you have proven small.
     """
+    if max_query_rows is not None:
+        # one column-pruned count job on the (filtered) query side —
+        # cheap relative to any n*m scoring it gates
+        n_q = queries.select(id_col).count()
+        if n_q > max_query_rows:
+            return ann_multiprobe_topk(queries, corpus, k=k,
+                                       id_col=id_col, dim=dim)
     # norms are computed ONCE per side (n + m evaluations), never per
     # pair — per-pair work is exactly one zip_with dot product.  The
     # small query side is broadcast so the corpus never shuffles.
@@ -205,6 +221,50 @@ def ann_lsh_multiprobe_top1(vectors: DataFrame, n_planes: int | None = None,
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
     return pairs.withColumn("rn", F.row_number().over(w)) \
         .where(F.col("rn") == 1).drop("rn")
+
+
+def ann_multiprobe_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                        n_planes: int | None = None, dim: int = 64,
+                        id_col: str = "vec_id") -> DataFrame:
+    """Two-sided multi-probe LSH top-k: arbitrary query set vs corpus.
+
+    The scale fall-over for :func:`cosine_topk` when the query side is
+    too large to broadcast: both sides are bucketed by the SAME
+    deterministic hyperplanes, the query side explodes its Hamming-1
+    probe ring, and candidates meet on a plain bucket equi-join — the
+    only shuffle, scaling with bucket load rather than n*m.  Exact
+    integer rerank within candidates; output schema matches
+    ``cosine_topk`` (qid, vec_id, rank, sim); recall is approximate
+    (candidates limited to the probe ring, standard multi-probe LSH).
+    """
+    if n_planes is None:
+        n_planes = adaptive_planes(corpus.count())
+    def prep(df, name):
+        return quantize(df).withColumn(
+            "bucket", F.expr(_bucket_expr("q", n_planes, dim))
+        ).select(F.col(id_col).alias(name), "q", "bucket",
+                 F.expr(_norm_sq("q")).alias("nrm"))
+    flips = ", ".join(f"CAST(bucket ^ {1 << p} AS BIGINT)"
+                      for p in range(n_planes))
+    a = prep(queries, "qid").withColumn(
+        "probe", F.explode(F.expr(f"array(bucket, {flips})"))).alias("a")
+    b = prep(corpus, "vec_id").alias("b")
+    dot = F.expr(_DOT.format(a="a.q", b="b.q"))
+    sim = dot.cast("double") / F.sqrt((F.col("a.nrm") * F.col("b.nrm"))
+                                      .cast("double"))
+    pairs = (
+        a.join(b, (F.col("a.probe") == F.col("b.bucket"))
+               & (F.col("a.qid") != F.col("b.vec_id")))
+        .select("a.qid", "b.vec_id", sim.alias("sim"))
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", F.col("rank").cast("long").alias("rank"),
+                "sim")
+    )
 
 
 def neardup_pairs(vectors: DataFrame, threshold: float = 0.9,

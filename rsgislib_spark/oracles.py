@@ -2026,7 +2026,7 @@ _QZ = ("list_transform(embedding, v -> "
 
 ORACLES["embed_topk"] = f"""
 WITH qv AS (SELECT vec_id AS qid, {_QZ} AS q
-            FROM embeddings WHERE vec_id % 50 = 0),
+            FROM embeddings WHERE vec_id < 40),
 cv AS (SELECT vec_id, {_QZ} AS c FROM embeddings),
 d AS (SELECT qid, vec_id,
              CAST(sum(q[i] * c[i]) AS BIGINT) AS dot,

@@ -1207,10 +1207,16 @@ def q_simhash(spark, sf_dir) -> DataFrame:
 
 def q_embed_topk(spark, sf_dir) -> DataFrame:
     """brute-force cosine top-5 over the embeddings table (exact ANN
-    baseline; integer-quantized so results are bit-stable)."""
+    baseline; integer-quantized so results are bit-stable).
+
+    The query side is a FIXED id list (``vec_id < 40``) rather than a
+    corpus fraction, so the broadcast stays O(1) and the exact baseline
+    O(corpus) at every scale; ``cosine_topk`` additionally size-gates
+    the broadcast (fall-over to two-sided multi-probe LSH past
+    ``max_query_rows``)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    return simi.cosine_topk(emb.where("vec_id % 50 = 0"), emb, k=5) \
+    return simi.cosine_topk(emb.where("vec_id < 40"), emb, k=5) \
         .select("qid", "vec_id", "rank", "sim")
 
 

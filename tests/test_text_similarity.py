@@ -266,3 +266,54 @@ def test_dedup_pathological_corpus_correct(spark):
         assert nc == inter
         assert jac == inter / (len(sa) + len(sb) - inter)
     assert got  # the corpus collides heavily, so pairs must exist
+
+
+def test_cosine_topk_size_gate_falls_over_to_ann(emb):
+    """Past max_query_rows the exact broadcast crossJoin must NOT run:
+    the plan falls over to the bucketed multi-probe path (no unbounded
+    broadcast, no cartesian product)."""
+    from rsgislib_spark.operators import similarity as simi
+
+    gated = simi.cosine_topk(emb, emb, k=1, max_query_rows=10)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # identical to calling the ANN path directly
+    direct = simi.ann_multiprobe_topk(emb, emb, k=1)
+    a = {(r.qid, r.vec_id) for r in gated.collect()}
+    b = {(r.qid, r.vec_id) for r in direct.collect()}
+    assert a == b and a
+
+
+def test_cosine_topk_exact_under_gate_threshold(emb):
+    """A bounded query side keeps the exact path: results equal the
+    ungated exact computation bit-for-bit."""
+    from rsgislib_spark.operators import similarity as simi
+
+    q = emb.where("vec_id < 8")
+    gated = simi.cosine_topk(q, emb, k=3, max_query_rows=100)
+    exact = simi.cosine_topk(q, emb, k=3, max_query_rows=None)
+    assert sorted(map(tuple, gated.collect())) == \
+        sorted(map(tuple, exact.collect()))
+
+
+def test_ann_multiprobe_topk_recall(emb):
+    """Two-sided multiprobe top-1: every query answered, a substantial
+    fraction exactly right, and the found neighbour's similarity close
+    to the true top-1 (random uncorrelated vectors are LSH's worst
+    case, so exact-hit recall is bounded but sim-quality stays high)."""
+    import statistics
+
+    from rsgislib_spark.operators import similarity as simi
+
+    q = emb.where("vec_id < 64")
+    exact = {r.qid: (r.vec_id, r.sim)
+             for r in simi.cosine_topk(q, emb, k=1,
+                                       max_query_rows=None).collect()}
+    ann = {r.qid: (r.vec_id, r.sim)
+           for r in simi.ann_multiprobe_topk(q, emb, k=1).collect()}
+    assert set(ann) == set(exact)  # no query dropped by the probe ring
+    hit = sum(1 for k, v in exact.items() if ann[k][0] == v[0])
+    assert hit / len(exact) >= 0.4
+    ratios = [ann[k][1] / v[1] for k, v in exact.items() if v[1] > 0]
+    assert statistics.median(ratios) >= 0.9
