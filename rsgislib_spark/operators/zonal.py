@@ -68,7 +68,29 @@ def _pair_partials(pdf_iter, res_deg: float, min_thres: float,
     * ``envelope`` — the pixel's BOX strictly overlaps the zone
       (``polyOverlapsPixel`` / envelope mode);
     * ``contains`` — the pixel's box lies fully inside the zone
-      (``polyContainsPixel``).
+      (``polyContainsPixel``);
+    * ``overlaps_or_contains`` — GEOS ``Overlaps(poly, pixel) |
+      Contains(poly, pixel)`` (``polyOverlapsOrContainsPixel``,
+      RSGISPixelInPoly.cpp:63-74): interiors intersect AND NOT
+      (pixel strictly contains the zone) — a pixel whose box swallows
+      the whole zone is neither overlapped nor contained BY the zone;
+    * ``pixel_contains_poly`` — the pixel box fully contains the zone
+      (``pixelContainsPoly``, cpp:75-78);
+    * ``pixel_contains_poly_center`` — the ZONE's centroid lies
+      strictly inside the pixel box (``pixelContainsPolyCenter``;
+      NOTE the reference's dispatch at cpp:84-92 computes the poly
+      centroid then tests ``poly->Contains(centerPoint)`` — testing
+      the polygon against its own centroid, a reference bug; we
+      implement the enum's documented semantics "Polygon center is
+      within pixel".  GEOS Contains excludes the boundary, hence the
+      strict inequalities);
+    * ``adaptive`` — per (image, zone) pair, pick by relative areas
+      (``adaptive``, cpp:97-120): zone larger than a pixel ->
+      ``contains``; zone smaller -> ``pixel_contains_poly``; equal ->
+      ``center``.  (The reference's branch bodies are swapped —
+      ``pixel->Contains(poly)`` for the LARGER poly, which is
+      identically false; we implement the documented intent, matching
+      the branch CONDITIONS exactly.)
     """
     for pdf in pdf_iter:
         rows = {k: [] for k in ("zone_id", "image_id", "n", "s", "ss",
@@ -88,19 +110,60 @@ def _pair_partials(pdf_iter, res_deg: float, min_thres: float,
                 ey1 = tly - np.arange(h) * res_deg             # top edge
                 ey0 = tly - (np.arange(h) + 1) * res_deg       # bottom edge
             for _, pr in grp.iterrows():
-                if membership == "center":
+                mode = membership
+                if mode == "adaptive":
+                    # branch by relative areas, exactly the reference's
+                    # conditions (RSGISPixelInPoly.cpp:97-120, factor=1)
+                    zone_area = ((pr["zxmax"] - pr["zxmin"])
+                                 * (pr["zymax"] - pr["zymin"]))
+                    pixel_area = res_deg * res_deg
+                    if zone_area > pixel_area:
+                        mode = "contains"
+                    elif zone_area < pixel_area:
+                        mode = "pixel_contains_poly"
+                    else:
+                        mode = "center"
+                if mode == "center":
                     in_x = (cx >= pr["zxmin"]) & (cx < pr["zxmax"])
                     in_y = (cy >= pr["zymin"]) & (cy < pr["zymax"])
-                elif membership == "envelope":
+                elif mode == "envelope":
                     in_x = (ex1 > pr["zxmin"]) & (ex0 < pr["zxmax"])
                     in_y = (ey1 > pr["zymin"]) & (ey0 < pr["zymax"])
-                elif membership == "contains":
+                elif mode == "contains":
                     in_x = (ex0 >= pr["zxmin"]) & (ex1 <= pr["zxmax"])
                     in_y = (ey0 >= pr["zymin"]) & (ey1 <= pr["zymax"])
+                elif mode == "pixel_contains_poly":
+                    in_x = (ex0 <= pr["zxmin"]) & (ex1 >= pr["zxmax"])
+                    in_y = (ey0 <= pr["zymin"]) & (ey1 >= pr["zymax"])
+                elif mode == "pixel_contains_poly_center":
+                    zcx = (pr["zxmin"] + pr["zxmax"]) / 2.0
+                    zcy = (pr["zymin"] + pr["zymax"]) / 2.0
+                    in_x = (ex0 < zcx) & (zcx < ex1)
+                    in_y = (ey0 < zcy) & (zcy < ey1)
+                elif mode == "overlaps_or_contains":
+                    # Overlaps(z,p) | Contains(z,p) on rects reduces to:
+                    # interiors intersect AND (pixel inside zone OR NOT
+                    # zone inside pixel) — closed containment on both
+                    # sides, so pixel == zone is included (GEOS
+                    # Contains(A,A) is true) while a pixel that swallows
+                    # the zone, even sharing an edge, is excluded.
+                    # Evaluated per axis, combined on the 2-D grid.
+                    ov_x = (ex1 > pr["zxmin"]) & (ex0 < pr["zxmax"])
+                    ov_y = (ey1 > pr["zymin"]) & (ey0 < pr["zymax"])
+                    pip_x = (ex0 >= pr["zxmin"]) & (ex1 <= pr["zxmax"])
+                    pip_y = (ey0 >= pr["zymin"]) & (ey1 <= pr["zymax"])
+                    zip_x = (ex0 <= pr["zxmin"]) & (ex1 >= pr["zxmax"])
+                    zip_y = (ey0 <= pr["zymin"]) & (ey1 >= pr["zymax"])
+                    keep = (np.outer(ov_y, ov_x)
+                            & (np.outer(pip_y, pip_x)
+                               | ~np.outer(zip_y, zip_x)))
+                    vals = arr[keep]
+                    in_x = None
                 else:
                     raise ValueError(f"unknown membership {membership!r}")
-                sub = arr[np.ix_(in_y, in_x)]
-                vals = sub.ravel()
+                if in_x is not None:
+                    sub = arr[np.ix_(in_y, in_x)]
+                    vals = sub.ravel()
                 if nodata is not None:
                     vals = vals[vals != nodata]
                 vals = vals[(vals >= min_thres) & (vals <= max_thres)]
@@ -299,17 +362,25 @@ def zonal_stats_weighted(
     res: int = DEFAULT_RES,
     res_deg: float = 0.001,
     n_salt: int = 8,
+    mode: str = "pixel_area_in_poly",
 ) -> DataFrame:
-    """AREA-WEIGHTED zonal stats: the ``pixelAreaInPoly`` membership mode.
+    """AREA-WEIGHTED zonal stats: ``pixelAreaInPoly`` / ``polyAreaInPixel``.
 
     Reference: pixel-in-poly mode enum (src/img/RSGISPixelInPoly.h:48-60,
     GEOS dispatch RSGISPixelInPoly.cpp:47-118) — instead of the binary
-    center-in-zone rule, each pixel contributes the FRACTION of its box
-    inside the zone.  For rect zones the overlap is closed-form
-    (clamped interval products); fractions are quantized to
-    ``round(frac * 2^20)`` so all partials are exact int64 sums (the
-    two engines compute the identical IEEE expression, so the rounding
-    is bit-identical even at boundaries).
+    center-in-zone rule, each pixel contributes a FRACTION:
+
+    * ``mode="pixel_area_in_poly"`` — the fraction of the PIXEL's box
+      inside the zone (overlap area / pixel area);
+    * ``mode="poly_area_in_pixel"`` — the fraction of the ZONE's area
+      inside the pixel (overlap area / zone area; per-zone weights sum
+      to <= 1, reaching 1 when the raster covers the zone).
+
+    For rect zones the overlap is closed-form (clamped interval
+    products); fractions are quantized to ``round(frac * 2^20)`` so all
+    partials are exact int64 sums (the two engines compute the
+    identical IEEE expression, so the rounding is bit-identical even at
+    boundaries).
 
     Output per zone: ``n_touched`` (pixels with weight > 0), ``wsum``
     (sum of fractions), ``wmean`` (area-weighted mean pixel value) —
@@ -354,9 +425,18 @@ def zonal_stats_weighted(
                           - np.maximum(xl, pr["zxmin"]))
                     oy = (np.minimum(yt, pr["zymax"])
                           - np.maximum(yb, pr["zymin"]))
-                    ox = np.maximum(ox, 0.0) / res_deg
-                    oy = np.maximum(oy, 0.0) / res_deg
-                    frac = oy[:, None] * ox[None, :]
+                    if mode == "pixel_area_in_poly":
+                        ox = np.maximum(ox, 0.0) / res_deg
+                        oy = np.maximum(oy, 0.0) / res_deg
+                        frac = oy[:, None] * ox[None, :]
+                    elif mode == "poly_area_in_pixel":
+                        ox = np.maximum(ox, 0.0)
+                        oy = np.maximum(oy, 0.0)
+                        frac = (oy[:, None] * ox[None, :]) / (
+                            (pr["zxmax"] - pr["zxmin"])
+                            * (pr["zymax"] - pr["zymin"]))
+                    else:
+                        raise ValueError(f"unknown weighted mode {mode!r}")
                     # floor(x + 0.5), NOT np.round: numpy rounds half to
                     # even while SQL round() rounds half away — the
                     # explicit formula is identical in every engine

@@ -243,6 +243,8 @@ GROUP BY a.image_id
 _PMAX = synth.pmax_sql("fmt")
 _PXV = synth.pixel_value_sql("id", "x", "y", "fmt")
 
+_RD = "CAST(0.001 AS DOUBLE)"   # IMG_RES_DEG as an explicit DOUBLE
+
 ORACLES["pixel_stats"] = f"""
 {_PREFIX},
 xs AS (SELECT image_id, id, h, fmt,
@@ -861,11 +863,34 @@ SELECT z.zone_id, z.zname,
 FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
 """
 
-def _zonal_mode_oracle(join_pred: str) -> str:
+#: sub-pixel "tiny" zone layer (quarter-pixel half-width boxes around
+#: each zone's center, ids offset by 1000) — exercises the
+#: pixelContainsPoly / adaptive-small branches.  The half-width is
+#: res/4 written as the SAME fp product both engines fold identically.
+_TINY_ZONES_CTE = """
+tiny AS (SELECT zone_id + 1000 AS zone_id, 'tiny_' || zname AS zname,
+              (zxmin + zxmax) / CAST(2.0 AS DOUBLE)
+                - CAST(0.001 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS zxmin,
+              (zxmin + zxmax) / CAST(2.0 AS DOUBLE)
+                + CAST(0.001 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS zxmax,
+              (zymin + zymax) / CAST(2.0 AS DOUBLE)
+                - CAST(0.001 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS zymin,
+              (zymin + zymax) / CAST(2.0 AS DOUBLE)
+                + CAST(0.001 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS zymax
+         FROM zones),
+mixed AS (SELECT zone_id, zname, zxmin, zxmax, zymin, zymax FROM zones
+          UNION ALL SELECT * FROM tiny)"""
+
+
+def _zonal_mode_oracle(join_pred: str, zones_src: str = "zones",
+                       extra_cte: str = "") -> str:
     """zonal_stats oracle with a pluggable pixel-membership predicate
-    over the pixel box edges (bx0/bx1 = x extent, by0/by1 = y extent)."""
+    over the pixel box edges (bx0/bx1 = x extent, by0/by1 = y extent;
+    cx/cy = pixel centers, computed with the kernel's exact
+    ``edge + (i + 0.5) * res`` association).  ``zones_src`` picks the
+    zone relation (e.g. the tiny/mixed CTEs in ``extra_cte``)."""
     return f"""
-{_PREFIX},
+{_PREFIX},{extra_cte}
 xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
               unnest(generate_series(0, w - 1)) AS x
        FROM imgf WHERE id % 7 = 0),
@@ -874,10 +899,12 @@ px AS (SELECT image_id,
               xmin + (x + 1) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS bx1,
               ymax - (y + 1) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS by0,
               ymax - y * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS by1,
+              xmin + (x + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cx,
+              ymax - (y + 0.5) * CAST({synth.IMG_RES_DEG} AS DOUBLE) AS cy,
               {_PXV} AS v
        FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
 j AS (SELECT z.zone_id, p.v
-      FROM px p JOIN zones z ON {join_pred}),
+      FROM px p JOIN {zones_src} z ON {join_pred}),
 s AS (SELECT zone_id,
              CAST(count(*) AS DOUBLE) AS n_pix,
              CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) AS sum_pix,
@@ -901,7 +928,7 @@ SELECT z.zone_id, z.zname,
        coalesce(s.mean_pix, -9999.0) AS mean_pix,
        coalesce(s.stddev_pix, -9999.0) AS stddev_pix,
        coalesce(s.median_pix, -9999.0) AS median_pix
-FROM zones z LEFT JOIN s ON z.zone_id = s.zone_id
+FROM {zones_src} z LEFT JOIN s ON z.zone_id = s.zone_id
 """
 
 
@@ -911,6 +938,47 @@ ORACLES["zonal_envelope"] = _zonal_mode_oracle(
 ORACLES["zonal_contains"] = _zonal_mode_oracle(
     "p.bx0 >= z.zxmin AND p.bx1 <= z.zxmax"
     " AND p.by0 >= z.zymin AND p.by1 <= z.zymax")
+
+_PRED_CONTAINS = ("p.bx0 >= z.zxmin AND p.bx1 <= z.zxmax"
+                  " AND p.by0 >= z.zymin AND p.by1 <= z.zymax")
+_PRED_PIXCONT = ("p.bx0 <= z.zxmin AND p.bx1 >= z.zxmax"
+                 " AND p.by0 <= z.zymin AND p.by1 >= z.zymax")
+_PRED_CENTER = ("p.cx >= z.zxmin AND p.cx < z.zxmax"
+                " AND p.cy >= z.zymin AND p.cy < z.zymax")
+_ZAREA = "(z.zxmax - z.zxmin) * (z.zymax - z.zymin)"
+_PXAREA = f"{_RD} * {_RD}"
+
+# polyOverlapsOrContainsPixel: interiors intersect AND (pixel inside
+# zone OR NOT zone-strictly-inside-pixel) — closed containment both
+# sides; pixel == zone included, pixel-swallows-zone excluded (GEOS
+# Overlaps|Contains on rects; RSGISPixelInPoly.cpp:63-74).
+ORACLES["zonal_overlaps_contains"] = _zonal_mode_oracle(
+    "p.bx1 > z.zxmin AND p.bx0 < z.zxmax"
+    " AND p.by1 > z.zymin AND p.by0 < z.zymax"
+    f" AND (({_PRED_CONTAINS}) OR NOT ({_PRED_PIXCONT}))")
+
+# adaptive (RSGISPixelInPoly.cpp:97-120, factor=1): branch on zone area
+# vs pixel area — larger zone -> polyContainsPixel, smaller ->
+# pixelContainsPoly, equal -> pixel-center.  Runs over the mixed
+# big+tiny zone layer so BOTH area branches execute.
+ORACLES["zonal_adaptive"] = _zonal_mode_oracle(
+    f"CASE WHEN {_ZAREA} > {_PXAREA} THEN {_PRED_CONTAINS}"
+    f" WHEN {_ZAREA} < {_PXAREA} THEN {_PRED_PIXCONT}"
+    f" ELSE {_PRED_CENTER} END",
+    zones_src="mixed", extra_cte=_TINY_ZONES_CTE + ",")
+
+# pixelContainsPoly over the tiny sub-pixel layer (a zone bigger than a
+# pixel can never be contained, so the tiny layer is the live test).
+ORACLES["zonal_pixcontains"] = _zonal_mode_oracle(
+    _PRED_PIXCONT, zones_src="tiny", extra_cte=_TINY_ZONES_CTE + ",")
+
+# pixelContainsPolyCenter (documented semantics: zone centroid strictly
+# inside the pixel box — see zonal.py on the reference's cpp:84-92 bug).
+ORACLES["zonal_pixcenter"] = _zonal_mode_oracle(
+    "p.bx0 < (z.zxmin + z.zxmax) / CAST(2.0 AS DOUBLE)"
+    " AND (z.zxmin + z.zxmax) / CAST(2.0 AS DOUBLE) < p.bx1"
+    " AND p.by0 < (z.zymin + z.zymax) / CAST(2.0 AS DOUBLE)"
+    " AND (z.zymin + z.zymax) / CAST(2.0 AS DOUBLE) < p.by1")
 
 ORACLES["sjoin_salted"] = f"""
 {_PREFIX}
@@ -1354,6 +1422,31 @@ SELECT z.zone_id, CAST(coalesce(w.n, 0) AS BIGINT) AS n_within,
 FROM zones z LEFT JOIN w ON z.zone_id = w.zone_id
 """
 
+# vec_contains_vec: rect a contains triangle b <=> b's bbox within a's
+# (the triangle is the lower-left half of its bbox, so vertex inclusion
+# == bbox inclusion, and no proper crossing is then possible; boundary
+# sharing allowed — mirror of the vec_within reduction).
+ORACLES["vec_contains"] = f"""
+{_PREFIX},
+w AS (SELECT a.zone_id, count(*) AS n
+      FROM zones a JOIN zones b
+        ON b.zxmin >= a.zxmin AND b.zxmax <= a.zxmax
+       AND b.zymin >= a.zymin AND b.zymax <= a.zymax
+      GROUP BY a.zone_id)
+SELECT z.zone_id, CAST(coalesce(w.n, 0) AS BIGINT) AS n_contains,
+       coalesce(w.n, 0) > 0 AS any_contains
+FROM zones z LEFT JOIN w ON z.zone_id = w.zone_id
+"""
+
+# vec_crosses_vec on polygon layers: OGC DE-9IM crosses is identically
+# FALSE for area/area pairs — geopandas/GEOS return all-False on the
+# reference's polygon inputs, and so does the engine.
+ORACLES["vec_crosses"] = f"""
+{_PREFIX}
+SELECT zone_id, CAST(0 AS BIGINT) AS n_crosses, FALSE AS any_crosses
+FROM zones
+"""
+
 
 def _tri_pair_parts() -> dict:
     """SQL pieces for triangle-pair predicates over pair columns
@@ -1525,9 +1618,13 @@ from .geo.transverse_mercator import (epsg_tm_params as _tmp,  # noqa: E402
 _BNG_E, _BNG_N = _tmf("qlon", "qlat", _tmp(27700))
 
 ORACLES["reproj_epsg"] = f"""
-{_PREFIX}
+{_PREFIX},
+rq AS (SELECT qid,
+              CAST(-12.0 AS DOUBLE) + ((qlon + 180.0) % 20.0) AS qlon,
+              CAST(40.0 AS DOUBLE) + ((qlat + 60.0) % 15.0) AS qlat
+       FROM qpts)
 SELECT qid, {_BNG_E} AS x_proj, {_BNG_N} AS y_proj
-FROM qpts WHERE qlon > -12.0 AND qlon < 8.0
+FROM rq
 """
 
 ORACLES["caption_replace"] = f"""
@@ -1866,8 +1963,6 @@ LEFT JOIN s ON z.zone_id = s.zone_id
 LEFT JOIN cent c ON z.zone_id = c.zone_id
 """
 
-_RD = "CAST(0.001 AS DOUBLE)"   # IMG_RES_DEG as an explicit DOUBLE
-
 ORACLES["zonal_weighted"] = f"""
 {_PREFIX},
 xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
@@ -1883,6 +1978,40 @@ wq AS (SELECT z.zone_id, p.v,
                 * (greatest(least(p.xmin + (p.x + 1) * {_RD}, z.zxmax)
                             - greatest(p.xmin + p.x * {_RD}, z.zxmin),
                             CAST(0.0 AS DOUBLE)) / {_RD})
+                * CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS wq
+       FROM px p JOIN zones z
+         ON p.xmin + (p.x + 1) * {_RD} > z.zxmin
+        AND p.xmin + p.x * {_RD} < z.zxmax
+        AND p.ymax - p.y * {_RD} > z.zymin
+        AND p.ymax - (p.y + 1) * {_RD} < z.zymax)
+SELECT zone_id, count(*) AS n_touched,
+       CAST(CAST(sum(wq) AS BIGINT) AS DOUBLE)
+         / CAST(1048576.0 AS DOUBLE) AS wsum,
+       CAST(CAST(sum(wq * v) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(sum(wq) AS BIGINT) AS DOUBLE) AS wmean
+FROM wq WHERE wq > 0 GROUP BY zone_id
+"""
+
+# polyAreaInPixel: each pixel weighted by the fraction of the ZONE's
+# area inside the pixel box ((oy * ox) / zone_area — the fp association
+# matches the kernel exactly; see zonal.zonal_stats_weighted).
+ORACLES["zonal_polyarea"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, fmt, xmin, ymax,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM imgf WHERE id % 7 = 0),
+px AS (SELECT image_id, x, y, xmin, ymax, {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
+wq AS (SELECT z.zone_id, p.v,
+              CAST(floor(
+                (greatest(least(p.ymax - p.y * {_RD}, z.zymax)
+                          - greatest(p.ymax - (p.y + 1) * {_RD}, z.zymin),
+                          CAST(0.0 AS DOUBLE))
+                 * greatest(least(p.xmin + (p.x + 1) * {_RD}, z.zxmax)
+                            - greatest(p.xmin + p.x * {_RD}, z.zxmin),
+                            CAST(0.0 AS DOUBLE)))
+                / ((z.zxmax - z.zxmin) * (z.zymax - z.zymin))
                 * CAST(1048576.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
                 AS BIGINT) AS wq
        FROM px p JOIN zones z

