@@ -46,6 +46,7 @@ __all__ = [
     "conv3x3_stats",
     "conv_stats",
     "window_rank_stats",
+    "min_pxl_value_in_win_stats",
     "gaussian_kernel",
     "morph3x3_stats",
     "texture_var3x3_stats",
@@ -323,6 +324,77 @@ def window_rank_stats(images: DataFrame, size: int,
         .withColumnRenamed("sum_pix", f"sum_{stat}") \
         .withColumnRenamed("min_pix", f"min_{stat}") \
         .withColumnRenamed("max_pix", f"max_{stat}")
+
+
+def min_pxl_value_in_win_stats(images: DataFrame, size: int = 3,
+                               bands=("b1", "mirror", "flip")) -> DataFrame:
+    """``identify_min_pxl_value_in_win``: per-pixel window min + band ref.
+
+    Reference: python/src/imagecalc.cpp:1668 (method table entry
+    ``identify_min_pxl_value_in_win``), kernel
+    src/img/RSGISCalcImageLocalMin.cpp:38-120 — per pixel, take the
+    k x k window minimum of each selected band, then across bands keep
+    the smallest; output TWO planes: the min value and the 1-BASED index
+    of the band attaining it (strict ``<`` scan, so the FIRST band wins
+    ties — ``np.argmin``'s first-wins semantics are identical).
+
+    Bands are the engine's deterministic single-payload derivations
+    (``_BAND_DERIVS``); per-image integer aggregates of both planes:
+    ``n_interior, sum_minval, min_minval, max_minval, sum_bandref,
+    n_band1``.  One Arrow pass; tiled deployment uses ``size//2`` halo
+    tiles like every window filter (SURVEY.md §4.2).
+    """
+    ksz = int(size)
+    if ksz % 2 == 0 or ksz < 3:
+        raise ValueError("size must be odd and >= 3")
+    fns = [_BAND_DERIVS[b] for b in bands]
+    kk = ksz * ksz
+
+    def gen(it):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_interior", "sum_minval",
+                                   "min_minval", "max_minval",
+                                   "sum_bandref", "n_band1")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"],
+                                                pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                hh, ww = arr.shape
+                if hh < ksz or ww < ksz:
+                    minval = np.zeros((0,), np.int64)
+                    ref = minval
+                else:
+                    mins = np.stack([
+                        sliding_window_view(f(arr), (ksz, ksz))
+                        .reshape(-1, kk).min(axis=1) for f in fns])
+                    minval = mins.min(axis=0)
+                    ref = mins.argmin(axis=0).astype(np.int64) + 1
+                out["image_id"].append(image_id)
+                out["n_interior"].append(int(minval.size))
+                out["sum_minval"].append(int(minval.sum()) if minval.size
+                                         else 0)
+                out["min_minval"].append(int(minval.min()) if minval.size
+                                         else 0)
+                out["max_minval"].append(int(minval.max()) if minval.size
+                                         else 0)
+                out["sum_bandref"].append(int(ref.sum()) if ref.size else 0)
+                out["n_band1"].append(int((ref == 1).sum()))
+            yield pd.DataFrame(out)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("n_interior", LongType()),
+        StructField("sum_minval", LongType()),
+        StructField("min_minval", LongType()),
+        StructField("max_minval", LongType()),
+        StructField("sum_bandref", LongType()),
+        StructField("n_band1", LongType()),
+    ])
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)
 
 
 LAPLACIAN3 = ((0, 1, 0), (1, -4, 1), (0, 1, 0))

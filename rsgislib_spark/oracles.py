@@ -596,6 +596,44 @@ def _corr_window_term() -> str:
 ORACLES["corr_window"] = _conv_oracle(_corr_window_term(), r=1,
                                       suffix="r1000")
 
+
+def _pxv_flip_at(dx: int, dy: int) -> str:
+    xs = f"(x + {dx})" if dx else "x"
+    ys = f"(h - 1 - (y + {dy}))" if dy else "(h - 1 - y)"
+    return synth.pixel_value_sql("id", xs, ys, "fmt")
+
+
+_WIN9 = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+_WMI_M1 = "least(" + ", ".join(_pxv_at(dx, dy) for dx, dy in _WIN9) + ")"
+_WMI_M2 = "least(" + ", ".join(_pxv_mirror_at(dx, dy)
+                               for dx, dy in _WIN9) + ")"
+_WMI_M3 = "least(" + ", ".join(_pxv_flip_at(dx, dy)
+                               for dx, dy in _WIN9) + ")"
+
+# identify_min_pxl_value_in_win: 3x3 window min per band (b1 / mirror /
+# flip), cross-band min + 1-based band ref with FIRST-band-wins ties
+# (the kernel's strict < scan, RSGISCalcImageLocalMin.cpp:95-110).
+ORACLES["win_min_idx"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(1, w - 2)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+m AS (SELECT image_id, {_WMI_M1} AS m1, {_WMI_M2} AS m2, {_WMI_M3} AS m3
+      FROM pxy),
+c AS (SELECT image_id, least(m1, m2, m3) AS mv,
+             CASE WHEN m1 <= m2 AND m1 <= m3 THEN 1
+                  WHEN m2 <= m3 THEN 2 ELSE 3 END AS br
+      FROM m)
+SELECT image_id, count(*) AS n_interior,
+       CAST(sum(mv) AS BIGINT) AS sum_minval,
+       CAST(min(mv) AS BIGINT) AS min_minval,
+       CAST(max(mv) AS BIGINT) AS max_minval,
+       CAST(sum(br) AS BIGINT) AS sum_bandref,
+       CAST(sum(CASE WHEN br = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_band1
+FROM c GROUP BY image_id
+"""
+
 _BL_X0 = "CASE WHEN nx < 0 THEN -1 ELSE nx // 96 END"
 _BL_Y0 = "CASE WHEN ny < 0 THEN -1 ELSE ny // 64 END"
 

@@ -477,6 +477,17 @@ def q_corr_window(spark, sf_dir) -> DataFrame:
                 "max_r1000")
 
 
+def q_win_min_idx(spark, sf_dir) -> DataFrame:
+    """identify_min_pxl_value_in_win: per-pixel 3x3 window min across
+    the b1/mirror/flip band set plus the 1-based band index attaining
+    it (first band wins ties; §2.6, python/src/imagecalc.cpp:1668,
+    src/img/RSGISCalcImageLocalMin.cpp:38)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.min_pxl_value_in_win_stats(img, size=3) \
+        .select("image_id", "n_interior", "sum_minval", "min_minval",
+                "max_minval", "sum_bandref", "n_band1")
+
+
 def q_resize_bilinear(spark, sf_dir) -> DataFrame:
     """resample_img_to_match INTERP_BILINEAR: rational half-pixel
     bilinear with integer-scaled outputs (§2.9,
@@ -1611,6 +1622,7 @@ QUERIES = {
     "morph_gradient": q_morph_gradient,
     "morph_tophat": q_morph_tophat,
     "corr_window": q_corr_window,
+    "win_min_idx": q_win_min_idx,
     "resize_bilinear": q_resize_bilinear,
     "resize_cubic": q_resize_cubic,
     "morph_erode": q_morph_erode,
