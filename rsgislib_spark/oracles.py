@@ -707,6 +707,49 @@ SELECT image_id, count(*) AS n_out, CAST(sum(s) AS BIGINT) AS sum_sc,
 FROM v GROUP BY image_id
 """
 
+# INTERP_AVERAGE: block partition ox = (x*16)//w, oy = (y*12)//h —
+# the identical integer map the kernel's reduceat uses; output value is
+# floor(block sum / block count).
+ORACLES["resize_average"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, w, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 7 = 0),
+px AS (SELECT image_id, (x * 16) // w AS ox, (y * 12) // h AS oy,
+              {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
+b AS (SELECT image_id, ox, oy,
+             CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mv
+      FROM px GROUP BY image_id, ox, oy)
+SELECT image_id, count(*) AS n_out,
+       CAST(sum(mv) AS BIGINT) AS sum_sc,
+       CAST(min(mv) AS BIGINT) AS min_sc,
+       CAST(max(mv) AS BIGINT) AS max_sc
+FROM b GROUP BY image_id
+"""
+
+# INTERP_MODE: per-block most frequent value, ties -> smallest (the
+# kernel's bincount argmax first-wins tiebreak).
+ORACLES["resize_mode"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, h, w, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 7 = 0),
+px AS (SELECT image_id, (x * 16) // w AS ox, (y * 12) // h AS oy,
+              {_PXV} AS v
+       FROM (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs)),
+g AS (SELECT image_id, ox, oy, v, count(*) AS c
+      FROM px GROUP BY image_id, ox, oy, v),
+gm AS (SELECT *, max(c) OVER (PARTITION BY image_id, ox, oy) AS mc FROM g),
+b AS (SELECT image_id, ox, oy, CAST(min(v) AS BIGINT) AS mv
+      FROM gm WHERE c = mc GROUP BY image_id, ox, oy)
+SELECT image_id, count(*) AS n_out,
+       CAST(sum(mv) AS BIGINT) AS sum_sc,
+       CAST(min(mv) AS BIGINT) AS min_sc,
+       CAST(max(mv) AS BIGINT) AS max_sc
+FROM b GROUP BY image_id
+"""
+
 ORACLES["psnr_check"] = f"""
 {_PREFIX},
 {_px_cte()},

@@ -506,6 +506,24 @@ def q_resize_cubic(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
 
 
+def q_resize_average(spark, sf_dir) -> DataFrame:
+    """resample_img_to_match INTERP_AVERAGE: block-mean pyramid
+    downsample to 16x12, floor(sum/n) exact integers (§2.9,
+    imageutils/__init__.py:2104)."""
+    img = _px_images(spark, sf_dir, mod=7)
+    return rsz.resize_average_stats(img, 16, 12) \
+        .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
+
+
+def q_resize_mode(spark, sf_dir) -> DataFrame:
+    """resample_img_to_match INTERP_MODE: block most-frequent-value
+    downsample to 16x12, ties -> smallest (§2.9,
+    imageutils/__init__.py:2104)."""
+    img = _px_images(spark, sf_dir, mod=7)
+    return rsz.resize_mode_stats(img, 16, 12) \
+        .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
+
+
 def q_psnr_check(spark, sf_dir) -> DataFrame:
     """lossy roundtrip + PSNR>=40dB invariant as integer math (§2.9)."""
     img = _px_images(spark, sf_dir)
@@ -1625,6 +1643,8 @@ QUERIES = {
     "win_min_idx": q_win_min_idx,
     "resize_bilinear": q_resize_bilinear,
     "resize_cubic": q_resize_cubic,
+    "resize_average": q_resize_average,
+    "resize_mode": q_resize_mode,
     "morph_erode": q_morph_erode,
     "filter_texture_var": q_filter_texture_var,
     "filter_kuwahara": q_filter_kuwahara,

@@ -32,7 +32,8 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 from ..functions import codec
 
 __all__ = ["decode_media", "resize_nn", "resize_bilinear_stats",
-           "resize_cubic_stats", "frame_sample_stats"]
+           "resize_cubic_stats", "resize_average_stats",
+           "resize_mode_stats", "frame_sample_stats"]
 
 _IMAGE_FMTS = {"raw8", "raw16", "png", "jpeg"}
 
@@ -220,6 +221,112 @@ def resize_cubic_stats(images: DataFrame, out_w: int,
                     for kx in range(4):
                         row_acc += wxs[kx][None, :] * a[np.ix_(yi[ky], xi[kx])]
                     res += wys[ky][:, None] * row_acc
+                out["image_id"].append(image_id)
+                out["n_out"].append(int(res.size))
+                out["sum_sc"].append(int(res.sum()))
+                out["min_sc"].append(int(res.min()))
+                out["max_sc"].append(int(res.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BILINEAR_SCHEMA)
+
+
+def _block_index(n_src: int, n_out: int) -> np.ndarray:
+    """Output-cell index of each source pixel: ``(i * n_out) // n_src``.
+
+    A contiguous, exhaustive partition of source pixels into ``n_out``
+    cells (every cell non-empty when ``n_out <= n_src``) — the same
+    integer map GROUPed BY in the SQL oracle, so block membership is
+    identical by construction.
+    """
+    return (np.arange(n_src, dtype=np.int64) * n_out) // n_src
+
+
+def resize_average_stats(images: DataFrame, out_w: int,
+                         out_h: int) -> DataFrame:
+    """Block-average downsample (INTERP_AVERAGE) with exact integers.
+
+    Reference: ``resample_img_to_match`` with ``INTERP_AVERAGE``
+    (python/rsgislib/imageutils/__init__.py:2104; kernel enum
+    rsgislib/__init__.py:214-220) — the pyramid/overview workhorse.
+    Each output pixel is the mean of its source block (the integer
+    partition of :func:`_block_index`), emitted as ``floor(sum / n)`` —
+    sums via two ``np.add.reduceat`` passes (rows then cols), all int64,
+    so the oracle is a plain GROUP BY.  Requires out <= in per axis
+    (downsample; undersized payloads yield zero rows).
+    Output: per-image exact stats of the mean plane.
+    """
+    ow, oh = int(out_w), int(out_h)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_out", "sum_sc",
+                                   "min_sc", "max_sc")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"],
+                                                pdf["fmt"]):
+                a = decode_media(bytes(buf), int(w), int(h),
+                                 str(fmt)).astype(np.int64)
+                hh, ww = a.shape
+                if ow > ww or oh > hh:
+                    continue
+                bx = _block_index(ww, ow)
+                by = _block_index(hh, oh)
+                xs = np.searchsorted(bx, np.arange(ow))
+                ys = np.searchsorted(by, np.arange(oh))
+                sums = np.add.reduceat(
+                    np.add.reduceat(a, ys, axis=0), xs, axis=1)
+                cnt = (np.diff(np.append(ys, hh))[:, None]
+                       * np.diff(np.append(xs, ww))[None, :])
+                res = sums // cnt
+                out["image_id"].append(image_id)
+                out["n_out"].append(int(res.size))
+                out["sum_sc"].append(int(res.sum()))
+                out["min_sc"].append(int(res.min()))
+                out["max_sc"].append(int(res.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BILINEAR_SCHEMA)
+
+
+def resize_mode_stats(images: DataFrame, out_w: int, out_h: int,
+                      domain: int = 2048) -> DataFrame:
+    """Block-mode downsample (INTERP_MODE) with exact integers.
+
+    Reference: ``resample_img_to_match`` with ``INTERP_MODE``
+    (python/rsgislib/imageutils/__init__.py:2104) — the categorical /
+    classification-raster downsampler.  Each output pixel is the most
+    frequent value of its source block, ties -> SMALLEST value (the
+    engine's standing deterministic tiebreak, same as ``mosaic_mode`` /
+    ``window_rank_stats``).  Bounded-domain vectorization: one
+    ``np.bincount`` over ``block_idx * domain + value`` then a per-block
+    argmax, whose first-wins semantics pick the smallest value on ties.
+    Output: per-image exact stats of the mode plane.
+    """
+    ow, oh = int(out_w), int(out_h)
+    dom = int(domain)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_out", "sum_sc",
+                                   "min_sc", "max_sc")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"],
+                                                pdf["fmt"]):
+                a = decode_media(bytes(buf), int(w), int(h),
+                                 str(fmt)).astype(np.int64)
+                hh, ww = a.shape
+                if ow > ww or oh > hh:
+                    continue
+                bx = _block_index(ww, ow)
+                by = _block_index(hh, oh)
+                idx = by[:, None] * ow + bx[None, :]
+                counts = np.bincount((idx * dom + a).ravel(),
+                                     minlength=ow * oh * dom)
+                res = counts.reshape(ow * oh, dom).argmax(axis=1) \
+                    .astype(np.int64)
                 out["image_id"].append(image_id)
                 out["n_out"].append(int(res.size))
                 out["sum_sc"].append(int(res.sum()))
