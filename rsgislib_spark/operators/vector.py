@@ -209,22 +209,29 @@ def reproj_wgs84_to_utm(df: DataFrame, zone: int, lon: str = "lon",
 def reproj_epsg(df: DataFrame, epsg: int, lon: str = "lon",
                 lat: str = "lat", x_out: str = "x_proj",
                 y_out: str = "y_proj") -> DataFrame:
-    """Arbitrary-EPSG TM-family forward reprojection (Catalyst math).
+    """Arbitrary-EPSG forward reprojection (Catalyst math).
 
     Reference: ``reproj_vector_layer`` (vectorutils/__init__.py:779)
-    accepts any OGR SRS; this covers its TM family — every UTM zone
+    accepts any OGR SRS; this covers the TM family — every UTM zone
     (WGS84 326xx/327xx, ETRS89 258xx, NAD83 269xx), British National
     Grid EPSG:27700 (the reference's own test-fixture SRS,
     python_tests/test_imageutils.py) and Irish TM EPSG:2157 — via the
     parameterized Snyder series with polynomial trig
-    (geo.transverse_mercator.tm_forward_sql): bit-identical doubles in
-    every engine, <1 mm vs the published OSGB worked example.  Input
+    (geo.transverse_mercator.tm_forward_sql), plus the conic/azimuthal
+    families (Lambert Conformal Conic 2154/3978/3034, Albers 5070/3577,
+    LAEA 3035 — geo.conic.conic_forward_sql): bit-identical doubles in
+    every engine, <1 mm vs the published OSGB worked example and
+    <3e-6 m vs the full-libm Snyder reference for the conics.  Input
     coordinates are geodetic in the target CRS's datum (the projection
     step; cross-datum shifts are out of scope).
     """
+    from ..geo.conic import EPSG_CONIC, conic_forward_sql
     from ..geo.transverse_mercator import epsg_tm_params, tm_forward_sql
 
-    ex, ny = tm_forward_sql(lon, lat, epsg_tm_params(epsg))
+    if int(epsg) in EPSG_CONIC:
+        ex, ny = conic_forward_sql(lon, lat, EPSG_CONIC[int(epsg)])
+    else:
+        ex, ny = tm_forward_sql(lon, lat, epsg_tm_params(epsg))
     return df.withColumn(x_out, F.expr(ex)).withColumn(y_out, F.expr(ny))
 
 

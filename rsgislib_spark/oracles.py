@@ -1708,6 +1708,31 @@ SELECT qid, {_BNG_E} AS x_proj, {_BNG_N} AS y_proj
 FROM rq
 """
 
+from .geo.conic import (EPSG_CONIC as _CONIC,  # noqa: E402
+                        conic_forward_sql as _conic_f)
+
+
+def _conic_oracle(epsg: int, lon0: float, lon_span: float,
+                  lat0: float, lat_span: float) -> str:
+    """reproj oracle: the exact-fmod window remap + the same generated
+    conic SQL the Spark query evaluates (shared expression text =>
+    bit-identical doubles)."""
+    ex, ny = _conic_f("qlon", "qlat", _CONIC[epsg])
+    return f"""
+{_PREFIX},
+rq AS (SELECT qid,
+              CAST({lon0} AS DOUBLE) + ((qlon + 180.0) % {lon_span}) AS qlon,
+              CAST({lat0} AS DOUBLE) + ((qlat + 60.0) % {lat_span}) AS qlat
+       FROM qpts)
+SELECT qid, {ex} AS x_proj, {ny} AS y_proj
+FROM rq
+"""
+
+
+ORACLES["reproj_lcc"] = _conic_oracle(2154, -9.0, 24.0, 40.5, 11.0)
+ORACLES["reproj_albers"] = _conic_oracle(5070, -126.0, 60.0, 23.0, 29.0)
+ORACLES["reproj_laea"] = _conic_oracle(3035, -25.0, 70.0, 32.0, 38.0)
+
 ORACLES["caption_replace"] = f"""
 {_PREFIX}
 SELECT image_id, replace(caption, 'megacity', 'dense city') AS caption2
