@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "overlay_difference", "knn_classify", "morph_open", "corr_window",
     "resize_bilinear", "resize_cubic", "filter_bank", "reproj_epsg",
     "zonal_envelope", "alpha_shape",
+    # round-4 operators
+    "zonal_adaptive", "zonal_polyarea", "win_min_idx", "resize_average",
+    "resize_mode", "reproj_lcc", "reproj_albers", "reproj_laea",
+    "filter_bank15", "vec_contains",
 ]
 
 

@@ -327,7 +327,14 @@ FROM c GROUP BY image_id
 
 
 def _kernel_term(kernel) -> str:
-    """SQL sum-of-terms for an arbitrary odd k x k integer kernel."""
+    """SQL sum-of-terms for an arbitrary odd k x k integer kernel.
+
+    The sum is emitted as a BALANCED parenthesis tree: a flat
+    left-nested chain of the 15x15 bank's ~220 terms exceeds DuckDB's
+    128-deep binder recursion limit, while the balanced tree is only
+    ~8 deep.  Integer addition is associative, so the Spark kernel's
+    accumulation order and any tree shape agree exactly.
+    """
     ksz = len(kernel)
     r = ksz // 2
     terms = []
@@ -335,8 +342,11 @@ def _kernel_term(kernel) -> str:
         for dx in range(-r, r + 1):
             c = int(kernel[dy + r][dx + r])
             if c:
-                terms.append(f"({c}) * {_pxv_at(dx, dy)}")
-    return "(" + " + ".join(terms) + ")"
+                terms.append(f"(({c}) * {_pxv_at(dx, dy)})")
+    while len(terms) > 1:
+        terms = [f"({a} + {b})" for a, b in zip(terms[::2], terms[1::2])] \
+            + ([terms[-1]] if len(terms) % 2 else [])
+    return terms[0]
 
 
 def _win_list(ksz: int) -> str:
@@ -410,12 +420,14 @@ FROM px GROUP BY image_id
 """
 
 
-def _filter_bank_oracle() -> str:
+def _filter_bank_oracle(bank: dict | None = None) -> str:
     """UNION ALL of per-kernel conv oracles, tagged with kernel_id."""
     from .operators.imagemath import lm_full_bank
 
+    if bank is None:
+        bank = lm_full_bank()
     parts = []
-    for name, k in lm_full_bank().items():
+    for name, k in bank.items():
         r = len(k) // 2
         term = _kernel_term(k)
         parts.append(f"""
@@ -434,6 +446,16 @@ GROUP BY image_id""")
 
 
 ORACLES["filter_bank"] = _filter_bank_oracle()
+
+
+def _filter_bank15_oracle() -> str:
+    from .operators.imagemath import LM15_SUBSET, lm_full_bank
+
+    bank = lm_full_bank(15)
+    return _filter_bank_oracle({k: bank[k] for k in LM15_SUBSET})
+
+
+ORACLES["filter_bank15"] = _filter_bank15_oracle()
 
 ORACLES["block_iter_batches"] = f"""
 {_PREFIX},

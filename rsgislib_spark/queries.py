@@ -1240,6 +1240,20 @@ def q_filter_bank(spark, sf_dir) -> DataFrame:
                 "min_conv", "max_conv")
 
 
+def q_filter_bank15(spark, sf_dir) -> DataFrame:
+    """leung_malik_filter_bank at 15x15 sampled supports — the
+    reference-geometry bank (sigmas scale with support; reference uses
+    49x49, imagefilter/__init__.py).  A representative 6-kernel slice
+    is oracled here; all 48 kernels at 15x15 run in pytest + bench
+    (§2.6, VERDICT r3 item 8)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    bank = im.lm_full_bank(15)
+    sub = {k: bank[k] for k in im.LM15_SUBSET}
+    return im.filter_bank_stats(img, sub) \
+        .select("image_id", "kernel_id", "n_interior", "sum_conv",
+                "min_conv", "max_conv")
+
+
 def q_filter_lee(spark, sf_dir) -> DataFrame:
     """apply_lee_filter 3x3: adaptive speckle smoothing, division-free
     integer scaling (§2.6, imagefilter/__init__.py:950)."""
@@ -1694,6 +1708,7 @@ QUERIES = {
     "filter_kuwahara": q_filter_kuwahara,
     "filter_lee": q_filter_lee,
     "filter_bank": q_filter_bank,
+    "filter_bank15": q_filter_bank15,
     "band_select": q_band_select,
     "composite_max_ndvi": q_composite_max_ndvi,
     "mask_img_vec": q_mask_img_vec,

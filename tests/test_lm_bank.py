@@ -1,0 +1,98 @@
+"""Leung–Malik bank at reference-scale (15x15) supports.
+
+VERDICT r3 item 8: the 48-filter lattice was only exercised on 5x5
+minis.  Here the size-parameterized bank runs the FULL 48 kernels at
+15x15 through the engine (one decode pass) and is cross-checked
+against an independent sliding_window_view + einsum correlation —
+a different algorithm from the kernel's shifted-adds accumulation.
+"""
+
+import numpy as np
+import pytest
+from numpy.lib.stride_tricks import sliding_window_view
+
+from rsgislib_spark import synth
+from rsgislib_spark.operators.imagemath import (LM15_SUBSET,
+                                                filter_bank_stats,
+                                                lm_full_bank)
+
+
+def _rot180(k):
+    return np.array(k)[::-1, ::-1]
+
+
+def test_bank15_structure():
+    bank = lm_full_bank(15)
+    assert len(bank) == 48
+    assert all(len(k) == 15 and all(len(r) == 15 for r in k)
+               for k in bank.values())
+    names = set(bank)
+    assert sum(n.startswith("d1_") for n in names) == 18
+    assert sum(n.startswith("d2_") for n in names) == 18
+    assert sum(n.startswith("log") for n in names) == 8
+    assert sum(n.startswith("gauss") for n in names) == 4
+    for n, k in bank.items():
+        a = np.array(k)
+        if n.startswith("d1_"):
+            # odd filter: antisymmetric under point reflection
+            assert np.array_equal(_rot180(k), -a), n
+            assert a.any(), n
+        else:
+            # even filters: symmetric under point reflection
+            assert np.array_equal(_rot180(k), a), n
+    assert set(LM15_SUBSET) <= names
+
+
+def test_bank5_unchanged_by_parameterization():
+    """size=5 => sigma factor 1.0: the historical mini bank exactly."""
+    k = np.array(lm_full_bank(5)["d1_o0_s0"])
+    assert k.shape == (5, 5)
+    assert k[2, 1] == -106 and k[2, 3] == 106
+
+
+@pytest.mark.parametrize("name", list(lm_full_bank(15)))
+def test_bank15_kernel_vs_independent_correlation(name):
+    """Engine-formula conv (shifted adds) == windowed einsum on a
+    synthetic plane, per kernel — full 48 at 15x15."""
+    k = np.array(lm_full_bank(15)[name], dtype=np.int64)
+    a = synth.pixel_array(57, 40, 36, "raw16").astype(np.int64)
+    # engine accumulation (the filter_bank_stats inner loop)
+    r = 7
+    h, w = a.shape
+    acc = np.zeros((h - 2 * r, w - 2 * r), np.int64)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            kv = k[dy + r][dx + r]
+            if kv:
+                acc += kv * a[r + dy:h - r + dy, r + dx:w - r + dx]
+    ref = np.einsum("ijkl,kl->ij", sliding_window_view(a, (15, 15)), k)
+    assert np.array_equal(acc, ref)
+
+
+def test_bank15_spark_end_to_end(spark, sf_dir):
+    """Full 48-kernel 15x15 bank through the Spark path, checked
+    against the independent einsum reference per (image, kernel)."""
+    from rsgislib_spark.queries import _px_images
+
+    bank = {n: np.array(k, dtype=np.int64)
+            for n, k in lm_full_bank(15).items()}
+    img = _px_images(spark, sf_dir, mod=19)
+    out = filter_bank_stats(img, lm_full_bank(15)).collect()
+    assert out, "no images with payloads at this SF"
+    meta = {r["image_id"]: r for r in img.select(
+        "image_id", "id", "w", "h", "fmt").collect()}
+    checked = 0
+    for row in out:
+        m = meta[row["image_id"]]
+        a = synth.pixel_array(int(m["id"]), int(m["w"]), int(m["h"]),
+                              str(m["fmt"])).astype(np.int64)
+        if a.shape[0] < 15 or a.shape[1] < 15:
+            continue
+        ref = np.einsum("ijkl,kl->ij", sliding_window_view(a, (15, 15)),
+                        bank[row["kernel_id"]])
+        assert row["n_interior"] == ref.size
+        assert row["sum_conv"] == int(ref.sum())
+        assert row["min_conv"] == int(ref.min())
+        assert row["max_conv"] == int(ref.max())
+        checked += 1
+    assert checked >= 48  # at least one full image x 48 kernels
