@@ -35,7 +35,9 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["quantize", "adaptive_planes", "cosine_topk", "ann_lsh_top1",
            "ann_lsh_multiprobe_top1", "ann_multiprobe_topk",
-           "neardup_pairs", "centroid_assign", "gram_matrix"]
+           "neardup_pairs", "centroid_assign", "gram_matrix",
+           "power_iteration_int", "pca_project_dominant",
+           "mnf_noise_gram"]
 
 
 def quantize(df: DataFrame, col: str = "embedding",
@@ -298,7 +300,8 @@ def neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
     )
 
 
-def gram_matrix(vectors: DataFrame, dim: int = 64) -> DataFrame:
+def gram_matrix(vectors: DataFrame, dim: int = 64,
+                quantized: bool = False) -> DataFrame:
     """Exact integer Gram/scatter matrix G[i,j] = sum_v q_i * q_j.
 
     The distributed core of PCA / whitening (reference:
@@ -319,8 +322,14 @@ def gram_matrix(vectors: DataFrame, dim: int = 64) -> DataFrame:
     def partials(it):
         acc = np.zeros((d, d), dtype=np.int64)
         for pdf in it:
-            m = np.stack([np.round(np.asarray(e, np.float64) * 1000)
-                          .astype(np.int64) for e in pdf["embedding"]])
+            if len(pdf) == 0:
+                continue
+            if quantized:
+                m = np.stack([np.asarray(e, np.int64)
+                              for e in pdf["embedding"]])
+            else:
+                m = np.stack([np.round(np.asarray(e, np.float64) * 1000)
+                              .astype(np.int64) for e in pdf["embedding"]])
             acc += m.T @ m
         iu, ju = np.triu_indices(d)
         yield pd.DataFrame({"i": iu.astype(np.int64),
@@ -334,6 +343,93 @@ def gram_matrix(vectors: DataFrame, dim: int = 64) -> DataFrame:
     # groupBy over <= d*(d+1)/2 keys — constant-size shuffle at any scale
     return vectors.select("embedding").mapInPandas(partials, schema=schema) \
         .groupBy("i", "j").agg(F.sum("g").alias("g"))
+
+
+#: shared exact-integer power-iteration constants — the SQL oracle
+#: unrolls the IDENTICAL recurrence, so both engines agree bit-for-bit
+PCA_ITERS = 12
+PCA_GRAM_SHIFT = 10        # pre-scale G by trunc-div 2^10: int64
+                           # headroom to ~1e8 rows at |q| <= 10^4
+PCA_VSCALE = 1 << 20       # iterate at ~2^20 fixed-point magnitude
+
+
+def power_iteration_int(g_full, n_iter: int = PCA_ITERS):
+    """Dominant eigenvector of a scatter matrix — EXACT integer ops.
+
+    The eigen-step of ``perform_image_pca`` (reference:
+    imagecalc/__init__.py:594-818, which eigendecomposes the band
+    covariance driver-side).  A float ``eigh`` would be
+    LAPACK-version-dependent and not oracle-checkable, so the engine
+    pins a fixed-point power iteration instead: ``u = G' v``;
+    ``v <- trunc(u / max(|u|>>20, 1))`` with trunc-toward-zero
+    division, ``n_iter`` rounds from the all-ones start.  Every step is
+    int64 (bounds: |G'| < 2^43 after the 2^10 pre-shift, |v| <= 2^20+4,
+    so |u| < 2^62) and the same recurrence unrolls as 12 SQL CTEs in
+    the oracle — convergence quality is a property of the data;
+    cross-engine equality is exact by construction.
+    """
+    import numpy as np
+
+    g = np.sign(g_full) * (np.abs(np.asarray(g_full, np.int64))
+                           >> PCA_GRAM_SHIFT)
+    v = np.full(g.shape[0], PCA_VSCALE, dtype=np.int64)
+    for _ in range(n_iter):
+        u = g @ v
+        d = max(int(np.abs(u).max()) >> 20, 1)
+        v = (np.sign(u) * (np.abs(u) // d)).astype(np.int64)
+    return v
+
+
+def pca_project_dominant(vectors: DataFrame, dim: int = 64,
+                         id_col: str = "vec_id") -> DataFrame:
+    """PCA projection APPLY: every vector onto the dominant component.
+
+    Reference: ``perform_image_pca`` (imagecalc/__init__.py:594) —
+    fit the component on (a sample of) the data, then project every
+    pixel/vector through it.  Two-phase plan: (1) the distributed
+    exact-int scatter (:func:`gram_matrix` — the only cluster-scale
+    step) collected as a d x d triviality; (2) the driver-side
+    :func:`power_iteration_int`; (3) a second distributed pass
+    projecting each quantized vector (``pc1 = sum_i q_i * w_i``, exact
+    int64, pure Catalyst aggregate — no UDF).  At 10^12 rows both
+    passes are single map-side scans; the d x d collect is O(d^2).
+    """
+    import numpy as np
+
+    d = int(dim)
+    rows = gram_matrix(vectors, dim=d).collect()
+    g = np.zeros((d, d), np.int64)
+    for r in rows:
+        g[r["i"], r["j"]] = r["g"]
+        g[r["j"], r["i"]] = r["g"]
+    w = power_iteration_int(g)
+    v = quantize(vectors)
+    terms = " + ".join(f"(q[{i}] * CAST({int(w[i])} AS BIGINT))"
+                       for i in range(d))
+    return v.select(F.col(id_col), F.expr(f"({terms})").alias("pc1"))
+
+
+def mnf_noise_gram(vectors: DataFrame, dim: int = 64,
+                   id_col: str = "vec_id") -> DataFrame:
+    """MNF noise-covariance core: scatter of adjacent-id differences.
+
+    Reference: ``perform_image_mnf`` (imagecalc/__init__.py:715) —
+    MNF = PCA in the metric of a noise covariance estimated from
+    NEIGHBOUR DIFFERENCES (the classic Green et al. shift estimator;
+    the reference differences adjacent pixels, the embedding analog
+    differences adjacent vec_ids).  Output is the exact-int d x d
+    noise scatter N[i,j] = sum (q_v - q_{v+1})_i (q_v - q_{v+1})_j in
+    the same (i, j, g) upper-triangle shape as :func:`gram_matrix`;
+    the driver then whitens and re-eigendecomposes — d x d trivia.
+    The join on ``vec_id + 1`` is a co-partitioned equi-join (both
+    sides hash on the same key); one shuffle, no skew.
+    """
+    v = quantize(vectors).select(F.col(id_col).alias("vid"), "q")
+    nxt = v.select((F.col("vid") - 1).alias("vid"),
+                   F.col("q").alias("q2"))
+    diffs = v.join(nxt, "vid").select(
+        F.expr("zip_with(q, q2, (a, b) -> a - b)").alias("embedding"))
+    return gram_matrix(diffs, dim=dim, quantized=True)
 
 
 def centroid_assign(vectors: DataFrame, dim: int = 64,

@@ -2343,6 +2343,60 @@ WHERE j >= i
 GROUP BY i, j
 """
 
+# perform_image_mnf noise-scatter core: adjacent-vec_id differences
+ORACLES["mnf_gram"] = f"""
+WITH v AS (SELECT vec_id, {_QZ} AS q FROM embeddings),
+p AS (SELECT a.q AS qa, b.q AS qb
+      FROM v a JOIN v b ON b.vec_id = a.vec_id + 1)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+       CAST(sum((qa[i] - qb[i]) * (qa[j] - qb[j])) AS BIGINT) AS g
+FROM p, (SELECT unnest(generate_series(1, 64)) AS i),
+     (SELECT unnest(generate_series(1, 64)) AS j)
+WHERE j >= i
+GROUP BY i, j
+"""
+
+
+def _pca_project_oracle() -> str:
+    """perform_image_pca oracle: the exact-integer power iteration of
+    similarity.power_iteration_int unrolled as SQL CTEs (12 rounds,
+    trunc-toward-zero fixed-point normalization — identical integer
+    ops, hence bit-identical to the engine's driver-side recurrence),
+    then the per-vector projection."""
+    from .operators.similarity import PCA_ITERS
+
+    its = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        its.append(f"""
+u{t} AS MATERIALIZED (
+  SELECT gi AS vi, CAST(sum(g * x) AS BIGINT) AS u
+  FROM gs JOIN {prev} ON gj = vi GROUP BY gi),
+v{t} AS MATERIALIZED (
+  SELECT vi, CASE WHEN u < 0 THEN -((-u) // d) ELSE u // d END AS x
+  FROM u{t}, (SELECT greatest(max(abs(u)) // 1048576, 1) AS d
+              FROM u{t}))""")
+        prev = f"v{t}"
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, {_QZ} AS q FROM embeddings),
+idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+gfull AS MATERIALIZED (
+  SELECT a.i AS gi, b.i AS gj,
+         CAST(sum(q[a.i] * q[b.i]) AS BIGINT) AS g
+  FROM v, idx a, idx b GROUP BY gi, gj),
+gs AS MATERIALIZED (
+  SELECT gi, gj,
+         CASE WHEN g < 0 THEN -((-g) // 1024) ELSE g // 1024 END AS g
+  FROM gfull),
+v0 AS (SELECT i AS vi, CAST(1048576 AS BIGINT) AS x FROM idx),{",".join(its)}
+SELECT vec_id, CAST(sum(q[w.vi] * w.x) AS BIGINT) AS pc1
+FROM v, {prev} w
+GROUP BY vec_id
+"""
+
+
+ORACLES["pca_project"] = _pca_project_oracle()
+
 ORACLES["embed_neardup"] = f"""
 WITH v AS (SELECT vec_id, {_QZ} AS q FROM embeddings),
 proj AS (SELECT vec_id, p,

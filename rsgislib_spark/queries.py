@@ -1432,6 +1432,24 @@ def q_gram_matrix(spark, sf_dir) -> DataFrame:
     return simi.gram_matrix(t["embeddings"]).select("i", "j", "g")
 
 
+def q_pca_project(spark, sf_dir) -> DataFrame:
+    """perform_image_pca END-TO-END: distributed exact-int scatter ->
+    driver-side fixed-point power iteration (the pinned, oracle-exact
+    eigen-step) -> distributed projection of every vector onto the
+    dominant component (§2.9, imagecalc/__init__.py:594)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.pca_project_dominant(t["embeddings"]) \
+        .select("vec_id", "pc1")
+
+
+def q_mnf_gram(spark, sf_dir) -> DataFrame:
+    """perform_image_mnf distributed core: exact-int noise scatter of
+    adjacent-id vector differences (Green et al. shift estimator;
+    §2.9, imagecalc/__init__.py:715)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.mnf_noise_gram(t["embeddings"]).select("i", "j", "g")
+
+
 def q_centroid_assign(spark, sf_dir) -> DataFrame:
     """nearest-centroid classification with exact integer ordering."""
     t = load_tables(spark, sf_dir, ["embeddings"])
@@ -1729,6 +1747,8 @@ QUERIES = {
     "embed_ann_lsh": q_embed_ann_lsh,
     "centroid_assign": q_centroid_assign,
     "gram_matrix": q_gram_matrix,
+    "pca_project": q_pca_project,
+    "mnf_gram": q_mnf_gram,
     "recode_region": q_recode_region,
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
