@@ -159,6 +159,13 @@ def pad_rings(polys):
         p = np.asarray([np.asarray(v, np.float64) for v in p], np.float64)
         if len(p) > 1 and np.array_equal(p[0], p[-1]):
             p = p[:-1]
+        if len(p) == 0:
+            # a zero-vertex ring can satisfy no predicate; pad it with
+            # a far-off sentinel point (all its edges degenerate, all
+            # its PIP/orientation tests provably false; chosen so 2x
+            # doubling in the midpoint tests stays finite) instead of
+            # letting p[-1] below kill the whole Arrow batch
+            p = np.full((1, 2), -1.0e300, np.float64)
         arrs.append(p)
         kmax = max(kmax, len(p))
     out = np.empty((len(arrs), kmax, 2), np.float64)
@@ -213,6 +220,20 @@ def poly_pair_flags(polys_a, polys_b) -> dict:
     strict_a = in_a & ~on_a
     strict_b = in_b & ~on_b
 
+    # Edge-MIDPOINT containment (ADVICE r3: vertices-only inclusion can
+    # report within/contains for a ring threading a concavity of a
+    # NON-convex ring when every vertex sits exactly on the boundary).
+    # Tested EXACTLY: the doubled midpoint (v_i + v_{i-1}, an exact fp
+    # sum) is checked against the doubled ring 2*B — scaling both by 2
+    # preserves every incidence with zero rounding, so shared-edge and
+    # equal-ring cases stay deterministic.  For convex B the test is
+    # implied by vertex inclusion (chords of a convex set), so existing
+    # rect/triangle/grid queries are unchanged.
+    mid2_a = a + a[:, np.arange(ka) - 1, :]
+    mid2_b = b + b[:, np.arange(kb) - 1, :]
+    in_ma, on_ma = _pair_pip(mid2_a, 2.0 * b)
+    in_mb, on_mb = _pair_pip(mid2_b, 2.0 * a)
+
     cross = np.zeros(a.shape[0], bool)
     q1 = b[:, np.arange(kb) - 1, :]
     q2 = b
@@ -239,8 +260,10 @@ def poly_pair_flags(polys_a, polys_b) -> dict:
         "cross": cross,
         "a_strict_any": strict_a.any(axis=1),
         "b_strict_any": strict_b.any(axis=1),
-        "a_incl_all": (in_a | on_a).all(axis=1),
-        "b_incl_all": (in_b | on_b).all(axis=1),
+        "a_incl_all": ((in_a | on_a).all(axis=1)
+                       & (in_ma | on_ma).all(axis=1)),
+        "b_incl_all": ((in_b | on_b).all(axis=1)
+                       & (in_mb | on_mb).all(axis=1)),
         "a_bound_any": on_a.any(axis=1),
         "b_bound_any": on_b.any(axis=1),
     }
@@ -252,9 +275,12 @@ def poly_pair_predicate(polys_a, polys_b, predicate: str) -> np.ndarray:
     Semantics (simple rings, no holes — the engine's standing scope):
 
     * ``intersects`` — any shared point (interior OR boundary contact);
-    * ``within`` / ``contains`` — every vertex of the contained ring
-      interior-or-on-boundary and no proper edge crossing (boundary
-      sharing allowed, as in GEOS; equal rings are within each other);
+    * ``within`` / ``contains`` — every vertex AND every edge midpoint
+      of the contained ring interior-or-on-boundary and no proper edge
+      crossing (boundary sharing allowed, as in GEOS; equal rings are
+      within each other; the midpoint test — exact via doubled
+      coordinates — rejects rings threading a concavity of a
+      non-convex ring with all vertices on its boundary);
     * ``overlaps`` — interiors intersect and neither ring is within the
       other (OGC: same-dimension partial overlap);
     * ``touches`` — boundary contact without interior intersection

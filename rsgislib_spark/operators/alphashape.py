@@ -100,11 +100,22 @@ def alpha_shape_edges_pdf(pts: np.ndarray, alpha: float) -> list:
 
     ``alpha`` is the reference's convention: triangles with
     circumradius < 1/alpha survive (alpha -> 0 degenerates to the
-    convex hull).  Points are lex-sorted first so the triangulation
-    backend sees a deterministic order.
+    convex hull).  Points are lex-sorted then DEDUPLICATED first
+    (ADVICE r3: duplicate points break the Bowyer–Watson fallback and
+    perturb scipy's triangulation) so either backend sees the same
+    clean deterministic order.  Determinism scope: output is
+    bit-stable per backend; scipy-Delaunay and the built-in fallback
+    may triangulate CO-CIRCULAR quads differently (both
+    triangulations are valid; the alpha-boundary differs only when the
+    shared circumcircle sits exactly at the 1/alpha threshold) — pin
+    one backend for strict cross-environment determinism.
     """
     pts = np.asarray(pts, np.float64)
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts):
+        keep = np.ones(len(pts), bool)
+        keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        pts = pts[keep]
     if len(pts) < 3:
         return []
     try:

@@ -812,9 +812,12 @@ def corr_window3_stats(images: DataFrame) -> DataFrame:
     sliding-window band-pair correlation.  Six integer moment planes
     (n, Sx, Sy, Sxx, Syy, Sxy — each nine shifted adds) give
     ``r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))``;
-    the emitted value is ``floor(1000 * r)`` with every intermediate
-    product < 2^53, so the single sqrt+divide is the only float step
-    and is correctly rounded identically in every engine.  Windows with
+    the emitted value is ``floor(1000 * r)``.  The two variance factors
+    are int64-exact and < 2^53 for ANY 16-bit plane; their product is
+    taken in float64 (exact conversions, one correctly-rounded multiply
+    shared verbatim with the oracle) so nothing wraps even at
+    v = 65535, and the sqrt+divide is correctly rounded identically in
+    every engine.  Windows with
     a constant band (zero variance) emit 0, the reference's no-data
     convention.  Output mirrors the conv stats shape.
     """
@@ -838,12 +841,18 @@ def corr_window3_stats(images: DataFrame) -> DataFrame:
         syy = wsum(b * b)
         sxy = wsum(a * b)
         num = 9 * sxy - sx * sy
-        den = (9 * sxx - sx * sx) * (9 * syy - sy * sy)
+        # each variance factor is int64-exact (< 9*9*v^2 <= 3.5e11 even
+        # at v = 65535) and < 2^53, so converting BEFORE multiplying is
+        # exact — the int64 product d1*d2 would wrap at ~1.2e23 for
+        # 16-bit planes (ADVICE r3); the oracle multiplies the same
+        # two exact doubles
+        d1 = (9 * sxx - sx * sx).astype(np.float64)
+        d2 = (9 * syy - sy * sy).astype(np.float64)
+        den = d1 * d2
         out = np.zeros(num.shape, dtype=np.int64)
         nz = den > 0
         out[nz] = np.floor(num[nz].astype(np.float64) * 1000.0
-                           / np.sqrt(den[nz].astype(np.float64))
-                           ).astype(np.int64)
+                           / np.sqrt(den[nz])).astype(np.int64)
         return out
 
     return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \

@@ -607,11 +607,15 @@ def _corr_window_term() -> str:
     syy = "(" + " + ".join(f"({t}) * ({t})" for t in vb) + ")"
     sxy = "(" + " + ".join(f"({a}) * ({b})" for a, b in zip(va, vb)) + ")"
     num = f"(9 * {sxy} - {sx} * {sy})"
-    d1 = f"(9 * {sxx} - {sx} * {sx})"
-    d2 = f"(9 * {syy} - {sy} * {sy})"
+    # convert the exact int64 factors to DOUBLE BEFORE multiplying —
+    # the same float64 product the kernel computes (each factor < 2^53,
+    # so the conversions are exact; the int product would wrap for
+    # 16-bit planes)
+    d1 = f"CAST((9 * {sxx} - {sx} * {sx}) AS DOUBLE)"
+    d2 = f"CAST((9 * {syy} - {sy} * {sy}) AS DOUBLE)"
     return (f"(CASE WHEN ({d1}) * ({d2}) > 0 THEN "
             f"CAST(floor(CAST({num} AS DOUBLE) * 1000.0"
-            f" / sqrt(CAST(({d1}) * ({d2}) AS DOUBLE))) AS BIGINT) "
+            f" / sqrt(({d1}) * ({d2}))) AS BIGINT) "
             f"ELSE 0 END)")
 
 

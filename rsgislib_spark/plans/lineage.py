@@ -30,7 +30,6 @@ data.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -104,11 +103,22 @@ def run_resumable(images: DataFrame, out_dir: str, process,
     # delete and the write just leaves the cells pending again (no
     # lineage row yet), so the resume contract is unchanged.  On
     # Iceberg this is a single atomic replacePartitions commit.
-    if os.path.exists(data_path):
+    # Routed through the Hadoop FileSystem API so the delete is real on
+    # ANY store the cluster can write (file:, hdfs:, s3a:, ...) — a
+    # local os.path/shutil delete would silently no-op for non-local
+    # URIs and reintroduce the stale-partial hazard (ADVICE r3).  Cell
+    # ids are plain integers, so the ``cell=<n>`` directory name never
+    # needs Hive escaping.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    data_p = jvm.org.apache.hadoop.fs.Path(data_path)
+    fs = data_p.getFileSystem(hconf)
+    if fs.exists(data_p):
         for row in todo.select("cell").collect():
-            d = os.path.join(data_path, f"cell={row.cell}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            d = jvm.org.apache.hadoop.fs.Path(data_path,
+                                              f"cell={row.cell}")
+            if fs.exists(d):
+                fs.delete(d, True)
 
     out = process(pending)
     mode_key = "spark.sql.sources.partitionOverwriteMode"

@@ -164,3 +164,83 @@ def test_band_math_b2_bound():
     arr = np.arange(12, dtype=np.int64).reshape(3, 4)
     out = eval_band_math(arr, "b1 + b2")
     assert (out == arr + arr[:, ::-1]).all()
+
+
+# --- round-4 ADVICE regressions -------------------------------------------
+
+
+def test_alphashape_duplicate_points():
+    """ADVICE r3: duplicate points must not break either triangulation
+    backend; the deduped cloud gives the same boundary as the clean
+    one."""
+    import numpy as np
+
+    from rsgislib_spark.operators.alphashape import alpha_shape_edges_pdf
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 10, size=(40, 2))
+    dup = np.vstack([pts, pts[::3], pts[:5]])
+    clean = sorted(alpha_shape_edges_pdf(pts, alpha=0.0))
+    withdup = sorted(alpha_shape_edges_pdf(dup, alpha=0.0))
+    assert clean == withdup
+    assert len(clean) >= 3  # convex hull limit produces a closed ring
+
+
+def test_corr_window_16bit_no_wrap():
+    """ADVICE r3: the correlation denominator is taken in float64 —
+    full-range 16-bit planes must not wrap int64.  A plane and its
+    mirror at v ~ 65535 magnitudes yields |r| <= 1000 everywhere."""
+    import numpy as np
+
+    # reproduce the kernel's moment math directly at hostile magnitudes
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 65536, size=(12, 12), dtype=np.int64)
+    b = a[:, ::-1]
+    h, w = a.shape
+
+    def wsum(p):
+        acc = np.zeros((h - 2, w - 2), dtype=np.int64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                acc += p[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+        return acc
+
+    sx, sy = wsum(a), wsum(b)
+    sxx, syy, sxy = wsum(a * a), wsum(b * b), wsum(a * b)
+    num = 9 * sxy - sx * sy
+    d1 = (9 * sxx - sx * sx).astype(np.float64)
+    d2 = (9 * syy - sy * sy).astype(np.float64)
+    den = d1 * d2
+    assert (den >= 0).all()          # float64 product cannot wrap
+    nz = den > 0
+    r = num[nz].astype(np.float64) * 1000.0 / np.sqrt(den[nz])
+    assert np.abs(r).max() <= 1000.5  # |pearson| <= 1 at any magnitude
+
+
+def test_lineage_delete_via_hadoop_fs(spark, tmp_path):
+    """ADVICE r3: the stale-partition delete goes through the Hadoop
+    FileSystem API, so it works (and is exercised here) on file: URIs
+    exactly as it would on hdfs:/s3a:."""
+    from rsgislib_spark.plans.lineage import run_resumable
+
+    img = spark.createDataFrame(
+        [(1, 10.01, 45.01, 7), (2, 10.02, 45.02, 9)],
+        "id long, lon double, lat double, phash long")
+    out = str(tmp_path / "out")
+
+    # first run writes cells; plant a stale extra file in one partition,
+    # drop its lineage row, and resume: the stale file must be gone
+    run_resumable(img, out, lambda df: df.select("id", "cell"))
+    data = os.path.join(out, "data")
+    cells = [d for d in os.listdir(data) if d.startswith("cell=")]
+    assert cells
+    stale = os.path.join(data, cells[0], "stale-leftover.parquet")
+    open(stale, "w").write("junk")
+    # wipe lineage so every cell is pending again
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "lineage"))
+    run_resumable(img, out, lambda df: df.select("id", "cell"))
+    assert not os.path.exists(stale)
+    got = spark.read.parquet(data).count()
+    assert got == 2

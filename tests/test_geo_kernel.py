@@ -138,3 +138,39 @@ def test_polygon_predicates():
     assert G.poly_within_poly(inner, sq)
     assert not G.poly_within_poly(cross, sq)
     assert G.polygon_area(sq) == 100.0
+
+
+def test_pair_predicate_nonconvex_concavity_rejected():
+    """ADVICE r3: a ring whose vertices all lie on a NON-convex ring's
+    boundary but whose edge threads the concavity must not be within —
+    the exact doubled-midpoint test catches it."""
+    # U-shape: 10x10 square with a notch cut from the top middle
+    u = [[0, 0], [10, 0], [10, 10], [6, 10], [6, 4], [4, 4], [4, 10],
+         [0, 10]]
+    # triangle with all vertices ON the U's boundary, bridging the notch
+    bridge = [[4, 10], [6, 10], [10, 0]]
+    assert not G.poly_pair_predicate([bridge], [u], "within")[0]
+    assert not G.poly_pair_predicate([u], [bridge], "contains")[0]
+    # a genuinely-inside triangle in the left arm still passes
+    ok = [[1, 1], [3, 1], [1, 9]]
+    assert G.poly_pair_predicate([ok], [u], "within")[0]
+
+
+def test_pair_predicate_equal_rings_and_shared_edges_still_within():
+    """The midpoint test is exact (doubled coordinates), so equal rings
+    and diagonal shared edges keep their GEOS semantics."""
+    tri = [[0.1, 0.2], [7.3, 0.2], [0.1, 5.9]]
+    assert G.poly_pair_predicate([tri], [tri], "within")[0]
+    assert G.poly_pair_predicate([tri], [tri], "contains")[0]
+    rect = [[0.1, 0.2], [7.3, 0.2], [7.3, 5.9], [0.1, 5.9]]
+    assert G.poly_pair_predicate([tri], [rect], "within")[0]
+
+
+def test_pad_rings_empty_ring_is_inert():
+    """ADVICE r3: a zero-vertex ring must not kill the batch and can
+    satisfy no predicate."""
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10]]
+    for pred in ("intersects", "within", "contains", "overlaps",
+                 "touches"):
+        assert not G.poly_pair_predicate([[]], [sq], pred)[0], pred
+        assert not G.poly_pair_predicate([sq], [[]], pred)[0], pred
