@@ -48,11 +48,13 @@ from functools import lru_cache
 
 import numpy as np
 
-from .transverse_mercator import _COS_C, _SIN_C, _horner, dlit
+from .transverse_mercator import (StepBuilder, _COS_C, _SIN_C, _horner,
+                                  dlit, inline_steps)
 
 __all__ = [
     "ConicParams",
     "conic_forward_sql",
+    "conic_forward_steps",
     "epsg_conic_params",
     "EPSG_CONIC",
     "ref_forward",
@@ -181,18 +183,21 @@ def _lcc_dpsi_fit(key: tuple) -> tuple:
         f"(residual {resid:.2e}); narrow the registered lat_band")
 
 
-def _lcc_forward(lon: str, lat: str, p: ConicParams) -> tuple[str, str]:
+def _lcc_steps(b: StepBuilder, lon: str, lat: str,
+               p: ConicParams) -> tuple[str, str]:
     n, f_, rho0 = _lcc_consts(p)
     coeffs, mid, half, _ = _lcc_dpsi_fit(
         (p.family, p.a, p.inv_f, p.lat1, p.lat2, p.lat0, p.lon0, p.fe,
          p.fn, p.lat_band, p.lon_halfwidth))
     # rho = a*F*t^n = [a*F*exp(-n*psi_mid)] * exp(-n*dpsi)
     rho_mid = p.a * f_ * math.exp(-n * _psi(p, mid))
-    u = f"((({lat}) * {dlit(_DEG2RAD / half)}) - {dlit(mid / half)})"
-    dpsi = _horner(u, list(coeffs))
-    rho = f"({dlit(rho_mid)} * {_exp_sql(f'({dlit(-n)} * {dpsi})')})"
-    theta = f"((({lon}) - {dlit(p.lon0)}) * {dlit(n * _DEG2RAD)})"
+    u = b.add(f"((({lat}) * {dlit(_DEG2RAD / half)}) - {dlit(mid / half)})")
+    dpsi = b.add(_horner(u, list(coeffs)))
+    earg = b.add(f"({dlit(-n)} * {dpsi})")
+    rho = b.add(f"({dlit(rho_mid)} * {_exp_sql(earg)})")
+    theta = b.add(f"((({lon}) - {dlit(p.lon0)}) * {dlit(n * _DEG2RAD)})")
     st, ct = _sincos_sql(theta)
+    st, ct = b.add(st), b.add(ct)
     easting = f"({dlit(p.fe)} + {rho} * {st})"
     northing = f"({dlit(p.fn + rho0)} - {rho} * {ct})"
     return easting, northing
@@ -208,25 +213,29 @@ def _q_sql(s: str, p: ConicParams) -> str:
             f" * {_atanh_sql(f'({dlit(e)} * ({s}))')}))")
 
 
-def _albers_forward(lon: str, lat: str, p: ConicParams) -> tuple[str, str]:
+def _albers_steps(b: StepBuilder, lon: str, lat: str,
+                  p: ConicParams) -> tuple[str, str]:
     phi1, phi2 = math.radians(p.lat1), math.radians(p.lat2)
     m1, m2 = _m(p, phi1), _m(p, phi2)
     q1, q2 = _q(p, phi1), _q(p, phi2)
     n = (m1 * m1 - m2 * m2) / (q2 - q1)
     c_ = m1 * m1 + n * q1
     rho0 = p.a * math.sqrt(c_ - n * _q(p, math.radians(p.lat0))) / n
-    phi = f"(({lat}) * {dlit(_DEG2RAD)})"
+    phi = b.add(f"(({lat}) * {dlit(_DEG2RAD)})")
     s, _c = _sincos_sql(phi)
-    q = _q_sql(s, p)
-    rho = f"({dlit(p.a / n)} * sqrt({dlit(c_)} - {dlit(n)} * {q}))"
-    theta = f"((({lon}) - {dlit(p.lon0)}) * {dlit(n * _DEG2RAD)})"
+    s = b.add(s)
+    q = b.add(_q_sql(s, p))
+    rho = b.add(f"({dlit(p.a / n)} * sqrt({dlit(c_)} - {dlit(n)} * {q}))")
+    theta = b.add(f"((({lon}) - {dlit(p.lon0)}) * {dlit(n * _DEG2RAD)})")
     st, ct = _sincos_sql(theta)
+    st, ct = b.add(st), b.add(ct)
     easting = f"({dlit(p.fe)} + {rho} * {st})"
     northing = f"({dlit(p.fn + rho0)} - {rho} * {ct})"
     return easting, northing
 
 
-def _laea_forward(lon: str, lat: str, p: ConicParams) -> tuple[str, str]:
+def _laea_steps(b_: StepBuilder, lon: str, lat: str,
+                p: ConicParams) -> tuple[str, str]:
     e = _e(p)
     qp = _q(p, math.pi / 2.0)
     q0 = _q(p, math.radians(p.lat0))
@@ -235,36 +244,54 @@ def _laea_forward(lon: str, lat: str, p: ConicParams) -> tuple[str, str]:
     rq = p.a * math.sqrt(qp / 2.0)
     m0 = _m(p, math.radians(p.lat0))
     d_ = p.a * m0 / (rq * cb0)
-    phi = f"(({lat}) * {dlit(_DEG2RAD)})"
+    phi = b_.add(f"(({lat}) * {dlit(_DEG2RAD)})")
     s, _c = _sincos_sql(phi)
-    q = _q_sql(s, p)
-    sb = f"({q} * {dlit(1.0 / qp)})"
-    cb = f"(sqrt(1.0 - {sb} * {sb}))"
-    dlam = f"((({lon}) - {dlit(p.lon0)}) * {dlit(_DEG2RAD)})"
+    s = b_.add(s)
+    q = b_.add(_q_sql(s, p))
+    sb = b_.add(f"({q} * {dlit(1.0 / qp)})")
+    cb = b_.add(f"(sqrt(1.0 - {sb} * {sb}))")
+    dlam = b_.add(f"((({lon}) - {dlit(p.lon0)}) * {dlit(_DEG2RAD)})")
     sl, cl = _sincos_sql(dlam)
-    b = (f"({dlit(rq)} * sqrt(2.0 / (1.0 + {dlit(sb0)} * {sb}"
-         f" + {dlit(cb0)} * {cb} * {cl})))")
+    sl, cl = b_.add(sl), b_.add(cl)
+    b = b_.add(f"({dlit(rq)} * sqrt(2.0 / (1.0 + {dlit(sb0)} * {sb}"
+               f" + {dlit(cb0)} * {cb} * {cl})))")
     easting = f"({dlit(p.fe)} + {b} * {dlit(d_)} * {cb} * {sl})"
     northing = (f"({dlit(p.fn)} + ({b} * {dlit(1.0 / d_)})"
                 f" * ({dlit(cb0)} * {sb} - {dlit(sb0)} * {cb} * {cl}))")
     return easting, northing
 
 
-def conic_forward_sql(lon: str, lat: str,
-                      p: ConicParams) -> tuple[str, str]:
-    """(easting_expr, northing_expr) SQL for a conic/azimuthal CRS.
+def conic_forward_steps(lon: str, lat: str, p: ConicParams,
+                        pfx: str = "__cn") -> tuple[list, str, str]:
+    """(steps, easting_expr, northing_expr) for a conic/azimuthal CRS.
 
     Valid verbatim in Spark SQL and DuckDB; coordinates must lie in the
     CRS's registered ``lat_band`` / ``lon_halfwidth`` window (the area
     of use — outside it the series certification does not apply).
+    Shared subexpressions are named step columns (StepBuilder) so the
+    Catalyst plan stays small; :func:`conic_forward_sql` inlines them
+    for single-expression engines.
     """
+    b = StepBuilder(pfx)
     if p.family == "lcc":
-        return _lcc_forward(lon, lat, p)
-    if p.family == "albers":
-        return _albers_forward(lon, lat, p)
-    if p.family == "laea":
-        return _laea_forward(lon, lat, p)
-    raise ValueError(f"unknown conic family {p.family!r}")
+        e, n = _lcc_steps(b, lon, lat, p)
+    elif p.family == "albers":
+        e, n = _albers_steps(b, lon, lat, p)
+    elif p.family == "laea":
+        e, n = _laea_steps(b, lon, lat, p)
+    else:
+        raise ValueError(f"unknown conic family {p.family!r}")
+    return b.steps, e, n
+
+
+def conic_forward_sql(lon: str, lat: str,
+                      p: ConicParams) -> tuple[str, str]:
+    """(easting_expr, northing_expr) inline SQL for a conic/azimuthal
+    CRS — the substituted form of :func:`conic_forward_steps` (same
+    IEEE ops; for the DuckDB oracle path)."""
+    steps, e, n = conic_forward_steps(lon, lat, p)
+    e_i, n_i = inline_steps(steps, [e, n])
+    return e_i, n_i
 
 
 def ref_forward(p: ConicParams, lon_deg: float,

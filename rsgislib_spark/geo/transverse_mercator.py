@@ -34,6 +34,9 @@ __all__ = [
     "central_meridian_deg",
     "TMParams",
     "tm_forward_sql",
+    "tm_forward_steps",
+    "StepBuilder",
+    "inline_steps",
     "epsg_tm_params",
     "EPSG_TM",
 ]
@@ -89,6 +92,46 @@ def _horner(x2: str, coeffs) -> str:
     return expr
 
 
+class StepBuilder:
+    """Accumulates named intermediate-column expressions.
+
+    Inlining the full projection series into one SQL string produces
+    50-220 KB expression text whose Catalyst parse/analyze dominates the
+    query (measured: 60-120 s per conic reproj at sf0.01).  Naming each
+    shared subexpression as a chained projection column keeps the plan
+    tree small while performing the IDENTICAL IEEE operations in the
+    identical order, so oracle hashes are unchanged.  Names are
+    fixed-length (``pfx`` + 2 digits) so no name is a prefix of another
+    — a requirement of :func:`inline_steps`' textual substitution.
+    """
+
+    def __init__(self, pfx: str):
+        self.steps: list[tuple[str, str]] = []
+        self._pfx = pfx
+
+    def add(self, expr: str) -> str:
+        name = f"{self._pfx}{len(self.steps):02d}"
+        self.steps.append((name, expr))
+        return name
+
+
+def inline_steps(steps, finals):
+    """Substitute step columns back into full inline SQL (for engines
+    like DuckDB that parse large expressions cheaply — the oracle path).
+    Produces the same arithmetic as evaluating the steps as columns."""
+    env: list[tuple[str, str]] = []
+    for name, expr in steps:
+        for k, v in env:
+            expr = expr.replace(k, v)
+        env.append((name, f"({expr})"))
+    out = []
+    for f in finals:
+        for k, v in env:
+            f = f.replace(k, v)
+        out.append(f)
+    return out
+
+
 def utm_zone(lon_deg: float) -> int:
     return int(math.floor((lon_deg + 180.0) / 6.0)) % 60 + 1
 
@@ -128,39 +171,55 @@ def _merid_arc_coeffs(e2: float):
 
 
 def tm_forward_sql(lon: str, lat: str, p: TMParams) -> tuple[str, str]:
-    """(easting_expr, northing_expr) SQL for any TM-family CRS.
+    """(easting_expr, northing_expr) inline SQL for any TM-family CRS.
+
+    The substituted form of :func:`tm_forward_steps` — same IEEE ops,
+    one (large) self-contained string.  Use for engines that parse big
+    expressions cheaply (the DuckDB oracle); Spark-side callers should
+    evaluate the steps as chained columns instead.
+    """
+    steps, e, n = tm_forward_steps(lon, lat, p)
+    e_i, n_i = inline_steps(steps, [e, n])
+    return e_i, n_i
+
+
+def tm_forward_steps(lon: str, lat: str, p: TMParams,
+                     pfx: str = "__tm") -> tuple[list, str, str]:
+    """(steps, easting_expr, northing_expr) for any TM-family CRS.
 
     The Snyder 1987 §8 series with the same polynomial-trig determinism
     strategy as the UTM specialization; ``M0`` (the meridional arc at
     ``lat0``) is folded driver-side into a single literal, so the SQL
     stays one additive constant per expression (NOTES.md lesson 2).
-    Pure arithmetic — valid verbatim in Spark SQL and DuckDB.
+    Pure arithmetic — valid verbatim in Spark SQL and DuckDB.  Shared
+    subexpressions are named step columns (see :class:`StepBuilder`).
     """
     f_ = 1.0 / p.inv_f
     e2 = f_ * (2.0 - f_)
     ep2 = e2 / (1.0 - e2)
     deg2rad = dlit(math.pi / 180.0)
-    phi = f"(({lat}) * {deg2rad})"
-    dlam = f"((({lon}) - {dlit(p.lon0)}) * {deg2rad})"
+    b = StepBuilder(pfx)
+    phi = b.add(f"(({lat}) * {deg2rad})")
+    dlam = b.add(f"((({lon}) - {dlit(p.lon0)}) * {deg2rad})")
 
-    x2 = f"({phi} * {phi})"
-    s = f"({phi} * {_horner(x2, _SIN_C)})"
-    c = f"({_horner(x2, _COS_C)})"
+    x2 = b.add(f"({phi} * {phi})")
+    s = b.add(f"({phi} * {_horner(x2, _SIN_C)})")
+    c = b.add(f"({_horner(x2, _COS_C)})")
     # multiple angles from (s, c) — exact identities, no big arguments
-    s2 = f"(2.0 * {s} * {c})"
-    c2 = f"(1.0 - 2.0 * {s} * {s})"
-    s4 = f"(2.0 * {s2} * {c2})"
-    c4 = f"(1.0 - 2.0 * {s2} * {s2})"
-    s6 = f"({s4} * {c2} + {c4} * {s2})"
+    s2 = b.add(f"(2.0 * {s} * {c})")
+    c2 = b.add(f"(1.0 - 2.0 * {s} * {s})")
+    s4 = b.add(f"(2.0 * {s2} * {c2})")
+    c4 = b.add(f"(1.0 - 2.0 * {s2} * {s2})")
+    s6 = b.add(f"({s4} * {c2} + {c4} * {s2})")
 
-    n_ = f"({dlit(p.a)} / sqrt(1.0 - {dlit(e2)} * {s} * {s}))"
-    t = f"(({s} / {c}) * ({s} / {c}))"
-    cc = f"({dlit(ep2)} * {c} * {c})"
-    a_ = f"({dlam} * {c})"
+    n_ = b.add(f"({dlit(p.a)} / sqrt(1.0 - {dlit(e2)} * {s} * {s}))")
+    t = b.add(f"(({s} / {c}) * ({s} / {c}))")
+    cc = b.add(f"({dlit(ep2)} * {c} * {c})")
+    a_ = b.add(f"({dlam} * {c})")
 
     m0, m1, m2, m3 = _merid_arc_coeffs(e2)
-    m = (f"({dlit(p.a)} * ({dlit(m0)} * {phi} - {dlit(m1)} * {s2}"
-         f" + {dlit(m2)} * {s4} - {dlit(m3)} * {s6}))")
+    m = b.add(f"({dlit(p.a)} * ({dlit(m0)} * {phi} - {dlit(m1)} * {s2}"
+              f" + {dlit(m2)} * {s4} - {dlit(m3)} * {s6}))")
     # meridional arc at the latitude of origin: a driver-side constant
     phi0 = math.radians(p.lat0)
     m_at_0 = p.a * (m0 * phi0 - m1 * math.sin(2 * phi0)
@@ -169,7 +228,7 @@ def tm_forward_sql(lon: str, lat: str, p: TMParams) -> tuple[str, str]:
     # additive constants, NOTES.md determinism lesson 2)
     n_off = p.fn - p.k0 * m_at_0
 
-    a2 = f"({a_} * {a_})"
+    a2 = b.add(f"({a_} * {a_})")
     # 58*ep2 / 330*ep2 folded in PYTHON (one literal each — NOTES.md
     # lesson 2), emitted via dlit like every other constant
     ep58 = 58.0 * ep2
@@ -189,7 +248,7 @@ def tm_forward_sql(lon: str, lat: str, p: TMParams) -> tuple[str, str]:
         f" - {dlit(ep330)}) * {a2} * {a2} * {a2} / 720.0))"
         f" + {dlit(n_off)})"
     )
-    return easting, northing
+    return b.steps, easting, northing
 
 
 #: ellipsoids (a, 1/f)
@@ -237,5 +296,13 @@ def utm_forward_sql(lon: str, lat: str, zone: int,
     existing oracle-stable entry point).
     """
     return tm_forward_sql(lon, lat, TMParams(
+        *_WGS84, central_meridian_deg(zone), 0.0, _K0,
+        500000.0, 10000000.0 if south else 0.0))
+
+
+def utm_forward_steps(lon: str, lat: str, zone: int,
+                      south: bool = False) -> tuple[list, str, str]:
+    """Step-column form of :func:`utm_forward_sql` (same IEEE ops)."""
+    return tm_forward_steps(lon, lat, TMParams(
         *_WGS84, central_meridian_deg(zone), 0.0, _K0,
         500000.0, 10000000.0 if south else 0.0))

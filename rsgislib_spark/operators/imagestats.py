@@ -92,7 +92,8 @@ def pixel_histogram(images: DataFrame, bins: int = 1024,
                 v = (arr.astype(np.int64).ravel() // bin_width).clip(0, bins - 1)
                 ids.append(image_id)
                 hists.append(np.bincount(v, minlength=bins).astype(np.int64))
-            yield pd.DataFrame({"image_id": ids, "hist": hists})
+            if ids:  # empty batch: Arrow can't cast empty float64->list
+                yield pd.DataFrame({"image_id": ids, "hist": hists})
 
     partials = images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_HIST_SCHEMA)

@@ -195,14 +195,14 @@ def reproj_wgs84_to_utm(df: DataFrame, zone: int, lon: str = "lon",
     the reference's tolerance.  Southern-hemisphere rows get the 10^7 m
     false northing (per-point, the reference rule).
     """
-    from ..geo.transverse_mercator import utm_forward_sql
+    from ..geo.transverse_mercator import utm_forward_steps
 
-    ex, ny = utm_forward_sql(lon, lat, int(zone))
+    steps, ex, ny = utm_forward_steps(lon, lat, int(zone))
+    df = _apply_expr_steps(df, steps, {x_out: ex, "__utm_n": ny})
     return (
-        df.withColumn(x_out, F.expr(ex))
-        .withColumn(y_out, F.expr(ny) + F.when(F.col(lat) < 0,
-                                               F.lit(10000000.0))
-                    .otherwise(F.lit(0.0)))
+        df.withColumn(y_out, F.col("__utm_n")
+                      + F.when(F.col(lat) < 0, F.lit(10000000.0))
+                      .otherwise(F.lit(0.0))).drop("__utm_n")
     )
 
 
@@ -225,14 +225,31 @@ def reproj_epsg(df: DataFrame, epsg: int, lon: str = "lon",
     coordinates are geodetic in the target CRS's datum (the projection
     step; cross-datum shifts are out of scope).
     """
-    from ..geo.conic import EPSG_CONIC, conic_forward_sql
-    from ..geo.transverse_mercator import epsg_tm_params, tm_forward_sql
+    from ..geo.conic import EPSG_CONIC, conic_forward_steps
+    from ..geo.transverse_mercator import epsg_tm_params, tm_forward_steps
 
     if int(epsg) in EPSG_CONIC:
-        ex, ny = conic_forward_sql(lon, lat, EPSG_CONIC[int(epsg)])
+        steps, ex, ny = conic_forward_steps(lon, lat, EPSG_CONIC[int(epsg)])
     else:
-        ex, ny = tm_forward_sql(lon, lat, epsg_tm_params(epsg))
-    return df.withColumn(x_out, F.expr(ex)).withColumn(y_out, F.expr(ny))
+        steps, ex, ny = tm_forward_steps(lon, lat, epsg_tm_params(epsg))
+    return _apply_expr_steps(df, steps, {x_out: ex, y_out: ny})
+
+
+def _apply_expr_steps(df: DataFrame, steps, finals: dict) -> DataFrame:
+    """Evaluate named intermediate expressions as chained projection
+    columns, then the finals, then drop the intermediates.  Chained
+    Projects keep the Catalyst tree small (the inlined projection
+    series is 50-220 KB of SQL whose parse/analyze dominated the query
+    — 60-120 s per conic reproj at sf0.01); Spark's CollapseProject
+    cost check preserves non-cheap multiply-referenced aliases, and
+    whole-stage codegen evaluates each step once per row.  Arithmetic
+    is op-for-op identical to the inline form, so oracle hashes are
+    unchanged."""
+    for name, expr in steps:
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    for out, expr in finals.items():
+        df = df.withColumn(out, F.expr(expr))
+    return df.drop(*[name for name, _ in steps])
 
 
 def reproj_webmerc(df: DataFrame, lon: str = "lon", lat: str = "lat",

@@ -178,7 +178,12 @@ def _pair_partials(pdf_iter, res_deg: float, min_thres: float,
                 rows["mx"].append(int(vals.max()))
                 rows["hist"].append(np.bincount(vals, minlength=HIST_BINS)
                                     .astype(np.int64))
-        yield pd.DataFrame(rows)
+        # an all-empty batch (possible under sparse memberships like
+        # pixel_contains_poly at tiny SF) must not be yielded: pandas
+        # types empty columns float64, which Arrow cannot convert to
+        # list<int64> (NumPyConverter error kills the whole task)
+        if rows["zone_id"]:
+            yield pd.DataFrame(rows)
 
 
 _FINAL_SCHEMA = StructType([
@@ -331,7 +336,10 @@ def zonal_stats_poly(
                     rows["hist"].append(
                         np.bincount(vals, minlength=HIST_BINS)
                         .astype(np.int64))
-            yield pd.DataFrame(rows)
+            # never yield an all-empty batch: pandas types empty columns
+            # float64, which Arrow cannot convert to list<int64>
+            if rows["zone_id"]:
+                yield pd.DataFrame(rows)
 
     partials = work.mapInPandas(gen, schema=_PARTIAL_SCHEMA)
     stats = partials.select("zone_id", "hist").groupBy("zone_id") \

@@ -708,6 +708,102 @@ SELECT image_id, count(*) AS n_out, CAST(sum(s) AS BIGINT) AS sum_sc,
 FROM v GROUP BY image_id
 """
 
+def _bs_w_sql(f: str, d: int, k: int) -> str:
+    """Cubic B-spline tap-k weight scaled by 6*d^3 (integer polynomial,
+    the exact _bs_weights recurrence)."""
+    f3 = f"({f} * {f} * {f})"
+    f2d = f"({f} * {f} * {d})"
+    fd2 = f"({f} * {d * d})"
+    if k == 0:
+        return f"({d ** 3} - 3 * {fd2} + 3 * {f2d} - {f3})"
+    if k == 1:
+        return f"(3 * {f3} - 6 * {f2d} + {4 * d ** 3})"
+    if k == 2:
+        return f"(-3 * {f3} + 3 * {f2d} + 3 * {fd2} + {d ** 3})"
+    return f3
+
+
+def _bspline_taps_sql(dx: int, dy: int) -> str:
+    terms = []
+    for ky in range(4):
+        wy = _bs_w_sql("fy", dy, ky)
+        yi = f"greatest(least(y0 + {ky - 1}, h - 1), 0)"
+        for kx in range(4):
+            wx = _bs_w_sql("fx", dx, kx)
+            xi = f"greatest(least(x0 + {kx - 1}, w - 1), 0)"
+            terms.append(
+                f"{wy} * {wx} * "
+                f"{synth.pixel_value_sql('id', xi, yi, 'fmt')}")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+# INTERP_CUBICSPLINE at 24x16 (Dx=48, Dy=32 — sized so the scaled
+# per-image SUM stays < 2^63 at the 36*Dx^3*Dy^3 weight scale).
+ORACLES["resize_cubicspline"] = f"""
+{_PREFIX},
+ox AS (SELECT unnest(generate_series(0, 23)) AS xo),
+oy AS (SELECT unnest(generate_series(0, 15)) AS yo),
+g AS (SELECT i.image_id, i.id, i.w, i.h, i.fmt, ox.xo, oy.yo
+      FROM img i, ox, oy WHERE i.id % 7 = 0),
+c AS (SELECT *, (2 * xo + 1) * w - 24 AS nx,
+               (2 * yo + 1) * h - 16 AS ny FROM g),
+d AS (SELECT *, CASE WHEN nx < 0 THEN -1 ELSE nx // 48 END AS x0,
+               CASE WHEN ny < 0 THEN -1 ELSE ny // 32 END AS y0 FROM c),
+e AS (SELECT *, nx - x0 * 48 AS fx, ny - y0 * 32 AS fy FROM d),
+v AS (SELECT image_id, {{bspline_taps}} AS s FROM e)
+SELECT image_id, count(*) AS n_out, CAST(sum(s) AS BIGINT) AS sum_sc,
+       CAST(min(s) AS BIGINT) AS min_sc, CAST(max(s) AS BIGINT) AS max_sc
+FROM v GROUP BY image_id
+""".replace("{bspline_taps}", _bspline_taps_sql(48, 32))
+
+
+def _lanczos_values_sql(d: int, prefix: str) -> str:
+    """VALUES table (f, 6 tap weights) from the SAME quantized integer
+    table the Arrow kernel consumes (multimodal.lanczos_table) — the
+    transcendental weights are computed once driver-side and inlined,
+    so both engines see identical integers (determinism lesson 3)."""
+    from .sources.multimodal import lanczos_table
+    tab = lanczos_table(d)
+    rows = ", ".join(
+        "(" + ", ".join(str(int(v)) for v in (f, *tab[f])) + ")"
+        for f in range(d))
+    cols = ", ".join(f"{prefix}w{k}" for k in range(6))
+    return f"(VALUES {rows}) AS {prefix}t({prefix}f, {cols})"
+
+
+def _lanczos_taps_sql() -> str:
+    terms = []
+    for ky in range(6):
+        yi = f"greatest(least(y0 + {ky - 2}, h - 1), 0)"
+        for kx in range(6):
+            xi = f"greatest(least(x0 + {kx - 2}, w - 1), 0)"
+            terms.append(
+                f"yw{ky} * xw{kx} * "
+                f"{synth.pixel_value_sql('id', xi, yi, 'fmt')}")
+    return "(" + "\n + ".join(terms) + ")"
+
+
+# INTERP_LANCZOS at 48x32: join the per-axis quantized weight tables on
+# the integer fractional offset, then the 6x6 tap sum.
+ORACLES["resize_lanczos"] = f"""
+{_PREFIX},
+ox AS (SELECT unnest(generate_series(0, 47)) AS xo),
+oy AS (SELECT unnest(generate_series(0, 31)) AS yo),
+g AS (SELECT i.image_id, i.id, i.w, i.h, i.fmt, ox.xo, oy.yo
+      FROM img i, ox, oy WHERE i.id % 7 = 0),
+c AS (SELECT *, (2 * xo + 1) * w - 48 AS nx,
+               (2 * yo + 1) * h - 32 AS ny FROM g),
+d AS (SELECT *, {_BL_X0} AS x0, {_BL_Y0} AS y0 FROM c),
+e AS (SELECT *, nx - x0 * 96 AS fx, ny - y0 * 64 AS fy FROM d),
+j AS (SELECT e.*, xt.*, yt.* FROM e
+      JOIN {_lanczos_values_sql(96, 'x')} ON e.fx = xt.xf
+      JOIN {_lanczos_values_sql(64, 'y')} ON e.fy = yt.yf),
+v AS (SELECT image_id, {_lanczos_taps_sql()} AS s FROM j)
+SELECT image_id, count(*) AS n_out, CAST(sum(s) AS BIGINT) AS sum_sc,
+       CAST(min(s) AS BIGINT) AS min_sc, CAST(max(s) AS BIGINT) AS max_sc
+FROM v GROUP BY image_id
+"""
+
 ORACLES["resize_bilinear"] = f"""
 {_PREFIX},
 ox AS (SELECT unnest(generate_series(0, 47)) AS xo),

@@ -507,6 +507,24 @@ def q_resize_cubic(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
 
 
+def q_resize_cubicspline(spark, sf_dir) -> DataFrame:
+    """resample_img_to_match INTERP_CUBICSPLINE: uniform cubic B-spline
+    4x4 taps, non-negative exact integer weights (scaled by
+    36*Dx^3*Dy^3) (§2.9, imageutils/__init__.py:2104)."""
+    img = _px_images(spark, sf_dir, mod=7)
+    return rsz.resize_cubicspline_stats(img, 24, 16) \
+        .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
+
+
+def q_resize_lanczos(spark, sf_dir) -> DataFrame:
+    """resample_img_to_match INTERP_LANCZOS: Lanczos-3 6x6 taps via the
+    driver-quantized integer weight table (scale 4096/axis, exact
+    partition of unity) (§2.9, imageutils/__init__.py:2104)."""
+    img = _px_images(spark, sf_dir, mod=7)
+    return rsz.resize_lanczos_stats(img, 48, 32) \
+        .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
+
+
 def q_resize_average(spark, sf_dir) -> DataFrame:
     """resample_img_to_match INTERP_AVERAGE: block-mean pyramid
     downsample to 16x12, floor(sum/n) exact integers (§2.9,
@@ -1721,6 +1739,8 @@ QUERIES = {
     "win_min_idx": q_win_min_idx,
     "resize_bilinear": q_resize_bilinear,
     "resize_cubic": q_resize_cubic,
+    "resize_cubicspline": q_resize_cubicspline,
+    "resize_lanczos": q_resize_lanczos,
     "resize_average": q_resize_average,
     "resize_mode": q_resize_mode,
     "morph_erode": q_morph_erode,

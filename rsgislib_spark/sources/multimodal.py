@@ -32,7 +32,8 @@ from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
 from ..functions import codec
 
 __all__ = ["decode_media", "resize_nn", "resize_bilinear_stats",
-           "resize_cubic_stats", "resize_average_stats",
+           "resize_cubic_stats", "resize_cubicspline_stats",
+           "resize_lanczos_stats", "resize_average_stats",
            "resize_mode_stats", "frame_sample_stats"]
 
 _IMAGE_FMTS = {"raw8", "raw16", "png", "jpeg"}
@@ -221,6 +222,177 @@ def resize_cubic_stats(images: DataFrame, out_w: int,
                     for kx in range(4):
                         row_acc += wxs[kx][None, :] * a[np.ix_(yi[ky], xi[kx])]
                     res += wys[ky][:, None] * row_acc
+                out["image_id"].append(image_id)
+                out["n_out"].append(int(res.size))
+                out["sum_sc"].append(int(res.sum()))
+                out["min_sc"].append(int(res.min()))
+                out["max_sc"].append(int(res.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BILINEAR_SCHEMA)
+
+
+def _bs_weights(f: np.ndarray, d: int):
+    """Cubic B-spline tap weights scaled by 6*d^3 — exact integers.
+
+    With t = f/d the uniform cubic B-spline kernel is
+    w0 = (1-t)^3/6, w1 = (3t^3-6t^2+4)/6, w2 = (-3t^3+3t^2+3t+1)/6,
+    w3 = t^3/6; multiplying through by 6*d^3 clears every division.
+    All four weights are NON-NEGATIVE (no overshoot — the property
+    that distinguishes INTERP_CUBICSPLINE from INTERP_CUBIC) and sum
+    to exactly 6*d^3 for any f.
+    """
+    f = f.astype(np.int64)
+    f2 = f * f
+    f3 = f2 * f
+    d2 = d * d
+    d3 = d2 * d
+    w0 = d3 - 3 * d2 * f + 3 * d * f2 - f3
+    w1 = 3 * f3 - 6 * d * f2 + 4 * d3
+    w2 = -3 * f3 + 3 * d * f2 + 3 * d2 * f + d3
+    w3 = f3
+    return w0, w1, w2, w3
+
+
+def resize_cubicspline_stats(images: DataFrame, out_w: int,
+                             out_h: int) -> DataFrame:
+    """Cubic B-spline resize (INTERP_CUBICSPLINE) with exact integers.
+
+    Reference: ``resample_img_to_match`` with ``INTERP_CUBICSPLINE``
+    (python/rsgislib/imageutils/__init__.py:2104; kernel enum
+    rsgislib/__init__.py:214-220) — the smoothing cubic (approximating,
+    not interpolating; never overshoots).  Same rational
+    half-pixel-center mapping as the other separable kernels; 4x4 tap
+    weights are the uniform cubic B-spline scaled by ``6*D^3`` per axis
+    (:func:`_bs_weights`), so each output value is an exact int64 at
+    scale ``36 * Dx^3 * Dy^3``.  Keep ``out_w/out_h`` modest (e.g.
+    24x16) so the per-image scaled SUM stays < 2^63: bound is
+    ``1023 * 36*Dx^3*Dy^3 * out_w*out_h``.  Indices clamp (replicate)
+    at the edges.  Output: per-image exact stats of the scaled plane.
+    """
+    ow, oh = int(out_w), int(out_h)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_out", "sum_sc",
+                                   "min_sc", "max_sc")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"],
+                                                pdf["fmt"]):
+                a = decode_media(bytes(buf), int(w), int(h),
+                                 str(fmt)).astype(np.int64)
+                hh, ww = a.shape
+                dx, dy = 2 * ow, 2 * oh
+                nx = (2 * np.arange(ow, dtype=np.int64) + 1) * ww - ow
+                ny = (2 * np.arange(oh, dtype=np.int64) + 1) * hh - oh
+                x0 = np.floor_divide(nx, dx)
+                y0 = np.floor_divide(ny, dy)
+                fx = nx - x0 * dx
+                fy = ny - y0 * dy
+                wxs = _bs_weights(fx, dx)
+                wys = _bs_weights(fy, dy)
+                xi = [np.clip(x0 + k, 0, ww - 1) for k in (-1, 0, 1, 2)]
+                yi = [np.clip(y0 + k, 0, hh - 1) for k in (-1, 0, 1, 2)]
+                res = np.zeros((oh, ow), dtype=np.int64)
+                for ky in range(4):
+                    row_acc = np.zeros((oh, ow), dtype=np.int64)
+                    for kx in range(4):
+                        row_acc += wxs[kx][None, :] * a[np.ix_(yi[ky], xi[kx])]
+                    res += wys[ky][:, None] * row_acc
+                out["image_id"].append(image_id)
+                out["n_out"].append(int(res.size))
+                out["sum_sc"].append(int(res.sum()))
+                out["min_sc"].append(int(res.min()))
+                out["max_sc"].append(int(res.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BILINEAR_SCHEMA)
+
+
+LANCZOS_SCALE = 4096
+
+
+def lanczos_table(d: int, a: int = 3, scale: int = LANCZOS_SCALE):
+    """Quantized Lanczos-a tap-weight table — the determinism bridge.
+
+    Lanczos weights are transcendental (sinc products), so per
+    determinism lesson 3 they cannot be evaluated independently in two
+    engines and hash-match.  Instead the table of all ``d`` possible
+    fractional offsets is computed ONCE here (driver-side float64),
+    normalized to unit DC gain, quantized to integers summing exactly
+    to ``scale`` (the residual is folded into the center tap), and the
+    SAME integers are consumed by both the Arrow kernel and the SQL
+    oracle (inlined as literals) — bit-identical by construction.
+
+    Returns an int64 array of shape ``(d, 2*a)``: row f holds the taps
+    for source offsets ``k - (a-1)`` (k = 0..2a-1) at fractional
+    position t = f/d.
+    """
+    d = int(d)
+    t = np.arange(d, dtype=np.float64) / d
+    ks = np.arange(-(a - 1), a + 1, dtype=np.float64)
+    x = t[:, None] - ks[None, :]
+
+    def _sinc(v):
+        v = np.where(v == 0.0, 1e-300, v)
+        return np.sin(np.pi * v) / (np.pi * v)
+
+    w = np.where(np.abs(x) < a, _sinc(x) * _sinc(x / a), 0.0)
+    w[0, a - 1] = 1.0  # t=0: exact unit center tap
+    w = w / w.sum(axis=1, keepdims=True)
+    q = np.rint(w * scale).astype(np.int64)
+    q[:, a - 1] += scale - q.sum(axis=1)  # force exact partition of unity
+    return q
+
+
+def resize_lanczos_stats(images: DataFrame, out_w: int,
+                         out_h: int) -> DataFrame:
+    """Lanczos-3 resize (INTERP_LANCZOS) with exact integer outputs.
+
+    Reference: ``resample_img_to_match`` with ``INTERP_LANCZOS``
+    (python/rsgislib/imageutils/__init__.py:2104; kernel enum
+    rsgislib/__init__.py:214-220) — the high-quality windowed-sinc
+    kernel.  Same rational half-pixel-center mapping; the 6x6 tap
+    weights come from the per-axis quantized table
+    (:func:`lanczos_table`, scale 4096, exact partition of unity), so
+    each output value is an exact int64 at scale ``4096^2``.  Indices
+    clamp (replicate) at the edges.  Output: per-image exact stats of
+    the scaled plane.
+    """
+    ow, oh = int(out_w), int(out_h)
+    tab_x = lanczos_table(2 * ow)
+    tab_y = lanczos_table(2 * oh)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "n_out", "sum_sc",
+                                   "min_sc", "max_sc")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"],
+                                                pdf["fmt"]):
+                a = decode_media(bytes(buf), int(w), int(h),
+                                 str(fmt)).astype(np.int64)
+                hh, ww = a.shape
+                dx, dy = 2 * ow, 2 * oh
+                nx = (2 * np.arange(ow, dtype=np.int64) + 1) * ww - ow
+                ny = (2 * np.arange(oh, dtype=np.int64) + 1) * hh - oh
+                x0 = np.floor_divide(nx, dx)
+                y0 = np.floor_divide(ny, dy)
+                fx = nx - x0 * dx
+                fy = ny - y0 * dy
+                wxs = tab_x[fx]           # (ow, 6)
+                wys = tab_y[fy]           # (oh, 6)
+                xi = [np.clip(x0 + k, 0, ww - 1) for k in range(-2, 4)]
+                yi = [np.clip(y0 + k, 0, hh - 1) for k in range(-2, 4)]
+                res = np.zeros((oh, ow), dtype=np.int64)
+                for ky in range(6):
+                    row_acc = np.zeros((oh, ow), dtype=np.int64)
+                    for kx in range(6):
+                        row_acc += (wxs[:, kx][None, :]
+                                    * a[np.ix_(yi[ky], xi[kx])])
+                    res += wys[:, ky][:, None] * row_acc
                 out["image_id"].append(image_id)
                 out["n_out"].append(int(res.size))
                 out["sum_sc"].append(int(res.sum()))

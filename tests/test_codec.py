@@ -142,3 +142,103 @@ def test_resize_cubic_matches_float_reference(spark):
     # scaled integer sum / (2Dx^3 * 2Dy^3) vs the float reference sum
     denom = (2.0 * (2 * ow) ** 3) * (2.0 * (2 * oh) ** 3)
     assert abs(r.sum_sc / denom - total) < 1e-6 * max(1.0, abs(total))
+
+
+def test_bspline_weights_exact_properties():
+    """The scaled integer B-spline weights must form an exact partition
+    of unity (sum = 6*d^3), be non-negative (the no-overshoot property
+    that defines INTERP_CUBICSPLINE), and reproduce linear ramps
+    exactly (B-splines have linear precision)."""
+    import numpy as np
+
+    from rsgislib_spark.sources.multimodal import _bs_weights
+
+    for d in (48, 32, 10):
+        f = np.arange(d, dtype=np.int64)
+        w0, w1, w2, w3 = _bs_weights(f, d)
+        assert ((w0 + w1 + w2 + w3) == 6 * d ** 3).all()
+        for w in (w0, w1, w2, w3):
+            assert (w >= 0).all()
+        x0 = 7
+        lin = w0 * (x0 - 1) + w1 * x0 + w2 * (x0 + 1) + w3 * (x0 + 2)
+        # linear precision: sum_k w_k*(x0+k-1) = 6d^3*(x0 + f/d)
+        assert (lin * d == 6 * d ** 3 * (x0 * d + f)).all()
+
+
+def test_lanczos_table_properties():
+    """Quantized Lanczos table: every row sums to exactly the scale
+    (forced partition of unity), the t=0 row is a pure center tap, and
+    quantization error per tap is bounded by one quantum plus the
+    center-tap residual fold."""
+    import numpy as np
+
+    from rsgislib_spark.sources.multimodal import LANCZOS_SCALE, lanczos_table
+
+    for d in (96, 64, 10):
+        tab = lanczos_table(d)
+        assert tab.shape == (d, 6)
+        assert (tab.sum(axis=1) == LANCZOS_SCALE).all()
+        assert list(tab[0]) == [0, 0, LANCZOS_SCALE, 0, 0, 0]
+
+        # independent float reference for the non-center taps
+        t = np.arange(d) / d
+        ks = np.arange(-2, 4, dtype=float)
+        x = t[:, None] - ks[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = np.where(np.abs(x) < 3,
+                         np.sinc(x) * np.sinc(x / 3), 0.0)
+        w[0, 2] = 1.0
+        w = w / w.sum(axis=1, keepdims=True)
+        err = np.abs(tab / LANCZOS_SCALE - w)
+        mask = np.ones_like(err, dtype=bool)
+        mask[:, 2] = False  # center tap absorbs the rounding residual
+        assert err[mask].max() <= 0.5 / LANCZOS_SCALE + 1e-12
+        assert err[:, 2].max() <= 6.0 / LANCZOS_SCALE
+
+
+def test_resize_lanczos_matches_float_reference(spark):
+    """The integer Lanczos stats must agree with an independent float
+    Lanczos-3 implementation to quantization tolerance."""
+    import numpy as np
+
+    from rsgislib_spark.sources.multimodal import (LANCZOS_SCALE,
+                                                   resize_lanczos_stats)
+
+    rng = np.random.RandomState(11)
+    w, h, ow, oh = 40, 30, 16, 12
+    arr = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("i0", bytearray(arr.tobytes()), w, h, "raw8")],
+        "image_id string, bytes binary, w int, h int, fmt string")
+    r = resize_lanczos_stats(df, ow, oh).collect()[0]
+
+    def lz(t):
+        x = t - np.arange(-2, 4, dtype=float)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w_ = np.where(np.abs(x) < 3, np.sinc(x) * np.sinc(x / 3), 0.0)
+        if t == 0.0:
+            w_ = np.array([0, 0, 1.0, 0, 0, 0])
+        return w_ / w_.sum()
+
+    a = arr.astype(np.float64)
+    total = 0.0
+    for yo in range(oh):
+        py = (yo + 0.5) * h / oh - 0.5
+        y0 = int(np.floor(py))
+        wy = lz(py - y0)
+        for xo in range(ow):
+            px = (xo + 0.5) * w / ow - 0.5
+            x0 = int(np.floor(px))
+            wx = lz(px - x0)
+            v = 0.0
+            for ky in range(6):
+                yy = min(max(y0 + ky - 2, 0), h - 1)
+                for kx in range(6):
+                    xx = min(max(x0 + kx - 2, 0), w - 1)
+                    v += wy[ky] * wx[kx] * a[yy, xx]
+            total += v
+    approx = r.sum_sc / float(LANCZOS_SCALE) ** 2
+    # per-tap quantization <= 0.5/scale (residual on center), 36 taps,
+    # pixel <= 255, n_out outputs
+    tol = ow * oh * 36 * (7.0 / LANCZOS_SCALE) * 255
+    assert abs(approx - total) < tol
