@@ -24,6 +24,17 @@ TABLES = (
 
 def get_spark(app: str = "rsgislib_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    # Keep Python-worker heap pages resident: on virtualized guests
+    # with on-demand host paging, FIRST-TOUCH of a fresh page can cost
+    # 10-60 us (measured on this guest: 400 MB of new pages = 10-25 s);
+    # glibc's default trim/mmap behaviour returns big numpy/Arrow
+    # buffers to the OS after every batch, so each reuse re-faults.
+    # Never trimming (TRIM_THRESHOLD=-1) and keeping large buffers in
+    # the arena (high MMAP_THRESHOLD) makes each long-lived reused
+    # worker pay first-touch ONCE at its high-water mark.  Must be in
+    # the environment BEFORE the JVM starts (workers inherit it).
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or (
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     )
