@@ -39,6 +39,8 @@ __all__ = [
     "inline_steps",
     "epsg_tm_params",
     "EPSG_TM",
+    "cos_sql",
+    "dlit",
 ]
 
 #: WGS84
@@ -90,6 +92,18 @@ def _horner(x2: str, coeffs) -> str:
     for c in reversed(coeffs[:-1]):
         expr = f"({dlit(c)} + ({x2}) * ({expr}))"
     return expr
+
+
+def cos_sql(rad: str) -> str:
+    """Polynomial cos of a radian expression, |rad| <= pi/2.
+
+    Degree-14 Taylor via :func:`_horner` — identical IEEE operation
+    sequence in every engine (rel. error < 1e-13 on the domain), so
+    expressions built from it pass the exact value-hash oracle gate
+    where libm ``cos`` would diverge in the last ulp (NOTES lesson 3).
+    """
+    x2 = f"(({rad}) * ({rad}))"
+    return _horner(x2, _COS_C)
 
 
 class StepBuilder:

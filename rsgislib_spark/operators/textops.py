@@ -36,6 +36,7 @@ __all__ = [
     "tokens",
     "shingles",
     "text_quality",
+    "token_count",
     "lang_id",
     "doc_fingerprint",
     "ngram_jaccard_pairs",
@@ -95,6 +96,33 @@ def text_quality(docs: DataFrame) -> DataFrame:
                     F.col("n_stop").cast("double")
                     / F.col("n_tokens").cast("double"))
     )
+
+
+#: BPE-ish lexer: letter runs | digit runs | single non-alnum non-space
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Regex tokenization + BPE-style subword estimate per document.
+
+    ``n_re_tokens`` counts lexer tokens (letter runs, digit runs,
+    single punctuation); ``n_bpe_est`` estimates subword pieces as
+    ``ceil(len(token)/4)`` per token (the ~4-chars-per-BPE-piece rule
+    of thumb), summed with exact integer arithmetic inside
+    ``aggregate`` so no explode/shuffle is needed — one narrow
+    projection per document, embarrassingly parallel at any scale.
+    The pattern uses only portable character classes (identical
+    semantics in Java regex and RE2).
+    """
+    arr = f"regexp_extract_all({text}, '{TOKEN_RE}', 0)"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({arr}) AS BIGINT)").alias("n_re_tokens"),
+        F.expr(
+            f"aggregate({arr}, CAST(0 AS BIGINT),"
+            " (acc, t) -> acc + CAST((length(t) + 3) DIV 4 AS BIGINT))"
+        ).alias("n_bpe_est"),
+        F.expr(f"CAST(length({text}) AS BIGINT)").alias("n_chars_tot"))
 
 
 #: per-language stopword votes for the n-gram/stopword language heuristic

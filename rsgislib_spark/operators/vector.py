@@ -50,6 +50,7 @@ __all__ = [
     "reproj_webmerc",
     "unwrap_bbox",
     "wgs84_cell_area_m2",
+    "wgs84_pixel_area_exact_sql",
     "find_replace_str",
     "rank_layer",
     "merge_layers",
@@ -283,6 +284,23 @@ def wgs84_cell_area_m2(df: DataFrame, lat: str = "lat",
         out,
         F.lit(res_deg * 110540.0) * F.lit(res_deg * 111320.0)
         * F.cos(F.radians(F.col(lat))))
+
+
+def wgs84_pixel_area_exact_sql(lat: str, res_deg: float) -> str:
+    """Oracle-exact SQL text for :func:`wgs84_cell_area_m2`.
+
+    Same spherical formula (imageutils/__init__.py:2722) but with the
+    constant product folded driver-side into one :func:`dlit` literal
+    and libm ``cos`` replaced by the shared degree-14 polynomial
+    (:func:`rsgislib_spark.geo.transverse_mercator.cos_sql`), so Spark
+    and DuckDB evaluate the identical IEEE operation sequence and the
+    exact value-hash gate applies.  Valid for ``|lat| <= 90`` deg.
+    """
+    from ..geo.transverse_mercator import cos_sql, dlit
+
+    c = (res_deg * 110540.0) * (res_deg * 111320.0)
+    rad = f"(({lat}) * {dlit(math.pi / 180.0)})"
+    return f"({dlit(c)} * {cos_sql(rad)})"
 
 
 def unwrap_bbox(df: DataFrame, xmin: str = "zxmin", xmax: str = "zxmax") -> DataFrame:

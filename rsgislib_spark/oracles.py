@@ -1855,6 +1855,14 @@ ORACLES["reproj_lcc"] = _conic_oracle(2154, -9.0, 24.0, 40.5, 11.0)
 ORACLES["reproj_albers"] = _conic_oracle(5070, -126.0, 60.0, 23.0, 29.0)
 ORACLES["reproj_laea"] = _conic_oracle(3035, -25.0, 70.0, 32.0, 38.0)
 
+from .operators.vector import wgs84_pixel_area_exact_sql as _px_area  # noqa: E402
+
+ORACLES["pixel_area_wgs84"] = f"""
+{_PREFIX}
+SELECT qid, qlat, {_px_area("qlat", 0.001)} AS px_area_m2
+FROM qpts
+"""
+
 ORACLES["caption_replace"] = f"""
 {_PREFIX}
 SELECT image_id, replace(caption, 'megacity', 'dense city') AS caption2
@@ -2282,6 +2290,19 @@ SELECT doc_id,
                             t -> t IN ({_STOP}))) AS DOUBLE)
          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
        CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re_tokens
+FROM documents
+"""
+
+from .operators.textops import TOKEN_RE as _TOKEN_RE  # noqa: E402
+
+ORACLES["token_count"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+         AS n_re_tokens,
+       CAST(coalesce(list_sum(list_transform(
+                regexp_extract_all(text, '{_TOKEN_RE}'),
+                t -> (length(t) + 3) // 4)), 0) AS BIGINT) AS n_bpe_est,
+       CAST(length(text) AS BIGINT) AS n_chars_tot
 FROM documents
 """
 

@@ -1204,6 +1204,23 @@ def q_reproj_laea(spark, sf_dir) -> DataFrame:
         .select("qid", "x_proj", "y_proj")
 
 
+def q_pixel_area_wgs84(spark, sf_dir) -> DataFrame:
+    """calc_wgs84_pixel_area (imageutils/__init__.py:2722) with the
+    oracle-exact polynomial cos — closes the one operator that was
+    pytest-tolerance-only into the exact value-hash gate (§2.5)."""
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    area = vec.wgs84_pixel_area_exact_sql("qlat", 0.001)
+    return qpts.select(
+        "qid", "qlat", F.expr(area).alias("px_area_m2"))
+
+
+def q_token_count(spark, sf_dir) -> DataFrame:
+    """BPE-ish regex token counting over documents (LLM-pipeline op):
+    lexer-token count + ceil(len/4) subword estimate, exact ints."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.token_count(t["documents"])
+
+
 def q_caption_replace(spark, sf_dir) -> DataFrame:
     """find_replace_str_vec_lyr over the caption column (§2.2)."""
     img = _images(spark, sf_dir, with_footprint=False)
@@ -1676,6 +1693,7 @@ QUERIES = {
     "reproj_lcc": q_reproj_lcc,
     "reproj_albers": q_reproj_albers,
     "reproj_laea": q_reproj_laea,
+    "pixel_area_wgs84": q_pixel_area_wgs84,
     "caption_replace": q_caption_replace,
     "rank_layer": q_rank_layer,
     "merge_layers": q_merge_layers,
@@ -1760,6 +1778,7 @@ QUERIES = {
     "value_counts": q_value_counts,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
+    "token_count": q_token_count,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,

@@ -174,3 +174,27 @@ def test_pad_rings_empty_ring_is_inert():
                  "touches"):
         assert not G.poly_pair_predicate([[]], [sq], pred)[0], pred
         assert not G.poly_pair_predicate([sq], [[]], pred)[0], pred
+
+
+def test_wgs84_pixel_area_polynomial_matches_libm():
+    """The oracle-exact polynomial-cos area formula must agree with the
+    libm spherical formula to float64 noise on the qpoints latitude
+    domain (|lat| <= 60 deg)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from rsgislib_spark.operators.vector import wgs84_pixel_area_exact_sql
+
+    lats = np.linspace(-60.0, 60.0, 4001)
+    expr = wgs84_pixel_area_exact_sql("lat", 0.001)
+    con = duckdb.connect()
+    got = con.sql(
+        f"SELECT {expr} AS a FROM (SELECT unnest(?) AS lat)",
+        params=[lats.tolist()]).df()["a"].to_numpy()
+    want = (0.001 * 110540.0) * (0.001 * 111320.0) * np.cos(np.radians(lats))
+    assert np.allclose(got, want, rtol=1e-12, atol=0)
+    # spot-check the equator value against the closed form
+    assert math.isclose(got[2000], 0.001 * 110540.0 * 0.001 * 111320.0,
+                        rel_tol=1e-12)
