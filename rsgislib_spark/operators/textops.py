@@ -39,6 +39,7 @@ __all__ = [
     "token_count",
     "lang_id",
     "doc_fingerprint",
+    "winnow_fingerprints",
     "ngram_jaccard_pairs",
     "minhash_bands",
     "minhash_pairs",
@@ -123,6 +124,45 @@ def token_count(docs: DataFrame, text: str = "text") -> DataFrame:
             " (acc, t) -> acc + CAST((length(t) + 3) DIV 4 AS BIGINT))"
         ).alias("n_bpe_est"),
         F.expr(f"CAST(length({text}) AS BIGINT)").alias("n_chars_tot"))
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
+                        text: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection).
+
+    Classic winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+    algorithm): hash every character ``k``-gram of the normalized text,
+    slide a window of ``w`` consecutive gram hashes, and keep each
+    window's minimum; the DISTINCT selected hash values per document
+    are the fingerprint set (the guarantee: any shared substring of
+    length >= k + w - 1 yields a shared fingerprint).  Hashes are
+    16-hex md5 prefixes compared lexicographically (fixed width =>
+    lexicographic == numeric), the repo-wide portable-hash convention.
+
+    Plan shape: one explode (~L rows/doc), one sort-within-doc for the
+    analytic window, then a groupBy with map-side partial aggregation
+    that collapses to the small distinct-fingerprint set — at 100 TB
+    the explode is embarrassingly parallel and the only full shuffle
+    carries the already-collapsed (doc, fp) pairs.  Docs shorter than
+    ``k + w - 1`` chars degenerate to a single whole-doc window
+    (standard boundary rule).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), " +", " ")
+    g = (docs.select("doc_id", norm.alias("_n"))
+         .withColumn("_ng", F.length("_n") - F.lit(k - 1))
+         .where(F.col("_ng") >= 1)
+         .select("doc_id", "_n", "_ng",
+                 F.explode(F.expr("sequence(1, _ng)")).alias("pos"))
+         .select("doc_id", "pos", "_ng",
+                 F.substring(F.md5(F.expr(f"substring(_n, pos, {k})")),
+                             1, 16).alias("gh")))
+    win = (f"min(gh) OVER (PARTITION BY doc_id ORDER BY pos "
+           f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)")
+    sel = (g.withColumn("wmin", F.expr(win))
+           .where(F.col("pos") <= F.greatest(F.col("_ng") - F.lit(w - 1),
+                                             F.lit(1))))
+    return (sel.groupBy("doc_id", F.col("wmin").alias("fp"))
+            .agg(F.count("*").cast("long").alias("n_windows")))
 
 
 #: per-language stopword votes for the n-gram/stopword language heuristic

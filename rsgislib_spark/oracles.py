@@ -2306,6 +2306,25 @@ SELECT doc_id,
 FROM documents
 """
 
+ORACLES["doc_winnow"] = """
+WITH n AS (SELECT doc_id,
+                  regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS nt
+           FROM documents),
+g AS (SELECT doc_id, nt, length(nt) - 7 AS ng FROM n WHERE length(nt) >= 8),
+p AS (SELECT doc_id, ng, unnest(generate_series(1, ng)) AS pos FROM g),
+h AS (SELECT p.doc_id, p.ng, p.pos,
+             substr(md5(substr(g.nt, CAST(p.pos AS INTEGER), 8)), 1, 16) AS gh
+      FROM p JOIN g ON p.doc_id = g.doc_id),
+w AS (SELECT doc_id, ng, pos,
+             min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM h)
+SELECT doc_id, wmin AS fp, CAST(count(*) AS BIGINT) AS n_windows
+FROM w
+WHERE pos <= greatest(ng - 3, 1)
+GROUP BY doc_id, wmin
+"""
+
 ORACLES["lang_id"] = """
 WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
            FROM documents),

@@ -1221,6 +1221,14 @@ def q_token_count(spark, sf_dir) -> DataFrame:
     return tx.token_count(t["documents"])
 
 
+def q_doc_winnow(spark, sf_dir) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 grams, w=4 windows)
+    over documents — the shared-substring-detecting fingerprint set
+    (LLM-pipeline dedup/fingerprinting op)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.winnow_fingerprints(t["documents"], k=8, w=4)
+
+
 def q_caption_replace(spark, sf_dir) -> DataFrame:
     """find_replace_str_vec_lyr over the caption column (§2.2)."""
     img = _images(spark, sf_dir, with_footprint=False)
@@ -1779,6 +1787,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "token_count": q_token_count,
+    "doc_winnow": q_doc_winnow,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,

