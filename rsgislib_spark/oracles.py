@@ -258,6 +258,25 @@ SELECT image_id, count(*) AS n_pix, CAST(sum(v) AS BIGINT) AS sum_pix,
 FROM px GROUP BY image_id
 """
 
+ORACLES["audio_rms"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 7 = 0 AND fmt = 'raw16'),
+pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
+s AS (SELECT image_id, (y * w + x) // 1024 AS win_id,
+             ({_PXV} - 512) AS smp
+      FROM pxy)
+SELECT image_id AS audio_id, CAST(win_id AS BIGINT) AS win_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(smp * smp) AS BIGINT) AS sumsq,
+       CAST(max(abs(smp)) AS BIGINT) AS peak,
+       sqrt(CAST(sum(smp * smp) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) AS rms
+FROM s GROUP BY image_id, win_id
+"""
+
+
 def _px_cte(mod: int = 7, cols: str = "") -> str:
     """Per-pixel CTE over the id%mod image subset (closed-form values)."""
     return f"""

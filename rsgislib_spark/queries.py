@@ -1586,6 +1586,17 @@ def q_frame_sample(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_frames", "sum_sampled")
 
 
+def q_audio_rms(spark, sf_dir) -> DataFrame:
+    """audio feature extraction: PCM16 windowed RMS/energy over raw16
+    payloads (multimodal decode -> feature pipeline).  The fmt filter
+    sits BELOW payload materialization (late materialization)."""
+    meta = _images(spark, sf_dir, with_footprint=False) \
+        .where("id % 7 = 0 AND fmt = 'raw16'")
+    img = synth.attach_bytes(
+        meta.repartition(_px_partitions(spark, sf_dir, 7)))
+    return rsz.audio_window_rms(img, win=1024)
+
+
 def q_lineage_records(spark, sf_dir) -> DataFrame:
     """per-cell lineage rows (checkpoint/resume content, §2.10)."""
     img = _images(spark, sf_dir, with_footprint=False)
@@ -1807,6 +1818,7 @@ QUERIES = {
     "lut_query": q_lut_query,
     "resize_stats": q_resize_stats,
     "frame_sample": q_frame_sample,
+    "audio_rms": q_audio_rms,
     "lineage_records": q_lineage_records,
     "stream_hourly": q_stream_hourly,
     "sessionize": q_sessionize,

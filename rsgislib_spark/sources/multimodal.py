@@ -26,15 +26,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
-                               StructField, StructType)
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StringType, StructField, StructType)
 
 from ..functions import codec
 
 __all__ = ["decode_media", "resize_nn", "resize_bilinear_stats",
            "resize_cubic_stats", "resize_cubicspline_stats",
            "resize_lanczos_stats", "resize_average_stats",
-           "resize_mode_stats", "frame_sample_stats"]
+           "resize_mode_stats", "frame_sample_stats", "audio_window_rms"]
 
 _IMAGE_FMTS = {"raw8", "raw16", "png", "jpeg"}
 
@@ -540,3 +540,61 @@ def frame_sample_stats(images: DataFrame, every: int = 4) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = StructType([
+    StructField("audio_id", StringType()),
+    StructField("win_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sumsq", LongType()),
+    StructField("peak", LongType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def audio_window_rms(images: DataFrame, win: int = 1024) -> DataFrame:
+    """Audio feature extraction: windowed RMS/energy over PCM frames.
+
+    The audio analog of the decode->feature pipeline: a ``raw16``
+    payload is reinterpreted as a mono PCM16 stream (sample i = pixel
+    ``i`` of the row-major plane, centered by -512), cut into windows
+    of ``win`` samples, and reduced to per-window energy features —
+    exact int64 ``sumsq``/``peak`` plus ``rms`` as one IEEE division +
+    ``sqrt`` (both correctly rounded, so bit-identical across engines).
+    The final short window keeps its true sample count.
+
+    Plan shape: metadata filter -> payload materialization -> ONE
+    Arrow stage; windows of one stream never straddle batches because
+    each row carries its whole payload, so no shuffle at any scale.
+    """
+    win = int(win)
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("audio_id", "win_id", "n_samples",
+                                   "sumsq", "peak", "rms")}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"],
+                                                pdf["fmt"]):
+                a = decode_media(bytes(buf), int(w), int(h),
+                                 str(fmt)).astype(np.int64).ravel() - 512
+                n = a.size
+                if n == 0:
+                    continue
+                idx = np.arange(0, n, win)
+                ssq = np.add.reduceat(a * a, idx)
+                pk = np.maximum.reduceat(np.abs(a), idx)
+                cnt = np.minimum(win, n - idx)
+                k = idx.size
+                out["audio_id"].extend([image_id] * k)
+                out["win_id"].extend((idx // win).tolist())
+                out["n_samples"].extend(cnt.tolist())
+                out["sumsq"].extend(ssq.tolist())
+                out["peak"].extend(pk.tolist())
+                out["rms"].extend(
+                    np.sqrt(ssq.astype(np.float64)
+                            / cnt.astype(np.float64)).tolist())
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_AUDIO_SCHEMA)
