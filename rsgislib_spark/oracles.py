@@ -2741,6 +2741,10 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """
 
+ORACLES["stream_dedup"] = """
+SELECT DISTINCT event_id, user_id, event_type, value FROM events
+"""
+
 ORACLES["sessionize"] = """
 WITH o AS (
   SELECT user_id, event_id,

@@ -1611,6 +1611,15 @@ def q_stream_hourly(spark, sf_dir) -> DataFrame:
         .select("hour", "event_type", "n_events", "min_value", "max_value")
 
 
+def q_stream_dedup(spark, sf_dir) -> DataFrame:
+    """streaming exactly-once ingest dedup via
+    dropDuplicatesWithinWatermark (§2.10); the cross-micro-batch
+    replay case is pytest-gated (test_plans_streaming)."""
+    from .streaming.events import stream_dedup
+    return stream_dedup(spark, sf_dir) \
+        .select("event_id", "user_id", "event_type", "value")
+
+
 def q_sessionize(spark, sf_dir) -> DataFrame:
     """gap-based sessionization (30 min) per user (§2.10)."""
     t = load_tables(spark, sf_dir, ["events"])
@@ -1821,6 +1830,7 @@ QUERIES = {
     "audio_rms": q_audio_rms,
     "lineage_records": q_lineage_records,
     "stream_hourly": q_stream_hourly,
+    "stream_dedup": q_stream_dedup,
     "sessionize": q_sessionize,
     "sessionize_stateful": q_sessionize_stateful,
 }

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 __all__ = [
     "stream_hourly_counts",
     "stream_hourly_counts_append",
+    "stream_dedup",
     "sessionize_batch",
     "sessionize_stream",
     "sessionize_stream_tws",
@@ -149,6 +150,28 @@ def sessionize_stream(spark: SparkSession, sf_dir: str,
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
     return _run_to_memory(agg, "update")
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str,
+                 watermark: str = "8760 hours",
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming exactly-once dedup: ``dropDuplicatesWithinWatermark``.
+
+    Replays of the same event (at-least-once sources re-delivering
+    within the watermark horizon) are emitted exactly once; the dedup
+    state is keyed by ``event_id`` and expires with the watermark, so
+    state size is bounded by the horizon's event volume — the
+    production pattern for ingest dedup at scale.  Cross-micro-batch
+    behaviour (duplicates arriving in LATER batches still suppressed)
+    is exercised with ``max_files_per_trigger=1`` over a replayed file
+    set in tests/test_plans_streaming.py.
+    """
+    ev = _events_stream(spark, sf_dir, max_files_per_trigger) \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .withWatermark("ts", watermark)
+    dd = ev.dropDuplicatesWithinWatermark(["event_id"])
+    return _run_to_memory(
+        dd.select("event_id", "user_id", "event_type", "value"), "append")
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

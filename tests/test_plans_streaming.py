@@ -176,3 +176,27 @@ def test_tws_sessionize_gated_or_matches_batch(spark, sf_dir):
     got = {r.user_id: (r.n_sessions, r.n_events)
            for r in sessionize_stream_tws(spark, sf_dir).collect()}
     assert got == ref
+
+
+def test_stream_dedup_replayed_batches_exactly_once(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: the same event file replayed in a
+    LATER micro-batch must be fully suppressed by cross-batch dedup
+    state — output equals the distinct event set, exactly once."""
+    import time
+
+    from rsgislib_spark.streaming.events import stream_dedup
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    sub = events.orderBy("event_id").limit(400).toPandas()
+    replay_dir = str(tmp_path / "replayed")
+    os.makedirs(replay_dir)
+    for i in range(2):  # identical content, two files -> two batches
+        sub.to_parquet(os.path.join(replay_dir, f"delivery_{i}.parquet"),
+                       coerce_timestamps="us",
+                       allow_truncated_timestamps=True)
+        time.sleep(1.1)
+
+    out = stream_dedup(spark, replay_dir, max_files_per_trigger=1)
+    got = out.collect()
+    assert len(got) == 400                      # 800 delivered, 400 emitted
+    assert len({r.event_id for r in got}) == 400
