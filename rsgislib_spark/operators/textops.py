@@ -151,6 +151,11 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
     g = (docs.select("doc_id", norm.alias("_n"))
          .withColumn("_ng", F.length("_n") - F.lit(k - 1))
          .where(F.col("_ng") >= 1)
+         # shuffle DOC rows (1 row, ~L bytes), not exploded gram rows
+         # (~L rows x ~40 bytes): this hash layout already satisfies the
+         # analytic window's distribution, so Catalyst adds no second
+         # Exchange above the explode — ~20x less shuffle traffic.
+         .repartition(F.col("doc_id"))
          .select("doc_id", "_n", "_ng",
                  F.explode(F.expr("sequence(1, _ng)")).alias("pos"))
          .select("doc_id", "pos", "_ng",
