@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "resize_mode", "resize_cubicspline", "resize_lanczos",
     "reproj_lcc", "reproj_albers", "reproj_laea",
     "filter_bank15", "vec_contains",
+    # round-4 session-3 operators
+    "pixel_area_wgs84", "token_count", "doc_winnow", "audio_rms",
 ]
 
 
