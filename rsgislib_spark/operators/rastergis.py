@@ -1,0 +1,189 @@
+"""Raster attribute table (RAT) operators over clumped rasters.
+
+The reference's ``rastergis`` subpackage maintains a columnar attribute
+table keyed by clump (segment) id inside the raster and populates it
+from pixel data:
+
+* ``find_neighbours`` — per clump, the list of DISTINCT clump ids
+  adjacent in the 4-neighbourhood (reference
+  python/src/rastergis.cpp:1907; kernel
+  src/rastergis/RSGISFindClumpNeighbours.cpp:331-585 reads the
+  left/up/right/down window cells and appends unseen ids).
+* ``populate_rat_with_mode`` — per-clump modal pixel value of an
+  integer band (python/src/rastergis.cpp:488; "only makes sense if the
+  input pixel values are integers").  Ties resolve to the SMALLEST
+  value (the reference scans an ascending-value histogram and keeps
+  the first maximum).
+* ``populate_rat_with_percentiles`` — per-clump percentiles of a band
+  (python/src/rastergis.cpp:352).  The reference approximates via an
+  ``n_hist_bins`` histogram; synthetic pixel values here are integers
+  in [0, 1024), so the exact nearest-rank percentile equals the binned
+  one at full value resolution (rank = ceil(p/100 * n), 1-based).
+* ``collapse_rat`` — re-key SELECTED rows to consecutive ids
+  (python/src/rastergis.cpp:1214): rows passing ``select_col`` keep
+  their relative order but get dense new ids 1..k.
+
+Spark-first shape: clumping is per-image (the image is the natural
+partition unit — see operators/rasterize.py), so the WHOLE enriched RAT
+is built in ONE ``mapInPandas`` pass: label once, then compute sizes,
+bboxes, mode, percentiles and the neighbour aggregates with vectorized
+numpy on the labeled plane.  No pixel ever enters a shuffle; the output
+is one small row per clump.  ``collapse_rat`` is pure Catalyst (window
+``row_number`` over the RAT rows).
+
+At 100 TB the pass is embarrassingly parallel over images; the only
+wide exchange any consumer pays is over per-clump rows (~10^3 fewer
+than pixels).  Cross-tile images would use the seam-merge labeling of
+``clump_stats_tiled`` first, then the same per-clump math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..functions import codec
+
+__all__ = ["rat_table", "collapse_rat"]
+
+_RAT_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("mode_val", LongType()),
+    StructField("p25", LongType()),
+    StructField("p50", LongType()),
+    StructField("p75", LongType()),
+    StructField("n_neigh", LongType()),
+    StructField("min_neigh", LongType()),
+    StructField("max_neigh", LongType()),
+])
+
+
+def _clump_mode(ls: np.ndarray, vs: np.ndarray, n: int) -> np.ndarray:
+    """Per-clump modal value, ties -> smallest value (reference order)."""
+    order = np.lexsort((vs, ls))
+    sl, sv = ls[order], vs[order]
+    # run-length encode (clump, value) pairs
+    new = np.empty(sl.shape, dtype=bool)
+    new[0] = True
+    new[1:] = (sl[1:] != sl[:-1]) | (sv[1:] != sv[:-1])
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, sl.shape[0]))
+    gl, gv = sl[starts], sv[starts]
+    # sort by (clump, -count, value): first row per clump is the mode
+    # with smallest-value tie-break (the reference's ascending-histogram
+    # first-maximum order)
+    mode = np.zeros(n + 1, dtype=np.int64)
+    sel = np.lexsort((gv, -counts, gl))
+    first = np.ones(sel.shape, dtype=bool)
+    first[1:] = gl[sel][1:] != gl[sel][:-1]
+    mode[gl[sel][first]] = gv[sel][first]
+    return mode
+
+
+def _clump_percentiles(ls: np.ndarray, vs: np.ndarray, n: int,
+                       pcts=(25, 50, 75)) -> list[np.ndarray]:
+    """Nearest-rank percentiles per clump: rank = ceil(p*n/100), 1-based."""
+    order = np.lexsort((vs, ls))
+    sv = vs[order]
+    counts = np.bincount(ls, minlength=n + 1)[1:]
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    out = []
+    for p in pcts:
+        rank = (counts * p + 99) // 100          # ceil, integer-exact
+        idx = offs[:-1] + np.maximum(rank, 1) - 1
+        out.append(sv[idx].astype(np.int64))
+    return out
+
+
+def _clump_neighbours(lab: np.ndarray, n: int):
+    """4-neighbourhood distinct-neighbour aggregates per clump.
+
+    Returns (n_neigh, min_neigh, max_neigh) arrays indexed 1..n; clumps
+    with no neighbour report (0, 0, 0).  Mirrors
+    RSGISFindClumpNeighbours.cpp:331 (left/up/right/down cells, id > 0,
+    id != own) — symmetric, so one direction + mirroring suffices.
+    """
+    pa, pb = [], []
+    a, b = lab[:, :-1], lab[:, 1:]
+    sel = (a > 0) & (b > 0) & (a != b)
+    pa.append(a[sel]); pb.append(b[sel])
+    a, b = lab[:-1, :], lab[1:, :]
+    sel = (a > 0) & (b > 0) & (a != b)
+    pa.append(a[sel]); pb.append(b[sel])
+    if not any(x.size for x in pa):
+        z = np.zeros(n + 1, dtype=np.int64)
+        return z.copy(), z.copy(), z.copy()
+    fa = np.concatenate(pa + pb)
+    fb = np.concatenate(pb + pa)
+    code = np.unique(fa.astype(np.int64) * (n + 1) + fb)
+    na, nb = code // (n + 1), code % (n + 1)
+    n_neigh = np.bincount(na, minlength=n + 1)
+    mn = np.zeros(n + 1, dtype=np.int64)
+    mx = np.zeros(n + 1, dtype=np.int64)
+    np.maximum.at(mx, na, nb)
+    big = np.int64(1) << 60
+    mn_tmp = np.full(n + 1, big, dtype=np.int64)
+    np.minimum.at(mn_tmp, na, nb)
+    mn[mn_tmp < big] = mn_tmp[mn_tmp < big]
+    return n_neigh.astype(np.int64), mn, mx
+
+
+def rat_table(images: DataFrame, threshold: int = 700,
+              pcts=(25, 50, 75)) -> DataFrame:
+    """Build the enriched per-clump RAT in one Arrow pass.
+
+    Output: one row per (image_id, clump_id) with n_pix, mode_val,
+    p25/p50/p75, n_neigh, min_neigh, max_neigh.  Clump ids are the
+    deterministic dense labels of ``rasterize.label_components``
+    (ascending first-pixel order), identical to ``polygonize_bboxes``.
+    """
+    from .rasterize import label_components
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _RAT_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = label_components(arr >= threshold)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                ys, xs = np.nonzero(lab)
+                ls = lab[ys, xs]
+                vs = arr[ys, xs]
+                npix = np.bincount(ls, minlength=n + 1)[1:]
+                mode = _clump_mode(ls, vs, n)[1:]
+                pvals = _clump_percentiles(ls, vs, n, pcts)
+                n_ng, mn_ng, mx_ng = _clump_neighbours(lab, n)
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(v) for v in npix)
+                out["mode_val"].extend(int(v) for v in mode)
+                out["p25"].extend(int(v) for v in pvals[0])
+                out["p50"].extend(int(v) for v in pvals[1])
+                out["p75"].extend(int(v) for v in pvals[2])
+                out["n_neigh"].extend(int(v) for v in n_ng[1:])
+                out["min_neigh"].extend(int(v) for v in mn_ng[1:])
+                out["max_neigh"].extend(int(v) for v in mx_ng[1:])
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_RAT_SCHEMA)
+
+
+def collapse_rat(rat: DataFrame, min_pix: int = 8) -> DataFrame:
+    """collapse_rat (python/src/rastergis.cpp:1214): dense re-key of the
+    selected rows.  Selection here = ``n_pix >= min_pix`` (the reference
+    takes a boolean ``select_col``); new ids are consecutive per image in
+    original clump order.  Pure Catalyst — a filtered window rank over
+    the (small) RAT rows, never over pixels.
+    """
+    w = Window.partitionBy("image_id").orderBy("clump_id")
+    return (rat.where(F.col("n_pix") >= F.lit(min_pix))
+            .withColumn("new_id", F.row_number().over(w).cast("long")))

@@ -2087,6 +2087,101 @@ SELECT image_id, count(*) AS n_clumps,
 FROM cl GROUP BY image_id
 """
 
+# RAT enrichment oracles (rastergis find_neighbours / populate_rat_with_
+# mode / populate_rat_with_percentiles / collapse_rat).  All share the
+# pointer-doubling component CTE; ``rl`` is the dense relabel (clump_id =
+# row_number over ascending root, identical to the engine's labeling).
+_RL = """
+rl AS (SELECT image_id, root,
+              CAST(row_number() OVER (PARTITION BY image_id ORDER BY root)
+                   AS BIGINT) AS cid
+       FROM cl)"""
+
+_RAT_VALS = f"""
+vals AS (SELECT c.image_id, rl.cid,
+                {synth.pixel_value_sql('i.id', 'c.x', 'c.y', 'i.fmt')} AS v
+         FROM comp c
+         JOIN img i ON i.image_id = c.image_id
+         JOIN rl ON rl.image_id = c.image_id AND rl.root = c.root)"""
+
+ORACLES["rat_neighbours"] = f"""
+{_PREFIX},
+{_cc_clumps_cte()},
+{_RL},
+adj0 AS (SELECT a.image_id, a.root AS ra, b.root AS rb
+         FROM comp a JOIN comp b
+           ON b.image_id = a.image_id AND b.x = a.x + 1 AND b.y = a.y
+         WHERE a.root <> b.root
+         UNION ALL
+         SELECT a.image_id, a.root, b.root
+         FROM comp a JOIN comp b
+           ON b.image_id = a.image_id AND b.x = a.x AND b.y = a.y + 1
+         WHERE a.root <> b.root),
+adj AS (SELECT DISTINCT image_id, ra, rb FROM
+          (SELECT image_id, ra, rb FROM adj0
+           UNION ALL SELECT image_id, rb AS ra, ra AS rb FROM adj0)),
+adjc AS (SELECT a.image_id, la.cid AS ca, lb.cid AS cb
+         FROM adj a
+         JOIN rl la ON la.image_id = a.image_id AND la.root = a.ra
+         JOIN rl lb ON lb.image_id = a.image_id AND lb.root = a.rb),
+agg AS (SELECT image_id, ca, count(*) AS n_neigh,
+               min(cb) AS mn, max(cb) AS mx
+        FROM adjc GROUP BY image_id, ca)
+SELECT rl.image_id, rl.cid AS clump_id,
+       CAST(coalesce(agg.n_neigh, 0) AS BIGINT) AS n_neigh,
+       CAST(coalesce(agg.mn, 0) AS BIGINT) AS min_neigh,
+       CAST(coalesce(agg.mx, 0) AS BIGINT) AS max_neigh
+FROM rl LEFT JOIN agg
+  ON agg.image_id = rl.image_id AND agg.ca = rl.cid
+"""
+
+ORACLES["rat_mode"] = f"""
+{_PREFIX},
+{_cc_clumps_cte()},
+{_RL},
+{_RAT_VALS},
+cnt AS (SELECT image_id, cid, v, count(*) AS n
+        FROM vals GROUP BY image_id, cid, v),
+rk AS (SELECT image_id, cid, v,
+              row_number() OVER (PARTITION BY image_id, cid
+                                 ORDER BY n DESC, v ASC) AS r
+       FROM cnt)
+SELECT image_id, cid AS clump_id, CAST(v AS BIGINT) AS mode_val
+FROM rk WHERE r = 1
+"""
+
+ORACLES["rat_percentiles"] = f"""
+{_PREFIX},
+{_cc_clumps_cte()},
+{_RL},
+{_RAT_VALS},
+o AS (SELECT image_id, cid, v,
+             row_number() OVER (PARTITION BY image_id, cid
+                                ORDER BY v) AS rk,
+             count(*) OVER (PARTITION BY image_id, cid) AS n
+      FROM vals)
+SELECT image_id, cid AS clump_id,
+       CAST(max(CASE WHEN rk = (n * 25 + 99) // 100 THEN v END)
+            AS BIGINT) AS p25,
+       CAST(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN v END)
+            AS BIGINT) AS p50,
+       CAST(max(CASE WHEN rk = (n * 75 + 99) // 100 THEN v END)
+            AS BIGINT) AS p75
+FROM o GROUP BY image_id, cid
+"""
+
+ORACLES["rat_collapse"] = f"""
+{_PREFIX},
+{_cc_clumps_cte()},
+{_RL}
+SELECT image_id, cid AS clump_id,
+       CAST(row_number() OVER (PARTITION BY image_id ORDER BY cid)
+            AS BIGINT) AS new_id
+FROM (SELECT rl.image_id, rl.cid
+      FROM rl JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
+      WHERE cl.n_pix >= 8) t
+"""
+
 ORACLES["mosaic_mode"] = f"""
 {_PREFIX},
 gx AS (SELECT unnest(generate_series(0, 59)) AS px),

@@ -28,6 +28,7 @@ from .operators.geomtransforms import (delete_holes, explode_multi,
 from .operators.overlay import (overlay_difference_rect,
                                 overlay_intersection_rect, rect_erase,
                                 rect_sym_difference, rect_union)
+from .operators.rastergis import collapse_rat, rat_table
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import pixel_histogram, pixel_stats
@@ -590,6 +591,43 @@ def q_polygonize(spark, sf_dir) -> DataFrame:
     return polygonize_bboxes(img, threshold=700) \
         .select("image_id", "clump_id", "n_pix",
                 "bxmin", "bxmax", "bymin", "bymax")
+
+
+def _rat(spark, sf_dir):
+    """Enriched RAT rows over the clump subset (same images/threshold as
+    clump_stats, so the pointer-doubling oracle CTE is shared)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return rat_table(img, threshold=700)
+
+
+def q_rat_neighbours(spark, sf_dir) -> DataFrame:
+    """rastergis.find_neighbours (python/src/rastergis.cpp:1907; 4-neigh
+    kernel src/rastergis/RSGISFindClumpNeighbours.cpp:331): per-clump
+    DISTINCT adjacent clump ids -> count/min/max (0 = none)."""
+    return _rat(spark, sf_dir) \
+        .select("image_id", "clump_id", "n_neigh", "min_neigh", "max_neigh")
+
+
+def q_rat_mode(spark, sf_dir) -> DataFrame:
+    """rastergis.populate_rat_with_mode (python/src/rastergis.cpp:488):
+    per-clump modal pixel value, ties -> smallest (ascending-histogram
+    first-maximum order)."""
+    return _rat(spark, sf_dir).select("image_id", "clump_id", "mode_val")
+
+
+def q_rat_percentiles(spark, sf_dir) -> DataFrame:
+    """rastergis.populate_rat_with_percentiles (python/src/
+    rastergis.cpp:352): per-clump nearest-rank p25/p50/p75 (exact — the
+    binned-histogram limit at integer value resolution)."""
+    return _rat(spark, sf_dir) \
+        .select("image_id", "clump_id", "p25", "p50", "p75")
+
+
+def q_rat_collapse(spark, sf_dir) -> DataFrame:
+    """rastergis.collapse_rat (python/src/rastergis.cpp:1214): dense
+    consecutive re-key of the selected (n_pix >= 8) RAT rows."""
+    return collapse_rat(_rat(spark, sf_dir), min_pix=8) \
+        .select("image_id", "clump_id", "new_id")
 
 
 def q_ndvi_index(spark, sf_dir) -> DataFrame:
@@ -1776,6 +1814,10 @@ QUERIES = {
     "rasterize_zones": q_rasterize_zones,
     "clump_stats": q_clump_stats,
     "polygonize": q_polygonize,
+    "rat_neighbours": q_rat_neighbours,
+    "rat_mode": q_rat_mode,
+    "rat_percentiles": q_rat_percentiles,
+    "rat_collapse": q_rat_collapse,
     "morph_dilate": q_morph_dilate,
     "morph_open": q_morph_open,
     "morph_close": q_morph_close,
