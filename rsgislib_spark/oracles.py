@@ -2182,6 +2182,53 @@ FROM (SELECT rl.image_id, rl.cid
       WHERE cl.n_pix >= 8) t
 """
 
+# Extracted-sample family (zonalstats HDF5 operators; sources/samples.py)
+
+ORACLES["chip_extract"] = f"""
+{_PREFIX},
+cxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 7 = 0),
+cpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM cxs),
+cen AS (SELECT image_id, id, fmt, x, y FROM cpxy
+        WHERE {_PXV} = 42
+          AND x >= 3 AND x < w - 3 AND y >= 3 AND y < h - 3),
+off AS (SELECT a.dx, b.dy
+        FROM (SELECT unnest(generate_series(-3, 3)) AS dx) a,
+             (SELECT unnest(generate_series(-3, 3)) AS dy) b),
+cv AS (SELECT c.image_id, c.x AS cx, c.y AS cy,
+              {synth.pixel_value_sql('c.id', '(c.x + o.dx)',
+                                     '(c.y + o.dy)', 'c.fmt')} AS v
+       FROM cen c CROSS JOIN off o)
+SELECT image_id, CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+       CAST(sum(v) AS BIGINT) AS chip_sum,
+       CAST(min(v) AS BIGINT) AS chip_min,
+       CAST(max(v) AS BIGINT) AS chip_max
+FROM cv GROUP BY image_id, cx, cy
+"""
+
+ORACLES["sample_split"] = """
+SELECT CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) < 'cd'
+            THEN 'p1' ELSE 'p2' END AS split,
+       count(*) AS n_samples,
+       min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+       count(DISTINCT label) AS n_labels
+FROM embeddings GROUP BY 1
+"""
+
+# rows failing the all-finite gate are exactly the injected ones
+# (vec_id % 17 -> NaN, vec_id % 23 -> +inf; the raw embeddings are
+# finite), so the oracle folds the finite test into the id predicate
+ORACLES["sample_finite"] = """
+SELECT label, count(*) AS n_kept,
+       min(vec_id) AS min_vec, max(vec_id) AS max_vec
+FROM embeddings
+WHERE vec_id % 17 <> 0 AND vec_id % 23 <> 0
+  AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) > 0
+  AND len(list_filter(embedding, x -> CAST(x AS DOUBLE) < 0.5)) > 0
+GROUP BY label
+"""
+
 ORACLES["mosaic_mode"] = f"""
 {_PREFIX},
 gx AS (SELECT unnest(generate_series(0, 59)) AS px),

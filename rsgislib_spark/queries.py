@@ -45,6 +45,7 @@ from .operators.zonal import (extract_point_values, mask_by_vec_stats,
 from .plans.lineage import lineage_records
 from .session import load_tables
 from .sources.imagelut import build_img_lut, query_img_lut
+from .sources.samples import chip_extract, finite_sample_filter, hash_split
 from .sources import multimodal as rsz
 from .sources.multimodal import frame_sample_stats, resize_nn
 from .streaming.events import (sessionize_batch, sessionize_stream,
@@ -628,6 +629,50 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
     consecutive re-key of the selected (n_pix >= 8) RAT rows."""
     return collapse_rat(_rat(spark, sf_dir), min_pix=8) \
         .select("image_id", "clump_id", "new_id")
+
+
+def q_chip_extract(spark, sf_dir) -> DataFrame:
+    """extract_chip_zone_image_band_values_to_hdf (zonalstats/__init__.py
+    :1674): 7x7 chips centred on mask==42 pixels; per-chip sum/min/max
+    signature (the checksummable stand-in for the HDF5 tensor)."""
+    img = _px_images(spark, sf_dir, mod=7)
+    return chip_extract(img, mask_value=42, half=3) \
+        .select("image_id", "cx", "cy", "chip_sum", "chip_min", "chip_max")
+
+
+def q_sample_split(spark, sf_dir) -> DataFrame:
+    """split_sample_hdf5_file / random_sample_hdf5_file (python/src/
+    zonalstats.cpp:216,248): seeded split as a DETERMINISTIC md5-hash
+    split (seeded RNG over distributed row order is not reproducible
+    across cluster sizes; the hash split is, with the same contract)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return (hash_split(t["embeddings"], "vec_id")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.min("vec_id").alias("min_vec"),
+                 F.max("vec_id").alias("max_vec"),
+                 F.countDistinct("label").alias("n_labels")))
+
+
+def q_sample_finite(spark, sf_dir) -> DataFrame:
+    """msk_h5_smpls_to_finite_values (zonalstats/__init__.py:2583):
+    all-finite row gate + ANY(> lower)/ANY(< upper) limits.  Non-finite
+    variables are injected deterministically (NaN on vec_id%17, +inf on
+    vec_id%23) since the synthetic embeddings are all finite."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].withColumn(
+        "vars",
+        F.expr("""transform(embedding, (x, i) ->
+                  CASE WHEN vec_id % 17 = 0 AND i = 0
+                       THEN cast('NaN' as double)
+                       WHEN vec_id % 23 = 0 AND i = 1
+                       THEN cast('Infinity' as double)
+                       ELSE cast(x as double) END)"""))
+    kept = finite_sample_filter(emb, "vars", lower=0.0, upper=0.5)
+    return (kept.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("vec_id").alias("min_vec"),
+                 F.max("vec_id").alias("max_vec")))
 
 
 def q_ndvi_index(spark, sf_dir) -> DataFrame:
@@ -1818,6 +1863,9 @@ QUERIES = {
     "rat_mode": q_rat_mode,
     "rat_percentiles": q_rat_percentiles,
     "rat_collapse": q_rat_collapse,
+    "chip_extract": q_chip_extract,
+    "sample_split": q_sample_split,
+    "sample_finite": q_sample_finite,
     "morph_dilate": q_morph_dilate,
     "morph_open": q_morph_open,
     "morph_close": q_morph_close,
