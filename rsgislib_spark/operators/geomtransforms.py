@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["ring_area2_sql", "simplify_ring_sql", "poly_to_polyline",
+__all__ = ["ring_area2_sql", "ring_centroid_sql", "simplify_ring_sql",
+           "poly_to_polyline",
            "explode_multi", "delete_holes", "simplify_polys",
            "shift_xy"]
 
@@ -59,6 +60,36 @@ def ring_area2_sql(dialect: str, ring: str) -> str:
     # bind the ring expression once (single-element transform LET)
     if dialect == "spark":
         return (f"element_at(transform(array({ring}), _r0 -> {inner}), 1)")
+    return f"list_extract(list_transform([{ring}], _r0 -> {inner}), 1)"
+
+
+def ring_centroid_sql(dialect: str, ring: str, axis: int) -> str:
+    """Area (shoelace) centroid coordinate of a ring expression.
+
+    C_axis = sum((c_k + c_nxt) * cross_k) / (3 * sum(cross_k)) with
+    cross_k = x_k*y_nxt - x_nxt*y_k — the shapely ``geom.centroid``
+    semantics of calc_poly_centroids (vectorgeoms/__init__.py:1066).
+    Element-order list sums + one division: identical IEEE doubles in
+    both engines (same fold pattern as :func:`ring_area2_sql`).
+    """
+    d = _d(dialect)
+    el = d["el"]
+
+    def c(i: str, ax: int) -> str:
+        return el.format(a=f"({el.format(a='_r0', i=i)})", i=ax)
+
+    nxt = f"(_k % {d['size']}(_r0)) + 1"
+    cross = f"({c('_k', 1)} * {c(nxt, 2)} - {c(nxt, 1)} * {c('_k', 2)})"
+    num_t = f"({c('_k', axis)} + {c(nxt, axis)}) * {cross}"
+
+    def fold(term: str) -> str:
+        return d["summ"].format(
+            l=d["tf"] + "(" + d["seq"].format(n=d["size"] + "(_r0)")
+            + ", _k -> " + term + ")")
+
+    inner = f"({fold(num_t)}) / (3.0 * ({fold(cross)}))"
+    if dialect == "spark":
+        return f"element_at(transform(array({ring}), _r0 -> {inner}), 1)"
     return f"list_extract(list_transform([{ring}], _r0 -> {inner}), 1)"
 
 

@@ -23,7 +23,7 @@ from pyspark.sql.types import (ArrayType, LongType, StringType, StructField,
 
 from ..functions import codec
 
-__all__ = ["pixel_stats", "pixel_histogram"]
+__all__ = ["pixel_stats", "pixel_histogram", "imgs_equal_stats"]
 
 _STATS_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -102,3 +102,48 @@ def pixel_histogram(images: DataFrame, bins: int = 1024,
         .where(F.col("cnt") > 0)
         .groupBy("bin").agg(F.sum("cnt").alias("n"))
     )
+
+
+_EQ_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cmp_image_id", StringType()),
+    StructField("n_px", LongType()),
+    StructField("n_eq", LongType()),
+])
+
+
+def imgs_equal_stats(pairs: DataFrame, flt_dif: float = 0.0001) -> DataFrame:
+    """are_imgs_equal (imagecalc/__init__.py:1408): proportion of pixels
+    of two same-grid images whose absolute difference is < ``flt_dif``.
+
+    ``pairs`` needs (image_id, bytes, fmt, cmp_image_id, cmp_bytes,
+    cmp_fmt, w, h) — one row per image pair, both payloads already
+    joined (the metadata equi-join happens BEFORE payload
+    materialization; the only shuffle carries ids, exactly like the
+    reference reading two files side by side).  Output keeps the exact
+    integer counts; ``prop`` (one IEEE division, correctly rounded in
+    every engine) and the ``prop >= prop_eql`` verdict derive in
+    Catalyst.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {k: [] for k in ("image_id", "cmp_image_id", "n_px",
+                                   "n_eq")}
+            for (image_id, buf, fmt, cid, cbuf, cfmt, w, h) in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["fmt"],
+                    pdf["cmp_image_id"], pdf["cmp_bytes"], pdf["cmp_fmt"],
+                    pdf["w"], pdf["h"]):
+                a = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                b = codec.decode_image(bytes(cbuf), int(w), int(h),
+                                       str(cfmt)).astype(np.int64)
+                out["image_id"].append(image_id)
+                out["cmp_image_id"].append(cid)
+                out["n_px"].append(int(a.size))
+                out["n_eq"].append(int((np.abs(a - b) < flt_dif).sum()))
+            yield pd.DataFrame(out)
+
+    return pairs.select("image_id", "bytes", "fmt", "cmp_image_id",
+                        "cmp_bytes", "cmp_fmt", "w", "h") \
+        .mapInPandas(gen, schema=_EQ_SCHEMA)

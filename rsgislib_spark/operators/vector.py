@@ -41,6 +41,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 __all__ = [
     "add_geom_bbox_cols",
+    "verts_bbox_cols",
+    "bboxes_for_pts",
+    "poly_centroids",
     "buffer_bbox_cols",
     "define_grid",
     "create_hex_grid_bbox",
@@ -70,6 +73,39 @@ def add_geom_bbox_cols(df: DataFrame, xmin: str = "zxmin", xmax: str = "zxmax",
         .withColumn("g_cx", (F.col(xmin) + F.col(xmax)) / 2.0)
         .withColumn("g_cy", (F.col(ymin) + F.col(ymax)) / 2.0)
     )
+
+
+def verts_bbox_cols(df: DataFrame, verts: str = "verts") -> DataFrame:
+    """pop_bbox_cols (vectorattrs/__init__.py:280): add each feature's
+    geometry bbox as attribute columns, computed from the vertex array
+    (transform + array_min/max — pure Catalyst, no UDF, pushes through
+    any downstream filter)."""
+    vx = F.expr(f"transform({verts}, _v -> element_at(_v, 1))")
+    vy = F.expr(f"transform({verts}, _v -> element_at(_v, 2))")
+    return (df.withColumn("xmin", F.array_min(vx))
+            .withColumn("xmax", F.array_max(vx))
+            .withColumn("ymin", F.array_min(vy))
+            .withColumn("ymax", F.array_max(vy)))
+
+
+def bboxes_for_pts(df: DataFrame, width: float, height: float,
+                   x: str = "qlon", y: str = "qlat") -> DataFrame:
+    """create_bboxs_for_pts (vectorutils/createvectors.py:890): one box
+    of the given width/height centred on every point."""
+    hw, hh = F.lit(width / 2.0), F.lit(height / 2.0)
+    return (df.withColumn("bxmin", F.col(x) - hw)
+            .withColumn("bxmax", F.col(x) + hw)
+            .withColumn("bymin", F.col(y) - hh)
+            .withColumn("bymax", F.col(y) + hh))
+
+
+def poly_centroids(df: DataFrame, verts: str = "verts") -> DataFrame:
+    """calc_poly_centroids (vectorgeoms/__init__.py:1066): shapely-style
+    AREA centroid per feature (shoelace form, not the vertex mean)."""
+    from .geomtransforms import ring_centroid_sql
+
+    return (df.withColumn("cx", F.expr(ring_centroid_sql("spark", verts, 1)))
+            .withColumn("cy", F.expr(ring_centroid_sql("spark", verts, 2))))
 
 
 def buffer_bbox_cols(df: DataFrame, buf: float, xmin: str = "zxmin",

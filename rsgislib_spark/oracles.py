@@ -1485,6 +1485,11 @@ SELECT 'b' AS kind, CAST(NULL AS BIGINT) AS a_id, fid AS b_id, part_idx,
 
 from .operators.geomtransforms import (ring_area2_sql as _ra2,  # noqa: E402
                                        simplify_ring_sql as _simp)
+from .operators.geomtransforms import ring_centroid_sql  # noqa: E402
+
+
+def _centroid_d(ring: str, axis: int) -> str:
+    return ring_centroid_sql("duckdb", ring, axis)
 
 _RECT_D = ("[[zxmin, zymin], [zxmax, zymin], [zxmax, zymax], "
            "[zxmin, zymax]]")
@@ -2180,6 +2185,56 @@ SELECT image_id, cid AS clump_id,
 FROM (SELECT rl.image_id, rl.cid
       FROM rl JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
       WHERE cl.n_pix >= 8) t
+"""
+
+ORACLES["pts_bboxes"] = f"""
+{_PREFIX}
+SELECT qid,
+       qlon - 0.125 AS bxmin, qlon + 0.125 AS bxmax,
+       qlat - 0.0625 AS bymin, qlat + 0.0625 AS bymax
+FROM qpts
+"""
+
+# triangle layer verts = [[zxmin,zymin],[zxmax,zymin],[zxmin,zymax]]:
+# its bbox IS the zone rect (semantic ground truth; the Spark side
+# computes it through the vertex-array path)
+ORACLES["poly_bbox_cols"] = f"""
+{_PREFIX}
+SELECT zone_id AS poly_id,
+       zxmin AS xmin, zxmax AS xmax, zymin AS ymin, zymax AS ymax
+FROM zones
+"""
+
+_TRI_RING = "[[zxmin, zymin], [zxmax, zymin], [zxmin, zymax]]"
+ORACLES["poly_centroids"] = f"""
+{_PREFIX}
+SELECT zone_id AS poly_id,
+       {_centroid_d(_TRI_RING, 1)} AS cx,
+       {_centroid_d(_TRI_RING, 2)} AS cy
+FROM zones
+"""
+
+ORACLES["imgs_equal"] = f"""
+{_PREFIX},
+prs AS (SELECT a.id, a.image_id, a.w, a.h, a.fmt,
+               b.image_id AS cmp_image_id, b.fmt AS cmp_fmt
+        FROM img a JOIN img b ON b.id = a.id + 97
+        WHERE a.id % 13 = 0),
+prx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM prs),
+prxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM prx),
+d AS (SELECT image_id, cmp_image_id,
+             {synth.pixel_value_sql('id', 'x', 'y', 'fmt')} AS v1,
+             {synth.pixel_value_sql('(id + 97)', 'x', 'y', 'cmp_fmt')} AS v2
+      FROM prxy),
+a AS (SELECT image_id, cmp_image_id, count(*) AS n_px,
+             CAST(sum(CASE WHEN abs(v1 - v2) < 100.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_eq
+      FROM d GROUP BY image_id, cmp_image_id)
+SELECT image_id, cmp_image_id, n_px, n_eq,
+       CAST(n_eq AS DOUBLE) / CAST(n_px AS DOUBLE) AS prop,
+       CAST(CASE WHEN CAST(n_eq AS DOUBLE) / CAST(n_px AS DOUBLE) >= 0.5
+                 THEN 1 ELSE 0 END AS BIGINT) AS eq_flag
+FROM a
 """
 
 # Extracted-sample family (zonalstats HDF5 operators; sources/samples.py)

@@ -31,7 +31,8 @@ from .operators.overlay import (overlay_difference_rect,
 from .operators.rastergis import collapse_rat, rat_table
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
-from .operators.imagestats import pixel_histogram, pixel_stats
+from .operators.imagestats import (imgs_equal_stats, pixel_histogram,
+                                   pixel_stats)
 from .operators.knn import knn_classify, match_closest_points, npts_in_radius
 from .operators.spatial_join import (spatial_join, spatial_join_poly,
                                      spatial_select, vec_intersects_vec,
@@ -629,6 +630,68 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
     consecutive re-key of the selected (n_pix >= 8) RAT rows."""
     return collapse_rat(_rat(spark, sf_dir), min_pix=8) \
         .select("image_id", "clump_id", "new_id")
+
+
+def q_pts_bboxes(spark, sf_dir) -> DataFrame:
+    """create_bboxs_for_pts (createvectors.py:890): fixed-size boxes
+    centred on the query-point layer."""
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    return vec.bboxes_for_pts(qpts, width=0.25, height=0.125) \
+        .select("qid", "bxmin", "bxmax", "bymin", "bymax")
+
+
+def q_poly_bbox_cols(spark, sf_dir) -> DataFrame:
+    """pop_bbox_cols (vectorattrs/__init__.py:280): per-feature geometry
+    bbox attributes from the triangle layer's vertex arrays."""
+    zones = synth.synth_zones(spark, sf_dir)
+    return vec.verts_bbox_cols(_triangle_zones(zones)) \
+        .select("poly_id", "xmin", "xmax", "ymin", "ymax")
+
+
+def q_poly_centroids(spark, sf_dir) -> DataFrame:
+    """calc_poly_centroids (vectorgeoms/__init__.py:1066): shoelace area
+    centroid of every triangle feature."""
+    zones = synth.synth_zones(spark, sf_dir)
+    return vec.poly_centroids(_triangle_zones(zones)) \
+        .select("poly_id", "cx", "cy")
+
+
+def q_imgs_equal(spark, sf_dir) -> DataFrame:
+    """are_imgs_equal (imagecalc/__init__.py:1408): proportion of pixels
+    within flt_dif between two same-grid images + the >= prop_eql
+    verdict.
+
+    Pair rule: (id, id+97) — the synthetic w/h depend on id mod 97, so
+    a 97-stride pairs images on IDENTICAL grids with (usually) different
+    formats.  Metadata joins FIRST; both payloads materialize after the
+    join on the same row, so no pixel ever enters the shuffle."""
+    m = _images(spark, sf_dir, with_footprint=False).where("id % 13 = 0") \
+        .select("id", "image_id", "w", "h", "fmt")
+    cm = _images(spark, sf_dir, with_footprint=False) \
+        .select(F.col("id").alias("cmp_id"),
+                F.col("image_id").alias("cmp_image_id"),
+                F.col("fmt").alias("cmp_fmt"))
+    pairs_meta = m.join(cm, m.id + 97 == cm.cmp_id) \
+        .repartition(_px_partitions(spark, sf_dir, 13))
+    ref = synth.attach_bytes(pairs_meta) \
+        .withColumnRenamed("bytes", "ref_bytes") \
+        .withColumnRenamed("id", "ref_id") \
+        .withColumnRenamed("fmt", "ref_fmt") \
+        .withColumnRenamed("cmp_id", "id") \
+        .withColumnRenamed("cmp_fmt", "fmt")
+    both = synth.attach_bytes(ref) \
+        .withColumnRenamed("bytes", "cmp_bytes") \
+        .withColumnRenamed("fmt", "cmp_fmt") \
+        .withColumnRenamed("ref_bytes", "bytes") \
+        .withColumnRenamed("ref_fmt", "fmt")
+    out = imgs_equal_stats(both, flt_dif=100.0)
+    return out.select(
+        "image_id", "cmp_image_id", "n_px", "n_eq",
+        (F.col("n_eq").cast("double")
+         / F.col("n_px").cast("double")).alias("prop"),
+        F.when(F.col("n_eq").cast("double")
+               / F.col("n_px").cast("double") >= 0.5, F.lit(1))
+         .otherwise(F.lit(0)).cast("long").alias("eq_flag"))
 
 
 def q_chip_extract(spark, sf_dir) -> DataFrame:
@@ -1863,6 +1926,10 @@ QUERIES = {
     "rat_mode": q_rat_mode,
     "rat_percentiles": q_rat_percentiles,
     "rat_collapse": q_rat_collapse,
+    "imgs_equal": q_imgs_equal,
+    "pts_bboxes": q_pts_bboxes,
+    "poly_bbox_cols": q_poly_bbox_cols,
+    "poly_centroids": q_poly_centroids,
     "chip_extract": q_chip_extract,
     "sample_split": q_sample_split,
     "sample_finite": q_sample_finite,

@@ -1,0 +1,55 @@
+"""are_imgs_equal semantics: self-compare is exact, pair proportions are
+well-formed, and the kernel counts match a numpy recomputation."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rsgislib_spark import synth
+from rsgislib_spark.operators.imagestats import imgs_equal_stats
+
+
+def _pairs(spark, sf_dir, shift):
+    m = synth.synth_images(spark, sf_dir, with_footprint=False) \
+        .where("id % 13 = 0").select("id", "image_id", "w", "h", "fmt")
+    cm = synth.synth_images(spark, sf_dir, with_footprint=False) \
+        .select(F.col("id").alias("cmp_id"),
+                F.col("image_id").alias("cmp_image_id"),
+                F.col("fmt").alias("cmp_fmt"))
+    pm = m.join(cm, m.id + shift == cm.cmp_id).repartition(4)
+    ref = synth.attach_bytes(pm) \
+        .withColumnRenamed("bytes", "ref_bytes") \
+        .withColumnRenamed("id", "ref_id") \
+        .withColumnRenamed("fmt", "ref_fmt") \
+        .withColumnRenamed("cmp_id", "id") \
+        .withColumnRenamed("cmp_fmt", "fmt")
+    return synth.attach_bytes(ref) \
+        .withColumnRenamed("bytes", "cmp_bytes") \
+        .withColumnRenamed("fmt", "cmp_fmt") \
+        .withColumnRenamed("ref_bytes", "bytes") \
+        .withColumnRenamed("ref_fmt", "fmt")
+
+
+def test_self_compare_is_exact(spark, sf_dir):
+    out = imgs_equal_stats(_pairs(spark, sf_dir, 0),
+                           flt_dif=0.0001).toPandas()
+    assert len(out) > 0
+    assert (out["n_eq"] == out["n_px"]).all()      # identical images
+
+
+def test_pair_compare_matches_numpy(spark, sf_dir):
+    out = imgs_equal_stats(_pairs(spark, sf_dir, 97),
+                           flt_dif=100.0).toPandas()
+    assert len(out) > 0
+    assert ((out["n_eq"] >= 0) & (out["n_eq"] <= out["n_px"])).all()
+    meta = synth.synth_images(spark, sf_dir, with_footprint=False) \
+        .select("id", "image_id", "w", "h", "fmt").toPandas() \
+        .set_index("image_id")
+    for _, r in out.head(20).iterrows():
+        a_m = meta.loc[r["image_id"]]
+        b_m = meta.loc[r["cmp_image_id"]]
+        assert (a_m["w"], a_m["h"]) == (b_m["w"], b_m["h"])  # 97-stride grid
+        a = synth.pixel_array(int(a_m["id"]), int(a_m["w"]), int(a_m["h"]),
+                              str(a_m["fmt"])).astype(np.int64)
+        b = synth.pixel_array(int(b_m["id"]), int(b_m["w"]), int(b_m["h"]),
+                              str(b_m["fmt"])).astype(np.int64)
+        assert r["n_eq"] == int((np.abs(a - b) < 100.0).sum())
