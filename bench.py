@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "filter_bank15", "vec_contains",
     # round-4 session-3 operators
     "pixel_area_wgs84", "token_count", "doc_winnow", "audio_rms",
+    # round-4 session-4 operators
+    "rat_neighbours", "chip_extract", "imgs_equal", "sample_split",
+    "poly_centroids",
 ]
 
 

@@ -1152,3 +1152,70 @@ def percentiles_from_hist(images: DataFrame, ps=(0.25, 0.5, 0.75, 0.9),
         ranked.where(F.col("cum") >= F.ceil(F.col("p") * F.col("total")))
         .groupBy("p").agg(F.min("bin").alias("value"))
     )
+
+
+_DIST_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_valid", LongType()),
+    StructField("sum_d2", LongType()),
+    StructField("max_d2", LongType()),
+    StructField("n_nodata", LongType()),
+])
+
+
+def dist_to_value_stats(images: DataFrame, target_val: int = 42,
+                        max_dist: int = 16) -> DataFrame:
+    """calc_dist_to_img_vals (imagecalc/__init__.py:136): per-pixel
+    distance to the nearest pixel holding ``target_val``; pixels farther
+    than ``max_dist`` (or in images with no target at all) become
+    nodata (the reference's max_dist/out_no_data_val contract), distance
+    in PIXEL units (unit_geo=False) so everything stays integer-exact.
+
+    The emitted plane is summarized per image (n_valid / sum / max of the
+    SQUARED distances + nodata count) — integers, so the DuckDB oracle
+    (min over a pixel x target join) matches bit-for-bit.
+
+    Kernel: vectorized numpy brute force (n_pix x n_targets broadcast);
+    target pixels are ~n_pix/pmax here so the quadratic term is tiny.
+    At production scale (dense targets / big rasters) the same pass
+    swaps in the two-scan Felzenszwalb-Huttenlocher exact EDT — the
+    reference itself tiles this op (calc_dist_to_img_vals_tiled,
+    imagecalc/__init__.py:271) because GDAL's proximity is whole-raster.
+    """
+    md2 = int(max_dist) * int(max_dist)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _DIST_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                w, h = int(w), int(h)
+                arr = codec.decode_image(bytes(buf), w, h,
+                                         str(fmt)).astype(np.int64)
+                tys, txs = np.nonzero(arr == target_val)
+                n_pix = w * h
+                if tys.size == 0:
+                    out["image_id"].append(image_id)
+                    out["n_pix"].append(n_pix)
+                    out["n_valid"].append(0)
+                    out["sum_d2"].append(0)
+                    out["max_d2"].append(0)
+                    out["n_nodata"].append(n_pix)
+                    continue
+                ys, xs = np.mgrid[0:h, 0:w]
+                dx = xs.ravel()[:, None] - txs[None, :]
+                dy = ys.ravel()[:, None] - tys[None, :]
+                d2 = (dx * dx + dy * dy).min(axis=1)
+                valid = d2 <= md2
+                out["image_id"].append(image_id)
+                out["n_pix"].append(n_pix)
+                out["n_valid"].append(int(valid.sum()))
+                out["sum_d2"].append(int(d2[valid].sum()))
+                out["max_d2"].append(int(d2[valid].max())
+                                     if valid.any() else 0)
+                out["n_nodata"].append(int((~valid).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_DIST_SCHEMA)

@@ -2187,6 +2187,37 @@ FROM (SELECT rl.image_id, rl.cid
       WHERE cl.n_pix >= 8) t
 """
 
+ORACLES["dist_to_vals"] = f"""
+{_PREFIX},
+dxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 37 = 0),
+dpxy AS MATERIALIZED (SELECT *, unnest(generate_series(0, h - 1)) AS y
+        FROM dxs),
+dtg AS (SELECT image_id, x AS tx, y AS ty FROM dpxy WHERE {_PXV} = 42),
+dmin AS (SELECT p.image_id, p.x, p.y,
+                min((p.x - t.tx) * (p.x - t.tx)
+                    + (p.y - t.ty) * (p.y - t.ty)) AS d2
+         FROM dpxy p JOIN dtg t ON t.image_id = p.image_id
+         GROUP BY p.image_id, p.x, p.y),
+dagg AS (SELECT image_id,
+                CAST(sum(CASE WHEN d2 <= 256 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_valid,
+                CAST(sum(CASE WHEN d2 <= 256 THEN d2 ELSE 0 END)
+                     AS BIGINT) AS sum_d2,
+                CAST(coalesce(max(CASE WHEN d2 <= 256 THEN d2 END), 0)
+                     AS BIGINT) AS max_d2
+         FROM dmin GROUP BY image_id),
+dimg AS (SELECT image_id, CAST(w AS BIGINT) * h AS n_pix
+         FROM img WHERE id % 37 = 0)
+SELECT i.image_id, i.n_pix,
+       coalesce(a.n_valid, 0) AS n_valid,
+       coalesce(a.sum_d2, 0) AS sum_d2,
+       coalesce(a.max_d2, 0) AS max_d2,
+       CAST(i.n_pix - coalesce(a.n_valid, 0) AS BIGINT) AS n_nodata
+FROM dimg i LEFT JOIN dagg a ON a.image_id = i.image_id
+"""
+
 ORACLES["pts_bboxes"] = f"""
 {_PREFIX}
 SELECT qid,

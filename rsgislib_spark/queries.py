@@ -632,6 +632,16 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "new_id")
 
 
+def q_dist_to_vals(spark, sf_dir) -> DataFrame:
+    """calc_dist_to_img_vals (imagecalc/__init__.py:136): distance to
+    the nearest target-valued pixel, max_dist/out_no_data semantics,
+    pixel units; per-image exact squared-distance aggregates."""
+    img = _px_images(spark, sf_dir, mod=37)
+    return im.dist_to_value_stats(img, target_val=42, max_dist=16) \
+        .select("image_id", "n_pix", "n_valid", "sum_d2", "max_d2",
+                "n_nodata")
+
+
 def q_pts_bboxes(spark, sf_dir) -> DataFrame:
     """create_bboxs_for_pts (createvectors.py:890): fixed-size boxes
     centred on the query-point layer."""
@@ -1928,6 +1938,7 @@ QUERIES = {
     "rat_collapse": q_rat_collapse,
     "imgs_equal": q_imgs_equal,
     "pts_bboxes": q_pts_bboxes,
+    "dist_to_vals": q_dist_to_vals,
     "poly_bbox_cols": q_poly_bbox_cols,
     "poly_centroids": q_poly_centroids,
     "chip_extract": q_chip_extract,
