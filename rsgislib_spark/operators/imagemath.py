@@ -35,8 +35,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import (BooleanType, LongType, StringType, StructField,
-                               StructType)
+from pyspark.sql.types import (BooleanType, DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 from ..functions import codec
 
@@ -1219,3 +1219,55 @@ def dist_to_value_stats(images: DataFrame, target_val: int = 42,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_DIST_SCHEMA)
+
+
+_OTSU_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("thres", LongType()),
+    StructField("n_below", LongType()),
+    StructField("n_above", LongType()),
+    StructField("score", DoubleType()),
+])
+
+
+def otsu_threshold_stats(images: DataFrame) -> DataFrame:
+    """Per-image Otsu threshold (tools/stats.py:641 calc_otsu_threshold,
+    the kernel of calc_split_win_thresholds, imagecalc/__init__.py:1556).
+
+    Maximizes the between-class variance w0*w1*(mu0-mu1)^2 over the
+    exact unit-bin histogram (the reference's n_bins heuristic at full
+    value resolution).  Candidate thresholds are the OBSERVED pixel
+    values; the score is evaluated as ((N/W0)*N)/W1 with the integer
+    between-class numerator N = S0*W1 - S1*W0 (|N| < 2^53, so the
+    double chain is the same correctly-rounded IEEE sequence in numpy
+    and SQL — bit-exact, ties resolved to the smallest threshold).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _OTSU_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64).ravel()
+                vals, cnts = np.unique(arr, return_counts=True)
+                if vals.size < 2:
+                    continue
+                w0 = np.cumsum(cnts)[:-1]
+                s0 = np.cumsum(vals * cnts)[:-1]
+                n = arr.size
+                s = int((vals * cnts).sum())
+                w1 = n - w0
+                nn = s0 * w1 - (s - s0) * w0
+                score = (nn.astype(np.float64) / w0) \
+                    * nn.astype(np.float64) / w1
+                i = int(np.argmax(score))          # first max = smallest t
+                out["image_id"].append(image_id)
+                out["thres"].append(int(vals[i]))
+                out["n_below"].append(int(w0[i]))
+                out["n_above"].append(int(w1[i]))
+                out["score"].append(float(score[i]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_OTSU_SCHEMA)

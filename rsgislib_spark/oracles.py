@@ -2187,6 +2187,35 @@ FROM (SELECT rl.image_id, rl.cid
       WHERE cl.n_pix >= 8) t
 """
 
+_OTSU_SCORE = ("((CAST(nn AS DOUBLE) / CAST(w0 AS DOUBLE)) "
+               "* CAST(nn AS DOUBLE)) / CAST(w1 AS DOUBLE)")
+ORACLES["otsu_threshold"] = f"""
+{_PREFIX},
+oxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+opxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM oxs),
+ohist AS (SELECT image_id, {_PXV} AS v, count(*) AS cnt
+          FROM opxy GROUP BY image_id, v),
+ocum AS (SELECT image_id, v,
+                sum(cnt) OVER (PARTITION BY image_id ORDER BY v) AS w0,
+                sum(cnt * v) OVER (PARTITION BY image_id ORDER BY v) AS s0,
+                sum(cnt) OVER (PARTITION BY image_id) AS n,
+                sum(cnt * v) OVER (PARTITION BY image_id) AS s
+         FROM ohist),
+ocand AS (SELECT image_id, v AS t,
+                 CAST(w0 AS BIGINT) AS w0, CAST(n - w0 AS BIGINT) AS w1,
+                 CAST(s0 * (n - w0) - (s - s0) * w0 AS BIGINT) AS nn
+          FROM ocum WHERE w0 < n),
+osc AS (SELECT image_id, t, w0, w1, {_OTSU_SCORE} AS score,
+               row_number() OVER (PARTITION BY image_id
+                                  ORDER BY {_OTSU_SCORE} DESC, t ASC) AS r
+        FROM ocand)
+SELECT image_id, CAST(t AS BIGINT) AS thres,
+       w0 AS n_below, w1 AS n_above, score
+FROM osc WHERE r = 1
+"""
+
 ORACLES["dist_to_vals"] = f"""
 {_PREFIX},
 dxs AS (SELECT image_id, id, w, h, fmt,

@@ -632,6 +632,15 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "new_id")
 
 
+def q_otsu_threshold(spark, sf_dir) -> DataFrame:
+    """calc_otsu_threshold / calc_split_win_thresholds (tools/stats.py
+    :641, imagecalc/__init__.py:1556): per-image Otsu over the exact
+    unit-bin histogram; score chain is fixed-order IEEE, bit-exact."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.otsu_threshold_stats(img) \
+        .select("image_id", "thres", "n_below", "n_above", "score")
+
+
 def q_dist_to_vals(spark, sf_dir) -> DataFrame:
     """calc_dist_to_img_vals (imagecalc/__init__.py:136): distance to
     the nearest target-valued pixel, max_dist/out_no_data semantics,
@@ -1939,6 +1948,7 @@ QUERIES = {
     "imgs_equal": q_imgs_equal,
     "pts_bboxes": q_pts_bboxes,
     "dist_to_vals": q_dist_to_vals,
+    "otsu_threshold": q_otsu_threshold,
     "poly_bbox_cols": q_poly_bbox_cols,
     "poly_centroids": q_poly_centroids,
     "chip_extract": q_chip_extract,
