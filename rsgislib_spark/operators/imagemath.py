@@ -1271,3 +1271,65 @@ def otsu_threshold_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_OTSU_SCHEMA)
+
+
+_STRETCH_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("lo", LongType()),
+    StructField("hi", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_out", LongType()),
+    StructField("min_out", LongType()),
+    StructField("max_out", LongType()),
+])
+
+
+def stretch_stats(images: DataFrame, mode: str = "minmax",
+                  percent: int = 2) -> DataFrame:
+    """stretch_img (python/src/imageutils.cpp:1927): scale pixel values
+    to 0..255.  Modes: STRETCH_LINEARMINMAX ([min,max] window) and
+    STRETCH_LINEARPERCENT ([p, 100-p] nearest-rank percentile window —
+    the reference's histogram percent cut at exact value resolution).
+
+    The mapping is pure integer math — out = ((clip(v,lo,hi) - lo)*255)
+    // (hi - lo), lo==hi guarded to 0 — so the per-image aggregates of
+    the stretched plane match the SQL oracle bit-for-bit.  The kernel
+    works on the value HISTOGRAM, not the plane: every aggregate is a
+    weighted sum over distinct values (<= pmax of them), so the pass
+    costs O(n) decode + O(distinct) math per image.
+    """
+    if mode not in ("minmax", "percent"):
+        raise ValueError(mode)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _STRETCH_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64).ravel()
+                vals, cnts = np.unique(arr, return_counts=True)
+                n = arr.size
+                if mode == "minmax":
+                    lo, hi = int(vals[0]), int(vals[-1])
+                else:
+                    cum = np.cumsum(cnts)
+                    r_lo = (n * percent + 99) // 100
+                    r_hi = (n * (100 - percent) + 99) // 100
+                    lo = int(vals[np.searchsorted(cum, r_lo)])
+                    hi = int(vals[np.searchsorted(cum, r_hi)])
+                if hi > lo:
+                    sv = (np.clip(vals, lo, hi) - lo) * 255 // (hi - lo)
+                else:
+                    sv = np.zeros_like(vals)
+                out["image_id"].append(image_id)
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+                out["n_pix"].append(int(n))
+                out["sum_out"].append(int((cnts * sv).sum()))
+                out["min_out"].append(int(sv.min()))
+                out["max_out"].append(int(sv.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_STRETCH_SCHEMA)

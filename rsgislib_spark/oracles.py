@@ -2187,6 +2187,50 @@ FROM (SELECT rl.image_id, rl.cid
       WHERE cl.n_pix >= 8) t
 """
 
+_STRETCH_HIST = f"""
+sxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 13 = 0),
+spxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM sxs),
+shist AS MATERIALIZED (SELECT image_id, {{pxv}} AS v, count(*) AS cnt
+         FROM spxy GROUP BY image_id, v)""".format(pxv="{pxv}")
+
+_STRETCH_TAIL = """
+sval AS (SELECT h.image_id, h.cnt, l.lo, l.hi,
+                CASE WHEN l.hi > l.lo
+                     THEN ((least(greatest(h.v, l.lo), l.hi) - l.lo) * 255)
+                          // (l.hi - l.lo)
+                     ELSE 0 END AS sv
+         FROM shist h JOIN slh l ON l.image_id = h.image_id)
+SELECT image_id, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+       CAST(sum(cnt) AS BIGINT) AS n_pix,
+       CAST(sum(cnt * sv) AS BIGINT) AS sum_out,
+       CAST(min(sv) AS BIGINT) AS min_out,
+       CAST(max(sv) AS BIGINT) AS max_out
+FROM sval GROUP BY image_id, lo, hi"""
+
+ORACLES["stretch_minmax"] = f"""
+{_PREFIX},
+{_STRETCH_HIST.format(pxv=_PXV)},
+slh AS (SELECT image_id, min(v) AS lo, max(v) AS hi
+        FROM shist GROUP BY image_id),
+{_STRETCH_TAIL}
+"""
+
+ORACLES["stretch_percent"] = f"""
+{_PREFIX},
+{_STRETCH_HIST.format(pxv=_PXV)},
+scum AS (SELECT image_id, v,
+                sum(cnt) OVER (PARTITION BY image_id ORDER BY v) AS w0,
+                sum(cnt) OVER (PARTITION BY image_id) AS n
+         FROM shist),
+slh AS (SELECT image_id,
+               min(CASE WHEN w0 >= (n * 2 + 99) // 100 THEN v END) AS lo,
+               min(CASE WHEN w0 >= (n * 98 + 99) // 100 THEN v END) AS hi
+        FROM scum GROUP BY image_id),
+{_STRETCH_TAIL}
+"""
+
 _OTSU_SCORE = ("((CAST(nn AS DOUBLE) / CAST(w0 AS DOUBLE)) "
                "* CAST(nn AS DOUBLE)) / CAST(w1 AS DOUBLE)")
 ORACLES["otsu_threshold"] = f"""

@@ -632,6 +632,24 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "new_id")
 
 
+def q_stretch_minmax(spark, sf_dir) -> DataFrame:
+    """stretch_img STRETCH_LINEARMINMAX (imageutils.cpp:1927): scale
+    [min,max] -> 0..255, integer floor mapping; per-image out stats."""
+    img = _px_images(spark, sf_dir, mod=13)
+    return im.stretch_stats(img, mode="minmax") \
+        .select("image_id", "lo", "hi", "n_pix", "sum_out", "min_out",
+                "max_out")
+
+
+def q_stretch_percent(spark, sf_dir) -> DataFrame:
+    """stretch_img STRETCH_LINEARPERCENT (imageutils.cpp:1927): scale
+    the [2%, 98%] nearest-rank window -> 0..255 with clipping."""
+    img = _px_images(spark, sf_dir, mod=13)
+    return im.stretch_stats(img, mode="percent", percent=2) \
+        .select("image_id", "lo", "hi", "n_pix", "sum_out", "min_out",
+                "max_out")
+
+
 def q_otsu_threshold(spark, sf_dir) -> DataFrame:
     """calc_otsu_threshold / calc_split_win_thresholds (tools/stats.py
     :641, imagecalc/__init__.py:1556): per-image Otsu over the exact
@@ -1949,6 +1967,8 @@ QUERIES = {
     "pts_bboxes": q_pts_bboxes,
     "dist_to_vals": q_dist_to_vals,
     "otsu_threshold": q_otsu_threshold,
+    "stretch_minmax": q_stretch_minmax,
+    "stretch_percent": q_stretch_percent,
     "poly_bbox_cols": q_poly_bbox_cols,
     "poly_centroids": q_poly_centroids,
     "chip_extract": q_chip_extract,
