@@ -23,6 +23,18 @@ from pixel data:
   (python/src/rastergis.cpp:1214): rows passing ``select_col`` keep
   their relative order but get dense new ids 1..k.
 
+The reference's clump image is a SEGMENTATION output (every pixel
+carries a segment id and 4-adjacent segments differ — e.g.
+``segmentation.shepherdseg`` then ``clump``): under plain binary-mask
+4-connected labeling two distinct components can never be 4-adjacent,
+so neighbour/merge operators would be vacuously empty.  This engine
+reproduces the segmentation shape deterministically: quantize the
+pixel value (``value // quant``) and label the 4-connected
+EQUAL-VALUE regions (``_label_regions``) — every pixel is labeled,
+region ids are dense in ascending first-pixel order, and adjacent
+regions differ by construction, exactly the lattice
+``RSGISFindClumpNeighbours`` walks.
+
 Spark-first shape: clumping is per-image (the image is the natural
 partition unit — see operators/rasterize.py), so the WHOLE enriched RAT
 is built in ONE ``mapInPandas`` pass: label once, then compute sizes,
@@ -46,7 +58,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions import codec
 
-__all__ = ["rat_table", "collapse_rat"]
+__all__ = ["rat_table", "collapse_rat", "merge_small_clumps"]
 
 _RAT_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -132,16 +144,52 @@ def _clump_neighbours(lab: np.ndarray, n: int):
     return n_neigh.astype(np.int64), mn, mx
 
 
-def rat_table(images: DataFrame, threshold: int = 700,
+def _label_regions(q: np.ndarray) -> np.ndarray:
+    """4-connected labels of EQUAL-VALUE regions (segmentation lattice).
+
+    Every pixel is labeled (no background); two 4-adjacent pixels share
+    a label iff they hold the same quantized value.  Deterministic dense
+    ids: regions are ranked by their minimum flat pixel index, the same
+    convergence point ``label_components``' min-propagation reaches —
+    so a SQL pointer-doubling oracle restricted to equal-value edges
+    reproduces the ids bit-for-bit.
+    """
+    from .rasterize import label_components
+
+    h, w = q.shape
+    out = np.zeros((h, w), dtype=np.int64)
+    roots, pieces = [], []
+    for v in np.unique(q):
+        lab = label_components(q == v)
+        n = int(lab.max())
+        ys, xs = np.nonzero(lab)
+        pid = ys.astype(np.int64) * w + xs
+        minpid = np.full(n + 1, np.int64(h) * w, dtype=np.int64)
+        np.minimum.at(minpid, lab[ys, xs], pid)
+        roots.append(minpid[1:])
+        pieces.append(lab)
+    allroots = np.concatenate(roots)
+    order = np.argsort(allroots)            # roots are distinct pixels
+    rank = np.empty(allroots.size, dtype=np.int64)
+    rank[order] = np.arange(1, allroots.size + 1)
+    off = 0
+    for lab, r in zip(pieces, roots):
+        m = lab > 0
+        out[m] = rank[off + lab[m] - 1]
+        off += r.size
+    return out
+
+
+def rat_table(images: DataFrame, quant: int = 128,
               pcts=(25, 50, 75)) -> DataFrame:
     """Build the enriched per-clump RAT in one Arrow pass.
 
     Output: one row per (image_id, clump_id) with n_pix, mode_val,
-    p25/p50/p75, n_neigh, min_neigh, max_neigh.  Clump ids are the
-    deterministic dense labels of ``rasterize.label_components``
-    (ascending first-pixel order), identical to ``polygonize_bboxes``.
+    p25/p50/p75, n_neigh, min_neigh, max_neigh over the
+    ``value // quant`` segmentation (module docstring).  Clump ids are
+    deterministic dense labels in ascending first-pixel order,
+    identical in spirit to ``polygonize_bboxes``.
     """
-    from .rasterize import label_components
 
     def gen(it):
         for pdf in it:
@@ -150,7 +198,7 @@ def rat_table(images: DataFrame, threshold: int = 700,
                                                 pdf["w"], pdf["h"], pdf["fmt"]):
                 arr = codec.decode_image(bytes(buf), int(w), int(h),
                                          str(fmt)).astype(np.int64)
-                lab = label_components(arr >= threshold)
+                lab = _label_regions(arr // quant)
                 n = int(lab.max())
                 if n == 0:
                     continue
@@ -187,3 +235,73 @@ def collapse_rat(rat: DataFrame, min_pix: int = 8) -> DataFrame:
     w = Window.partitionBy("image_id").orderBy("clump_id")
     return (rat.where(F.col("n_pix") >= F.lit(min_pix))
             .withColumn("new_id", F.row_number().over(w).cast("long")))
+
+
+_MERGE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("new_label", LongType()),
+])
+
+
+def merge_small_clumps(images: DataFrame, quant: int = 128,
+                       min_pix: int = 8) -> DataFrame:
+    """One parallel elimination round of rm_small_clumps_stepwise
+    (python/src/segmentation.cpp:151; RSGISEliminateSmallClumps.h:64):
+    every segment below ``min_pix`` merges into a neighbour; segments
+    with no neighbour (or large ones) keep their label.  Operates on
+    the ``value // quant`` segmentation (module docstring) — the same
+    clump-image shape the reference's eliminate step consumes.
+
+    Deterministic arbitration: the LARGEST 4-neighbourhood neighbour,
+    ties to the smallest id (the reference merges into the spectrally
+    closest neighbour; size-maximal is this engine's deterministic
+    proxy — payloads here are synthetic planes, not spectra).  All
+    merges evaluate simultaneously against ORIGINAL sizes — the BSP
+    unit step; iterating rounds reproduces the stepwise algorithm.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _MERGE_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                npix = np.bincount(lab[lab > 0], minlength=n + 1)
+                # adjacency pairs (both directions, deduped)
+                pa, pb = [], []
+                a, b = lab[:, :-1], lab[:, 1:]
+                sel = (a > 0) & (b > 0) & (a != b)
+                pa.append(a[sel]); pb.append(b[sel])
+                a, b = lab[:-1, :], lab[1:, :]
+                sel = (a > 0) & (b > 0) & (a != b)
+                pa.append(a[sel]); pb.append(b[sel])
+                new = np.arange(n + 1, dtype=np.int64)
+                if any(x.size for x in pa):
+                    fa = np.concatenate(pa + pb).astype(np.int64)
+                    fb = np.concatenate(pb + pa).astype(np.int64)
+                    code = np.unique(fa * (n + 1) + fb)
+                    ca, cb = code // (n + 1), code % (n + 1)
+                    # per ca: neighbour with (max size, then min id) —
+                    # sort by (ca, -size_b, cb), keep first
+                    order = np.lexsort((cb, -npix[cb], ca))
+                    first = np.ones(order.shape, dtype=bool)
+                    first[1:] = ca[order][1:] != ca[order][:-1]
+                    tgt_a = ca[order][first]
+                    tgt_b = cb[order][first]
+                    small = npix[tgt_a] < min_pix
+                    new[tgt_a[small]] = tgt_b[small]
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(v) for v in npix[1:])
+                out["new_label"].extend(int(v) for v in new[1:])
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_MERGE_SCHEMA)

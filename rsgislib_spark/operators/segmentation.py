@@ -1,0 +1,156 @@
+"""Shepherd segmentation (k-means + clump) — the reference's flagship
+segmentation pipeline.
+
+``run_shepherd_segmentation``
+(python/rsgislib/segmentation/shepherdseg.py:68; Shepherd, Bunting &
+Dymond 2019, Remote Sensing 11(6):658) chains: stretch -> KMeans
+clustering of the band values -> per-pixel cluster assignment ->
+``clump`` (4-connected components of the class plane) -> iterative
+elimination of small clumps -> relabel.  This module implements the
+clustering and clump stages; the elimination unit step is
+``rastergis.merge_small_clumps`` and the dense relabel is
+``rastergis.collapse_rat``.
+
+Determinism contract (the exact-hash oracle gate): k-means runs in
+INTEGER arithmetic — centres initialise evenly over [vmin, vmax]
+(``c_j = vmin + ((vmax - vmin) * (2j + 1)) // (2k)``), assignment is
+argmin |v - c| with ties to the smallest class index, and the update is
+``floor(sum(v) / count)`` per class (empty classes keep their centre).
+Every operation is exactly reproducible in SQL (integer ``//``), so the
+unrolled-rounds DuckDB oracle matches bit-for-bit — the same trick
+family as the pointer-doubling clump oracle.  ``k`` is parameterized
+(the reference defaults to 60 clusters; the registered query uses
+k=4 so the SQL argmin stays a readable 4-way CASE — the engine kernel
+is k-agnostic).
+
+Spark-first shape: one ``mapInPandas`` pass per image (images are the
+natural partition unit); k-means iterates on the 1024-bin value
+histogram, not the pixel plane, so the per-image cost is O(pixels) for
+histogram + assignment and O(k * bins) per iteration.  At 100 TB the
+stage is embarrassingly parallel and shuffle-free; only the per-class /
+per-segment summary rows (~10^3-10^6x smaller than pixels) ever reach
+an Exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..functions import codec
+from .rastergis import _label_regions
+
+__all__ = ["kmeans_values", "kmeans_centres", "shepherd_segments"]
+
+
+def kmeans_values(vals: np.ndarray, k: int = 4, iters: int = 6):
+    """Deterministic integer 1-D k-means over a value array.
+
+    Returns (centres[k], cls) where cls assigns each input value to its
+    nearest FINAL centre (ties -> smallest class index).  Iterates on
+    the value histogram — identical results to pixel-space iteration
+    because the objective only depends on value multiplicities.
+    """
+    vals = vals.astype(np.int64).ravel()
+    uniq, counts = np.unique(vals, return_counts=True)
+    vmin, vmax = int(uniq[0]), int(uniq[-1])
+    c = vmin + ((vmax - vmin) * (2 * np.arange(k, dtype=np.int64) + 1)) \
+        // (2 * k)
+    for _ in range(iters):
+        # argmin over |uniq - c_j|; np.argmin takes the first (smallest
+        # index) minimum — the documented tie rule
+        cls_u = np.argmin(np.abs(uniq[:, None] - c[None, :]), axis=1)
+        sums = np.zeros(k, dtype=np.int64)
+        np.add.at(sums, cls_u, uniq * counts)
+        npts = np.zeros(k, dtype=np.int64)
+        np.add.at(npts, cls_u, counts)
+        nz = npts > 0
+        c[nz] = sums[nz] // npts[nz]
+    cls_u = np.argmin(np.abs(uniq[:, None] - c[None, :]), axis=1)
+    lut = np.zeros(vmax + 1, dtype=np.int64)
+    lut[uniq] = cls_u
+    return c, lut[vals]
+
+
+_KM_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cls", LongType()),
+    StructField("centre", LongType()),
+    StructField("n_pix", LongType()),
+])
+
+
+def kmeans_centres(images: DataFrame, k: int = 4,
+                   iters: int = 6) -> DataFrame:
+    """Per-image k-means centres + class populations (the KMeans stage
+    of shepherdseg; reference imagecalc.kmeans_clustering,
+    python/src/imagecalc.cpp k-means method).  One row per
+    (image, class); empty classes report their (unmoved) centre with
+    n_pix = 0.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _KM_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                c, cls = kmeans_values(arr, k=k, iters=iters)
+                npix = np.bincount(cls, minlength=k)
+                out["image_id"].extend([image_id] * k)
+                out["cls"].extend(range(k))
+                out["centre"].extend(int(v) for v in c)
+                out["n_pix"].extend(int(v) for v in npix)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_KM_SCHEMA)
+
+
+_SEG_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("seg_id", LongType()),
+    StructField("cls", LongType()),
+    StructField("n_pix", LongType()),
+])
+
+
+def shepherd_segments(images: DataFrame, k: int = 4,
+                      iters: int = 6) -> DataFrame:
+    """KMeans-assign + clump: the segmentation lattice shepherdseg
+    hands to the elimination stage (shepherdseg.py:68 pipeline order:
+    kmeans -> clump -> rm_small_clumps -> relabel).  One row per
+    4-connected equal-class region, ids dense in ascending first-pixel
+    order (identical convention to ``rastergis.rat_table``).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SEG_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                _c, cls = kmeans_values(arr, k=k, iters=iters)
+                plane = cls.reshape(arr.shape)
+                lab = _label_regions(plane)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                flat_lab, flat_q = lab.ravel(), plane.ravel()
+                npix = np.bincount(flat_lab, minlength=n + 1)[1:]
+                first = np.full(n + 1, flat_lab.size, dtype=np.int64)
+                np.minimum.at(first, flat_lab,
+                              np.arange(flat_lab.size, dtype=np.int64))
+                seg_cls = flat_q[first[1:]]
+                out["image_id"].extend([image_id] * n)
+                out["seg_id"].extend(range(1, n + 1))
+                out["cls"].extend(int(v) for v in seg_cls)
+                out["n_pix"].extend(int(v) for v in npix)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SEG_SCHEMA)

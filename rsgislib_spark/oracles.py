@@ -2073,6 +2073,103 @@ cl AS (SELECT image_id, root, count(*) AS n_pix,
     return "".join(parts)
 
 
+def _cc_segments_cte(mod: int = 19, quant: int = 128,
+                     rounds: int = 13, px_sql: str | None = None) -> str:
+    """Segmentation-lattice components: equal ``value // quant`` regions
+    (every pixel labeled, adjacent regions differ — the clump-image
+    shape rastergis consumes; engine twin ``rastergis._label_regions``).
+
+    Cost shape: pixel-level doubling over ~700k pixels needs ~30 s; this
+    decomposes each row into maximal equal-value RUNS (gaps-and-islands)
+    and pointer-doubles over the ~18x smaller run graph, then unnests
+    runs back to pixels once at the end.  ``root`` = min flat pixel
+    index of the component (every run id is its own min pid, and the
+    component min over run ids equals the min over pixels), identical
+    to the engine's convergence point.  Ends with ``comp``/``cl``
+    matching ``_cc_clumps_cte`` plus ``runs``/``rlab`` for the
+    run-level adjacency of ``_SEG_ADJ``.
+    """
+    parts = [f"""
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % {mod} = 0),
+pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
+px AS (SELECT image_id, w, x, y, ({_PXV}) // {quant} AS q FROM pxy),
+runs AS MATERIALIZED (
+  SELECT image_id, w, y, q,
+         CAST(min(x) AS BIGINT) AS x0, CAST(max(x) AS BIGINT) AS x1,
+         count(*) AS len, CAST(y AS BIGINT) * w + min(x) AS rid
+  FROM (SELECT *, x - row_number() OVER (PARTITION BY image_id, y, q
+                                         ORDER BY x) AS grp
+        FROM px)
+  GROUP BY image_id, w, y, q, grp),
+e0 AS MATERIALIZED (SELECT a.image_id, a.rid AS pa, b.rid AS pb
+       FROM runs a JOIN runs b
+         ON b.image_id = a.image_id AND b.y = a.y + 1 AND b.q = a.q
+        AND b.x0 <= a.x1 AND b.x1 >= a.x0),
+e AS MATERIALIZED (SELECT image_id, pa, pb FROM e0
+      UNION ALL SELECT image_id, pb, pa FROM e0),
+l0 AS (SELECT image_id, rid AS pid, rid AS lab FROM runs)"""]
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+m{k} AS MATERIALIZED (SELECT l.image_id, l.pid,
+                least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+         FROM {prev} l
+         LEFT JOIN e ON e.image_id = l.image_id AND e.pa = l.pid
+         LEFT JOIN {prev} nl
+           ON nl.image_id = l.image_id AND nl.pid = e.pb
+         GROUP BY l.image_id, l.pid),
+l{k} AS MATERIALIZED (SELECT m.image_id, m.pid, t.lab
+         FROM m{k} m JOIN m{k} t
+           ON t.image_id = m.image_id AND t.pid = m.lab)""")
+        prev = f"l{k}"
+    parts.append(f""",
+rlab AS (SELECT image_id, pid AS rid, lab AS root FROM {prev}),
+comp AS (SELECT r.image_id, unnest(generate_series(r.x0, r.x1)) AS x,
+                r.y, s.root
+         FROM runs r JOIN rlab s
+           ON s.image_id = r.image_id AND s.rid = r.rid),
+cl AS (SELECT r.image_id, s.root, CAST(sum(r.len) AS BIGINT) AS n_pix,
+              CAST(min(r.x0) AS BIGINT) AS bxmin,
+              CAST(max(r.x1) + 1 AS BIGINT) AS bxmax,
+              CAST(min(r.y) AS BIGINT) AS bymin,
+              CAST(max(r.y) + 1 AS BIGINT) AS bymax
+       FROM runs r JOIN rlab s
+         ON s.image_id = r.image_id AND s.rid = r.rid
+       GROUP BY r.image_id, s.root)""")
+    return "".join(parts)
+
+
+# component adjacency in dense-id space over the RUN graph (segment
+# CTEs only): horizontal = abutting runs in a row (maximality makes
+# them different components), vertical = overlapping runs in
+# consecutive rows with different roots.  Needs runs/rlab/rl.
+_SEG_ADJ = """
+radj AS (SELECT a.image_id, la.root AS ra, lb.root AS rb
+         FROM runs a
+         JOIN runs b ON b.image_id = a.image_id AND b.y = a.y
+                    AND b.x0 = a.x1 + 1
+         JOIN rlab la ON la.image_id = a.image_id AND la.rid = a.rid
+         JOIN rlab lb ON lb.image_id = b.image_id AND lb.rid = b.rid
+         WHERE la.root <> lb.root
+         UNION ALL
+         SELECT a.image_id, la.root, lb.root
+         FROM runs a
+         JOIN runs b ON b.image_id = a.image_id AND b.y = a.y + 1
+                    AND b.x0 <= a.x1 AND b.x1 >= a.x0
+         JOIN rlab la ON la.image_id = a.image_id AND la.rid = a.rid
+         JOIN rlab lb ON lb.image_id = b.image_id AND lb.rid = b.rid
+         WHERE la.root <> lb.root),
+adj AS (SELECT DISTINCT image_id, ra, rb FROM
+          (SELECT image_id, ra, rb FROM radj
+           UNION ALL SELECT image_id, rb AS ra, ra AS rb FROM radj)),
+adjc AS (SELECT a.image_id, la.cid AS ca, lb.cid AS cb
+         FROM adj a
+         JOIN rl la ON la.image_id = a.image_id AND la.root = a.ra
+         JOIN rl lb ON lb.image_id = a.image_id AND lb.root = a.rb)"""
+
+
 ORACLES["polygonize"] = f"""
 {_PREFIX},
 {_cc_clumps_cte()}
@@ -2111,24 +2208,9 @@ vals AS (SELECT c.image_id, rl.cid,
 
 ORACLES["rat_neighbours"] = f"""
 {_PREFIX},
-{_cc_clumps_cte()},
+{_cc_segments_cte()},
 {_RL},
-adj0 AS (SELECT a.image_id, a.root AS ra, b.root AS rb
-         FROM comp a JOIN comp b
-           ON b.image_id = a.image_id AND b.x = a.x + 1 AND b.y = a.y
-         WHERE a.root <> b.root
-         UNION ALL
-         SELECT a.image_id, a.root, b.root
-         FROM comp a JOIN comp b
-           ON b.image_id = a.image_id AND b.x = a.x AND b.y = a.y + 1
-         WHERE a.root <> b.root),
-adj AS (SELECT DISTINCT image_id, ra, rb FROM
-          (SELECT image_id, ra, rb FROM adj0
-           UNION ALL SELECT image_id, rb AS ra, ra AS rb FROM adj0)),
-adjc AS (SELECT a.image_id, la.cid AS ca, lb.cid AS cb
-         FROM adj a
-         JOIN rl la ON la.image_id = a.image_id AND la.root = a.ra
-         JOIN rl lb ON lb.image_id = a.image_id AND lb.root = a.rb),
+{_SEG_ADJ},
 agg AS (SELECT image_id, ca, count(*) AS n_neigh,
                min(cb) AS mn, max(cb) AS mx
         FROM adjc GROUP BY image_id, ca)
@@ -2142,7 +2224,7 @@ FROM rl LEFT JOIN agg
 
 ORACLES["rat_mode"] = f"""
 {_PREFIX},
-{_cc_clumps_cte()},
+{_cc_segments_cte()},
 {_RL},
 {_RAT_VALS},
 cnt AS (SELECT image_id, cid, v, count(*) AS n
@@ -2157,7 +2239,7 @@ FROM rk WHERE r = 1
 
 ORACLES["rat_percentiles"] = f"""
 {_PREFIX},
-{_cc_clumps_cte()},
+{_cc_segments_cte()},
 {_RL},
 {_RAT_VALS},
 o AS (SELECT image_id, cid, v,
@@ -2175,9 +2257,28 @@ SELECT image_id, cid AS clump_id,
 FROM o GROUP BY image_id, cid
 """
 
+ORACLES["clump_merge"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_SEG_ADJ},
+msz AS (SELECT rl.image_id, rl.cid, cl.n_pix
+        FROM rl JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root),
+mtgt AS (SELECT c.image_id, c.ca, c.cb,
+                row_number() OVER (PARTITION BY c.image_id, c.ca
+                                   ORDER BY sb.n_pix DESC, c.cb ASC) AS r
+         FROM adjc c
+         JOIN msz sb ON sb.image_id = c.image_id AND sb.cid = c.cb)
+SELECT s.image_id, s.cid AS clump_id, CAST(s.n_pix AS BIGINT) AS n_pix,
+       CAST(CASE WHEN s.n_pix < 8 AND t.cb IS NOT NULL THEN t.cb
+                 ELSE s.cid END AS BIGINT) AS new_label
+FROM msz s LEFT JOIN mtgt t
+  ON t.image_id = s.image_id AND t.ca = s.cid AND t.r = 1
+"""
+
 ORACLES["rat_collapse"] = f"""
 {_PREFIX},
-{_cc_clumps_cte()},
+{_cc_segments_cte()},
 {_RL}
 SELECT image_id, cid AS clump_id,
        CAST(row_number() OVER (PARTITION BY image_id ORDER BY cid)

@@ -28,7 +28,8 @@ from .operators.geomtransforms import (delete_holes, explode_multi,
 from .operators.overlay import (overlay_difference_rect,
                                 overlay_intersection_rect, rect_erase,
                                 rect_sym_difference, rect_union)
-from .operators.rastergis import collapse_rat, rat_table
+from .operators.rastergis import (collapse_rat, merge_small_clumps,
+                                  rat_table)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import (imgs_equal_stats, pixel_histogram,
@@ -596,10 +597,11 @@ def q_polygonize(spark, sf_dir) -> DataFrame:
 
 
 def _rat(spark, sf_dir):
-    """Enriched RAT rows over the clump subset (same images/threshold as
-    clump_stats, so the pointer-doubling oracle CTE is shared)."""
+    """Enriched RAT rows over the value//128 segmentation (every pixel
+    labeled, adjacent segments differ — operators/rastergis docstring);
+    same image subset as clump_stats so scans stay aligned."""
     img = _px_images(spark, sf_dir, mod=19)
-    return rat_table(img, threshold=700)
+    return rat_table(img, quant=128)
 
 
 def q_rat_neighbours(spark, sf_dir) -> DataFrame:
@@ -630,6 +632,16 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
     consecutive re-key of the selected (n_pix >= 8) RAT rows."""
     return collapse_rat(_rat(spark, sf_dir), min_pix=8) \
         .select("image_id", "clump_id", "new_id")
+
+
+def q_clump_merge(spark, sf_dir) -> DataFrame:
+    """rm_small_clumps_stepwise unit step (segmentation.cpp:151): merge
+    each segment below min_pix into its largest 4-neighbour (ties ->
+    smallest id), simultaneous BSP round against original sizes, over
+    the value//128 segmentation."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return merge_small_clumps(img, quant=128, min_pix=8) \
+        .select("image_id", "clump_id", "n_pix", "new_label")
 
 
 def q_stretch_minmax(spark, sf_dir) -> DataFrame:
@@ -1967,6 +1979,7 @@ QUERIES = {
     "pts_bboxes": q_pts_bboxes,
     "dist_to_vals": q_dist_to_vals,
     "otsu_threshold": q_otsu_threshold,
+    "clump_merge": q_clump_merge,
     "stretch_minmax": q_stretch_minmax,
     "stretch_percent": q_stretch_percent,
     "poly_bbox_cols": q_poly_bbox_cols,

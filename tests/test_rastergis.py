@@ -20,7 +20,7 @@ def _clump_images(spark, sf_dir):
 
 
 def _sample_rat(spark, sf_dir):
-    return rat_table(_clump_images(spark, sf_dir), threshold=700).toPandas()
+    return rat_table(_clump_images(spark, sf_dir), quant=128).toPandas()
 
 
 def test_neighbour_symmetry_numpy():
@@ -81,17 +81,46 @@ def test_rat_table_spark(spark, sf_dir):
     # percentile ordering
     assert (rat["p25"] <= rat["p50"]).all()
     assert (rat["p50"] <= rat["p75"]).all()
-    # every pixel in a clump is >= threshold, so all stats are too
-    assert (rat["p25"] >= 700).all()
-    assert (rat["mode_val"] >= 700).all()
+    # segment values live inside their quantization band
+    assert (rat["p75"] // 128 == rat["p25"] // 128).all()
+    assert (rat["mode_val"] // 128 == rat["p50"] // 128).all()
+    # segmentation labels every pixel: neighbours are non-vacuous
+    assert rat["n_neigh"].sum() > 0
 
 
 def test_collapse_rat_dense(spark, sf_dir):
     img = _clump_images(spark, sf_dir)
-    out = collapse_rat(rat_table(img, threshold=700), min_pix=8).toPandas()
+    out = collapse_rat(rat_table(img, quant=128), min_pix=8).toPandas()
     assert (out["n_pix"] >= 8).all()
     for _, g in out.groupby("image_id"):
         g = g.sort_values("clump_id")
         assert list(g["new_id"]) == list(range(1, len(g) + 1))
         # original relative order preserved
         assert g["clump_id"].is_monotonic_increasing
+
+
+def test_merge_small_clumps(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import merge_small_clumps
+
+    img = _clump_images(spark, sf_dir)
+    out = merge_small_clumps(img, quant=128, min_pix=8).toPandas()
+    rat = _sample_rat(spark, sf_dir).set_index(["image_id", "clump_id"])
+    assert len(out) > 0
+    moved = out[out["new_label"] != out["clump_id"]]
+    kept = out[out["new_label"] == out["clump_id"]]
+    assert len(moved) > 0
+    # only small clumps move, and only into genuinely larger-or-equal
+    # 4-neighbourhood targets that exist
+    sizes = out.set_index(["image_id", "clump_id"])["n_pix"]
+    for _, r in moved.iterrows():
+        assert r["n_pix"] < 8
+        key = (r["image_id"], r["clump_id"])
+        tgt = (r["image_id"], r["new_label"])
+        assert tgt in sizes.index
+        # the target is among the clump's neighbours
+        nb = rat.loc[key]
+        assert nb["min_neigh"] <= r["new_label"] <= nb["max_neigh"]
+    # large clumps never move; small isolated clumps keep their label
+    for _, r in kept.iterrows():
+        key = (r["image_id"], r["clump_id"])
+        assert r["n_pix"] >= 8 or rat.loc[key]["n_neigh"] == 0
