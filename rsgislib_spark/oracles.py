@@ -2088,13 +2088,24 @@ def _cc_segments_cte(mod: int = 19, quant: int = 128,
     to the engine's convergence point.  Ends with ``comp``/``cl``
     matching ``_cc_clumps_cte`` plus ``runs``/``rlab`` for the
     run-level adjacency of ``_SEG_ADJ``.
+
+    ``px_sql`` overrides the whole pixel-class scan: a SELECT yielding
+    (image_id, w, x, y, q) — e.g. the k-means class assignment of the
+    shepherd-segmentation oracle.  The caller must have defined any
+    CTEs it references; the default scan (xs/pxy over the ``mod``
+    image subset, q = value // quant) is skipped.
     """
-    parts = [f"""
+    if px_sql is None:
+        px_sql = f"""
 xs AS (SELECT image_id, id, w, h, fmt,
               unnest(generate_series(0, w - 1)) AS x
        FROM img WHERE id % {mod} = 0),
 pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
-px AS (SELECT image_id, w, x, y, ({_PXV}) // {quant} AS q FROM pxy),
+px AS (SELECT image_id, w, x, y, ({_PXV}) // {quant} AS q FROM pxy)"""
+    else:
+        px_sql = f"""
+px AS ({px_sql})"""
+    parts = [f"""{px_sql},
 runs AS MATERIALIZED (
   SELECT image_id, w, y, q,
          CAST(min(x) AS BIGINT) AS x0, CAST(max(x) AS BIGINT) AS x1,
@@ -2131,6 +2142,7 @@ comp AS (SELECT r.image_id, unnest(generate_series(r.x0, r.x1)) AS x,
          FROM runs r JOIN rlab s
            ON s.image_id = r.image_id AND s.rid = r.rid),
 cl AS (SELECT r.image_id, s.root, CAST(sum(r.len) AS BIGINT) AS n_pix,
+              CAST(min(r.q) AS BIGINT) AS cls,
               CAST(min(r.x0) AS BIGINT) AS bxmin,
               CAST(max(r.x1) + 1 AS BIGINT) AS bxmax,
               CAST(min(r.y) AS BIGINT) AS bymin,
@@ -2205,6 +2217,102 @@ vals AS (SELECT c.image_id, rl.cid,
          FROM comp c
          JOIN img i ON i.image_id = c.image_id
          JOIN rl ON rl.image_id = c.image_id AND rl.root = c.root)"""
+
+def _kmeans_ctes(mod: int = 19, iters: int = 6) -> str:
+    """Unrolled deterministic integer 1-D k-means (k = 4) over the
+    per-image value histogram — the KMeans stage of shepherdseg
+    (engine twin ``operators.segmentation.kmeans_values``).
+
+    Init: centres evenly over [vmin, vmax] (``vmin + (range*(2j+1))//8``).
+    Assign: argmin |v - c_j|, ties to the smallest j (the CASE ladder's
+    <= comparisons).  Update: ``sum(v*n) // sum(n)`` per class; empty
+    classes keep their centre (coalesce).  All-integer ops, bit-equal
+    across engines.  Ends with ``kc`` (image_id, k0..k3) and ``khist``.
+    """
+    argmin = ("CASE WHEN abs(v - c.k0) <= abs(v - c.k1)"
+              " AND abs(v - c.k0) <= abs(v - c.k2)"
+              " AND abs(v - c.k0) <= abs(v - c.k3) THEN 0"
+              " WHEN abs(v - c.k1) <= abs(v - c.k2)"
+              " AND abs(v - c.k1) <= abs(v - c.k3) THEN 1"
+              " WHEN abs(v - c.k2) <= abs(v - c.k3) THEN 2 ELSE 3 END")
+    parts = [f"""
+kxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % {mod} = 0),
+kpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM kxs),
+khist AS MATERIALIZED (SELECT image_id, {_PXV} AS v, count(*) AS n
+        FROM kpxy GROUP BY image_id, v),
+kext AS (SELECT image_id, min(v) AS vmin, max(v) AS vmax
+         FROM khist GROUP BY image_id),
+kc0 AS (SELECT image_id,
+               vmin + ((vmax - vmin) * 1) // 8 AS k0,
+               vmin + ((vmax - vmin) * 3) // 8 AS k1,
+               vmin + ((vmax - vmin) * 5) // 8 AS k2,
+               vmin + ((vmax - vmin) * 7) // 8 AS k3
+        FROM kext)"""]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+ka{r} AS (SELECT h.image_id, h.v, h.n, {argmin} AS cls
+         FROM khist h JOIN kc{r - 1} c ON c.image_id = h.image_id),
+kc{r} AS (SELECT a.image_id,
+               coalesce(CAST(sum(CASE WHEN cls = 0 THEN v * n END)
+                             // sum(CASE WHEN cls = 0 THEN n END)
+                        AS BIGINT), max(c.k0)) AS k0,
+               coalesce(CAST(sum(CASE WHEN cls = 1 THEN v * n END)
+                             // sum(CASE WHEN cls = 1 THEN n END)
+                        AS BIGINT), max(c.k1)) AS k1,
+               coalesce(CAST(sum(CASE WHEN cls = 2 THEN v * n END)
+                             // sum(CASE WHEN cls = 2 THEN n END)
+                        AS BIGINT), max(c.k2)) AS k2,
+               coalesce(CAST(sum(CASE WHEN cls = 3 THEN v * n END)
+                             // sum(CASE WHEN cls = 3 THEN n END)
+                        AS BIGINT), max(c.k3)) AS k3
+         FROM ka{r} a JOIN kc{r - 1} c ON c.image_id = a.image_id
+         GROUP BY a.image_id)""")
+    parts.append(f""",
+kc AS (SELECT * FROM kc{iters})""")
+    return "".join(parts)
+
+
+# final-centre argmin assignment (khist/kpxy row with alias c = kc)
+_KM_ARGMIN = ("CASE WHEN abs({v} - c.k0) <= abs({v} - c.k1)"
+              " AND abs({v} - c.k0) <= abs({v} - c.k2)"
+              " AND abs({v} - c.k0) <= abs({v} - c.k3) THEN 0"
+              " WHEN abs({v} - c.k1) <= abs({v} - c.k2)"
+              " AND abs({v} - c.k1) <= abs({v} - c.k3) THEN 1"
+              " WHEN abs({v} - c.k2) <= abs({v} - c.k3) THEN 2 ELSE 3 END")
+
+ORACLES["kmeans_centres"] = f"""
+{_PREFIX},
+{_kmeans_ctes()},
+kcls AS (SELECT h.image_id, h.n, {_KM_ARGMIN.format(v='h.v')} AS cls
+         FROM khist h JOIN kc c ON c.image_id = h.image_id),
+kcnt AS (SELECT image_id, cls, CAST(sum(n) AS BIGINT) AS n_pix
+         FROM kcls GROUP BY image_id, cls),
+kcent AS (SELECT image_id, unnest([0, 1, 2, 3]) AS cls,
+                 unnest([k0, k1, k2, k3]) AS centre
+          FROM kc)
+SELECT e.image_id, CAST(e.cls AS BIGINT) AS cls,
+       CAST(e.centre AS BIGINT) AS centre,
+       CAST(coalesce(n.n_pix, 0) AS BIGINT) AS n_pix
+FROM kcent e LEFT JOIN kcnt n
+  ON n.image_id = e.image_id AND n.cls = e.cls
+"""
+
+_SHEP_PX = ("SELECT p.image_id, p.w, p.x, p.y, "
+            + _KM_ARGMIN.format(v=f"({synth.pixel_value_sql('p.id', 'p.x', 'p.y', 'p.fmt')})")
+            + " AS q FROM kpxy p JOIN kc c ON c.image_id = p.image_id")
+
+ORACLES["shepherd_seg"] = f"""
+{_PREFIX},
+{_kmeans_ctes()},
+{_cc_segments_cte(px_sql=_SHEP_PX)},
+{_RL}
+SELECT rl.image_id, rl.cid AS seg_id, cl.cls,
+       CAST(cl.n_pix AS BIGINT) AS n_pix
+FROM rl JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
+"""
+
 
 ORACLES["rat_neighbours"] = f"""
 {_PREFIX},

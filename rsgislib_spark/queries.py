@@ -30,6 +30,7 @@ from .operators.overlay import (overlay_difference_rect,
                                 rect_sym_difference, rect_union)
 from .operators.rastergis import (collapse_rat, merge_small_clumps,
                                   rat_table)
+from .operators.segmentation import kmeans_centres, shepherd_segments
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import (imgs_equal_stats, pixel_histogram,
@@ -642,6 +643,28 @@ def q_clump_merge(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19)
     return merge_small_clumps(img, quant=128, min_pix=8) \
         .select("image_id", "clump_id", "n_pix", "new_label")
+
+
+def q_kmeans_centres(spark, sf_dir) -> DataFrame:
+    """shepherdseg KMeans stage (segmentation/shepherdseg.py:68;
+    imagecalc kmeans_clustering): deterministic integer 1-D k-means
+    (k=4, 6 unrolled rounds, even [vmin,vmax] init, argmin ties ->
+    smallest class, floor-mean update) -> per-image centres + class
+    populations."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return kmeans_centres(img, k=4, iters=6) \
+        .select("image_id", "cls", "centre", "n_pix")
+
+
+def q_shepherd_seg(spark, sf_dir) -> DataFrame:
+    """shepherdseg kmeans->clump stage (Shepherd et al. 2019, RS
+    11(6):658): 4-connected equal-class regions of the k-means
+    assignment plane, dense ids in first-pixel order; one row per
+    segment with class + size.  Elimination unit step = clump_merge;
+    dense relabel = rat_collapse."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return shepherd_segments(img, k=4, iters=6) \
+        .select("image_id", "seg_id", "cls", "n_pix")
 
 
 def q_stretch_minmax(spark, sf_dir) -> DataFrame:
@@ -1980,6 +2003,8 @@ QUERIES = {
     "dist_to_vals": q_dist_to_vals,
     "otsu_threshold": q_otsu_threshold,
     "clump_merge": q_clump_merge,
+    "kmeans_centres": q_kmeans_centres,
+    "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,
     "stretch_percent": q_stretch_percent,
     "poly_bbox_cols": q_poly_bbox_cols,
