@@ -42,7 +42,8 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from ..functions import codec
 from .rastergis import _label_regions
 
-__all__ = ["kmeans_values", "kmeans_centres", "shepherd_segments"]
+__all__ = ["kmeans_values", "kmeans_centres", "shepherd_segments",
+           "eliminate_small_segments"]
 
 
 def kmeans_values(vals: np.ndarray, k: int = 4, iters: int = 6):
@@ -154,3 +155,94 @@ def shepherd_segments(images: DataFrame, k: int = 4,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_SEG_SCHEMA)
+
+
+_ELIM_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("seg_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("new_label", LongType()),
+    StructField("new_size", LongType()),
+])
+
+
+def eliminate_small_segments(images: DataFrame, quant: int = 128,
+                             min_pix: int = 8,
+                             rounds: int = 3) -> DataFrame:
+    """Iterated elimination of small segments — the
+    rm_small_clumps_stepwise loop (shepherdseg.py pipeline;
+    src/segmentation/RSGISEliminateSmallClumps.cpp), as ``rounds`` BSP
+    rounds over the ``value // quant`` lattice with sizes RECOMPUTED
+    between rounds (unlike ``rastergis.merge_small_clumps``, the
+    single-round unit step against original sizes).
+
+    Round semantics (bit-identical in the unrolled SQL oracle): a
+    segment whose CURRENT size is below ``min_pix`` merges into the
+    adjacent current label with the largest (size, smaller-id) key,
+    restricted to strictly greater keys than its own — the strict
+    ordering makes every round's merge map acyclic, so one BSP
+    application per round is well-defined.  Sizes only grow, so the
+    process reaches a fixpoint; synthetic lattices converge within the
+    default 3 rounds (pytest-checked).
+
+    Output: one row per ORIGINAL segment with its final label and the
+    final size of that label's merged group.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _ELIM_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                npix0 = np.bincount(lab[lab > 0], minlength=n + 1)
+                pa, pb = [], []
+                a, b = lab[:, :-1], lab[:, 1:]
+                sel = (a > 0) & (b > 0) & (a != b)
+                pa.append(a[sel]); pb.append(b[sel])
+                a, b = lab[:-1, :], lab[1:, :]
+                sel = (a > 0) & (b > 0) & (a != b)
+                pa.append(a[sel]); pb.append(b[sel])
+                if any(x.size for x in pa):
+                    ca = np.concatenate(pa + pb).astype(np.int64)
+                    cb = np.concatenate(pb + pa).astype(np.int64)
+                else:
+                    ca = cb = np.zeros(0, dtype=np.int64)
+                cur = np.arange(n + 1, dtype=np.int64)
+                for _ in range(rounds):
+                    s = np.zeros(n + 1, dtype=np.int64)
+                    np.add.at(s, cur[1:], npix0[1:])
+                    A, B = cur[ca], cur[cb]
+                    keep = A != B
+                    A, B = A[keep], B[keep]
+                    if A.size == 0:
+                        break
+                    code = np.unique(A * (n + 1) + B)
+                    A, B = code // (n + 1), code % (n + 1)
+                    elig = (s[A] < min_pix) & \
+                        ((s[B] > s[A]) | ((s[B] == s[A]) & (B < A)))
+                    A, B = A[elig], B[elig]
+                    if A.size == 0:
+                        break
+                    order = np.lexsort((B, -s[B], A))
+                    first = np.ones(order.shape, dtype=bool)
+                    first[1:] = A[order][1:] != A[order][:-1]
+                    mp = np.arange(n + 1, dtype=np.int64)
+                    mp[A[order][first]] = B[order][first]
+                    cur = mp[cur]
+                s = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(s, cur[1:], npix0[1:])
+                out["image_id"].extend([image_id] * n)
+                out["seg_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(v) for v in npix0[1:])
+                out["new_label"].extend(int(v) for v in cur[1:])
+                out["new_size"].extend(int(v) for v in s[cur[1:]])
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_ELIM_SCHEMA)

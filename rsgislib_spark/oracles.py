@@ -2384,6 +2384,88 @@ FROM msz s LEFT JOIN mtgt t
   ON t.image_id = s.image_id AND t.ca = s.cid AND t.r = 1
 """
 
+ORACLES["clump_eliminate"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_SEG_ADJ},
+msz AS (SELECT rl.image_id, rl.cid, cl.n_pix
+        FROM rl JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root),
+ol0 AS (SELECT image_id, cid AS seg, cid AS cur FROM rl),
+sz1 AS (SELECT o.image_id, o.cur AS lab, CAST(sum(m.n_pix) AS BIGINT) AS s
+         FROM ol0 o
+         JOIN msz m ON m.image_id = o.image_id AND m.cid = o.seg
+         GROUP BY o.image_id, o.cur),
+ad1 AS (SELECT DISTINCT o1.image_id, o1.cur AS ca, o2.cur AS cb
+         FROM adjc j
+         JOIN ol0 o1 ON o1.image_id = j.image_id AND o1.seg = j.ca
+         JOIN ol0 o2 ON o2.image_id = j.image_id AND o2.seg = j.cb
+         WHERE o1.cur <> o2.cur),
+mg1 AS (SELECT image_id, ca, cb FROM (
+           SELECT a.image_id, a.ca, a.cb,
+                  row_number() OVER (PARTITION BY a.image_id, a.ca
+                                     ORDER BY sb.s DESC, a.cb ASC) AS rn
+           FROM ad1 a
+           JOIN sz1 sa ON sa.image_id = a.image_id AND sa.lab = a.ca
+           JOIN sz1 sb ON sb.image_id = a.image_id AND sb.lab = a.cb
+           WHERE sa.s < 200 AND (sb.s > sa.s OR (sb.s = sa.s AND a.cb < a.ca)))
+          WHERE rn = 1),
+ol1 AS (SELECT o.image_id, o.seg, coalesce(g.cb, o.cur) AS cur
+         FROM ol0 o LEFT JOIN mg1 g
+           ON g.image_id = o.image_id AND g.ca = o.cur),
+sz2 AS (SELECT o.image_id, o.cur AS lab, CAST(sum(m.n_pix) AS BIGINT) AS s
+         FROM ol1 o
+         JOIN msz m ON m.image_id = o.image_id AND m.cid = o.seg
+         GROUP BY o.image_id, o.cur),
+ad2 AS (SELECT DISTINCT o1.image_id, o1.cur AS ca, o2.cur AS cb
+         FROM adjc j
+         JOIN ol1 o1 ON o1.image_id = j.image_id AND o1.seg = j.ca
+         JOIN ol1 o2 ON o2.image_id = j.image_id AND o2.seg = j.cb
+         WHERE o1.cur <> o2.cur),
+mg2 AS (SELECT image_id, ca, cb FROM (
+           SELECT a.image_id, a.ca, a.cb,
+                  row_number() OVER (PARTITION BY a.image_id, a.ca
+                                     ORDER BY sb.s DESC, a.cb ASC) AS rn
+           FROM ad2 a
+           JOIN sz2 sa ON sa.image_id = a.image_id AND sa.lab = a.ca
+           JOIN sz2 sb ON sb.image_id = a.image_id AND sb.lab = a.cb
+           WHERE sa.s < 200 AND (sb.s > sa.s OR (sb.s = sa.s AND a.cb < a.ca)))
+          WHERE rn = 1),
+ol2 AS (SELECT o.image_id, o.seg, coalesce(g.cb, o.cur) AS cur
+         FROM ol1 o LEFT JOIN mg2 g
+           ON g.image_id = o.image_id AND g.ca = o.cur),
+sz3 AS (SELECT o.image_id, o.cur AS lab, CAST(sum(m.n_pix) AS BIGINT) AS s
+         FROM ol2 o
+         JOIN msz m ON m.image_id = o.image_id AND m.cid = o.seg
+         GROUP BY o.image_id, o.cur),
+ad3 AS (SELECT DISTINCT o1.image_id, o1.cur AS ca, o2.cur AS cb
+         FROM adjc j
+         JOIN ol2 o1 ON o1.image_id = j.image_id AND o1.seg = j.ca
+         JOIN ol2 o2 ON o2.image_id = j.image_id AND o2.seg = j.cb
+         WHERE o1.cur <> o2.cur),
+mg3 AS (SELECT image_id, ca, cb FROM (
+           SELECT a.image_id, a.ca, a.cb,
+                  row_number() OVER (PARTITION BY a.image_id, a.ca
+                                     ORDER BY sb.s DESC, a.cb ASC) AS rn
+           FROM ad3 a
+           JOIN sz3 sa ON sa.image_id = a.image_id AND sa.lab = a.ca
+           JOIN sz3 sb ON sb.image_id = a.image_id AND sb.lab = a.cb
+           WHERE sa.s < 200 AND (sb.s > sa.s OR (sb.s = sa.s AND a.cb < a.ca)))
+          WHERE rn = 1),
+ol3 AS (SELECT o.image_id, o.seg, coalesce(g.cb, o.cur) AS cur
+         FROM ol2 o LEFT JOIN mg3 g
+           ON g.image_id = o.image_id AND g.ca = o.cur),
+fsz AS (SELECT o.image_id, o.cur AS lab, CAST(sum(m.n_pix) AS BIGINT) AS s
+        FROM ol3 o
+        JOIN msz m ON m.image_id = o.image_id AND m.cid = o.seg
+        GROUP BY o.image_id, o.cur)
+SELECT o.image_id, o.seg AS seg_id, CAST(m.n_pix AS BIGINT) AS n_pix,
+       CAST(o.cur AS BIGINT) AS new_label, f.s AS new_size
+FROM ol3 o
+JOIN msz m ON m.image_id = o.image_id AND m.cid = o.seg
+JOIN fsz f ON f.image_id = o.image_id AND f.lab = o.cur
+"""
+
 ORACLES["rat_collapse"] = f"""
 {_PREFIX},
 {_cc_segments_cte()},

@@ -30,7 +30,8 @@ from .operators.overlay import (overlay_difference_rect,
                                 rect_sym_difference, rect_union)
 from .operators.rastergis import (collapse_rat, merge_small_clumps,
                                   rat_table)
-from .operators.segmentation import kmeans_centres, shepherd_segments
+from .operators.segmentation import (eliminate_small_segments,
+                                     kmeans_centres, shepherd_segments)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import (imgs_equal_stats, pixel_histogram,
@@ -643,6 +644,19 @@ def q_clump_merge(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19)
     return merge_small_clumps(img, quant=128, min_pix=8) \
         .select("image_id", "clump_id", "n_pix", "new_label")
+
+
+def q_clump_eliminate(spark, sf_dir) -> DataFrame:
+    """rm_small_clumps_stepwise loop (RSGISEliminateSmallClumps.cpp):
+    3 BSP elimination rounds (min_pix=200 — at this lattice the
+    first round's merged groups can still be small, so rounds genuinely
+    chain; fixpoint by round 3) with sizes recomputed between rounds;
+    merges restricted to strictly-greater (size, smaller-id) keys so
+    each round's map is acyclic.  Per original segment: final label +
+    final merged-group size."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return eliminate_small_segments(img, quant=128, min_pix=200, rounds=3) \
+        .select("image_id", "seg_id", "n_pix", "new_label", "new_size")
 
 
 def q_kmeans_centres(spark, sf_dir) -> DataFrame:
@@ -2003,6 +2017,7 @@ QUERIES = {
     "dist_to_vals": q_dist_to_vals,
     "otsu_threshold": q_otsu_threshold,
     "clump_merge": q_clump_merge,
+    "clump_eliminate": q_clump_eliminate,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

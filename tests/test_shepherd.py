@@ -62,3 +62,29 @@ def test_shepherd_segments_lattice(spark, sf_dir):
     multi = out.groupby("image_id")["seg_id"].max()
     assert (multi > 1).any()
     assert out["cls"].nunique() > 1
+
+
+def test_eliminate_reaches_fixpoint(spark, sf_dir):
+    from rsgislib_spark.operators.segmentation import eliminate_small_segments
+
+    meta = synth.synth_images(spark, sf_dir,
+                              with_footprint=False).where("id % 19 = 0")
+    img = synth.attach_bytes(meta.repartition(4))
+
+    def run(r):
+        return eliminate_small_segments(img, quant=128, min_pix=200,
+                                        rounds=r).toPandas() \
+            .sort_values(["image_id", "seg_id"]).reset_index(drop=True)
+
+    r3, r5 = run(3), run(5)
+    # sizes only grow, so the BSP rounds reach a fixpoint; 3 suffice here
+    assert r3.equals(r5)
+    assert (r3["new_label"] != r3["seg_id"]).any()
+    # new_size is exactly the summed pixel count of the merged group
+    gsz = r3.groupby(["image_id", "new_label"])["n_pix"].sum()
+    for _, row in r3.iterrows():
+        assert row["new_size"] == gsz[(row["image_id"], row["new_label"])]
+    # total pixel mass is conserved per image
+    tot = r3.groupby("image_id")
+    assert (tot["n_pix"].sum() == tot.apply(
+        lambda g: g.drop_duplicates("new_label")["new_size"].sum())).all()
