@@ -393,3 +393,64 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     weight = F.expr("IF(sgn > 0, shiftleft(CAST(1 AS BIGINT), "
                     "CAST(b AS INT)), CAST(0 AS BIGINT))")
     return votes.groupBy("doc_id").agg(F.sum(weight).alias("simhash16"))
+
+
+def dedup_clusters(docs: DataFrame, n_hashes: int = 8, band_size: int = 4,
+                   n: int = 3, threshold: float = 0.8,
+                   rounds: int = 6) -> DataFrame:
+    """Connected components over verified near-duplicate pairs — the
+    canonical-document step every dedup pipeline needs after pair
+    generation (keep one doc per duplicate cluster).
+
+    Distributed min-label propagation with pointer compression, pure
+    DataFrame ops: label_0 = doc_id; each round takes the min label
+    over the 1-hop neighbourhood, then compresses label = label(label).
+    ``rounds`` = R resolves component diameters up to ~2^R (near-dup
+    clusters are shallow; R=6 is generous).  Every step is a
+    hash-partitioned equi-join/groupBy — no driver state, no
+    collect — so the same plan runs on a 10^10-doc corpus; this is the
+    hash-to-min family of Kiveris et al. (2014), the log-round CC used
+    for web-scale dedup.  The DuckDB oracle unrolls the identical
+    rounds (same trick as the clump pointer-doubling oracle).
+
+    Returns one row per document: (doc_id, cluster_id = min doc_id of
+    its component, cluster_size, is_canonical).
+    """
+    pairs = minhash_pairs(docs, n_hashes, band_size, n, threshold)
+    # edges are reused every round and the per-round frames are reused
+    # twice (min-propagate, then the compression self-join):
+    # localCheckpoint truncates the lineage so the logical plan stays
+    # O(1) per round instead of doubling — without it Catalyst
+    # re-analyzes a 2^rounds join tree.  On a cluster this is also
+    # where a real CC materializes its frontier between rounds.
+    e0 = pairs.select("doc_a", "doc_b").localCheckpoint()
+    edges = e0.union(
+        e0.select(F.col("doc_b").alias("doc_a"),
+                  F.col("doc_a").alias("doc_b")))
+    lab = docs.select("doc_id").distinct() \
+        .withColumn("lab", F.col("doc_id"))
+    for _ in range(rounds):
+        nl = lab.select(F.col("doc_id").alias("nid"),
+                        F.col("lab").alias("nlab"))
+        m = (lab.alias("l")
+             .join(edges.alias("e"),
+                   F.col("l.doc_id") == F.col("e.doc_a"), "left")
+             .join(nl.alias("n"),
+                   F.col("e.doc_b") == F.col("n.nid"), "left")
+             .groupBy(F.col("l.doc_id").alias("doc_id"))
+             .agg(F.least(
+                 F.min("l.lab"),
+                 F.coalesce(F.min("n.nlab"), F.min("l.lab"))).alias("lab"))
+             ).localCheckpoint()
+        t = m.select(F.col("doc_id").alias("tid"),
+                     F.col("lab").alias("tlab"))
+        lab = (m.alias("m")
+               .join(t.alias("t"), F.col("m.lab") == F.col("t.tid"))
+               .select(F.col("m.doc_id").alias("doc_id"),
+                       F.col("t.tlab").alias("lab")))
+    sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (lab.join(sizes, "lab")
+            .select(F.col("doc_id"),
+                    F.col("lab").alias("cluster_id"),
+                    F.col("cluster_size"),
+                    (F.col("doc_id") == F.col("lab")).alias("is_canonical")))

@@ -3011,6 +3011,79 @@ SELECT j.doc_a, j.doc_b, j.n_common, j.jaccard
 FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
 """
 
+ORACLES["dedup_clusters"] = f"""
+WITH {_SHINGLES},
+hs AS (SELECT doc_id, k, min(substr(md5(k || ':' || s), 1, 16)) AS sig
+       FROM sh, (SELECT unnest(generate_series(0, 7)) AS k)
+       GROUP BY doc_id, k),
+band AS (SELECT doc_id, k // 4 AS band_id,
+                md5(string_agg(sig, '|' ORDER BY k)) AS bucket
+         FROM hs GROUP BY doc_id, k // 4),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b
+           ON a.band_id = b.band_id AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+vp AS MATERIALIZED (SELECT c.doc_a, c.doc_b
+       FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+       WHERE j.jaccard >= CAST(0.8 AS DOUBLE)),
+ed AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM vp
+       UNION ALL SELECT doc_b, doc_a FROM vp),
+c0 AS MATERIALIZED (SELECT DISTINCT doc_id, doc_id AS lab FROM documents),
+cm1 AS MATERIALIZED (SELECT l.doc_id,
+               least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+         FROM c0 l
+         LEFT JOIN ed e ON e.a = l.doc_id
+         LEFT JOIN c0 nl ON nl.doc_id = e.b
+         GROUP BY l.doc_id),
+c1 AS MATERIALIZED (SELECT m.doc_id, t.lab FROM cm1 m
+         JOIN cm1 t ON t.doc_id = m.lab),
+cm2 AS MATERIALIZED (SELECT l.doc_id,
+               least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+         FROM c1 l
+         LEFT JOIN ed e ON e.a = l.doc_id
+         LEFT JOIN c1 nl ON nl.doc_id = e.b
+         GROUP BY l.doc_id),
+c2 AS MATERIALIZED (SELECT m.doc_id, t.lab FROM cm2 m
+         JOIN cm2 t ON t.doc_id = m.lab),
+cm3 AS MATERIALIZED (SELECT l.doc_id,
+               least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+         FROM c2 l
+         LEFT JOIN ed e ON e.a = l.doc_id
+         LEFT JOIN c2 nl ON nl.doc_id = e.b
+         GROUP BY l.doc_id),
+c3 AS MATERIALIZED (SELECT m.doc_id, t.lab FROM cm3 m
+         JOIN cm3 t ON t.doc_id = m.lab),
+cm4 AS MATERIALIZED (SELECT l.doc_id,
+               least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+         FROM c3 l
+         LEFT JOIN ed e ON e.a = l.doc_id
+         LEFT JOIN c3 nl ON nl.doc_id = e.b
+         GROUP BY l.doc_id),
+c4 AS MATERIALIZED (SELECT m.doc_id, t.lab FROM cm4 m
+         JOIN cm4 t ON t.doc_id = m.lab),
+cm5 AS MATERIALIZED (SELECT l.doc_id,
+               least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+         FROM c4 l
+         LEFT JOIN ed e ON e.a = l.doc_id
+         LEFT JOIN c4 nl ON nl.doc_id = e.b
+         GROUP BY l.doc_id),
+c5 AS MATERIALIZED (SELECT m.doc_id, t.lab FROM cm5 m
+         JOIN cm5 t ON t.doc_id = m.lab),
+cm6 AS MATERIALIZED (SELECT l.doc_id,
+               least(min(l.lab), coalesce(min(nl.lab), min(l.lab))) AS lab
+         FROM c5 l
+         LEFT JOIN ed e ON e.a = l.doc_id
+         LEFT JOIN c5 nl ON nl.doc_id = e.b
+         GROUP BY l.doc_id),
+c6 AS MATERIALIZED (SELECT m.doc_id, t.lab FROM cm6 m
+         JOIN cm6 t ON t.doc_id = m.lab),
+csz AS (SELECT lab, count(*) AS cluster_size FROM c6 GROUP BY lab)
+SELECT c.doc_id, CAST(c.lab AS BIGINT) AS cluster_id,
+       CAST(s.cluster_size AS BIGINT) AS cluster_size,
+       c.doc_id = c.lab AS is_canonical
+FROM c6 c JOIN csz s ON s.lab = c.lab
+"""
+
 ORACLES["simhash"] = """
 WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
              FROM documents),

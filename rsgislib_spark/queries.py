@@ -1671,6 +1671,16 @@ def q_minhash_lsh(spark, sf_dir) -> DataFrame:
         .select("doc_a", "doc_b", "n_common", "jaccard")
 
 
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    MinHash+LSH pairs (jaccard >= 0.8) via distributed hash-to-min
+    label propagation with pointer compression — the canonical-doc
+    selection step of a web-scale dedup pipeline."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.dedup_clusters(t["documents"], threshold=0.8, rounds=6) \
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+
+
 def q_simhash(spark, sf_dir) -> DataFrame:
     """16-bit SimHash fingerprints over distinct tokens."""
     t = load_tables(spark, sf_dir, ["documents"])
@@ -2063,6 +2073,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "embed_topk": q_embed_topk,
     "embed_ann_lsh": q_embed_ann_lsh,
