@@ -1333,3 +1333,65 @@ def stretch_stats(images: DataFrame, mode: str = "minmax",
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_STRETCH_SCHEMA)
+
+
+_STRETCH_SD_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("lo", DoubleType()),
+    StructField("hi", DoubleType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_out", LongType()),
+    StructField("min_out", LongType()),
+    StructField("max_out", LongType()),
+])
+
+
+def stretch_stddev_stats(images: DataFrame, n_sd: float = 2.0) -> DataFrame:
+    """stretch_img STRETCH_LINEARSTDDEV
+    (src/img/RSGISStretchImage.cpp:263): window = [mean - n_sd*sd,
+    mean + n_sd*sd] clamped to [min, max], then the 0..255 linear map.
+
+    Unlike the integer minmax/percent modes the window bounds are
+    DOUBLES.  Every operation in the contract is an IEEE-correctly-
+    rounded primitive (+ - * / sqrt floor min max), and the expression
+    TREE is pinned and mirrored verbatim in the SQL oracle:
+    mean = s1/n; var = s2/n - mean*mean; sd = sqrt(max(var, 0))
+    (the max guards the -epsilon rounding of near-constant planes);
+    lo = max(mean - sd*n_sd, min); hi = min(mean + sd*n_sd, max);
+    out = floor(((clip(v, lo, hi) - lo) * 255.0) / (hi - lo)).
+    Same histogram-space kernel as ``stretch_stats``.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _STRETCH_SD_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64).ravel()
+                vals, cnts = np.unique(arr, return_counts=True)
+                n = int(arr.size)
+                s1 = int((vals * cnts).sum())
+                s2 = int((vals * vals * cnts).sum())
+                mean = s1 / n
+                var = s2 / n - mean * mean
+                sd = float(np.sqrt(max(var, 0.0)))
+                lo = max(mean - sd * n_sd, float(vals[0]))
+                hi = min(mean + sd * n_sd, float(vals[-1]))
+                if hi > lo:
+                    vd = vals.astype(np.float64)
+                    sv = np.floor((np.minimum(np.maximum(vd, lo), hi) - lo)
+                                  * 255.0 / (hi - lo)).astype(np.int64)
+                else:
+                    sv = np.zeros_like(vals)
+                out["image_id"].append(image_id)
+                out["lo"].append(lo)
+                out["hi"].append(hi)
+                out["n_pix"].append(n)
+                out["sum_out"].append(int((cnts * sv).sum()))
+                out["min_out"].append(int(sv.min()))
+                out["max_out"].append(int(sv.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_STRETCH_SD_SCHEMA)

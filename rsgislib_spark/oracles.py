@@ -2524,6 +2524,48 @@ slh AS (SELECT image_id,
 
 _OTSU_SCORE = ("((CAST(nn AS DOUBLE) / CAST(w0 AS DOUBLE)) "
                "* CAST(nn AS DOUBLE)) / CAST(w1 AS DOUBLE)")
+ORACLES["stretch_stddev"] = f"""
+{_PREFIX},
+{_STRETCH_HIST.format(pxv=_PXV)},
+sagg AS (SELECT image_id,
+                CAST(sum(v * cnt) AS BIGINT) AS s1,
+                CAST(sum(v * v * cnt) AS BIGINT) AS s2,
+                CAST(sum(cnt) AS BIGINT) AS n,
+                min(v) AS vmin, max(v) AS vmax
+         FROM shist GROUP BY image_id),
+-- expression tree pinned to the engine kernel (imagemath.
+-- stretch_stddev_stats): every op is IEEE-correctly-rounded, so
+-- identical trees give identical doubles
+smn AS (SELECT image_id, n, vmin, vmax,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               sqrt(greatest(
+                    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+                    CAST(0 AS DOUBLE))) AS sd
+        FROM sagg),
+slh AS (SELECT image_id,
+               greatest(mean - sd * CAST(2 AS DOUBLE),
+                        CAST(vmin AS DOUBLE)) AS lo,
+               least(mean + sd * CAST(2 AS DOUBLE),
+                     CAST(vmax AS DOUBLE)) AS hi
+        FROM smn),
+sval AS (SELECT h.image_id, h.cnt, l.lo, l.hi,
+                CASE WHEN l.hi > l.lo
+                     THEN CAST(floor(((least(greatest(CAST(h.v AS DOUBLE),
+                                                      l.lo), l.hi) - l.lo)
+                                      * CAST(255 AS DOUBLE))
+                               / (l.hi - l.lo)) AS BIGINT)
+                     ELSE 0 END AS sv
+         FROM shist h JOIN slh l ON l.image_id = h.image_id)
+SELECT image_id, lo, hi,
+       CAST(sum(cnt) AS BIGINT) AS n_pix,
+       CAST(sum(cnt * sv) AS BIGINT) AS sum_out,
+       CAST(min(sv) AS BIGINT) AS min_out,
+       CAST(max(sv) AS BIGINT) AS max_out
+FROM sval GROUP BY image_id, lo, hi
+"""
+
 ORACLES["otsu_threshold"] = f"""
 {_PREFIX},
 oxs AS (SELECT image_id, id, w, h, fmt,

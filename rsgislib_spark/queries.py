@@ -726,6 +726,16 @@ def q_pts_bboxes(spark, sf_dir) -> DataFrame:
         .select("qid", "bxmin", "bxmax", "bymin", "bymax")
 
 
+def q_stretch_stddev(spark, sf_dir) -> DataFrame:
+    """stretch_img STRETCH_LINEARSTDDEV (RSGISStretchImage.cpp:263):
+    [mean - 2sd, mean + 2sd] window clamped to [min, max]; double
+    window bounds, pinned IEEE expression tree (operator docstring)."""
+    img = _px_images(spark, sf_dir, mod=13)
+    return im.stretch_stddev_stats(img, n_sd=2.0) \
+        .select("image_id", "lo", "hi", "n_pix", "sum_out",
+                "min_out", "max_out")
+
+
 def q_poly_bbox_cols(spark, sf_dir) -> DataFrame:
     """pop_bbox_cols (vectorattrs/__init__.py:280): per-feature geometry
     bbox attributes from the triangle layer's vertex arrays."""
@@ -2032,6 +2042,7 @@ QUERIES = {
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,
     "stretch_percent": q_stretch_percent,
+    "stretch_stddev": q_stretch_stddev,
     "poly_bbox_cols": q_poly_bbox_cols,
     "poly_centroids": q_poly_centroids,
     "chip_extract": q_chip_extract,
