@@ -1287,9 +1287,13 @@ _STRETCH_SCHEMA = StructType([
 def stretch_stats(images: DataFrame, mode: str = "minmax",
                   percent: int = 2) -> DataFrame:
     """stretch_img (python/src/imageutils.cpp:1927): scale pixel values
-    to 0..255.  Modes: STRETCH_LINEARMINMAX ([min,max] window) and
+    to 0..255.  Modes: STRETCH_LINEARMINMAX ([min,max] window),
     STRETCH_LINEARPERCENT ([p, 100-p] nearest-rank percentile window —
-    the reference's histogram percent cut at exact value resolution).
+    the reference's histogram percent cut at exact value resolution)
+    and STRETCH_POWERLAW with power=2 (the linear map applied to the
+    exactly-representable v^2 plane; the exp/log stretch functions are
+    excluded from the exact gate — libm last-ulp divergence, NOTES
+    determinism lesson 3).
 
     The mapping is pure integer math — out = ((clip(v,lo,hi) - lo)*255)
     // (hi - lo), lo==hi guarded to 0 — so the per-image aggregates of
@@ -1298,7 +1302,7 @@ def stretch_stats(images: DataFrame, mode: str = "minmax",
     weighted sum over distinct values (<= pmax of them), so the pass
     costs O(n) decode + O(distinct) math per image.
     """
-    if mode not in ("minmax", "percent"):
+    if mode not in ("minmax", "percent", "power2"):
         raise ValueError(mode)
 
     def gen(it):
@@ -1310,7 +1314,14 @@ def stretch_stats(images: DataFrame, mode: str = "minmax",
                                          str(fmt)).astype(np.int64).ravel()
                 vals, cnts = np.unique(arr, return_counts=True)
                 n = arr.size
-                if mode == "minmax":
+                if mode == "power2":
+                    # STRETCH_POWERLAW, power=2 (RSGISPowerLawStretch-
+                    # Function, RSGISStretchImage.cpp:1077): stretch the
+                    # f(v)=v^2 plane — integer-exact, so the same
+                    # histogram kernel applies to the squared values
+                    vals = vals * vals
+                    lo, hi = int(vals[0]), int(vals[-1])
+                elif mode == "minmax":
                     lo, hi = int(vals[0]), int(vals[-1])
                 else:
                     cum = np.cumsum(cnts)

@@ -2524,6 +2524,26 @@ slh AS (SELECT image_id,
 
 _OTSU_SCORE = ("((CAST(nn AS DOUBLE) / CAST(w0 AS DOUBLE)) "
                "* CAST(nn AS DOUBLE)) / CAST(w1 AS DOUBLE)")
+ORACLES["stretch_power"] = f"""
+{_PREFIX},
+{_STRETCH_HIST.format(pxv=_PXV)},
+sq AS (SELECT image_id, v * v AS v, cnt FROM shist),
+slh AS (SELECT image_id, min(v) AS lo, max(v) AS hi
+        FROM sq GROUP BY image_id),
+sval AS (SELECT h.image_id, h.cnt, l.lo, l.hi,
+                CASE WHEN l.hi > l.lo
+                     THEN ((least(greatest(h.v, l.lo), l.hi) - l.lo) * 255)
+                          // (l.hi - l.lo)
+                     ELSE 0 END AS sv
+         FROM sq h JOIN slh l ON l.image_id = h.image_id)
+SELECT image_id, CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+       CAST(sum(cnt) AS BIGINT) AS n_pix,
+       CAST(sum(cnt * sv) AS BIGINT) AS sum_out,
+       CAST(min(sv) AS BIGINT) AS min_out,
+       CAST(max(sv) AS BIGINT) AS max_out
+FROM sval GROUP BY image_id, lo, hi
+"""
+
 ORACLES["stretch_stddev"] = f"""
 {_PREFIX},
 {_STRETCH_HIST.format(pxv=_PXV)},

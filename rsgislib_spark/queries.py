@@ -726,6 +726,15 @@ def q_pts_bboxes(spark, sf_dir) -> DataFrame:
         .select("qid", "bxmin", "bxmax", "bymin", "bymax")
 
 
+def q_stretch_power(spark, sf_dir) -> DataFrame:
+    """stretch_img STRETCH_POWERLAW power=2 (RSGISStretchImage.cpp:
+    1077): linear 0..255 map of the v^2 plane, all-integer."""
+    img = _px_images(spark, sf_dir, mod=13)
+    return im.stretch_stats(img, mode="power2") \
+        .select("image_id", "lo", "hi", "n_pix", "sum_out",
+                "min_out", "max_out")
+
+
 def q_stretch_stddev(spark, sf_dir) -> DataFrame:
     """stretch_img STRETCH_LINEARSTDDEV (RSGISStretchImage.cpp:263):
     [mean - 2sd, mean + 2sd] window clamped to [min, max]; double
@@ -2043,6 +2052,7 @@ QUERIES = {
     "stretch_minmax": q_stretch_minmax,
     "stretch_percent": q_stretch_percent,
     "stretch_stddev": q_stretch_stddev,
+    "stretch_power": q_stretch_power,
     "poly_bbox_cols": q_poly_bbox_cols,
     "poly_centroids": q_poly_centroids,
     "chip_extract": q_chip_extract,
