@@ -92,6 +92,9 @@ BENCH_QUERIES = [
     # round-4 session-4 operators
     "rat_neighbours", "chip_extract", "imgs_equal", "sample_split",
     "poly_centroids",
+    # round-4 session-5 operators (segmentation pipeline + dedup CC)
+    "clump_merge", "kmeans_centres", "shepherd_seg", "clump_eliminate",
+    "dedup_clusters", "stretch_stddev",
 ]
 
 

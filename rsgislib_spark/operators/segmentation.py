@@ -43,7 +43,7 @@ from ..functions import codec
 from .rastergis import _label_regions
 
 __all__ = ["kmeans_values", "kmeans_centres", "shepherd_segments",
-           "eliminate_small_segments"]
+           "eliminate_small_segments", "union_clumps"]
 
 
 def kmeans_values(vals: np.ndarray, k: int = 4, iters: int = 6):
@@ -246,3 +246,57 @@ def eliminate_small_segments(images: DataFrame, quant: int = 128,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_ELIM_SCHEMA)
+
+
+_UNION_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("val_a", LongType()),
+    StructField("val_b", LongType()),
+])
+
+
+def union_clumps(images: DataFrame) -> DataFrame:
+    """segmentation.union_of_clumps (python/src/segmentation.cpp:212):
+    overlay of clump images — every boundary line of every input
+    survives, i.e. connected components of the TUPLE of input labels.
+
+    Inputs here are two derived segmentations of the same plane
+    (value // 128, and a decorrelated second banding
+    ((value*7 + 3) % pmax) // 256), combined as q = qa*16 + qb; the
+    4-connected equal-q regions are exactly the union lattice.  The
+    per-region input values are emitted as the reference's
+    ``ClumpVal_`` RAT columns (val_a, val_b).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _UNION_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                qa = arr // 128
+                qb = ((arr * 7 + 3) % pmax) // 256
+                q = qa * 16 + qb
+                lab = _label_regions(q)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                flat_lab, flat_q = lab.ravel(), q.ravel()
+                npix = np.bincount(flat_lab, minlength=n + 1)[1:]
+                first = np.full(n + 1, flat_lab.size, dtype=np.int64)
+                np.minimum.at(first, flat_lab,
+                              np.arange(flat_lab.size, dtype=np.int64))
+                cls = flat_q[first[1:]]
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(v) for v in npix)
+                out["val_a"].extend(int(v) for v in cls // 16)
+                out["val_b"].extend(int(v) for v in cls % 16)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_UNION_SCHEMA)

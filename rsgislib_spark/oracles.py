@@ -2314,6 +2314,25 @@ FROM rl JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
 """
 
 
+_UNION_PX = f"""SELECT image_id, w, x, y,
+       ((({_PXV}) // 128) * 16)
+       + (((({_PXV}) * 7 + 3) % {synth.pmax_sql('fmt')}) // 256) AS q
+FROM (SELECT image_id, id, w, h, fmt, x,
+             unnest(generate_series(0, h - 1)) AS y
+      FROM (SELECT image_id, id, w, h, fmt,
+                   unnest(generate_series(0, w - 1)) AS x
+            FROM img WHERE id % 19 = 0))"""
+
+ORACLES["union_clumps"] = f"""
+{_PREFIX},
+{_cc_segments_cte(px_sql=_UNION_PX)},
+{_RL}
+SELECT rl.image_id, rl.cid AS clump_id, CAST(cl.n_pix AS BIGINT) AS n_pix,
+       CAST(cl.cls // 16 AS BIGINT) AS val_a,
+       CAST(cl.cls % 16 AS BIGINT) AS val_b
+FROM rl JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
+"""
+
 ORACLES["rat_neighbours"] = f"""
 {_PREFIX},
 {_cc_segments_cte()},

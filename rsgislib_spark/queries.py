@@ -31,7 +31,8 @@ from .operators.overlay import (overlay_difference_rect,
 from .operators.rastergis import (collapse_rat, merge_small_clumps,
                                   rat_table)
 from .operators.segmentation import (eliminate_small_segments,
-                                     kmeans_centres, shepherd_segments)
+                                     kmeans_centres, shepherd_segments,
+                                     union_clumps)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import (imgs_equal_stats, pixel_histogram,
@@ -657,6 +658,15 @@ def q_clump_eliminate(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19)
     return eliminate_small_segments(img, quant=128, min_pix=200, rounds=3) \
         .select("image_id", "seg_id", "n_pix", "new_label", "new_size")
+
+
+def q_union_clumps(spark, sf_dir) -> DataFrame:
+    """segmentation.union_of_clumps (segmentation.cpp:212): overlay of
+    two clump lattices — components of the label tuple; per-region
+    ClumpVal_ columns preserved."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return union_clumps(img) \
+        .select("image_id", "clump_id", "n_pix", "val_a", "val_b")
 
 
 def q_kmeans_centres(spark, sf_dir) -> DataFrame:
@@ -2047,6 +2057,7 @@ QUERIES = {
     "otsu_threshold": q_otsu_threshold,
     "clump_merge": q_clump_merge,
     "clump_eliminate": q_clump_eliminate,
+    "union_clumps": q_union_clumps,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,
