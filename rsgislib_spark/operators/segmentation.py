@@ -37,13 +37,15 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 from ..functions import codec
 from .rastergis import _label_regions
 
 __all__ = ["kmeans_values", "kmeans_centres", "shepherd_segments",
-           "eliminate_small_segments", "union_clumps"]
+           "eliminate_small_segments", "union_clumps",
+           "segment_means"]
 
 
 def kmeans_values(vals: np.ndarray, k: int = 4, iters: int = 6):
@@ -300,3 +302,47 @@ def union_clumps(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_UNION_SCHEMA)
+
+
+_MEAN_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_val", LongType()),
+    StructField("mean_val", DoubleType()),
+])
+
+
+def segment_means(images: DataFrame, quant: int = 128) -> DataFrame:
+    """segmentation.mean_image (python/src/segmentation.cpp method
+    table): attribute every clump with the mean of the underlying
+    pixel values — the shepherdseg ``out_mean_img`` product.  Over the
+    ``value // quant`` lattice; mean = sum/n is one IEEE division of
+    exact integers, so the exact-hash gate passes.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _MEAN_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                flat_lab, flat_v = lab.ravel(), arr.ravel()
+                npix = np.bincount(flat_lab, minlength=n + 1)[1:]
+                sums = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(sums, flat_lab, flat_v)
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(v) for v in npix)
+                out["sum_val"].extend(int(v) for v in sums[1:])
+                out["mean_val"].extend(int(s) / int(c)
+                                       for s, c in zip(sums[1:], npix))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_MEAN_SCHEMA)

@@ -2349,6 +2349,18 @@ FROM rl LEFT JOIN agg
   ON agg.image_id = rl.image_id AND agg.ca = rl.cid
 """
 
+ORACLES["seg_mean"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_RAT_VALS}
+SELECT image_id, cid AS clump_id,
+       CAST(count(*) AS BIGINT) AS n_pix,
+       CAST(sum(v) AS BIGINT) AS sum_val,
+       CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_val
+FROM vals GROUP BY image_id, cid
+"""
+
 ORACLES["rat_mode"] = f"""
 {_PREFIX},
 {_cc_segments_cte()},

@@ -32,7 +32,7 @@ from .operators.rastergis import (collapse_rat, merge_small_clumps,
                                   rat_table)
 from .operators.segmentation import (eliminate_small_segments,
                                      kmeans_centres, shepherd_segments,
-                                     union_clumps)
+                                     segment_means, union_clumps)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
 from .operators.imagestats import (imgs_equal_stats, pixel_histogram,
@@ -658,6 +658,14 @@ def q_clump_eliminate(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19)
     return eliminate_small_segments(img, quant=128, min_pix=200, rounds=3) \
         .select("image_id", "seg_id", "n_pix", "new_label", "new_size")
+
+
+def q_seg_mean(spark, sf_dir) -> DataFrame:
+    """segmentation.mean_image: per-clump mean attribution (the
+    shepherdseg out_mean_img product); one exact IEEE division."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return segment_means(img, quant=128) \
+        .select("image_id", "clump_id", "n_pix", "sum_val", "mean_val")
 
 
 def q_union_clumps(spark, sf_dir) -> DataFrame:
@@ -2058,6 +2066,7 @@ QUERIES = {
     "clump_merge": q_clump_merge,
     "clump_eliminate": q_clump_eliminate,
     "union_clumps": q_union_clumps,
+    "seg_mean": q_seg_mean,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,
