@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     # round-4 session-5 operators (segmentation pipeline + dedup CC)
     "clump_merge", "kmeans_centres", "shepherd_seg", "clump_eliminate",
     "dedup_clusters", "stretch_stddev",
+    # round-4 session-6 operators
+    "clump_locations", "clump_borders", "rat_cat_props",
+    "rat_cat_majority", "rel_diff_neigh",
 ]
 
 

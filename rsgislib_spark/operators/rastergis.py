@@ -54,11 +54,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
 
 from ..functions import codec
 
-__all__ = ["rat_table", "collapse_rat", "merge_small_clumps"]
+__all__ = ["rat_table", "collapse_rat", "merge_small_clumps",
+           "clump_geo_stats", "clump_border_stats", "clump_cat_stats",
+           "clump_cat_majority", "rel_diff_neigh_stats"]
 
 _RAT_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -305,3 +308,298 @@ def merge_small_clumps(images: DataFrame, quant: int = 128,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_MERGE_SCHEMA)
+
+
+_GEO_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("mean_e", DoubleType()),
+    StructField("mean_n", DoubleType()),
+    StructField("min_e", DoubleType()),
+    StructField("max_e", DoubleType()),
+    StructField("min_n", DoubleType()),
+    StructField("max_n", DoubleType()),
+])
+
+
+def clump_geo_stats(images: DataFrame, quant: int = 128,
+                    res: float = 0.001) -> DataFrame:
+    """rastergis.clumps_spatial_location + clumps_spatial_extent
+    (python/src/rastergis.cpp method table; kernel
+    src/rastergis/RSGISCalcClumpStats.cpp): per-clump mean pixel-CENTRE
+    easting/northing and the corner-based world bbox, using the repo's
+    north-up geotransform convention (geo/geotransform.py: world =
+    tl + idx * res, y southward).
+
+    Exactness: sum_x/sum_y are exact integers (run-sum formula in the
+    oracle), the mean is one IEEE division, and each geo coordinate is
+    one multiply + one add — the expression tree is pinned and mirrored
+    in SQL.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _GEO_SCHEMA.fields}
+            for image_id, buf, w, h, fmt, lon, lat in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"], pdf["lon"], pdf["lat"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                ys, xs = np.nonzero(lab)
+                ls = lab[ys, xs]
+                npix = np.bincount(ls, minlength=n + 1)[1:]
+                sx = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(sx, ls, xs)
+                sy = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(sy, ls, ys)
+                big = np.int64(1) << 60
+                x0 = np.full(n + 1, big); x1 = np.full(n + 1, -big)
+                y0 = np.full(n + 1, big); y1 = np.full(n + 1, -big)
+                np.minimum.at(x0, ls, xs); np.maximum.at(x1, ls, xs)
+                np.minimum.at(y0, ls, ys); np.maximum.at(y1, ls, ys)
+                lon, lat = float(lon), float(lat)
+                for c in range(1, n + 1):
+                    npx = int(npix[c - 1])
+                    out["image_id"].append(image_id)
+                    out["clump_id"].append(c)
+                    out["n_pix"].append(npx)
+                    out["mean_e"].append(
+                        lon + (int(sx[c]) / npx + 0.5) * res)
+                    out["mean_n"].append(
+                        lat - (int(sy[c]) / npx + 0.5) * res)
+                    out["min_e"].append(lon + int(x0[c]) * res)
+                    out["max_e"].append(lon + int(x1[c] + 1) * res)
+                    out["max_n"].append(lat - int(y0[c]) * res)
+                    out["min_n"].append(lat - int(y1[c] + 1) * res)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt",
+                         "lon", "lat") \
+        .mapInPandas(gen, schema=_GEO_SCHEMA)
+
+
+_BORDER_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("border_len", LongType()),
+    StructField("border_cls0", LongType()),
+    StructField("rel_border", DoubleType()),
+])
+
+
+def clump_border_stats(images: DataFrame, quant: int = 128,
+                       rel_cls: int = 0) -> DataFrame:
+    """rastergis.calc_border_length + calc_rel_border +
+    find_boundary_pixels (src/rastergis/RSGISClumpBorders.cpp:32; the
+    3x3 kernel adds one edge per 4-neighbour with a different fid,
+    includeZeroEdges=False so image-boundary edges are excluded).
+
+    ``border_len`` = number of 4-neighbour pixel pairs whose labels
+    differ (each side counts the shared edge once);  ``border_cls0`` =
+    the subset whose neighbour belongs to a clump of class ``rel_cls``
+    in the quantization lattice;  ``rel_border`` = border_cls0 /
+    border_len (calc_rel_border), one IEEE division, 0.0 when the
+    clump has no border.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _BORDER_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                q = arr // quant
+                lab = _label_regions(q)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                flat_lab, flat_q = lab.ravel(), q.ravel()
+                npix = np.bincount(flat_lab, minlength=n + 1)[1:]
+                first = np.full(n + 1, flat_lab.size, dtype=np.int64)
+                np.minimum.at(first, flat_lab,
+                              np.arange(flat_lab.size, dtype=np.int64))
+                cls = np.zeros(n + 1, dtype=np.int64)
+                cls[1:] = flat_q[first[1:]]
+                blen = np.zeros(n + 1, dtype=np.int64)
+                bcls = np.zeros(n + 1, dtype=np.int64)
+                for a, b in ((lab[:, :-1], lab[:, 1:]),
+                             (lab[:-1, :], lab[1:, :])):
+                    sel = a != b
+                    ea, eb = a[sel], b[sel]
+                    np.add.at(blen, ea, 1)
+                    np.add.at(blen, eb, 1)
+                    np.add.at(bcls, ea, (cls[eb] == rel_cls).astype(np.int64))
+                    np.add.at(bcls, eb, (cls[ea] == rel_cls).astype(np.int64))
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(v) for v in npix)
+                out["border_len"].extend(int(v) for v in blen[1:])
+                out["border_cls0"].extend(int(v) for v in bcls[1:])
+                out["rel_border"].extend(
+                    (int(b0) / int(bl)) if bl > 0 else 0.0
+                    for b0, bl in zip(bcls[1:], blen[1:]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BORDER_SCHEMA)
+
+
+_CAT_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("category", LongType()),
+    StructField("cat_pix", LongType()),
+    StructField("prop", DoubleType()),
+])
+
+
+def clump_cat_stats(images: DataFrame, quant: int = 128,
+                    cat_mod: int = 4) -> DataFrame:
+    """rastergis.populate_rat_with_cat_proportions
+    (python/src/rastergis.cpp:455; kernel
+    src/rastergis/RSGISFindClumpCatagoryStats.cpp:32): per (clump,
+    category) pixel count and proportion of the clump's histogram.
+
+    The categories plane is derived from the same payload as
+    ``value % cat_mod`` — unlike the ``value // quant`` clump lattice
+    it VARIES inside a clump, so proportions are non-vacuous (NOTES
+    lesson 15).  Only categories present in a clump are emitted
+    (the reference creates columns only for observed categories,
+    RSGISFindClumpCatagoryStats.cpp:115-132).  ``prop`` =
+    cat_pix / n_pix, one IEEE division of exact integers — pinned and
+    mirrored in the oracle.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _CAT_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                ls, cs = lab.ravel(), (arr % cat_mod).ravel()
+                npix = np.bincount(ls, minlength=n + 1)
+                code = ls * cat_mod + cs
+                cnt = np.bincount(code, minlength=(n + 1) * cat_mod)
+                nz = np.nonzero(cnt)[0]
+                nz = nz[nz >= cat_mod]                  # skip label 0
+                cid, cat = nz // cat_mod, nz % cat_mod
+                out["image_id"].extend([image_id] * len(nz))
+                out["clump_id"].extend(int(v) for v in cid)
+                out["n_pix"].extend(int(npix[v]) for v in cid)
+                out["category"].extend(int(v) for v in cat)
+                out["cat_pix"].extend(int(cnt[v]) for v in nz)
+                out["prop"].extend(
+                    int(cnt[v]) / int(npix[c]) for v, c in zip(nz, cid))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_CAT_SCHEMA)
+
+
+def clump_cat_majority(images: DataFrame, quant: int = 128,
+                       cat_mod: int = 4) -> DataFrame:
+    """Majority column of populate_rat_with_cat_proportions
+    (RSGISFindClumpCatagoryStats.cpp:215-246): the category with the
+    highest proportion; ties resolve to the SMALLEST category (the
+    reference iterates the category map in ascending order and replaces
+    only on strict ``>``).  Pure Catalyst over :func:`clump_cat_stats`
+    — a struct max with (count, -category) ordering, map-side partial
+    aggregation, no extra Arrow pass.
+    """
+    cats = clump_cat_stats(images, quant=quant, cat_mod=cat_mod)
+    best = F.max(F.struct(F.col("cat_pix"),
+                          (-F.col("category")).alias("negcat"))).alias("b")
+    return (cats.groupBy("image_id", "clump_id", "n_pix").agg(best)
+            .select("image_id", "clump_id", "n_pix",
+                    (-F.col("b.negcat")).alias("maj_cat"),
+                    (F.col("b.cat_pix").cast("double")
+                     / F.col("n_pix").cast("double")).alias("maj_prop")))
+
+
+_NDIFF_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("n_neigh", LongType()),
+    StructField("min_diff", DoubleType()),
+    StructField("max_diff", DoubleType()),
+    StructField("mean_diff", DoubleType()),
+    StructField("sum_diff", DoubleType()),
+])
+
+
+def rel_diff_neigh_stats(images: DataFrame, quant: int = 128,
+                         use_abs: bool = False) -> DataFrame:
+    """rastergis.calc_rel_diff_neigh_stats (python/src/rastergis.cpp:997;
+    kernel src/rastergis/RSGISCalcNeighbourStats.cpp:124-168): for each
+    clump, the min/max/mean/sum of ``field[self] - field[neighbour]``
+    over its distinct 4-adjacent neighbours (``use_abs`` takes
+    fabs per diff first).  Field = the clump pixel count (the RAT
+    Histogram column).  Clumps with no neighbour report 0.0 — the
+    reference's stats stay at their pre-initialized zeros when the
+    diff vector is empty (RSGISMathsUtils.cpp:628).
+
+    Exactness: field values and diffs are integers; min/max/sum are
+    exact; ``mean = sum / n_neigh`` is pinned as ONE IEEE division of
+    exact integers (the reference's gsl running mean is numerically
+    equal on integer inputs well under 2^53).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _NDIFF_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                npix = np.bincount(lab.ravel(), minlength=n + 1)
+                pa, pb = [], []
+                for a, b in ((lab[:, :-1], lab[:, 1:]),
+                             (lab[:-1, :], lab[1:, :])):
+                    sel = a != b
+                    pa.append(a[sel]); pb.append(b[sel])
+                fa = np.concatenate(pa + pb)
+                fb = np.concatenate(pb + pa)
+                code = np.unique(fa * np.int64(n + 1) + fb)
+                na, nb = code // (n + 1), code % (n + 1)
+                d = npix[na] - npix[nb]
+                if use_abs:
+                    d = np.abs(d)
+                cnt = np.bincount(na, minlength=n + 1)
+                big = np.int64(1) << 60
+                mn = np.full(n + 1, big); mx = np.full(n + 1, -big)
+                sm = np.zeros(n + 1, dtype=np.int64)
+                np.minimum.at(mn, na, d)
+                np.maximum.at(mx, na, d)
+                np.add.at(sm, na, d)
+                for c in range(1, n + 1):
+                    k = int(cnt[c])
+                    out["image_id"].append(image_id)
+                    out["clump_id"].append(c)
+                    out["n_pix"].append(int(npix[c]))
+                    out["n_neigh"].append(k)
+                    out["min_diff"].append(float(mn[c]) if k else 0.0)
+                    out["max_diff"].append(float(mx[c]) if k else 0.0)
+                    out["mean_diff"].append(int(sm[c]) / k if k else 0.0)
+                    out["sum_diff"].append(float(sm[c]) if k else 0.0)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_NDIFF_SCHEMA)

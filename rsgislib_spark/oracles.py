@@ -2349,6 +2349,72 @@ FROM rl LEFT JOIN agg
   ON agg.image_id = rl.image_id AND agg.ca = rl.cid
 """
 
+ORACLES["clump_locations"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+gsum AS (SELECT r.image_id, s.root,
+                CAST(sum((r.x0 + r.x1) * r.len) // 2 AS BIGINT) AS sx,
+                CAST(sum(r.y * r.len) AS BIGINT) AS sy
+         FROM runs r JOIN rlab s
+           ON s.image_id = r.image_id AND s.rid = r.rid
+         GROUP BY r.image_id, s.root)
+SELECT rl.image_id, rl.cid AS clump_id, CAST(cl.n_pix AS BIGINT) AS n_pix,
+       i.lon + (CAST(g.sx AS DOUBLE) / CAST(cl.n_pix AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) * {_RD} AS mean_e,
+       i.lat - (CAST(g.sy AS DOUBLE) / CAST(cl.n_pix AS DOUBLE)
+                + CAST(0.5 AS DOUBLE)) * {_RD} AS mean_n,
+       i.lon + CAST(cl.bxmin AS DOUBLE) * {_RD} AS min_e,
+       i.lon + CAST(cl.bxmax AS DOUBLE) * {_RD} AS max_e,
+       i.lat - CAST(cl.bymax AS DOUBLE) * {_RD} AS min_n,
+       i.lat - CAST(cl.bymin AS DOUBLE) * {_RD} AS max_n
+FROM rl
+JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
+JOIN gsum g ON g.image_id = rl.image_id AND g.root = rl.root
+JOIN img i ON i.image_id = rl.image_id
+"""
+
+ORACLES["clump_borders"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+bp0 AS (SELECT a.image_id, la.root AS ra, lb.root AS rb,
+               CAST(1 AS BIGINT) AS cnt
+        FROM runs a
+        JOIN runs b ON b.image_id = a.image_id AND b.y = a.y
+                   AND b.x0 = a.x1 + 1
+        JOIN rlab la ON la.image_id = a.image_id AND la.rid = a.rid
+        JOIN rlab lb ON lb.image_id = b.image_id AND lb.rid = b.rid
+        WHERE la.root <> lb.root
+        UNION ALL
+        SELECT a.image_id, la.root, lb.root,
+               least(a.x1, b.x1) - greatest(a.x0, b.x0) + 1
+        FROM runs a
+        JOIN runs b ON b.image_id = a.image_id AND b.y = a.y + 1
+                   AND b.x0 <= a.x1 AND b.x1 >= a.x0
+        JOIN rlab la ON la.image_id = a.image_id AND la.rid = a.rid
+        JOIN rlab lb ON lb.image_id = b.image_id AND lb.rid = b.rid
+        WHERE la.root <> lb.root),
+bp AS (SELECT image_id, ra, rb, cnt FROM bp0
+       UNION ALL SELECT image_id, rb, ra, cnt FROM bp0),
+cb AS (SELECT b.image_id, b.ra AS root,
+              CAST(sum(b.cnt) AS BIGINT) AS blen,
+              CAST(sum(CASE WHEN cn.cls = 0 THEN b.cnt
+                            ELSE 0 END) AS BIGINT) AS bcls
+       FROM bp b JOIN cl cn
+         ON cn.image_id = b.image_id AND cn.root = b.rb
+       GROUP BY b.image_id, b.ra)
+SELECT rl.image_id, rl.cid AS clump_id, CAST(cl.n_pix AS BIGINT) AS n_pix,
+       CAST(coalesce(cb.blen, 0) AS BIGINT) AS border_len,
+       CAST(coalesce(cb.bcls, 0) AS BIGINT) AS border_cls0,
+       CASE WHEN coalesce(cb.blen, 0) > 0
+            THEN CAST(cb.bcls AS DOUBLE) / CAST(cb.blen AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS rel_border
+FROM rl
+JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
+LEFT JOIN cb ON cb.image_id = rl.image_id AND cb.root = rl.root
+"""
+
 ORACLES["seg_mean"] = f"""
 {_PREFIX},
 {_cc_segments_cte()},
@@ -3523,4 +3589,69 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, count(DISTINCT user_id) AS n_users,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1, 2
+"""
+
+ORACLES["rat_cat_props"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_RAT_VALS},
+cc AS (SELECT image_id, cid, v % 4 AS cat, count(*) AS cat_pix
+       FROM vals GROUP BY image_id, cid, v % 4)
+SELECT cc.image_id, cc.cid AS clump_id, CAST(cl.n_pix AS BIGINT) AS n_pix,
+       CAST(cc.cat AS BIGINT) AS category,
+       CAST(cc.cat_pix AS BIGINT) AS cat_pix,
+       CAST(cc.cat_pix AS DOUBLE) / CAST(cl.n_pix AS DOUBLE) AS prop
+FROM cc
+JOIN rl ON rl.image_id = cc.image_id AND rl.cid = cc.cid
+JOIN cl ON cl.image_id = cc.image_id AND cl.root = rl.root
+"""
+
+ORACLES["rat_cat_majority"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_RAT_VALS},
+cc AS (SELECT image_id, cid, v % 4 AS cat, count(*) AS cat_pix
+       FROM vals GROUP BY image_id, cid, v % 4),
+rnk AS (SELECT *, row_number() OVER (PARTITION BY image_id, cid
+                                     ORDER BY cat_pix DESC, cat ASC) AS rn
+        FROM cc)
+SELECT r.image_id, r.cid AS clump_id, CAST(cl.n_pix AS BIGINT) AS n_pix,
+       CAST(r.cat AS BIGINT) AS maj_cat,
+       CAST(r.cat_pix AS DOUBLE) / CAST(cl.n_pix AS DOUBLE) AS maj_prop
+FROM rnk r
+JOIN rl ON rl.image_id = r.image_id AND rl.cid = r.cid
+JOIN cl ON cl.image_id = r.image_id AND cl.root = rl.root
+WHERE r.rn = 1
+"""
+
+ORACLES["rel_diff_neigh"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_SEG_ADJ},
+d AS (SELECT a.image_id, a.ca,
+             CAST(pa.n_pix AS BIGINT) - CAST(pb.n_pix AS BIGINT) AS diff
+      FROM adjc a
+      JOIN rl la ON la.image_id = a.image_id AND la.cid = a.ca
+      JOIN cl pa ON pa.image_id = a.image_id AND pa.root = la.root
+      JOIN rl lb ON lb.image_id = a.image_id AND lb.cid = a.cb
+      JOIN cl pb ON pb.image_id = a.image_id AND pb.root = lb.root),
+st AS (SELECT image_id, ca, CAST(count(*) AS BIGINT) AS n_neigh,
+              CAST(min(diff) AS BIGINT) AS mn,
+              CAST(max(diff) AS BIGINT) AS mx,
+              CAST(sum(diff) AS BIGINT) AS sm
+       FROM d GROUP BY image_id, ca)
+SELECT rl.image_id, rl.cid AS clump_id, CAST(cl.n_pix AS BIGINT) AS n_pix,
+       CAST(coalesce(st.n_neigh, 0) AS BIGINT) AS n_neigh,
+       CAST(coalesce(st.mn, 0) AS DOUBLE) AS min_diff,
+       CAST(coalesce(st.mx, 0) AS DOUBLE) AS max_diff,
+       CASE WHEN st.n_neigh > 0
+            THEN CAST(st.sm AS DOUBLE) / CAST(st.n_neigh AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS mean_diff,
+       CAST(coalesce(st.sm, 0) AS DOUBLE) AS sum_diff
+FROM rl
+JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
+LEFT JOIN st ON st.image_id = rl.image_id AND st.ca = rl.cid
 """

@@ -28,8 +28,10 @@ from .operators.geomtransforms import (delete_holes, explode_multi,
 from .operators.overlay import (overlay_difference_rect,
                                 overlay_intersection_rect, rect_erase,
                                 rect_sym_difference, rect_union)
-from .operators.rastergis import (collapse_rat, merge_small_clumps,
-                                  rat_table)
+from .operators.rastergis import (clump_border_stats, clump_cat_majority,
+                                  clump_cat_stats, clump_geo_stats,
+                                  collapse_rat, merge_small_clumps,
+                                  rat_table, rel_diff_neigh_stats)
 from .operators.segmentation import (eliminate_small_segments,
                                      kmeans_centres, shepherd_segments,
                                      segment_means, union_clumps)
@@ -658,6 +660,57 @@ def q_clump_eliminate(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19)
     return eliminate_small_segments(img, quant=128, min_pix=200, rounds=3) \
         .select("image_id", "seg_id", "n_pix", "new_label", "new_size")
+
+
+def q_clump_locations(spark, sf_dir) -> DataFrame:
+    """rastergis.clumps_spatial_location + clumps_spatial_extent:
+    per-clump mean pixel-centre easting/northing and corner-based
+    world bbox (north-up geotransform, res 0.001 deg)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return clump_geo_stats(img, quant=128, res=0.001) \
+        .select("image_id", "clump_id", "n_pix", "mean_e", "mean_n",
+                "min_e", "max_e", "min_n", "max_n")
+
+
+def q_clump_borders(spark, sf_dir) -> DataFrame:
+    """rastergis.calc_border_length + calc_rel_border
+    (RSGISClumpBorders.cpp:32): per-clump inter-clump 4-edge count,
+    class-0-shared subset, and their ratio."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return clump_border_stats(img, quant=128, rel_cls=0) \
+        .select("image_id", "clump_id", "n_pix", "border_len",
+                "border_cls0", "rel_border")
+
+
+def q_rat_cat_props(spark, sf_dir) -> DataFrame:
+    """rastergis.populate_rat_with_cat_proportions
+    (RSGISFindClumpCatagoryStats.cpp:32): per (clump, category) pixel
+    count and proportion; categories plane = value % 4."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return clump_cat_stats(img, quant=128, cat_mod=4) \
+        .select("image_id", "clump_id", "n_pix", "category", "cat_pix",
+                "prop")
+
+
+def q_rat_cat_majority(spark, sf_dir) -> DataFrame:
+    """Majority column of populate_rat_with_cat_proportions: highest
+    proportion, ties to the SMALLEST category (the reference's
+    ascending-map strict-> replacement)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return clump_cat_majority(img, quant=128, cat_mod=4) \
+        .select("image_id", "clump_id", "n_pix", "maj_cat", "maj_prop")
+
+
+def q_rel_diff_neigh(spark, sf_dir) -> DataFrame:
+    """rastergis.calc_rel_diff_neigh_stats
+    (RSGISCalcNeighbourStats.cpp:124): per-clump min/max/mean/sum of
+    Histogram[self] - Histogram[neighbour] over distinct 4-adjacent
+    neighbours; no-neighbour clumps report the reference's
+    pre-initialized zeros."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return rel_diff_neigh_stats(img, quant=128, use_abs=False) \
+        .select("image_id", "clump_id", "n_pix", "n_neigh", "min_diff",
+                "max_diff", "mean_diff", "sum_diff")
 
 
 def q_seg_mean(spark, sf_dir) -> DataFrame:
@@ -2067,6 +2120,11 @@ QUERIES = {
     "clump_eliminate": q_clump_eliminate,
     "union_clumps": q_union_clumps,
     "seg_mean": q_seg_mean,
+    "clump_locations": q_clump_locations,
+    "clump_borders": q_clump_borders,
+    "rat_cat_props": q_rat_cat_props,
+    "rat_cat_majority": q_rat_cat_majority,
+    "rel_diff_neigh": q_rel_diff_neigh,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

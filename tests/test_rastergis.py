@@ -124,3 +124,99 @@ def test_merge_small_clumps(spark, sf_dir):
     for _, r in kept.iterrows():
         key = (r["image_id"], r["clump_id"])
         assert r["n_pix"] >= 8 or rat.loc[key]["n_neigh"] == 0
+
+
+def test_clump_geo_stats(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import clump_geo_stats
+
+    img = _clump_images(spark, sf_dir)
+    out = clump_geo_stats(img, quant=128, res=0.001).toPandas()
+    assert len(out) > 0
+    # mean pixel-centre lies strictly inside the corner-based bbox
+    assert (out["min_e"] < out["mean_e"]).all()
+    assert (out["mean_e"] < out["max_e"]).all()
+    assert (out["min_n"] < out["mean_n"]).all()
+    assert (out["mean_n"] < out["max_n"]).all()
+    # bbox area (pixels) bounds the clump pixel count
+    res = 0.001
+    wpx = ((out["max_e"] - out["min_e"]) / res).round().astype(int)
+    hpx = ((out["max_n"] - out["min_n"]) / res).round().astype(int)
+    assert (out["n_pix"] <= wpx * hpx).all()
+    # a 4-connected clump spanning wpx cols and hpx rows has >= max px
+    assert (out["n_pix"] >= np.maximum(wpx, hpx)).all()
+    # non-degenerate: at least one multi-pixel clump with a >1x1 bbox
+    assert ((wpx > 1) & (hpx > 1)).any()
+
+
+def test_clump_border_stats(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import clump_border_stats
+
+    img = _clump_images(spark, sf_dir)
+    out = clump_border_stats(img, quant=128, rel_cls=0).toPandas()
+    assert len(out) > 0
+    # segmentation lattice: every clump in a multi-clump image borders
+    # something (non-vacuous, NOTES lesson 15)
+    multi = out.groupby("image_id")["clump_id"].transform("max") > 1
+    assert (out.loc[multi, "border_len"] > 0).all()
+    assert out["border_len"].sum() > 0
+    assert (out["border_cls0"] <= out["border_len"]).all()
+    ok = out["border_len"] > 0
+    assert np.allclose(out.loc[ok, "rel_border"],
+                       out.loc[ok, "border_cls0"] / out.loc[ok, "border_len"])
+    assert (out.loc[~ok, "rel_border"] == 0.0).all()
+    # per image, total border length is symmetric-even? no — each side
+    # counts its shared edges once, so the per-image SUM counts every
+    # boundary edge exactly twice => even
+    per_img = out.groupby("image_id")["border_len"].sum()
+    assert (per_img % 2 == 0).all()
+    # some clump of class 0 exists => somewhere border_cls0 > 0
+    assert out["border_cls0"].sum() > 0
+
+
+def test_clump_cat_stats(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import (clump_cat_majority,
+                                                    clump_cat_stats)
+
+    img = _clump_images(spark, sf_dir)
+    out = clump_cat_stats(img, quant=128, cat_mod=4).toPandas()
+    assert len(out) > 0
+    # proportions per clump sum to exactly 1 and counts to n_pix
+    g = out.groupby(["image_id", "clump_id"])
+    assert (g["cat_pix"].sum() == g["n_pix"].first()).all()
+    assert np.allclose(g["prop"].sum(), 1.0)
+    # non-vacuous (lesson 15): some clump holds more than one category
+    assert (g["category"].count() > 1).any()
+    assert (out["prop"] > 0).all()
+    # majority agrees with a pandas argmax under the first-max rule
+    maj = clump_cat_majority(img, quant=128, cat_mod=4).toPandas()
+    want = (out.sort_values(["image_id", "clump_id", "cat_pix", "category"],
+                            ascending=[True, True, False, True])
+            .groupby(["image_id", "clump_id"]).first().reset_index())
+    m = maj.sort_values(["image_id", "clump_id"]).reset_index(drop=True)
+    w = want.sort_values(["image_id", "clump_id"]).reset_index(drop=True)
+    assert (m["maj_cat"].values == w["category"].values).all()
+    assert np.allclose(m["maj_prop"], w["cat_pix"] / w["n_pix"])
+
+
+def test_rel_diff_neigh_stats(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import rel_diff_neigh_stats
+
+    img = _clump_images(spark, sf_dir)
+    out = rel_diff_neigh_stats(img, quant=128, use_abs=False).toPandas()
+    assert len(out) > 0
+    # non-vacuous: neighbours exist in every multi-clump image
+    multi = out.groupby("image_id")["clump_id"].transform("max") > 1
+    assert (out.loc[multi, "n_neigh"] > 0).all()
+    ok = out["n_neigh"] > 0
+    assert (out.loc[ok, "min_diff"] <= out.loc[ok, "mean_diff"]).all()
+    assert (out.loc[ok, "mean_diff"] <= out.loc[ok, "max_diff"]).all()
+    assert np.allclose(out.loc[ok, "mean_diff"],
+                       out.loc[ok, "sum_diff"] / out.loc[ok, "n_neigh"])
+    # antisymmetry: the sum over all (i,j) directed diffs is zero/image
+    assert (out.groupby("image_id")["sum_diff"].sum() == 0).all()
+    # abs variant dominates and is non-negative
+    ab = rel_diff_neigh_stats(img, quant=128, use_abs=True).toPandas()
+    assert (ab["min_diff"] >= 0).all()
+    assert (ab.sort_values(["image_id", "clump_id"])["max_diff"].values
+            >= np.abs(out.sort_values(["image_id", "clump_id"])
+                      ["max_diff"].values)).all()
