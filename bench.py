@@ -97,7 +97,7 @@ BENCH_QUERIES = [
     "dedup_clusters", "stretch_stddev",
     # round-4 session-6 operators
     "clump_locations", "clump_borders", "rat_cat_props",
-    "rat_cat_majority", "rel_diff_neigh",
+    "rat_cat_majority", "rel_diff_neigh", "rat_meanlit",
 ]
 
 

@@ -61,7 +61,8 @@ from ..functions import codec
 
 __all__ = ["rat_table", "collapse_rat", "merge_small_clumps",
            "clump_geo_stats", "clump_border_stats", "clump_cat_stats",
-           "clump_cat_majority", "rel_diff_neigh_stats"]
+           "clump_cat_majority", "rel_diff_neigh_stats",
+           "clump_meanlit_stats"]
 
 _RAT_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -603,3 +604,72 @@ def rel_diff_neigh_stats(images: DataFrame, quant: int = 128,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_NDIFF_SCHEMA)
+
+
+_MEANLIT_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("lit_pix", LongType()),
+    StructField("lit_min", LongType()),
+    StructField("lit_max", LongType()),
+    StructField("lit_sum", LongType()),
+    StructField("lit_mean", DoubleType()),
+])
+
+
+def clump_meanlit_stats(images: DataFrame, quant: int = 128) -> DataFrame:
+    """rastergis.populate_rat_with_meanlit_stats
+    (src/rastergis/RSGISPopRATWithStats.cpp:596; pixel predicate
+    RSGISCalcClusterPxlValueStatsMeanLit, :1482): per clump, band
+    stats restricted to pixels whose mean-lit-band value is ``>=`` the
+    clump's mean of that band.  Values band = b1 (the payload plane),
+    mean-lit band = b2 (its horizontal mirror, the repo's standing
+    two-band convention, imagemath.py).
+
+    Exactness: the lit predicate ``b2 >= sum(b2)/n`` is evaluated as
+    the INTEGER comparison ``b2 * n >= sum(b2)`` (no division, no
+    rounding); min/max/sum over the lit subset are exact integers;
+    ``lit_mean = lit_sum / lit_pix`` is one pinned IEEE division.  The
+    lit subset is never empty (the clump max always satisfies >= mean).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _MEANLIT_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                b2 = arr[:, ::-1]
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                ls = lab.ravel()
+                v1, v2 = arr.ravel(), b2.ravel()
+                npix = np.bincount(ls, minlength=n + 1)
+                s2 = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(s2, ls, v2)
+                lit = v2 * npix[ls] >= s2[ls]
+                ll, lv = ls[lit], v1[lit]
+                lcnt = np.bincount(ll, minlength=n + 1)
+                lsum = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(lsum, ll, lv)
+                big = np.int64(1) << 60
+                lmn = np.full(n + 1, big); lmx = np.full(n + 1, -big)
+                np.minimum.at(lmn, ll, lv)
+                np.maximum.at(lmx, ll, lv)
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(v) for v in npix[1:])
+                out["lit_pix"].extend(int(v) for v in lcnt[1:])
+                out["lit_min"].extend(int(v) for v in lmn[1:])
+                out["lit_max"].extend(int(v) for v in lmx[1:])
+                out["lit_sum"].extend(int(v) for v in lsum[1:])
+                out["lit_mean"].extend(
+                    int(s) / int(c) for s, c in zip(lsum[1:], lcnt[1:]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_MEANLIT_SCHEMA)

@@ -3655,3 +3655,28 @@ FROM rl
 JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
 LEFT JOIN st ON st.image_id = rl.image_id AND st.ca = rl.cid
 """
+
+ORACLES["rat_meanlit"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+pv AS (SELECT c.image_id, rl.cid,
+              {synth.pixel_value_sql('i.id', 'c.x', 'c.y', 'i.fmt')} AS v1,
+              {synth.pixel_value_sql('i.id', '(i.w - 1 - c.x)', 'c.y', 'i.fmt')} AS v2
+       FROM comp c
+       JOIN img i ON i.image_id = c.image_id
+       JOIN rl ON rl.image_id = c.image_id AND rl.root = c.root),
+m AS (SELECT image_id, cid, CAST(sum(v2) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pv GROUP BY image_id, cid),
+lit AS (SELECT p.image_id, p.cid, p.v1, m.n
+        FROM pv p JOIN m ON m.image_id = p.image_id AND m.cid = p.cid
+        WHERE p.v2 * m.n >= m.s2)
+SELECT image_id, cid AS clump_id, CAST(min(n) AS BIGINT) AS n_pix,
+       CAST(count(*) AS BIGINT) AS lit_pix,
+       CAST(min(v1) AS BIGINT) AS lit_min,
+       CAST(max(v1) AS BIGINT) AS lit_max,
+       CAST(sum(v1) AS BIGINT) AS lit_sum,
+       CAST(sum(v1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lit_mean
+FROM lit GROUP BY image_id, cid
+"""

@@ -30,8 +30,9 @@ from .operators.overlay import (overlay_difference_rect,
                                 rect_sym_difference, rect_union)
 from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   clump_cat_stats, clump_geo_stats,
-                                  collapse_rat, merge_small_clumps,
-                                  rat_table, rel_diff_neigh_stats)
+                                  clump_meanlit_stats, collapse_rat,
+                                  merge_small_clumps, rat_table,
+                                  rel_diff_neigh_stats)
 from .operators.segmentation import (eliminate_small_segments,
                                      kmeans_centres, shepherd_segments,
                                      segment_means, union_clumps)
@@ -711,6 +712,16 @@ def q_rel_diff_neigh(spark, sf_dir) -> DataFrame:
     return rel_diff_neigh_stats(img, quant=128, use_abs=False) \
         .select("image_id", "clump_id", "n_pix", "n_neigh", "min_diff",
                 "max_diff", "mean_diff", "sum_diff")
+
+
+def q_rat_meanlit(spark, sf_dir) -> DataFrame:
+    """rastergis.populate_rat_with_meanlit_stats
+    (RSGISPopRATWithStats.cpp:596): per-clump stats of b1 restricted to
+    pixels with b2 >= clump mean of b2 (integer-compare predicate)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return clump_meanlit_stats(img, quant=128) \
+        .select("image_id", "clump_id", "n_pix", "lit_pix", "lit_min",
+                "lit_max", "lit_sum", "lit_mean")
 
 
 def q_seg_mean(spark, sf_dir) -> DataFrame:
@@ -2125,6 +2136,7 @@ QUERIES = {
     "rat_cat_props": q_rat_cat_props,
     "rat_cat_majority": q_rat_cat_majority,
     "rel_diff_neigh": q_rel_diff_neigh,
+    "rat_meanlit": q_rat_meanlit,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

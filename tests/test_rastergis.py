@@ -220,3 +220,20 @@ def test_rel_diff_neigh_stats(spark, sf_dir):
     assert (ab.sort_values(["image_id", "clump_id"])["max_diff"].values
             >= np.abs(out.sort_values(["image_id", "clump_id"])
                       ["max_diff"].values)).all()
+
+
+def test_clump_meanlit_stats(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import clump_meanlit_stats
+
+    img = _clump_images(spark, sf_dir)
+    out = clump_meanlit_stats(img, quant=128).toPandas()
+    assert len(out) > 0
+    # the lit subset is never empty and is a PROPER subset somewhere
+    # (non-vacuous: b2 varies inside clumps, lesson 15)
+    assert (out["lit_pix"] >= 1).all()
+    assert (out["lit_pix"] <= out["n_pix"]).all()
+    assert (out["lit_pix"] < out["n_pix"]).any()
+    assert (out["lit_min"] <= out["lit_max"]).all()
+    assert np.allclose(out["lit_mean"], out["lit_sum"] / out["lit_pix"])
+    assert ((out["lit_min"] <= out["lit_mean"])
+            & (out["lit_mean"] <= out["lit_max"])).all()
