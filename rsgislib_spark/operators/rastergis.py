@@ -62,7 +62,7 @@ from ..functions import codec
 __all__ = ["rat_table", "collapse_rat", "merge_small_clumps",
            "clump_geo_stats", "clump_border_stats", "clump_cat_stats",
            "clump_cat_majority", "rel_diff_neigh_stats",
-           "clump_meanlit_stats"]
+           "clump_meanlit_stats", "dist_to_large_clumps"]
 
 _RAT_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -673,3 +673,99 @@ def clump_meanlit_stats(images: DataFrame, quant: int = 128) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_MEANLIT_SCHEMA)
+
+
+_DIST_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("min_sq_px", LongType()),
+    StructField("dist_deg", DoubleType()),
+])
+
+_EDT_INF = np.int64(1) << 40
+
+
+def _sq_edt(mask: np.ndarray) -> np.ndarray:
+    """Exact squared Euclidean distance transform to the True set.
+
+    Separable decomposition: a vectorized two-scan row pass finds the
+    squared distance to the nearest True pixel in the same row, then a
+    column pass takes ``min over y' of (y-y')^2 + rowd[y', x]``
+    (Felzenszwalb & Huttenlocher's g-function identity).  Everything is
+    int64 — squared distances are exact, so the SQL brute-force
+    boundary-pair oracle reproduces them bit-for-bit.
+
+    The column pass is the O(h^2 w) matrix form rather than the O(n)
+    parabola envelope: per bounded-size image/tile (the engine's
+    partition unit, <= a few Mpx) the fully-vectorized cubic form is
+    faster than a Python-loop linear one; swap in the envelope if tiles
+    ever grow unbounded.
+    """
+    h, w = mask.shape
+    cols = np.arange(w, dtype=np.int64)[None, :]
+    big = _EDT_INF
+    idx = np.where(mask, cols, -big)
+    fwd = np.maximum.accumulate(idx, axis=1)
+    df = cols - fwd                                   # >= 0, big if none
+    idxb = np.where(mask, cols, big * 2)
+    bwd = np.minimum.accumulate(idxb[:, ::-1], axis=1)[:, ::-1]
+    db = bwd - cols
+    rd = np.minimum(df, db)
+    rowd = np.where(rd >= big, big, rd * rd)          # squared, capped
+    ys = np.arange(h, dtype=np.int64)
+    yy = (ys[:, None] - ys[None, :]) ** 2             # (y, y')
+    dt = (yy[:, :, None] + rowd[None, :, :]).min(axis=1)
+    return dt
+
+
+def dist_to_large_clumps(images: DataFrame, quant: int = 128,
+                         size_thres: int = 500,
+                         res: float = 0.001) -> DataFrame:
+    """rastergis.calc_dist_to_large_clumps
+    (python/rsgislib/rastergis/__init__.py:1029): per SMALL clump
+    (Histogram < size_thres, the reference's strict ``<``), the minimum
+    distance to any large clump's pixels.  The reference polygonizes and
+    takes GEOS geometry distance; on the pixel lattice that minimum is
+    attained between pixel centres, so ``min_sq_px`` (exact int64 via
+    the squared EDT seeded on the large-clump mask) is the same
+    measurement, and ``dist_deg = sqrt(min_sq_px) * res`` mirrors it in
+    world units (sqrt and * are both correctly-rounded IEEE ops —
+    bit-identical in every engine).
+
+    Images with no large clump emit no rows (the reference's nearest-
+    geometry search has no target there).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _DIST_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                npix = np.bincount(lab.ravel(), minlength=n + 1)
+                large = npix >= size_thres
+                large[0] = False
+                small_ids = np.nonzero(~large[1:])[0] + 1
+                if not large.any() or small_ids.size == 0:
+                    continue
+                dt = _sq_edt(large[lab])
+                mn = np.full(n + 1, _EDT_INF, dtype=np.int64)
+                np.minimum.at(mn, lab.ravel(), dt.ravel())
+                for c in small_ids:
+                    sq = int(mn[c])
+                    out["image_id"].append(image_id)
+                    out["clump_id"].append(int(c))
+                    out["n_pix"].append(int(npix[c]))
+                    out["min_sq_px"].append(sq)
+                    out["dist_deg"].append(float(np.sqrt(np.float64(sq))
+                                                 * np.float64(res)))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_DIST_SCHEMA)

@@ -3680,3 +3680,45 @@ SELECT image_id, cid AS clump_id, CAST(min(n) AS BIGINT) AS n_pix,
        CAST(sum(v1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lit_mean
 FROM lit GROUP BY image_id, cid
 """
+
+# calc_dist_to_large_clumps: the min pixel-pair distance between a small
+# clump and the large-clump set is attained between 8-BOUNDARY pixels
+# (an interior pixel's neighbour toward the target is strictly closer
+# and stays in the same set), so the brute-force pair join only needs
+# boundary pixels — ~10-15% of the lattice under the stripe-shaped
+# synthetic clumps.
+ORACLES["dist_large_clumps"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+compm AS MATERIALIZED (
+  SELECT c.image_id, c.x, c.y, c.root, i.w, i.h
+  FROM comp c JOIN img i ON i.image_id = c.image_id),
+offs AS (SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                               (0, 1), (1, -1), (1, 0), (1, 1)) t(dx, dy)),
+bnd AS MATERIALIZED (
+  SELECT DISTINCT image_id, x, y, root FROM (
+    SELECT a.image_id, a.x, a.y, a.root, b.root AS broot
+    FROM compm a
+    CROSS JOIN offs o
+    LEFT JOIN compm b ON b.image_id = a.image_id
+                     AND b.x = a.x + o.dx AND b.y = a.y + o.dy)
+  WHERE broot IS NULL OR broot <> root),
+sb AS (SELECT b.image_id, b.x, b.y, b.root
+       FROM bnd b JOIN cl ON cl.image_id = b.image_id AND cl.root = b.root
+       WHERE cl.n_pix < 500),
+lb AS (SELECT b.image_id, b.x, b.y
+       FROM bnd b JOIN cl ON cl.image_id = b.image_id AND cl.root = b.root
+       WHERE cl.n_pix >= 500),
+d AS (SELECT s.image_id, s.root,
+             min((s.x - l.x) * (s.x - l.x)
+                 + (s.y - l.y) * (s.y - l.y)) AS msq
+      FROM sb s JOIN lb l ON l.image_id = s.image_id
+      GROUP BY s.image_id, s.root)
+SELECT d.image_id, rl.cid AS clump_id, CAST(cl.n_pix AS BIGINT) AS n_pix,
+       CAST(d.msq AS BIGINT) AS min_sq_px,
+       sqrt(CAST(d.msq AS DOUBLE)) * CAST(0.001 AS DOUBLE) AS dist_deg
+FROM d
+JOIN rl ON rl.image_id = d.image_id AND rl.root = d.root
+JOIN cl ON cl.image_id = d.image_id AND cl.root = d.root
+"""

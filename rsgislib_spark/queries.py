@@ -31,8 +31,8 @@ from .operators.overlay import (overlay_difference_rect,
 from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   clump_cat_stats, clump_geo_stats,
                                   clump_meanlit_stats, collapse_rat,
-                                  merge_small_clumps, rat_table,
-                                  rel_diff_neigh_stats)
+                                  dist_to_large_clumps, merge_small_clumps,
+                                  rat_table, rel_diff_neigh_stats)
 from .operators.segmentation import (eliminate_small_segments,
                                      kmeans_centres, shepherd_segments,
                                      segment_means, union_clumps)
@@ -722,6 +722,16 @@ def q_rat_meanlit(spark, sf_dir) -> DataFrame:
     return clump_meanlit_stats(img, quant=128) \
         .select("image_id", "clump_id", "n_pix", "lit_pix", "lit_min",
                 "lit_max", "lit_sum", "lit_mean")
+
+
+def q_dist_large_clumps(spark, sf_dir) -> DataFrame:
+    """rastergis.calc_dist_to_large_clumps (rastergis/__init__.py:1029):
+    per small clump (< 500 px), min pixel distance to the large-clump
+    set via an exact int64 squared EDT; dist_deg = sqrt * res."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return dist_to_large_clumps(img, quant=128, size_thres=500,
+                                res=0.001) \
+        .select("image_id", "clump_id", "n_pix", "min_sq_px", "dist_deg")
 
 
 def q_seg_mean(spark, sf_dir) -> DataFrame:
@@ -2137,6 +2147,7 @@ QUERIES = {
     "rat_cat_majority": q_rat_cat_majority,
     "rel_diff_neigh": q_rel_diff_neigh,
     "rat_meanlit": q_rat_meanlit,
+    "dist_large_clumps": q_dist_large_clumps,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -237,3 +237,21 @@ def test_clump_meanlit_stats(spark, sf_dir):
     assert np.allclose(out["lit_mean"], out["lit_sum"] / out["lit_pix"])
     assert ((out["lit_min"] <= out["lit_mean"])
             & (out["lit_mean"] <= out["lit_max"])).all()
+
+
+def test_dist_to_large_clumps(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import dist_to_large_clumps
+
+    img = _clump_images(spark, sf_dir)
+    out = dist_to_large_clumps(img, quant=128, size_thres=500).toPandas()
+    assert len(out) > 0
+    # only small clumps appear, every distance is positive (sets are
+    # disjoint) and attainable inside the image diagonal
+    assert (out["n_pix"] < 500).all()
+    assert (out["min_sq_px"] >= 1).all()
+    assert (out["min_sq_px"] < 2 * 128 * 128).all()
+    assert np.allclose(out["dist_deg"],
+                       np.sqrt(out["min_sq_px"].astype(float)) * 0.001)
+    # adjacency exists in the stripe lattice: some small clump touches a
+    # large one (distance exactly 1)
+    assert (out["min_sq_px"] == 1).any()
