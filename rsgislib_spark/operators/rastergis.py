@@ -62,7 +62,8 @@ from ..functions import codec
 __all__ = ["rat_table", "collapse_rat", "merge_small_clumps",
            "clump_geo_stats", "clump_border_stats", "clump_cat_stats",
            "clump_cat_majority", "rel_diff_neigh_stats",
-           "clump_meanlit_stats", "dist_to_large_clumps"]
+           "clump_meanlit_stats", "dist_to_large_clumps",
+           "clump_tile_positions"]
 
 _RAT_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -769,3 +770,87 @@ def dist_to_large_clumps(images: DataFrame, quant: int = 128,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_DIST_SCHEMA)
+
+
+_TILEPOS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("tile_pos", LongType()),
+    StructField("on_border", LongType()),
+])
+
+
+def clump_tile_positions(images: DataFrame, quant: int = 128,
+                         tw: int = 48, th: int = 32, overlap: int = 4,
+                         boundary: int = 2, mix: bool = False) -> DataFrame:
+    """rastergis.define_clump_tile_positions + define_border_clumps
+    (src/rastergis/RSGISDefineClumpsInTiles.cpp:32,209 — the
+    merge_segmentation_tiles classification step).
+
+    The tile-region plane codes each pixel by the distance ``d`` to its
+    regular-grid tile core's edge (cores ``tw x th``, remainder tiles
+    clipped at the image edge): ``d < overlap`` -> code 1 (overlap),
+    ``d < overlap + boundary`` -> 2 (boundary), else 3 (body).  Clump
+    classification follows the reference's priority exactly
+    (RSGISDefineClumpsInTiles.cpp:72-95): touches boundary -> 2;
+    touches overlap AND body -> 2 ("just in case"); only overlap -> 1;
+    only body -> 3.  ``on_border`` = 1 iff the clump holds a pixel on
+    the image's outer ring (calcImageBorderPixels).
+
+    ``mix=True`` segments the diamond-cell plane
+    ``((b1 // quant) * (b2 // quant)) % 2`` (b2 = mirror band) instead
+    of the plain quantization stripes: the stripes of the synthetic
+    payload always reach the image edge, which would make
+    ``on_border`` vacuously all-1 and "pure body" unreachable (NOTES
+    lesson 15); the diamond lattice has genuine interior clumps.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _TILEPOS_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                w, h = int(w), int(h)
+                arr = codec.decode_image(bytes(buf), w, h,
+                                         str(fmt)).astype(np.int64)
+                if mix:
+                    q = ((arr // quant) * (arr[:, ::-1] // quant)) % 2
+                else:
+                    q = arr // quant
+                lab = _label_regions(q)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                tx0 = (xs // tw) * tw
+                tx1 = np.minimum(tx0 + tw, w)
+                ty0 = (ys // th) * th
+                ty1 = np.minimum(ty0 + th, h)
+                d = np.minimum(np.minimum(xs - tx0, tx1 - 1 - xs),
+                               np.minimum(ys - ty0, ty1 - 1 - ys))
+                code = np.where(d < overlap, 1,
+                                np.where(d < overlap + boundary, 2, 3))
+                ls = lab.ravel()
+                npix = np.bincount(ls, minlength=n + 1)
+                has = np.zeros((4, n + 1), dtype=bool)
+                for c in (1, 2, 3):
+                    sel = (code == c).ravel()
+                    has[c, np.unique(ls[sel])] = True
+                pos = np.where(
+                    has[2] | (has[1] & has[3]), 2,
+                    np.where(has[1], 1, np.where(has[3], 3, 0)))
+                border = np.zeros(n + 1, dtype=np.int64)
+                edge = np.concatenate([lab[0, :], lab[-1, :],
+                                       lab[:, 0], lab[:, -1]])
+                border[np.unique(edge)] = 1
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(v) for v in npix[1:])
+                out["tile_pos"].extend(int(v) for v in pos[1:])
+                out["on_border"].extend(int(v) for v in border[1:])
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_TILEPOS_SCHEMA)

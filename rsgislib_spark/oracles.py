@@ -3722,3 +3722,50 @@ FROM d
 JOIN rl ON rl.image_id = d.image_id AND rl.root = d.root
 JOIN cl ON cl.image_id = d.image_id AND cl.root = d.root
 """
+
+_TILEPOS_PX = f"""SELECT image_id, w, x, y,
+       ((({synth.pixel_value_sql('id', 'x', 'y', 'fmt')}) // 128)
+        * (({synth.pixel_value_sql('id', '(w - 1 - x)', 'y', 'fmt')}) // 128)) % 2 AS q
+FROM (SELECT image_id, id, w, fmt, x,
+             unnest(generate_series(0, h - 1)) AS y
+      FROM (SELECT image_id, id, w, h, fmt,
+                   unnest(generate_series(0, w - 1)) AS x
+            FROM img WHERE id % 19 = 0))"""
+
+# define_clump_tile_positions over the diamond-cell plane (the plain
+# stripes always touch the image edge -> on_border would be vacuous).
+ORACLES["clump_tile_pos"] = f"""
+{_PREFIX},
+{_cc_segments_cte(px_sql=_TILEPOS_PX, rounds=20)},
+{_RL},
+pc AS (SELECT c.image_id, c.root,
+              CASE WHEN least(c.x - (c.x // 48) * 48,
+                              least((c.x // 48) * 48 + 48, i.w) - 1 - c.x,
+                              c.y - (c.y // 32) * 32,
+                              least((c.y // 32) * 32 + 32, i.h) - 1 - c.y) < 4
+                   THEN 1
+                   WHEN least(c.x - (c.x // 48) * 48,
+                              least((c.x // 48) * 48 + 48, i.w) - 1 - c.x,
+                              c.y - (c.y // 32) * 32,
+                              least((c.y // 32) * 32 + 32, i.h) - 1 - c.y) < 6
+                   THEN 2 ELSE 3 END AS code,
+              CASE WHEN c.x = 0 OR c.y = 0 OR c.x = i.w - 1
+                        OR c.y = i.h - 1 THEN 1 ELSE 0 END AS edge
+       FROM comp c JOIN img i ON i.image_id = c.image_id),
+agg AS (SELECT image_id, root,
+               max(CASE WHEN code = 1 THEN 1 ELSE 0 END) AS has_ov,
+               max(CASE WHEN code = 2 THEN 1 ELSE 0 END) AS has_bd,
+               max(CASE WHEN code = 3 THEN 1 ELSE 0 END) AS has_body,
+               max(edge) AS on_border
+        FROM pc GROUP BY image_id, root)
+SELECT a.image_id, rl.cid AS clump_id, CAST(cl.n_pix AS BIGINT) AS n_pix,
+       CAST(CASE WHEN a.has_bd = 1 OR (a.has_ov = 1 AND a.has_body = 1)
+                 THEN 2
+                 WHEN a.has_ov = 1 THEN 1
+                 WHEN a.has_body = 1 THEN 3 ELSE 0 END AS BIGINT)
+           AS tile_pos,
+       CAST(a.on_border AS BIGINT) AS on_border
+FROM agg a
+JOIN rl ON rl.image_id = a.image_id AND rl.root = a.root
+JOIN cl ON cl.image_id = a.image_id AND cl.root = rl.root
+"""

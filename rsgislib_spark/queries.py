@@ -30,9 +30,10 @@ from .operators.overlay import (overlay_difference_rect,
                                 rect_sym_difference, rect_union)
 from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   clump_cat_stats, clump_geo_stats,
-                                  clump_meanlit_stats, collapse_rat,
-                                  dist_to_large_clumps, merge_small_clumps,
-                                  rat_table, rel_diff_neigh_stats)
+                                  clump_meanlit_stats, clump_tile_positions,
+                                  collapse_rat, dist_to_large_clumps,
+                                  merge_small_clumps, rat_table,
+                                  rel_diff_neigh_stats)
 from .operators.segmentation import (eliminate_small_segments,
                                      kmeans_centres, shepherd_segments,
                                      segment_means, union_clumps)
@@ -732,6 +733,18 @@ def q_dist_large_clumps(spark, sf_dir) -> DataFrame:
     return dist_to_large_clumps(img, quant=128, size_thres=500,
                                 res=0.001) \
         .select("image_id", "clump_id", "n_pix", "min_sq_px", "dist_deg")
+
+
+def q_clump_tile_pos(spark, sf_dir) -> DataFrame:
+    """rastergis.define_clump_tile_positions + define_border_clumps
+    (RSGISDefineClumpsInTiles.cpp:32,209): per-clump tile-position
+    class (boundary > overlap&body > overlap > body) over a 48x32 tile
+    lattice, plus the image-border mask; diamond-cell clump plane so
+    interior (non-border) clumps exist."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return clump_tile_positions(img, quant=128, tw=48, th=32,
+                                overlap=4, boundary=2, mix=True) \
+        .select("image_id", "clump_id", "n_pix", "tile_pos", "on_border")
 
 
 def q_seg_mean(spark, sf_dir) -> DataFrame:
@@ -2148,6 +2161,7 @@ QUERIES = {
     "rel_diff_neigh": q_rel_diff_neigh,
     "rat_meanlit": q_rat_meanlit,
     "dist_large_clumps": q_dist_large_clumps,
+    "clump_tile_pos": q_clump_tile_pos,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -255,3 +255,20 @@ def test_dist_to_large_clumps(spark, sf_dir):
     # adjacency exists in the stripe lattice: some small clump touches a
     # large one (distance exactly 1)
     assert (out["min_sq_px"] == 1).any()
+
+
+def test_clump_tile_positions(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import clump_tile_positions
+
+    img = _clump_images(spark, sf_dir)
+    out = clump_tile_positions(img, quant=128, mix=True).toPandas()
+    assert len(out) > 0
+    # every clump classified, ALL THREE classes occur, and both border
+    # and interior clumps exist (non-vacuous, lesson 15)
+    assert (out["tile_pos"] != 0).all()
+    assert {1, 2, 3} == set(out["tile_pos"].unique())
+    assert (out["on_border"] == 1).any()
+    assert (out["on_border"] == 0).any()
+    # the overlap band includes the image edge ring (d=0 < overlap), so
+    # an on-border clump can never be classified pure body
+    assert not ((out["on_border"] == 1) & (out["tile_pos"] == 3)).any()
