@@ -63,7 +63,7 @@ __all__ = ["rat_table", "collapse_rat", "merge_small_clumps",
            "clump_geo_stats", "clump_border_stats", "clump_cat_stats",
            "clump_cat_majority", "rel_diff_neigh_stats",
            "clump_meanlit_stats", "dist_to_large_clumps",
-           "clump_tile_positions"]
+           "clump_tile_positions", "find_change_clumps"]
 
 _RAT_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -854,3 +854,69 @@ def clump_tile_positions(images: DataFrame, quant: int = 128,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_TILEPOS_SCHEMA)
+
+
+_CHANGE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("cls", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("change", LongType()),
+])
+
+
+def find_change_clumps(images: DataFrame, quant: int = 128,
+                       k: int = 2) -> DataFrame:
+    """changedetect: rastergis.find_change_clumps_from_std_dev
+    (src/rastergis/RSGISFindChangeClumps.cpp:176-196 thresholds,
+    :225-240 application): per class, lower/upper = mean +- k*stddev of
+    the field over the class's clumps (population stddev); a clump is
+    change (1) iff its value falls strictly outside [lower, upper].
+
+    Class = the clump's quantization band; field = the clump pixel
+    count (Histogram).  The float rule ``|v - mean| > k*sigma`` is
+    evaluated EXACTLY as the integer predicate
+    ``(v*N - S)^2 > k^2 * (N*SS - S^2)`` (S/SS/N = class sum, sum of
+    squares, count) — squaring preserves the strict inequality since
+    both sides are non-negative, and every product stays < 2^53, so
+    the DuckDB oracle runs the identical integer arithmetic.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _CHANGE_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                q = arr // quant
+                lab = _label_regions(q)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                flat_lab, flat_q = lab.ravel(), q.ravel()
+                npix = np.bincount(flat_lab, minlength=n + 1)
+                first = np.full(n + 1, flat_lab.size, dtype=np.int64)
+                np.minimum.at(first, flat_lab,
+                              np.arange(flat_lab.size, dtype=np.int64))
+                cls = np.zeros(n + 1, dtype=np.int64)
+                cls[1:] = flat_q[first[1:]]
+                ncls = int(cls.max()) + 1
+                cc = np.bincount(cls[1:], minlength=ncls)
+                s = np.zeros(ncls, dtype=np.int64)
+                ss = np.zeros(ncls, dtype=np.int64)
+                np.add.at(s, cls[1:], npix[1:])
+                np.add.at(ss, cls[1:], npix[1:] * npix[1:])
+                v, c = npix[1:], cls[1:]
+                lhs = (v * cc[c] - s[c]) ** 2
+                rhs = k * k * (cc[c] * ss[c] - s[c] * s[c])
+                chg = (lhs > rhs).astype(np.int64)
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["cls"].extend(int(x) for x in c)
+                out["n_pix"].extend(int(x) for x in v)
+                out["change"].extend(int(x) for x in chg)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_CHANGE_SCHEMA)

@@ -3769,3 +3769,20 @@ FROM agg a
 JOIN rl ON rl.image_id = a.image_id AND rl.root = a.root
 JOIN cl ON cl.image_id = a.image_id AND cl.root = rl.root
 """
+ORACLES["change_clumps"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+st AS (SELECT image_id, cls, CAST(count(*) AS BIGINT) AS nn,
+              CAST(sum(n_pix) AS BIGINT) AS s,
+              CAST(sum(n_pix * n_pix) AS BIGINT) AS ss
+       FROM cl GROUP BY image_id, cls)
+SELECT cl.image_id, rl.cid AS clump_id, CAST(cl.cls AS BIGINT) AS cls,
+       CAST(cl.n_pix AS BIGINT) AS n_pix,
+       CAST(CASE WHEN (cl.n_pix * st.nn - st.s) * (cl.n_pix * st.nn - st.s)
+                      > 1 * (st.nn * st.ss - st.s * st.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS change
+FROM cl
+JOIN rl ON rl.image_id = cl.image_id AND rl.root = cl.root
+JOIN st ON st.image_id = cl.image_id AND st.cls = cl.cls
+"""

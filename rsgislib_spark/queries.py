@@ -32,8 +32,8 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   clump_cat_stats, clump_geo_stats,
                                   clump_meanlit_stats, clump_tile_positions,
                                   collapse_rat, dist_to_large_clumps,
-                                  merge_small_clumps, rat_table,
-                                  rel_diff_neigh_stats)
+                                  find_change_clumps, merge_small_clumps,
+                                  rat_table, rel_diff_neigh_stats)
 from .operators.segmentation import (eliminate_small_segments,
                                      kmeans_centres, shepherd_segments,
                                      segment_means, union_clumps)
@@ -745,6 +745,17 @@ def q_clump_tile_pos(spark, sf_dir) -> DataFrame:
     return clump_tile_positions(img, quant=128, tw=48, th=32,
                                 overlap=4, boundary=2, mix=True) \
         .select("image_id", "clump_id", "n_pix", "tile_pos", "on_border")
+
+
+def q_change_clumps(spark, sf_dir) -> DataFrame:
+    """changedetect find_change_clumps_from_std_dev
+    (RSGISFindChangeClumps.cpp): clump flagged change iff its Histogram
+    is strictly outside class mean +- 1*stddev (k=1 so both outcomes
+    occur in the homogeneous stripe sizes), via the exact integer
+    predicate (v*N - S)^2 > k^2*(N*SS - S^2)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return find_change_clumps(img, quant=128, k=1) \
+        .select("image_id", "clump_id", "cls", "n_pix", "change")
 
 
 def q_seg_mean(spark, sf_dir) -> DataFrame:
@@ -2162,6 +2173,7 @@ QUERIES = {
     "rat_meanlit": q_rat_meanlit,
     "dist_large_clumps": q_dist_large_clumps,
     "clump_tile_pos": q_clump_tile_pos,
+    "change_clumps": q_change_clumps,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -272,3 +272,25 @@ def test_clump_tile_positions(spark, sf_dir):
     # the overlap band includes the image edge ring (d=0 < overlap), so
     # an on-border clump can never be classified pure body
     assert not ((out["on_border"] == 1) & (out["tile_pos"] == 3)).any()
+
+
+def test_find_change_clumps(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import find_change_clumps
+
+    img = _clump_images(spark, sf_dir)
+    out = find_change_clumps(img, quant=128, k=1).toPandas()
+    assert len(out) > 0
+    # both outcomes occur (non-vacuous, lesson 15)
+    assert (out["change"] == 1).any()
+    assert (out["change"] == 0).any()
+    # brute-force float recheck: |v - mean| > 2*sigma per (image, cls)
+    for (_, _), g in out.groupby(["image_id", "cls"]):
+        v = g["n_pix"].to_numpy(dtype=float)
+        mu, sd = v.mean(), v.std()
+        # away from the float boundary the flags must agree exactly
+        clear = np.abs(np.abs(v - mu) - sd) > 1e-6
+        assert (g["change"].to_numpy()[clear]
+                == (np.abs(v - mu) > sd)[clear].astype(int)).all()
+    # singleton classes are never change (sigma = 0, v == mean)
+    ones = out.groupby(["image_id", "cls"]).filter(lambda g: len(g) == 1)
+    assert (ones["change"] == 0).all()
