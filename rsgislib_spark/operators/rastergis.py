@@ -63,7 +63,8 @@ __all__ = ["rat_table", "collapse_rat", "merge_small_clumps",
            "clump_geo_stats", "clump_border_stats", "clump_cat_stats",
            "clump_cat_majority", "rel_diff_neigh_stats",
            "clump_meanlit_stats", "dist_to_large_clumps",
-           "clump_tile_positions", "find_change_clumps"]
+           "clump_tile_positions", "find_change_clumps",
+           "select_clumps_on_grid"]
 
 _RAT_SCHEMA = StructType([
     StructField("image_id", StringType()),
@@ -920,3 +921,44 @@ def find_change_clumps(images: DataFrame, quant: int = 128,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_CHANGE_SCHEMA)
+
+
+def select_clumps_on_grid(images: DataFrame, quant: int = 128,
+                          rows: int = 4, cols: int = 4,
+                          res: float = 0.001) -> DataFrame:
+    """rastergis.select_clumps_on_grid, method='min'
+    (src/rastergis/RSGISSelectClumps.cpp:33; per-clump pass
+    RSGISCalcTileStats :216-273): divide the image extent into a
+    rows x cols grid, and in each cell select the clump with the
+    MINIMUM metric (metric = Histogram) among clumps whose centroid
+    falls in the cell; first-encountered wins ties (ascending fid scan
+    with strict '<'), i.e. the smallest clump_id among the minima.
+
+    Cell assignment mirrors the reference's row-major inclusive-
+    envelope scan: a centroid on a shared boundary belongs to the
+    first (upper/left) tile, hence ``greatest(0, ceil(off/size) - 1)``.
+    Pure Catalyst over :func:`clump_geo_stats` — centroid join, tile
+    index projection, one struct-min aggregation (map-side partial),
+    one broadcast-size join back for the flag column.  Expression trees
+    (one multiply + one divide for the tile size, one subtract +
+    divide + ceil for the index) are pinned and mirrored in SQL.
+    """
+    cent = clump_geo_stats(images, quant=quant, res=res)
+    meta = images.select("image_id", "lon", "lat", "w", "h")
+    j = cent.join(meta, "image_id")
+    tw = (F.col("w").cast("double") * F.lit(float(res))) / F.lit(float(cols))
+    th = (F.col("h").cast("double") * F.lit(float(res))) / F.lit(float(rows))
+    tc = F.greatest(F.lit(0), F.ceil((F.col("mean_e") - F.col("lon")) / tw)
+                    - F.lit(1))
+    tr = F.greatest(F.lit(0), F.ceil((F.col("lat") - F.col("mean_n")) / th)
+                    - F.lit(1))
+    g = j.select("image_id", "clump_id", "n_pix",
+                 tr.alias("tile_row"), tc.alias("tile_col"))
+    best = (g.groupBy("image_id", "tile_row", "tile_col")
+            .agg(F.min(F.struct(F.col("n_pix"), F.col("clump_id")))
+                 .alias("b"))
+            .select("image_id", F.col("b.clump_id").alias("clump_id"),
+                    F.lit(1).alias("sel")))
+    return (g.join(best, ["image_id", "clump_id"], "left")
+            .select("image_id", "clump_id", "n_pix", "tile_row",
+                    "tile_col", F.coalesce("sel", F.lit(0)).alias("sel")))

@@ -3786,3 +3786,42 @@ FROM cl
 JOIN rl ON rl.image_id = cl.image_id AND rl.root = cl.root
 JOIN st ON st.image_id = cl.image_id AND st.cls = cl.cls
 """
+
+ORACLES["select_on_grid"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+gsum AS (SELECT r.image_id, s.root,
+                CAST(sum((r.x0 + r.x1) * r.len) // 2 AS BIGINT) AS sx,
+                CAST(sum(r.y * r.len) AS BIGINT) AS sy
+         FROM runs r JOIN rlab s
+           ON s.image_id = r.image_id AND s.rid = r.rid
+         GROUP BY r.image_id, s.root),
+cent AS (SELECT rl.image_id, rl.cid, CAST(cl.n_pix AS BIGINT) AS n_pix,
+                i.lon + (CAST(g.sx AS DOUBLE) / CAST(cl.n_pix AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) * {_RD} AS mean_e,
+                i.lat - (CAST(g.sy AS DOUBLE) / CAST(cl.n_pix AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE)) * {_RD} AS mean_n,
+                i.lon AS lon, i.lat AS lat, i.w AS w, i.h AS h
+         FROM rl
+         JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
+         JOIN gsum g ON g.image_id = rl.image_id AND g.root = rl.root
+         JOIN img i ON i.image_id = rl.image_id),
+tix AS (SELECT image_id, cid, n_pix,
+               greatest(CAST(0 AS BIGINT),
+                 CAST(ceil((lat - mean_n)
+                      / ((CAST(h AS DOUBLE) * {_RD})
+                         / CAST(4 AS DOUBLE))) AS BIGINT) - 1) AS tile_row,
+               greatest(CAST(0 AS BIGINT),
+                 CAST(ceil((mean_e - lon)
+                      / ((CAST(w AS DOUBLE) * {_RD})
+                         / CAST(4 AS DOUBLE))) AS BIGINT) - 1) AS tile_col
+        FROM cent),
+sel AS (SELECT image_id, cid, row_number() OVER (
+              PARTITION BY image_id, tile_row, tile_col
+              ORDER BY n_pix ASC, cid ASC) AS rn
+        FROM tix)
+SELECT t.image_id, t.cid AS clump_id, t.n_pix, t.tile_row, t.tile_col,
+       CAST(CASE WHEN s.rn = 1 THEN 1 ELSE 0 END AS INT) AS sel
+FROM tix t JOIN sel s ON s.image_id = t.image_id AND s.cid = t.cid
+"""

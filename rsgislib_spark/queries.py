@@ -33,7 +33,8 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   clump_meanlit_stats, clump_tile_positions,
                                   collapse_rat, dist_to_large_clumps,
                                   find_change_clumps, merge_small_clumps,
-                                  rat_table, rel_diff_neigh_stats)
+                                  rat_table, rel_diff_neigh_stats,
+                                  select_clumps_on_grid)
 from .operators.segmentation import (eliminate_small_segments,
                                      kmeans_centres, shepherd_segments,
                                      segment_means, union_clumps)
@@ -756,6 +757,18 @@ def q_change_clumps(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19)
     return find_change_clumps(img, quant=128, k=1) \
         .select("image_id", "clump_id", "cls", "n_pix", "change")
+
+
+def q_select_on_grid(spark, sf_dir) -> DataFrame:
+    """rastergis.select_clumps_on_grid method='min'
+    (RSGISSelectClumps.cpp:33): per 4x4 grid cell, flag the clump with
+    the smallest Histogram whose centroid falls in the cell (first-win
+    ties -> smallest clump_id)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return select_clumps_on_grid(img, quant=128, rows=4, cols=4,
+                                 res=0.001) \
+        .select("image_id", "clump_id", "n_pix", "tile_row", "tile_col",
+                "sel")
 
 
 def q_seg_mean(spark, sf_dir) -> DataFrame:
@@ -2174,6 +2187,7 @@ QUERIES = {
     "dist_large_clumps": q_dist_large_clumps,
     "clump_tile_pos": q_clump_tile_pos,
     "change_clumps": q_change_clumps,
+    "select_on_grid": q_select_on_grid,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -294,3 +294,27 @@ def test_find_change_clumps(spark, sf_dir):
     # singleton classes are never change (sigma = 0, v == mean)
     ones = out.groupby(["image_id", "cls"]).filter(lambda g: len(g) == 1)
     assert (ones["change"] == 0).all()
+
+
+def test_select_clumps_on_grid(spark, sf_dir):
+    from rsgislib_spark.operators.rastergis import select_clumps_on_grid
+
+    img = _clump_images(spark, sf_dir)
+    out = select_clumps_on_grid(img, quant=128, rows=4, cols=4).toPandas()
+    assert len(out) > 0
+    assert set(out["sel"].unique()) == {0, 1}
+    # exactly one selection per occupied (image, tile) cell
+    g = out.groupby(["image_id", "tile_row", "tile_col"])
+    assert (g["sel"].sum() == 1).all()
+    # the selected clump carries the cell's minimum metric, smallest id
+    for _, grp in g:
+        w = grp[grp["sel"] == 1].iloc[0]
+        mn = grp["n_pix"].min()
+        assert w["n_pix"] == mn
+        assert w["clump_id"] == grp.loc[grp["n_pix"] == mn, "clump_id"].min()
+    assert (out["tile_row"].between(0, 3)).all()
+    assert (out["tile_col"].between(0, 3)).all()
+    # multiple distinct cells are occupied (non-vacuous, lesson 15)
+    assert out.groupby("image_id").apply(
+        lambda grp: len(grp[["tile_row", "tile_col"]].drop_duplicates()),
+        include_groups=False).max() > 4
