@@ -265,25 +265,33 @@ def _npart_count(spark, sf_dir) -> int:
     return _NPART_CACHE[key]
 
 
-def _px_partitions(spark, sf_dir, mod: int) -> int:
+def _px_partitions(spark, sf_dir, mod: int,
+                   rows_per_task: int = 128) -> int:
     """Task count for a payload (two chained Python stages) subset.
 
     Measured on this box (BENCH.md r3): the encode+decode pipeline pays
     two Python-runner launches per task, so small subsets at core-count
     tasks are launch-bound — 1053 images ran 1.3 s at 32 tasks vs
-    0.74 s at 8.  Target ~128 wide rows per task, capped at 3x the
-    task slots (the usual oversubscription factor on a real cluster —
-    at 10^12 rows the cap binds and the heuristic degenerates to
-    "spread everywhere", which is correct there).
+    0.74 s at 8.  Target ~128 wide rows per task for codec-cheap
+    kernels, capped at 3x the task slots (the usual oversubscription
+    factor on a real cluster — at 10^12 rows the cap binds and the
+    heuristic degenerates to "spread everywhere", which is correct
+    there).
+
+    ``rows_per_task=32`` is the measured sweet spot for the HEAVY
+    per-image kernels (the `_label_regions` clump/RAT/segmentation
+    family, ~10x the decode cost): 1053 sf0.1 images ran 6-11 s at
+    9 tasks vs 4-6 s at 33 (96 tasks adds launch cost for ~nothing).
     """
     import math as _m
 
     n_sub = max(1, _npart_count(spark, sf_dir) // max(1, mod))
     dp = spark.sparkContext.defaultParallelism
-    return max(1, min(_m.ceil(n_sub / 128), 3 * dp))
+    return max(1, min(_m.ceil(n_sub / rows_per_task), 3 * dp))
 
 
-def _px_images(spark, sf_dir, mod: int = 7, with_footprint: bool = False):
+def _px_images(spark, sf_dir, mod: int = 7, with_footprint: bool = False,
+               rows_per_task: int = 128):
     """Subset of images WITH payloads — filter pushed BELOW the codec.
 
     Filters cannot push through mapInPandas, so the id-subset must be
@@ -295,7 +303,8 @@ def _px_images(spark, sf_dir, mod: int = 7, with_footprint: bool = False):
     meta = _images(spark, sf_dir,
                    with_footprint=with_footprint).where(f"id % {mod} = 0")
     return synth.attach_bytes(
-        meta.repartition(_px_partitions(spark, sf_dir, mod)))
+        meta.repartition(_px_partitions(spark, sf_dir, mod,
+                                        rows_per_task=rows_per_task)))
 
 
 def _triangle_zones(zones):
@@ -608,7 +617,7 @@ def _rat(spark, sf_dir):
     """Enriched RAT rows over the value//128 segmentation (every pixel
     labeled, adjacent segments differ — operators/rastergis docstring);
     same image subset as clump_stats so scans stay aligned."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return rat_table(img, quant=128)
 
 
@@ -647,7 +656,7 @@ def q_clump_merge(spark, sf_dir) -> DataFrame:
     each segment below min_pix into its largest 4-neighbour (ties ->
     smallest id), simultaneous BSP round against original sizes, over
     the value//128 segmentation."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return merge_small_clumps(img, quant=128, min_pix=8) \
         .select("image_id", "clump_id", "n_pix", "new_label")
 
@@ -660,7 +669,7 @@ def q_clump_eliminate(spark, sf_dir) -> DataFrame:
     merges restricted to strictly-greater (size, smaller-id) keys so
     each round's map is acyclic.  Per original segment: final label +
     final merged-group size."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return eliminate_small_segments(img, quant=128, min_pix=200, rounds=3) \
         .select("image_id", "seg_id", "n_pix", "new_label", "new_size")
 
@@ -669,7 +678,7 @@ def q_clump_locations(spark, sf_dir) -> DataFrame:
     """rastergis.clumps_spatial_location + clumps_spatial_extent:
     per-clump mean pixel-centre easting/northing and corner-based
     world bbox (north-up geotransform, res 0.001 deg)."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return clump_geo_stats(img, quant=128, res=0.001) \
         .select("image_id", "clump_id", "n_pix", "mean_e", "mean_n",
                 "min_e", "max_e", "min_n", "max_n")
@@ -679,7 +688,7 @@ def q_clump_borders(spark, sf_dir) -> DataFrame:
     """rastergis.calc_border_length + calc_rel_border
     (RSGISClumpBorders.cpp:32): per-clump inter-clump 4-edge count,
     class-0-shared subset, and their ratio."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return clump_border_stats(img, quant=128, rel_cls=0) \
         .select("image_id", "clump_id", "n_pix", "border_len",
                 "border_cls0", "rel_border")
@@ -689,7 +698,7 @@ def q_rat_cat_props(spark, sf_dir) -> DataFrame:
     """rastergis.populate_rat_with_cat_proportions
     (RSGISFindClumpCatagoryStats.cpp:32): per (clump, category) pixel
     count and proportion; categories plane = value % 4."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return clump_cat_stats(img, quant=128, cat_mod=4) \
         .select("image_id", "clump_id", "n_pix", "category", "cat_pix",
                 "prop")
@@ -699,7 +708,7 @@ def q_rat_cat_majority(spark, sf_dir) -> DataFrame:
     """Majority column of populate_rat_with_cat_proportions: highest
     proportion, ties to the SMALLEST category (the reference's
     ascending-map strict-> replacement)."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return clump_cat_majority(img, quant=128, cat_mod=4) \
         .select("image_id", "clump_id", "n_pix", "maj_cat", "maj_prop")
 
@@ -710,7 +719,7 @@ def q_rel_diff_neigh(spark, sf_dir) -> DataFrame:
     Histogram[self] - Histogram[neighbour] over distinct 4-adjacent
     neighbours; no-neighbour clumps report the reference's
     pre-initialized zeros."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return rel_diff_neigh_stats(img, quant=128, use_abs=False) \
         .select("image_id", "clump_id", "n_pix", "n_neigh", "min_diff",
                 "max_diff", "mean_diff", "sum_diff")
@@ -720,7 +729,7 @@ def q_rat_meanlit(spark, sf_dir) -> DataFrame:
     """rastergis.populate_rat_with_meanlit_stats
     (RSGISPopRATWithStats.cpp:596): per-clump stats of b1 restricted to
     pixels with b2 >= clump mean of b2 (integer-compare predicate)."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return clump_meanlit_stats(img, quant=128) \
         .select("image_id", "clump_id", "n_pix", "lit_pix", "lit_min",
                 "lit_max", "lit_sum", "lit_mean")
@@ -730,7 +739,7 @@ def q_dist_large_clumps(spark, sf_dir) -> DataFrame:
     """rastergis.calc_dist_to_large_clumps (rastergis/__init__.py:1029):
     per small clump (< 500 px), min pixel distance to the large-clump
     set via an exact int64 squared EDT; dist_deg = sqrt * res."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return dist_to_large_clumps(img, quant=128, size_thres=500,
                                 res=0.001) \
         .select("image_id", "clump_id", "n_pix", "min_sq_px", "dist_deg")
@@ -742,7 +751,7 @@ def q_clump_tile_pos(spark, sf_dir) -> DataFrame:
     class (boundary > overlap&body > overlap > body) over a 48x32 tile
     lattice, plus the image-border mask; diamond-cell clump plane so
     interior (non-border) clumps exist."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return clump_tile_positions(img, quant=128, tw=48, th=32,
                                 overlap=4, boundary=2, mix=True) \
         .select("image_id", "clump_id", "n_pix", "tile_pos", "on_border")
@@ -754,7 +763,7 @@ def q_change_clumps(spark, sf_dir) -> DataFrame:
     is strictly outside class mean +- 1*stddev (k=1 so both outcomes
     occur in the homogeneous stripe sizes), via the exact integer
     predicate (v*N - S)^2 > k^2*(N*SS - S^2)."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return find_change_clumps(img, quant=128, k=1) \
         .select("image_id", "clump_id", "cls", "n_pix", "change")
 
@@ -764,7 +773,7 @@ def q_select_on_grid(spark, sf_dir) -> DataFrame:
     (RSGISSelectClumps.cpp:33): per 4x4 grid cell, flag the clump with
     the smallest Histogram whose centroid falls in the cell (first-win
     ties -> smallest clump_id)."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return select_clumps_on_grid(img, quant=128, rows=4, cols=4,
                                  res=0.001) \
         .select("image_id", "clump_id", "n_pix", "tile_row", "tile_col",
@@ -774,7 +783,7 @@ def q_select_on_grid(spark, sf_dir) -> DataFrame:
 def q_seg_mean(spark, sf_dir) -> DataFrame:
     """segmentation.mean_image: per-clump mean attribution (the
     shepherdseg out_mean_img product); one exact IEEE division."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return segment_means(img, quant=128) \
         .select("image_id", "clump_id", "n_pix", "sum_val", "mean_val")
 
@@ -783,7 +792,7 @@ def q_union_clumps(spark, sf_dir) -> DataFrame:
     """segmentation.union_of_clumps (segmentation.cpp:212): overlay of
     two clump lattices — components of the label tuple; per-region
     ClumpVal_ columns preserved."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return union_clumps(img) \
         .select("image_id", "clump_id", "n_pix", "val_a", "val_b")
 
@@ -794,7 +803,7 @@ def q_kmeans_centres(spark, sf_dir) -> DataFrame:
     (k=4, 6 unrolled rounds, even [vmin,vmax] init, argmin ties ->
     smallest class, floor-mean update) -> per-image centres + class
     populations."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return kmeans_centres(img, k=4, iters=6) \
         .select("image_id", "cls", "centre", "n_pix")
 
@@ -805,7 +814,7 @@ def q_shepherd_seg(spark, sf_dir) -> DataFrame:
     assignment plane, dense ids in first-pixel order; one row per
     segment with class + size.  Elimination unit step = clump_merge;
     dense relabel = rat_collapse."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return shepherd_segments(img, k=4, iters=6) \
         .select("image_id", "seg_id", "cls", "n_pix")
 
