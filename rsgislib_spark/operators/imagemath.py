@@ -1406,3 +1406,63 @@ def stretch_stddev_stats(images: DataFrame, n_sd: float = 2.0) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_STRETCH_SD_SCHEMA)
+
+
+_MINIMA_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_minima", LongType()),
+    StructField("sum_min_v", LongType()),
+    StructField("seq_ck", LongType()),
+])
+
+
+def local_minima_stats(images: DataFrame,
+                       allow_equal: bool = True) -> DataFrame:
+    """imagemorphology.image_local_minima
+    (python/src/imagemorphology.cpp:292; kernel
+    src/filtering/RSGISMorphologyFindExtrema.cpp,
+    RSGISMorphologyFindLocalMinima::calcImageValue): a pixel is a local
+    minimum iff no COMPARED neighbour beats it — with the 3x3 all-ones
+    operator the reference's ``(i != c) & (j != c)`` guard (a ``&``
+    where geometry suggests ``|``) compares only the four DIAGONAL
+    neighbours; mirrored faithfully.  ``allow_equal=True``: beaten by
+    strictly-smaller diagonals only; False: also by equal ones.
+
+    Interior pixels only (the windowed pass has no halo at the image
+    edge).  Output per image: minima count, exact value sum, and the
+    sequential-numbering checksum ``sum(seq * (y*w + x))`` where seq is
+    the reference's ``sequencial_out`` raster-scan numbering (1-based
+    by ascending (y, x)) — pins both membership AND numbering order.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _MINIMA_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                w, h = int(w), int(h)
+                a = codec.decode_image(bytes(buf), w, h,
+                                       str(fmt)).astype(np.int64)
+                if h < 3 or w < 3:
+                    continue
+                v = a[1:-1, 1:-1]
+                dmin = np.minimum(np.minimum(a[:-2, :-2], a[2:, :-2]),
+                                  np.minimum(a[:-2, 2:], a[2:, 2:]))
+                m = (dmin >= v) if allow_equal else (dmin > v)
+                ys, xs = np.nonzero(m)
+                if ys.size == 0:
+                    out["image_id"].append(image_id)
+                    out["n_minima"].append(0)
+                    out["sum_min_v"].append(0)
+                    out["seq_ck"].append(0)
+                    continue
+                seq = np.arange(1, ys.size + 1, dtype=np.int64)
+                flat = (ys + 1) * np.int64(w) + (xs + 1)
+                out["image_id"].append(image_id)
+                out["n_minima"].append(int(ys.size))
+                out["sum_min_v"].append(int(v[ys, xs].sum()))
+                out["seq_ck"].append(int((seq * flat).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_MINIMA_SCHEMA)

@@ -345,6 +345,33 @@ FROM c GROUP BY image_id
 """
 
 
+_DIAG_MIN = (f"least({_pxv_at(-1, -1)}, {_pxv_at(1, -1)}, "
+             f"{_pxv_at(-1, 1)}, {_pxv_at(1, 1)})")
+
+ORACLES["local_minima"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(1, w - 2)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+c AS (SELECT image_id, w, x, y, ({_PXV}) AS v, {_DIAG_MIN} AS dmin
+      FROM pxy),
+m AS (SELECT image_id, w, x, y, v,
+             row_number() OVER (PARTITION BY image_id
+                                ORDER BY y, x) AS seq
+      FROM c WHERE dmin >= v)
+SELECT i.image_id,
+       CAST(coalesce(t.n_minima, 0) AS BIGINT) AS n_minima,
+       CAST(coalesce(t.sum_min_v, 0) AS BIGINT) AS sum_min_v,
+       CAST(coalesce(t.seq_ck, 0) AS BIGINT) AS seq_ck
+FROM (SELECT image_id FROM img WHERE id % 19 = 0 AND w >= 3 AND h >= 3) i
+LEFT JOIN (SELECT image_id, count(*) AS n_minima, sum(v) AS sum_min_v,
+                  sum(seq * (y * w + x)) AS seq_ck
+           FROM m GROUP BY image_id) t
+  ON t.image_id = i.image_id
+"""
+
+
 def _kernel_term(kernel) -> str:
     """SQL sum-of-terms for an arbitrary odd k x k integer kernel.
 

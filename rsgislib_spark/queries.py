@@ -461,6 +461,15 @@ def q_morph_erode(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
 
 
+def q_local_minima(spark, sf_dir) -> DataFrame:
+    """imagemorphology.image_local_minima (sequencial_out=True,
+    allow_equal=True): per-image minima count, value sum, and the
+    raster-scan sequential-numbering checksum."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.local_minima_stats(img, allow_equal=True) \
+        .select("image_id", "n_minima", "sum_min_v", "seq_ck")
+
+
 def q_morph_open(spark, sf_dir) -> DataFrame:
     """grayscale opening: dilate(erode) over the two-pass interior
     (§2.6, python/src/imagemorphology.cpp:655)."""
@@ -2197,6 +2206,7 @@ QUERIES = {
     "clump_tile_pos": q_clump_tile_pos,
     "change_clumps": q_change_clumps,
     "select_on_grid": q_select_on_grid,
+    "local_minima": q_local_minima,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -96,3 +96,37 @@ def test_bank15_spark_end_to_end(spark, sf_dir):
         assert row["max_conv"] == int(ref.max())
         checked += 1
     assert checked >= 48  # at least one full image x 48 kernels
+
+
+def test_local_minima_stats(spark, sf_dir):
+    """image_local_minima: brute-force numpy recheck of membership,
+    strictness variants, and the sequential checksum (non-vacuous)."""
+    import numpy as np
+    from rsgislib_spark import synth
+    from rsgislib_spark.operators.imagemath import local_minima_stats
+
+    meta = synth.synth_images(spark, sf_dir,
+                              with_footprint=False).where("id % 19 = 0")
+    img = synth.attach_bytes(meta.repartition(4))
+    out = local_minima_stats(img, allow_equal=True).toPandas()
+    assert len(out) > 0
+    assert (out["n_minima"] > 0).any()
+    strict = local_minima_stats(img, allow_equal=False).toPandas()
+    m = out.set_index("image_id")["n_minima"]
+    st = strict.set_index("image_id")["n_minima"]
+    # strict minima are a subset of allow-equal minima
+    assert (st[m.index] <= m).all()
+    # brute-force one image
+    row = img.select("image_id", "bytes", "w", "h", "fmt").limit(1).collect()[0]
+    from rsgislib_spark.functions import codec
+    a = codec.decode_image(bytes(row["bytes"]), row["w"], row["h"],
+                           row["fmt"]).astype(np.int64)
+    v = a[1:-1, 1:-1]
+    dmin = np.minimum(np.minimum(a[:-2, :-2], a[2:, :-2]),
+                      np.minimum(a[:-2, 2:], a[2:, 2:]))
+    ys, xs = np.nonzero(dmin >= v)
+    seq = np.arange(1, ys.size + 1)
+    want_ck = int((seq * ((ys + 1) * row["w"] + xs + 1)).sum())
+    got = out[out["image_id"] == row["image_id"]].iloc[0]
+    assert got["n_minima"] == ys.size
+    assert got["seq_ck"] == want_ck
