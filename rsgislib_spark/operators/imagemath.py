@@ -1466,3 +1466,77 @@ def local_minima_stats(images: DataFrame,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_MINIMA_SCHEMA)
+
+
+_UNMIX_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_valid", LongType()),
+    StructField("sum_num1", LongType()),
+    StructField("sum_num2", LongType()),
+    StructField("mean_a1", DoubleType()),
+    StructField("mean_a2", DoubleType()),
+])
+
+# fixed "extracted average endmembers" (read_endmembers_mtxt shape):
+# two endmembers x two bands, plus the Scarth et al. (2010) sum-to-one
+# weight row.  Integer by construction so the least-squares solve is
+# exact (docstring below).
+_ENDMEMBERS = ((700, 300), (200, 600))
+_UNMIX_W = 10
+
+
+def unmix_ucls_stats(images: DataFrame) -> DataFrame:
+    """specunmixing.spec_unmix_spts_ucls with the Scarth weight
+    (python/rsgislib/imagecalc/specunmixing/__init__.py:244-363):
+    per-pixel abundances a = argmin ||E'^T a - p'||^2 over the two
+    fixed endmembers, where E' carries the appended weight row
+    (sum-to-one soft constraint) and p' = (b1, b2, w); bands are the
+    payload plane and its mirror.  The reference filters to finite,
+    strictly-positive spectra (``img_flat > 0``) — mirrored here.
+
+    Exactness: with integer endmembers/weight the normal equations
+    G a = c have a CONSTANT integer 2x2 G, so the per-pixel Cramer
+    numerators num_k are integer-linear in the spectrum and the
+    per-image abundance means are ``sum(num_k) / (n * det(G))`` — all
+    int64 sums (< 2^62), ONE IEEE division each, mirrored in SQL.
+    """
+    (e11, e12), (e21, e22) = _ENDMEMBERS
+    w_ = _UNMIX_W
+    g11 = e11 * e11 + e12 * e12 + w_ * w_
+    g12 = e11 * e21 + e12 * e22 + w_ * w_
+    g22 = e21 * e21 + e22 * e22 + w_ * w_
+    det = g11 * g22 - g12 * g12
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _UNMIX_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                p1, p2 = a, a[:, ::-1]
+                valid = (p1 > 0) & (p2 > 0)
+                n = int(valid.sum())
+                if n == 0:
+                    out["image_id"].append(image_id)
+                    out["n_valid"].append(0)
+                    out["sum_num1"].append(0)
+                    out["sum_num2"].append(0)
+                    out["mean_a1"].append(0.0)
+                    out["mean_a2"].append(0.0)
+                    continue
+                v1, v2 = p1[valid], p2[valid]
+                c1 = e11 * v1 + e12 * v2 + w_ * w_
+                c2 = e21 * v1 + e22 * v2 + w_ * w_
+                s1 = int((c1 * g22 - c2 * g12).sum())
+                s2 = int((g11 * c2 - g12 * c1).sum())
+                out["image_id"].append(image_id)
+                out["n_valid"].append(n)
+                out["sum_num1"].append(s1)
+                out["sum_num2"].append(s2)
+                out["mean_a1"].append(s1 / (n * det))
+                out["mean_a2"].append(s2 / (n * det))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_UNMIX_SCHEMA)

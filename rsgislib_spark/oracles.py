@@ -372,6 +372,48 @@ LEFT JOIN (SELECT image_id, count(*) AS n_minima, sum(v) AS sum_min_v,
 """
 
 
+# spec_unmix_spts_ucls: constants mirror operators/imagemath._ENDMEMBERS
+# and _UNMIX_W; the 2x2 normal-equation matrix G is a global integer
+# constant, so per-pixel Cramer numerators are integer-linear in the
+# spectrum and per-image means are one IEEE division of exact integers.
+_UM_G11 = 700 * 700 + 300 * 300 + 100
+_UM_G12 = 700 * 200 + 300 * 600 + 100
+_UM_G22 = 200 * 200 + 600 * 600 + 100
+_UM_DET = _UM_G11 * _UM_G22 - _UM_G12 * _UM_G12
+_UM_V2 = synth.pixel_value_sql("id", "(w - 1 - x)", "y", "fmt")
+
+ORACLES["unmix_ucls"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
+pv AS (SELECT image_id, ({_PXV}) AS v1, ({_UM_V2}) AS v2 FROM pxy),
+cc AS (SELECT image_id,
+              (700 * v1 + 300 * v2 + 100) AS c1,
+              (200 * v1 + 600 * v2 + 100) AS c2
+       FROM pv WHERE v1 > 0 AND v2 > 0),
+ag AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n_valid,
+              CAST(sum(c1 * {_UM_G22} - c2 * {_UM_G12}) AS BIGINT) AS s1,
+              CAST(sum({_UM_G11} * c2 - {_UM_G12} * c1) AS BIGINT) AS s2
+       FROM cc GROUP BY image_id)
+SELECT i.image_id,
+       CAST(coalesce(a.n_valid, 0) AS BIGINT) AS n_valid,
+       CAST(coalesce(a.s1, 0) AS BIGINT) AS sum_num1,
+       CAST(coalesce(a.s2, 0) AS BIGINT) AS sum_num2,
+       CASE WHEN a.n_valid > 0
+            THEN CAST(a.s1 AS DOUBLE)
+                 / CAST(a.n_valid * {_UM_DET} AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS mean_a1,
+       CASE WHEN a.n_valid > 0
+            THEN CAST(a.s2 AS DOUBLE)
+                 / CAST(a.n_valid * {_UM_DET} AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS mean_a2
+FROM (SELECT image_id FROM img WHERE id % 19 = 0) i
+LEFT JOIN ag a ON a.image_id = i.image_id
+"""
+
+
 def _kernel_term(kernel) -> str:
     """SQL sum-of-terms for an arbitrary odd k x k integer kernel.
 

@@ -461,6 +461,16 @@ def q_morph_erode(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
 
 
+def q_unmix_ucls(spark, sf_dir) -> DataFrame:
+    """specunmixing.spec_unmix_spts_ucls (Scarth sum-to-one weight):
+    per-image mean endmember abundances over strictly-positive spectra,
+    exact integer Cramer numerators + one IEEE division."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.unmix_ucls_stats(img) \
+        .select("image_id", "n_valid", "sum_num1", "sum_num2",
+                "mean_a1", "mean_a2")
+
+
 def q_local_minima(spark, sf_dir) -> DataFrame:
     """imagemorphology.image_local_minima (sequencial_out=True,
     allow_equal=True): per-image minima count, value sum, and the
@@ -2207,6 +2217,7 @@ QUERIES = {
     "change_clumps": q_change_clumps,
     "select_on_grid": q_select_on_grid,
     "local_minima": q_local_minima,
+    "unmix_ucls": q_unmix_ucls,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -130,3 +130,34 @@ def test_local_minima_stats(spark, sf_dir):
     got = out[out["image_id"] == row["image_id"]].iloc[0]
     assert got["n_minima"] == ys.size
     assert got["seq_ck"] == want_ck
+
+
+def test_unmix_ucls_stats(spark, sf_dir):
+    """UCLS unmixing: per-image means agree with numpy lstsq on the
+    weighted system to float precision; valid filter non-vacuous."""
+    import numpy as np
+    from rsgislib_spark import synth
+    from rsgislib_spark.functions import codec
+    from rsgislib_spark.operators.imagemath import unmix_ucls_stats
+
+    meta = synth.synth_images(spark, sf_dir,
+                              with_footprint=False).where("id % 19 = 0")
+    img = synth.attach_bytes(meta.repartition(4))
+    out = unmix_ucls_stats(img).toPandas()
+    assert len(out) > 0
+    assert (out["n_valid"] > 0).all()
+    rows = img.select("image_id", "bytes", "w", "h", "fmt").limit(3).collect()
+    E = np.array([[700, 300, 10], [200, 600, 10]], dtype=float)
+    for r in rows:
+        a = codec.decode_image(bytes(r["bytes"]), r["w"], r["h"],
+                               r["fmt"]).astype(np.int64)
+        p1, p2 = a, a[:, ::-1]
+        valid = (p1 > 0) & (p2 > 0)
+        v1, v2 = p1[valid], p2[valid]
+        # the reference's >0 filter bites: some pixels are excluded
+        assert valid.sum() < a.size
+        P = np.stack([v1, v2, np.full_like(v1, 10)], axis=1).astype(float)
+        sol = np.linalg.lstsq(E.T, P.T, rcond=None)[0]
+        got = out[out["image_id"] == r["image_id"]].iloc[0]
+        assert abs(got["mean_a1"] - sol[0].mean()) < 1e-9
+        assert abs(got["mean_a2"] - sol[1].mean()) < 1e-9
