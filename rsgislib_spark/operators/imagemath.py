@@ -1540,3 +1540,83 @@ def unmix_ucls_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_UNMIX_SCHEMA)
+
+
+_RESID_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_valid", LongType()),
+    StructField("n_neg", LongType()),
+    StructField("sum_sq_num", LongType()),
+    StructField("mse", DoubleType()),
+    StructField("rmse", DoubleType()),
+])
+
+# small-magnitude endmember set for the residual pipeline: squared
+# residual numerators carry a det^2 factor, so det must stay ~1e3 for
+# the per-image int64 sums to stay exact (docstring below).
+_ENDMEMBERS_S = ((7, 3), (2, 6))
+_UNMIX_W_S = 1
+
+
+def unmix_residual_stats(images: DataFrame) -> DataFrame:
+    """specunmixing.predict_refl_linear_unmixing +
+    calc_unmixing_rmse_residual_err
+    (imagecalc/specunmixing/__init__.py:881-1060): reconstruct each
+    spectrum from its UCLS abundances (bands only — the weight row is
+    not part of the prediction) and aggregate the squared residual.
+
+    Exactness: with the small integer endmember set the abundance
+    numerators n_k and the residual numerators
+    ``r_b = det*p_b - e1b*n1 - e2b*n2`` are exact int64 (|r| < 2^23,
+    squared-sum over both bands and 16k pixels < 2^61);
+    ``mse = sum_sq / (2*n*det^2)`` is one IEEE division and
+    ``rmse = sqrt(mse)`` is correctly rounded in every engine.
+    ``n_neg`` counts valid pixels with any negative abundance
+    numerator (det > 0) — the unconstrained-model overshoot that
+    rescale_unmixing_results clamps.
+    """
+    (e11, e12), (e21, e22) = _ENDMEMBERS_S
+    w_ = _UNMIX_W_S
+    g11 = e11 * e11 + e12 * e12 + w_ * w_
+    g12 = e11 * e21 + e12 * e22 + w_ * w_
+    g22 = e21 * e21 + e22 * e22 + w_ * w_
+    det = g11 * g22 - g12 * g12
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _RESID_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                p1, p2 = a, a[:, ::-1]
+                valid = (p1 > 0) & (p2 > 0)
+                n = int(valid.sum())
+                if n == 0:
+                    out["image_id"].append(image_id)
+                    out["n_valid"].append(0)
+                    out["n_neg"].append(0)
+                    out["sum_sq_num"].append(0)
+                    out["mse"].append(0.0)
+                    out["rmse"].append(0.0)
+                    continue
+                v1, v2 = p1[valid], p2[valid]
+                c1 = e11 * v1 + e12 * v2 + w_ * w_
+                c2 = e21 * v1 + e22 * v2 + w_ * w_
+                n1 = c1 * g22 - c2 * g12
+                n2 = g11 * c2 - g12 * c1
+                r1 = det * v1 - e11 * n1 - e21 * n2
+                r2 = det * v2 - e12 * n1 - e22 * n2
+                ssq = int((r1 * r1 + r2 * r2).sum())
+                nneg = int(((n1 < 0) | (n2 < 0)).sum())
+                mse = ssq / (2 * n * det * det)
+                out["image_id"].append(image_id)
+                out["n_valid"].append(n)
+                out["n_neg"].append(nneg)
+                out["sum_sq_num"].append(ssq)
+                out["mse"].append(mse)
+                out["rmse"].append(float(np.sqrt(np.float64(mse))))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_RESID_SCHEMA)

@@ -414,6 +414,51 @@ LEFT JOIN ag a ON a.image_id = i.image_id
 """
 
 
+# unmix_residual: small endmember set (imagemath._ENDMEMBERS_S, w=1)
+_UMS_G11 = 7 * 7 + 3 * 3 + 1
+_UMS_G12 = 7 * 2 + 3 * 6 + 1
+_UMS_G22 = 2 * 2 + 6 * 6 + 1
+_UMS_DET = _UMS_G11 * _UMS_G22 - _UMS_G12 * _UMS_G12
+
+ORACLES["unmix_residual"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
+pv AS (SELECT image_id, ({_PXV}) AS v1, ({_UM_V2}) AS v2 FROM pxy),
+nm AS (SELECT image_id, v1, v2,
+              ((7 * v1 + 3 * v2 + 1) * {_UMS_G22}
+               - (2 * v1 + 6 * v2 + 1) * {_UMS_G12}) AS n1,
+              ({_UMS_G11} * (2 * v1 + 6 * v2 + 1)
+               - {_UMS_G12} * (7 * v1 + 3 * v2 + 1)) AS n2
+       FROM pv WHERE v1 > 0 AND v2 > 0),
+rs AS (SELECT image_id, n1, n2,
+              ({_UMS_DET} * v1 - 7 * n1 - 2 * n2) AS r1,
+              ({_UMS_DET} * v2 - 3 * n1 - 6 * n2) AS r2
+       FROM nm),
+ag AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n_valid,
+              CAST(sum(CASE WHEN n1 < 0 OR n2 < 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neg,
+              CAST(sum(r1 * r1 + r2 * r2) AS BIGINT) AS ssq
+       FROM rs GROUP BY image_id)
+SELECT i.image_id,
+       CAST(coalesce(a.n_valid, 0) AS BIGINT) AS n_valid,
+       CAST(coalesce(a.n_neg, 0) AS BIGINT) AS n_neg,
+       CAST(coalesce(a.ssq, 0) AS BIGINT) AS sum_sq_num,
+       CASE WHEN a.n_valid > 0
+            THEN CAST(a.ssq AS DOUBLE)
+                 / CAST(2 * a.n_valid * {_UMS_DET} * {_UMS_DET} AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS mse,
+       CASE WHEN a.n_valid > 0
+            THEN sqrt(CAST(a.ssq AS DOUBLE)
+                 / CAST(2 * a.n_valid * {_UMS_DET} * {_UMS_DET} AS DOUBLE))
+            ELSE CAST(0 AS DOUBLE) END AS rmse
+FROM (SELECT image_id FROM img WHERE id % 19 = 0) i
+LEFT JOIN ag a ON a.image_id = i.image_id
+"""
+
+
 def _kernel_term(kernel) -> str:
     """SQL sum-of-terms for an arbitrary odd k x k integer kernel.
 

@@ -471,6 +471,17 @@ def q_unmix_ucls(spark, sf_dir) -> DataFrame:
                 "mean_a1", "mean_a2")
 
 
+def q_unmix_residual(spark, sf_dir) -> DataFrame:
+    """specunmixing.predict_refl_linear_unmixing +
+    calc_unmixing_rmse_residual_err: reconstruct spectra from UCLS
+    abundances, exact squared-residual sums, per-image RMSE, and the
+    negative-abundance count rescale_unmixing_results would clamp."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.unmix_residual_stats(img) \
+        .select("image_id", "n_valid", "n_neg", "sum_sq_num", "mse",
+                "rmse")
+
+
 def q_local_minima(spark, sf_dir) -> DataFrame:
     """imagemorphology.image_local_minima (sequencial_out=True,
     allow_equal=True): per-image minima count, value sum, and the
@@ -2218,6 +2229,7 @@ QUERIES = {
     "select_on_grid": q_select_on_grid,
     "local_minima": q_local_minima,
     "unmix_ucls": q_unmix_ucls,
+    "unmix_residual": q_unmix_residual,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -161,3 +161,35 @@ def test_unmix_ucls_stats(spark, sf_dir):
         got = out[out["image_id"] == r["image_id"]].iloc[0]
         assert abs(got["mean_a1"] - sol[0].mean()) < 1e-9
         assert abs(got["mean_a2"] - sol[1].mean()) < 1e-9
+
+
+def test_unmix_residual_stats(spark, sf_dir):
+    """Residual pipeline: rmse matches a float lstsq reconstruction;
+    negative abundances genuinely occur (rescale clamping is real)."""
+    import numpy as np
+    from rsgislib_spark import synth
+    from rsgislib_spark.functions import codec
+    from rsgislib_spark.operators.imagemath import unmix_residual_stats
+
+    meta = synth.synth_images(spark, sf_dir,
+                              with_footprint=False).where("id % 19 = 0")
+    img = synth.attach_bytes(meta.repartition(4))
+    out = unmix_residual_stats(img).toPandas()
+    assert len(out) > 0
+    assert (out["n_neg"] > 0).any()
+    assert (out["rmse"] >= 0).all()
+    assert np.allclose(out["rmse"], np.sqrt(out["mse"]))
+    r = img.select("image_id", "bytes", "w", "h", "fmt").limit(1).collect()[0]
+    a = codec.decode_image(bytes(r["bytes"]), r["w"], r["h"],
+                           r["fmt"]).astype(np.int64)
+    p1, p2 = a, a[:, ::-1]
+    valid = (p1 > 0) & (p2 > 0)
+    v1, v2 = p1[valid].astype(float), p2[valid].astype(float)
+    E = np.array([[7, 3, 1], [2, 6, 1]], dtype=float)
+    P = np.stack([v1, v2, np.ones_like(v1)], axis=1)
+    sol = np.linalg.lstsq(E.T, P.T, rcond=None)[0]
+    pred = E[:, :2].T @ sol
+    res = np.stack([v1, v2]) - pred
+    want = np.sqrt((res ** 2).mean())
+    got = out[out["image_id"] == r["image_id"]].iloc[0]
+    assert abs(got["rmse"] - want) < 1e-9
