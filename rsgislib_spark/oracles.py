@@ -459,6 +459,34 @@ LEFT JOIN ag a ON a.image_id = i.image_id
 """
 
 
+# season_trend: the quantized harmonic table is generated by the SAME
+# Python call that feeds the Spark DataFrame (operators/timeseries.py),
+# so both engines consume identical integers.
+from .operators.timeseries import harmonic_table as _harm_tbl
+
+_HARM_VALUES = ", ".join(f"({d}, {c})" for d, c in _harm_tbl())
+
+ORACLES["season_trend"] = f"""
+WITH tq(doy, cq) AS (VALUES {_HARM_VALUES}),
+ev AS (SELECT event_type, dayofyear(ts) AS doy,
+              CAST(round(value * 100.0) AS BIGINT) AS vc
+       FROM events),
+j AS (SELECT e.event_type, t.cq, e.vc FROM ev e JOIN tq t ON t.doy = e.doy),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cq) AS BIGINT) AS sx,
+             CAST(sum(cq * cq) AS BIGINT) AS sxx,
+             CAST(sum(vc) AS BIGINT) AS sy,
+             CAST(sum(cq * vc) AS BIGINT) AS sxy
+      FROM j GROUP BY event_type)
+SELECT event_type, n, sy, sxy,
+       CAST(sxx * sy - sx * sxy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS a_cents,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b_cents
+FROM g
+"""
+
+
 def _kernel_term(kernel) -> str:
     """SQL sum-of-terms for an arbitrary odd k x k integer kernel.
 

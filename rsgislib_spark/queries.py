@@ -482,6 +482,16 @@ def q_unmix_residual(spark, sf_dir) -> DataFrame:
                 "rmse")
 
 
+def q_season_trend(spark, sf_dir) -> DataFrame:
+    """timeseries.modelfitting season-trend OLS (one-harmonic Zhu et
+    al. model) over event value-cents vs day-of-year, quantized-cos
+    regressor shared verbatim with the oracle, exact Cramer."""
+    from .operators.timeseries import season_trend_fit
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return season_trend_fit(ev) \
+        .select("event_type", "n", "sy", "sxy", "a_cents", "b_cents")
+
+
 def q_local_minima(spark, sf_dir) -> DataFrame:
     """imagemorphology.image_local_minima (sequencial_out=True,
     allow_equal=True): per-image minima count, value sum, and the
@@ -2230,6 +2240,7 @@ QUERIES = {
     "local_minima": q_local_minima,
     "unmix_ucls": q_unmix_ucls,
     "unmix_residual": q_unmix_residual,
+    "season_trend": q_season_trend,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -200,3 +200,29 @@ def test_stream_dedup_replayed_batches_exactly_once(spark, sf_dir, tmp_path):
     got = out.collect()
     assert len(got) == 400                      # 800 delivered, 400 emitted
     assert len({r.event_id for r in got}) == 400
+
+
+def test_season_trend_fit(spark, sf_dir):
+    """Season-trend OLS: coefficients agree with numpy lstsq on the
+    same quantized regressor; harmonic table is a true cosine."""
+    import numpy as np
+
+    from rsgislib_spark.operators.timeseries import (harmonic_table,
+                                                     season_trend_fit)
+
+    tbl = dict(harmonic_table())
+    assert tbl[1] == 128 and min(tbl.values()) == -128
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = season_trend_fit(ev).toPandas()
+    assert len(out) > 0
+    pdf = ev.toPandas()
+    pdf["doy"] = pdf["ts"].dt.dayofyear
+    pdf["cq"] = pdf["doy"].map(tbl)
+    pdf["vc"] = (pdf["value"] * 100).round()
+    for _, r in out.iterrows():
+        g = pdf[pdf["event_type"] == r["event_type"]]
+        A = np.stack([np.ones(len(g)), g["cq"].to_numpy(float)], axis=1)
+        sol, *_ = np.linalg.lstsq(A, g["vc"].to_numpy(float), rcond=None)
+        assert abs(r["a_cents"] - sol[0]) < 1e-6
+        assert abs(r["b_cents"] - sol[1]) < 1e-9
+        assert r["n"] == len(g)
