@@ -1620,3 +1620,42 @@ def unmix_residual_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_RESID_SCHEMA)
+
+
+def circular_se_offsets(radius: int) -> list[tuple[int, int]]:
+    """imagemorphology.create_circular_op's disk
+    (src/math/RSGISMatrices.cpp:1109, makeCircularBinaryMatrix):
+    cell (dx, dy) is in the operator iff dx^2 + dy^2 <= (r + 0.25)^2.
+    For r=2 that keeps 21 of the 25 cells (corners out)."""
+    lim = (radius + 0.25) ** 2
+    return [(dx, dy) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+            if dx * dx + dy * dy <= lim]
+
+
+def morph_circular_stats(images: DataFrame, op: str = "dilate",
+                         radius: int = 2) -> DataFrame:
+    """Grayscale morphology with the reference's CIRCULAR operator
+    (imagemorphology.cpp:57 create_circular_op + image_dilate/erode):
+    window max/min over the disk offsets, interior-only (radius halo),
+    integer-exact; output mirrors morph3x3_stats."""
+    if op not in ("dilate", "erode"):
+        raise ValueError("op must be 'dilate' or 'erode'")
+    fold = np.maximum if op == "dilate" else np.minimum
+    offs = circular_se_offsets(radius)
+    r = radius
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < 2 * r + 1 or w < 2 * r + 1:
+            return np.zeros((0,), dtype=np.int64)
+        acc = None
+        for dx, dy in offs:
+            s = a[r + dy:h - r + dy, r + dx:w - r + dx]
+            acc = s.copy() if acc is None else fold(acc, s)
+        return acc
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_m") \
+        .withColumnRenamed("min_pix", "min_m") \
+        .withColumnRenamed("max_pix", "max_m")

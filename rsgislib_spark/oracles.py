@@ -487,6 +487,15 @@ FROM g
 """
 
 
+# circular-operator morphology: same disk rule as
+# imagemath.circular_se_offsets (dx^2+dy^2 <= (r+0.25)^2, r=2)
+_CIRC5 = [(dx, dy) for dy in range(-2, 3) for dx in range(-2, 3)
+          if dx * dx + dy * dy <= 5.0625]
+_CIRC5_T = ", ".join(_pxv_at(dx, dy) for dx, dy in _CIRC5)
+ORACLES["morph_dilate_circ"] = _conv_oracle(f"greatest({_CIRC5_T})", r=2,
+                                            suffix="m")
+
+
 def _kernel_term(kernel) -> str:
     """SQL sum-of-terms for an arbitrary odd k x k integer kernel.
 

@@ -501,6 +501,14 @@ def q_local_minima(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_minima", "sum_min_v", "seq_ck")
 
 
+def q_morph_dilate_circ(spark, sf_dir) -> DataFrame:
+    """imagemorphology.create_circular_op (r=2 disk, 21 cells) +
+    image_dilate: window max over the circular operator."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.morph_circular_stats(img, "dilate", radius=2) \
+        .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
+
+
 def q_morph_open(spark, sf_dir) -> DataFrame:
     """grayscale opening: dilate(erode) over the two-pass interior
     (§2.6, python/src/imagemorphology.cpp:655)."""
@@ -2241,6 +2249,7 @@ QUERIES = {
     "unmix_ucls": q_unmix_ucls,
     "unmix_residual": q_unmix_residual,
     "season_trend": q_season_trend,
+    "morph_dilate_circ": q_morph_dilate_circ,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -193,3 +193,33 @@ def test_unmix_residual_stats(spark, sf_dir):
     want = np.sqrt((res ** 2).mean())
     got = out[out["image_id"] == r["image_id"]].iloc[0]
     assert abs(got["rmse"] - want) < 1e-9
+
+
+def test_circular_se():
+    """Disk operator matches the reference rule; dilate with the disk
+    is sandwiched between the 3x3-square and 5x5-square dilates."""
+    import numpy as np
+    from rsgislib_spark.operators.imagemath import circular_se_offsets
+
+    offs = set(circular_se_offsets(2))
+    assert len(offs) == 21
+    assert (2, 2) not in offs and (1, 2) in offs and (2, 0) in offs
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 1000, (30, 40)).astype(np.int64)
+    h, w = a.shape
+    disk = None
+    for dx, dy in offs:
+        s = a[2 + dy:h - 2 + dy, 2 + dx:w - 2 + dx]
+        disk = s.copy() if disk is None else np.maximum(disk, s)
+    sq3 = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = a[2 + dy:h - 2 + dy, 2 + dx:w - 2 + dx]
+            sq3 = s.copy() if sq3 is None else np.maximum(sq3, s)
+    sq5 = None
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            s = a[2 + dy:h - 2 + dy, 2 + dx:w - 2 + dx]
+            sq5 = s.copy() if sq5 is None else np.maximum(sq5, s)
+    assert (sq3 <= disk).all() and (disk <= sq5).all()
+    assert (disk < sq5).any()
