@@ -98,7 +98,7 @@ BENCH_QUERIES = [
     # round-4 session-6 operators
     "clump_locations", "clump_borders", "rat_cat_props",
     "rat_cat_majority", "rel_diff_neigh", "rat_meanlit",
-    "dist_large_clumps", "clump_tile_pos", "change_clumps", "select_on_grid", "local_minima", "unmix_ucls", "unmix_residual", "season_trend", "morph_dilate_circ",
+    "dist_large_clumps", "clump_tile_pos", "change_clumps", "select_on_grid", "local_minima", "unmix_ucls", "unmix_residual", "season_trend", "morph_dilate_circ", "register_offset",
 ]
 
 

@@ -1659,3 +1659,84 @@ def morph_circular_stats(images: DataFrame, op: str = "dilate",
         .withColumnRenamed("sum_pix", "sum_m") \
         .withColumnRenamed("min_pix", "min_m") \
         .withColumnRenamed("max_pix", "max_m")
+
+
+_OFFSET_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("planted_dx", LongType()),
+    StructField("planted_dy", LongType()),
+    StructField("found_dx", LongType()),
+    StructField("found_dy", LongType()),
+    StructField("n_overlap", LongType()),
+    StructField("sum_sq", LongType()),
+    StructField("msd", DoubleType()),
+])
+
+
+def find_image_offset_stats(images: DataFrame, search: int = 3) -> DataFrame:
+    """imageregistration.find_image_offset with METRIC_SQDIFF
+    (python/src/imageregistration.cpp; kernel
+    src/registration/RSGISFindImageOffset.cpp:32, metric
+    RSGISStandardImageSimilarityMetrics.cpp:312 — findMin over
+    ``sum/n`` mean squared difference across the (2s+1)^2 shift grid).
+
+    The floating image is synthesized from the payload itself with a
+    PLANTED shift (dx = id%5 - 2, dy = id%7 - 3) plus the deterministic
+    perturbation ``(x*y) % 3`` — so the search has a known answer and
+    recovery is checkable.  For each candidate shift the metric is the
+    exact integer pair (sum_sq, n) over the overlap; the argmin
+    compares ``sum_sq/n`` as ONE IEEE division of exact ints (identical
+    doubles in every engine), ties to lexicographically smallest
+    (dy, dx).  Emits the winning shift and its metric.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _OFFSET_SCHEMA.fields}
+            for img_id, image_id, buf, w, h, fmt in zip(
+                    pdf["id"], pdf["image_id"], pdf["bytes"], pdf["w"],
+                    pdf["h"], pdf["fmt"]):
+                w, h = int(w), int(h)
+                ref = codec.decode_image(bytes(buf), w, h,
+                                         str(fmt)).astype(np.int64)
+                sx, sy = int(img_id) % 5 - 2, int(img_id) % 7 - 3
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                # floating plane: ref shifted by (sx, sy) + (x*y)%3,
+                # defined where the source pixel exists
+                fx, fy = xs - sx, ys - sy
+                fvalid = (fx >= 0) & (fx < w) & (fy >= 0) & (fy < h)
+                flt = np.zeros((h, w), dtype=np.int64)
+                flt[fvalid] = ref[np.broadcast_to(fy, (h, w))[fvalid],
+                                  np.broadcast_to(fx, (h, w))[fvalid]]
+                flt = flt + (xs * ys) % 3
+                best = None
+                for dy in range(-search, search + 1):
+                    for dx in range(-search, search + 1):
+                        rx, ry = xs - dx, ys - dy
+                        val = fvalid & (rx >= 0) & (rx < w) \
+                            & (ry >= 0) & (ry < h)
+                        n = int(val.sum())
+                        if n == 0:
+                            continue
+                        rsh = ref[np.broadcast_to(ry, (h, w))[val],
+                                  np.broadcast_to(rx, (h, w))[val]]
+                        d = rsh - flt[val]
+                        s = int((d * d).sum())
+                        msd = s / n
+                        key = (msd, dy, dx)
+                        if best is None or key < best[0]:
+                            best = (key, dx, dy, n, s, msd)
+                _k, bdx, bdy, n, s, msd = best
+                out["image_id"].append(image_id)
+                out["planted_dx"].append(sx)
+                out["planted_dy"].append(sy)
+                out["found_dx"].append(bdx)
+                out["found_dy"].append(bdy)
+                out["n_overlap"].append(n)
+                out["sum_sq"].append(s)
+                out["msd"].append(msd)
+            yield pd.DataFrame(out)
+
+    return images.select("id", "image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_OFFSET_SCHEMA)

@@ -496,6 +496,47 @@ ORACLES["morph_dilate_circ"] = _conv_oracle(f"greatest({_CIRC5_T})", r=2,
                                             suffix="m")
 
 
+# find_image_offset: the planted-shift registration twin
+_REG_REF = synth.pixel_value_sql("id", "(x - o.dx)", "(y - o.dy)", "fmt")
+_REG_FLT = synth.pixel_value_sql("id", "(x - (id % 5 - 2))",
+                                 "(y - (id % 7 - 3))", "fmt")
+
+ORACLES["register_offset"] = f"""
+{_PREFIX},
+rxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+rpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM rxs),
+offs AS (SELECT dxs.dx, dys.dy
+         FROM (SELECT unnest(generate_series(-3, 3)) AS dx) dxs,
+              (SELECT unnest(generate_series(-3, 3)) AS dy) dys),
+ms AS (SELECT p.image_id, o.dx, o.dy,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(({_REG_REF} - ({_REG_FLT} + (x * y) % 3))
+                       * ({_REG_REF} - ({_REG_FLT} + (x * y) % 3)))
+                   AS BIGINT) AS s
+       FROM rpxy p CROSS JOIN offs o
+       WHERE x - (id % 5 - 2) >= 0 AND x - (id % 5 - 2) < w
+         AND y - (id % 7 - 3) >= 0 AND y - (id % 7 - 3) < h
+         AND x - o.dx >= 0 AND x - o.dx < w
+         AND y - o.dy >= 0 AND y - o.dy < h
+       GROUP BY p.image_id, o.dx, o.dy),
+rk AS (SELECT *, row_number() OVER (
+           PARTITION BY image_id
+           ORDER BY CAST(s AS DOUBLE) / CAST(n AS DOUBLE), dy, dx) AS rn
+       FROM ms)
+SELECT r.image_id,
+       CAST(i.id % 5 - 2 AS BIGINT) AS planted_dx,
+       CAST(i.id % 7 - 3 AS BIGINT) AS planted_dy,
+       CAST(r.dx AS BIGINT) AS found_dx,
+       CAST(r.dy AS BIGINT) AS found_dy,
+       r.n AS n_overlap, r.s AS sum_sq,
+       CAST(r.s AS DOUBLE) / CAST(r.n AS DOUBLE) AS msd
+FROM rk r JOIN img i ON i.image_id = r.image_id
+WHERE r.rn = 1
+"""
+
+
 def _kernel_term(kernel) -> str:
     """SQL sum-of-terms for an arbitrary odd k x k integer kernel.
 

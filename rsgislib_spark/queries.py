@@ -492,6 +492,16 @@ def q_season_trend(spark, sf_dir) -> DataFrame:
         .select("event_type", "n", "sy", "sxy", "a_cents", "b_cents")
 
 
+def q_register_offset(spark, sf_dir) -> DataFrame:
+    """imageregistration.find_image_offset, METRIC_SQDIFF: recover a
+    planted (id%5-2, id%7-3) shift by mean-squared-difference argmin
+    over the 7x7 shift grid (ties lexicographic (dy, dx))."""
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
+    return im.find_image_offset_stats(img, search=3) \
+        .select("image_id", "planted_dx", "planted_dy", "found_dx",
+                "found_dy", "n_overlap", "sum_sq", "msd")
+
+
 def q_local_minima(spark, sf_dir) -> DataFrame:
     """imagemorphology.image_local_minima (sequencial_out=True,
     allow_equal=True): per-image minima count, value sum, and the
@@ -2250,6 +2260,7 @@ QUERIES = {
     "unmix_residual": q_unmix_residual,
     "season_trend": q_season_trend,
     "morph_dilate_circ": q_morph_dilate_circ,
+    "register_offset": q_register_offset,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

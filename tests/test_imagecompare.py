@@ -53,3 +53,24 @@ def test_pair_compare_matches_numpy(spark, sf_dir):
         b = synth.pixel_array(int(b_m["id"]), int(b_m["w"]), int(b_m["h"]),
                               str(b_m["fmt"])).astype(np.int64)
         assert r["n_eq"] == int((np.abs(a - b) < 100.0).sum())
+
+
+def test_find_image_offset(spark, sf_dir):
+    """Registration recovers the planted shift on every image (the
+    (x*y)%3 perturbation keeps the true-shift MSD strictly smallest)."""
+    from rsgislib_spark import synth
+    from rsgislib_spark.operators.imagemath import find_image_offset_stats
+
+    meta = synth.synth_images(spark, sf_dir,
+                              with_footprint=False).where("id % 19 = 0")
+    img = synth.attach_bytes(meta.repartition(4))
+    out = find_image_offset_stats(img, search=3).toPandas()
+    assert len(out) > 0
+    assert (out["found_dx"] == out["planted_dx"]).all()
+    assert (out["found_dy"] == out["planted_dy"]).all()
+    # the perturbation makes the minimum nonzero: mean of ((x*y)%3)^2
+    assert (out["sum_sq"] > 0).all()
+    assert (out["msd"] < 3.0).all()
+    # planted shifts cover multiple distinct values (non-vacuous)
+    assert out["planted_dx"].nunique() > 1
+    assert out["planted_dy"].nunique() > 1
