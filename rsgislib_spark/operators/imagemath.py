@@ -1740,3 +1740,37 @@ def find_image_offset_stats(images: DataFrame, search: int = 3) -> DataFrame:
 
     return images.select("id", "image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_OFFSET_SCHEMA)
+
+
+def laplacian_kernel(size: int = 5) -> tuple:
+    """Integer Laplacian-of-Gaussian: d2x(G) + d2y(G)
+    (apply_laplacian_filter, imagefilter/__init__.py:914), using the
+    same binomial-Gaussian quantization as :func:`gaussian_kernel` so
+    every coefficient is exact."""
+    k = np.array(gaussian_kernel(size, 2), dtype=np.int64)
+    return tuple(tuple(int(v) for v in row) for row in (k + k.T))
+
+
+def total_diff_abs_stats(images: DataFrame) -> DataFrame:
+    """apply_total_diff_abs_filter (imagefilter/__init__.py:349):
+    per pixel, the sum of |center - neighbour| over the 3x3 window —
+    not a linear convolution, so it gets its own shifted-abs kernel;
+    integer-exact over the interior, stats per image."""
+
+    def fn(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        if h < 3 or w < 3:
+            return np.zeros((0,), dtype=np.int64)
+        c = a[1:-1, 1:-1]
+        acc = np.zeros_like(c)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                acc += np.abs(c - a[1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx])
+        return acc
+
+    return _plane_agg(images, fn).withColumnRenamed("n_pix", "n_interior") \
+        .withColumnRenamed("sum_pix", "sum_tda") \
+        .withColumnRenamed("min_pix", "min_tda") \
+        .withColumnRenamed("max_pix", "max_tda")

@@ -560,6 +560,21 @@ def _kernel_term(kernel) -> str:
     return terms[0]
 
 
+# laplacian (binomial LoG) + total-diff filters
+from .operators.imagemath import laplacian_kernel as _lap_k
+
+_TD3_K = ((-1, -1, -1), (-1, 8, -1), (-1, -1, -1))
+_TDA_T = " + ".join(f"abs({_pxv_at(0, 0)} - {_pxv_at(dx, dy)})"
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                    if (dx, dy) != (0, 0))
+ORACLES["filter_laplacian"] = _conv_oracle(_kernel_term(_lap_k(5)), r=2,
+                                           suffix="conv")
+ORACLES["filter_total_diff"] = _conv_oracle(_kernel_term(_TD3_K), r=1,
+                                            suffix="conv")
+ORACLES["filter_total_diff_abs"] = _conv_oracle(f"({_TDA_T})", r=1,
+                                                suffix="tda")
+
+
 def _win_list(ksz: int) -> str:
     """SQL list literal of the k x k window's pixel values."""
     r = ksz // 2

@@ -519,6 +519,33 @@ def q_morph_dilate_circ(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_interior", "sum_m", "min_m", "max_m")
 
 
+def q_filter_laplacian(spark, sf_dir) -> DataFrame:
+    """apply_laplacian_filter: binomial LoG (d2x+d2y of the quantized
+    Gaussian), integer conv over the 5x5 interior."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.conv_stats(img, im.laplacian_kernel(5)) \
+        .select("image_id", "n_interior", "sum_conv", "min_conv",
+                "max_conv")
+
+
+def q_filter_total_diff(spark, sf_dir) -> DataFrame:
+    """apply_total_diff_filter: sum over the 3x3 window of
+    (center - neighbour) = conv with the center-8 kernel."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.conv_stats(img, ((-1, -1, -1), (-1, 8, -1), (-1, -1, -1))) \
+        .select("image_id", "n_interior", "sum_conv", "min_conv",
+                "max_conv")
+
+
+def q_filter_total_diff_abs(spark, sf_dir) -> DataFrame:
+    """apply_total_diff_abs_filter: sum of |center - neighbour| over
+    the 3x3 window (nonlinear; own shifted-abs kernel)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.total_diff_abs_stats(img) \
+        .select("image_id", "n_interior", "sum_tda", "min_tda",
+                "max_tda")
+
+
 def q_morph_open(spark, sf_dir) -> DataFrame:
     """grayscale opening: dilate(erode) over the two-pass interior
     (§2.6, python/src/imagemorphology.cpp:655)."""
@@ -2261,6 +2288,9 @@ QUERIES = {
     "season_trend": q_season_trend,
     "morph_dilate_circ": q_morph_dilate_circ,
     "register_offset": q_register_offset,
+    "filter_laplacian": q_filter_laplacian,
+    "filter_total_diff": q_filter_total_diff,
+    "filter_total_diff_abs": q_filter_total_diff_abs,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,
