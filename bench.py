@@ -194,7 +194,8 @@ def main() -> None:
     probe = host_probe()
 
     flagship_sec, n_images, per_query = run_suite(
-        f"local[{cpus}]", sf_dir, shuffle_partitions=cpus
+        f"local[{cpus}]", sf_dir, shuffle_partitions=cpus,
+        flagship_only="--scaling-only" in sys.argv
     )
 
     out = {
@@ -210,7 +211,7 @@ def main() -> None:
         "host_probe": probe,
     }
 
-    if "--scaling" in sys.argv:
+    if "--scaling" in sys.argv or "--scaling-only" in sys.argv:
         from rsgislib_spark.session import get_spark
 
         # N=2 vs 4N=8 task slots: the per-executor-representative pair.
@@ -261,6 +262,7 @@ def main() -> None:
         t8_for_ratio = t8_adj if t8_adj >= 0.5 * best[8] else best[8]
         pair_effs.sort()
         scaling = {
+            "host_probe_after": host_probe(),
             "local[2]": {"images_per_sec": round(best[2], 1)},
             "local[8]": {"images_per_sec": round(best[8], 1)},
             "local[8]_adjacent": {"images_per_sec": round(t8_adj, 1)},
