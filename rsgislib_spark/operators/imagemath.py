@@ -1774,3 +1774,65 @@ def total_diff_abs_stats(images: DataFrame) -> DataFrame:
         .withColumnRenamed("sum_pix", "sum_tda") \
         .withColumnRenamed("min_pix", "min_tda") \
         .withColumnRenamed("max_pix", "max_tda")
+
+
+_VALPROB_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_mask", LongType()),
+    StructField("n_distinct", LongType()),
+    StructField("sum_cnt_sq", LongType()),
+    StructField("max_cnt", LongType()),
+    StructField("mean_prob", DoubleType()),
+    StructField("mean_resc", DoubleType()),
+])
+
+
+def mask_val_prob_stats(images: DataFrame,
+                        mask_thres: int = 512) -> DataFrame:
+    """imagecalc.calc_mask_img_pxl_val_prob
+    (python/src/imagecalc.cpp:2200; cmds
+    executeCalcMaskImgPxlValProb): histogram the band values inside the
+    mask region (mask plane = mirror band b2 >= mask_thres, bin width
+    1), then assign every masked pixel the probability of its own value
+    — count(v)/n — optionally rescaled by the modal probability
+    (``rescale_probs``).
+
+    Aggregated exactly per image: the mean of the per-pixel prob plane
+    is ``sum(count(v)^2) / n^2`` and the mean of the rescaled plane is
+    ``sum(count(v)^2) / (n * max_count)`` — integer sums (< 2^30), one
+    IEEE division each, mirrored in SQL.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _VALPROB_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                m = a[:, ::-1] >= mask_thres
+                v = a[m]
+                n = int(v.size)
+                if n == 0:
+                    out["image_id"].append(image_id)
+                    out["n_mask"].append(0)
+                    out["n_distinct"].append(0)
+                    out["sum_cnt_sq"].append(0)
+                    out["max_cnt"].append(0)
+                    out["mean_prob"].append(0.0)
+                    out["mean_resc"].append(0.0)
+                    continue
+                _u, cnt = np.unique(v, return_counts=True)
+                scs = int((cnt * cnt).sum())
+                mx = int(cnt.max())
+                out["image_id"].append(image_id)
+                out["n_mask"].append(n)
+                out["n_distinct"].append(int(cnt.size))
+                out["sum_cnt_sq"].append(scs)
+                out["max_cnt"].append(mx)
+                out["mean_prob"].append(scs / (n * n))
+                out["mean_resc"].append(scs / (n * mx))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_VALPROB_SCHEMA)

@@ -575,6 +575,37 @@ ORACLES["filter_total_diff_abs"] = _conv_oracle(f"({_TDA_T})", r=1,
                                                 suffix="tda")
 
 
+ORACLES["mask_val_prob"] = f"""
+{_PREFIX},
+vxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+vpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM vxs),
+vmask AS (SELECT image_id, ({_PXV}) AS v
+          FROM vpxy WHERE ({_UM_V2}) >= 512),
+vh AS (SELECT image_id, v, CAST(count(*) AS BIGINT) AS cnt
+       FROM vmask GROUP BY image_id, v),
+va AS (SELECT image_id, CAST(sum(cnt) AS BIGINT) AS n,
+              CAST(count(*) AS BIGINT) AS nd,
+              CAST(sum(cnt * cnt) AS BIGINT) AS scs,
+              CAST(max(cnt) AS BIGINT) AS mx
+       FROM vh GROUP BY image_id)
+SELECT i.image_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_mask,
+       CAST(coalesce(a.nd, 0) AS BIGINT) AS n_distinct,
+       CAST(coalesce(a.scs, 0) AS BIGINT) AS sum_cnt_sq,
+       CAST(coalesce(a.mx, 0) AS BIGINT) AS max_cnt,
+       CASE WHEN a.n > 0 THEN CAST(a.scs AS DOUBLE)
+                              / CAST(a.n * a.n AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS mean_prob,
+       CASE WHEN a.n > 0 THEN CAST(a.scs AS DOUBLE)
+                              / CAST(a.n * a.mx AS DOUBLE)
+            ELSE CAST(0 AS DOUBLE) END AS mean_resc
+FROM (SELECT image_id FROM img WHERE id % 19 = 0) i
+LEFT JOIN va a ON a.image_id = i.image_id
+"""
+
+
 def _win_list(ksz: int) -> str:
     """SQL list literal of the k x k window's pixel values."""
     r = ksz // 2

@@ -502,6 +502,16 @@ def q_register_offset(spark, sf_dir) -> DataFrame:
                 "found_dy", "n_overlap", "sum_sq", "msd")
 
 
+def q_mask_val_prob(spark, sf_dir) -> DataFrame:
+    """imagecalc.calc_mask_img_pxl_val_prob: value-probability plane
+    over the b2>=512 mask, mean prob = sum(count^2)/n^2 and the
+    rescale_probs mean = sum(count^2)/(n*max_count), both exact."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.mask_val_prob_stats(img, mask_thres=512) \
+        .select("image_id", "n_mask", "n_distinct", "sum_cnt_sq",
+                "max_cnt", "mean_prob", "mean_resc")
+
+
 def q_local_minima(spark, sf_dir) -> DataFrame:
     """imagemorphology.image_local_minima (sequencial_out=True,
     allow_equal=True): per-image minima count, value sum, and the
@@ -2291,6 +2301,7 @@ QUERIES = {
     "filter_laplacian": q_filter_laplacian,
     "filter_total_diff": q_filter_total_diff,
     "filter_total_diff_abs": q_filter_total_diff_abs,
+    "mask_val_prob": q_mask_val_prob,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

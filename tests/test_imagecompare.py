@@ -74,3 +74,26 @@ def test_find_image_offset(spark, sf_dir):
     # planted shifts cover multiple distinct values (non-vacuous)
     assert out["planted_dx"].nunique() > 1
     assert out["planted_dy"].nunique() > 1
+
+
+def test_mask_val_prob(spark, sf_dir):
+    """Value-probability plane: means bounded by 1, rescaled >= raw,
+    mask non-vacuous (neither empty nor all pixels)."""
+    import numpy as np
+    from rsgislib_spark import synth
+    from rsgislib_spark.operators.imagemath import mask_val_prob_stats
+
+    meta = synth.synth_images(spark, sf_dir,
+                              with_footprint=False).where("id % 19 = 0")
+    img = synth.attach_bytes(meta.repartition(4))
+    out = mask_val_prob_stats(img, mask_thres=512).toPandas()
+    assert len(out) > 0
+    ok = out["n_mask"] > 0
+    assert ok.any()
+    assert (out.loc[ok, "mean_prob"] <= 1.0).all()
+    assert (out.loc[ok, "mean_resc"] <= 1.0).all()
+    assert (out.loc[ok, "mean_resc"] >= out.loc[ok, "mean_prob"]).all()
+    assert (out.loc[ok, "n_distinct"] > 1).any()
+    assert np.allclose(out.loc[ok, "mean_prob"],
+                       out.loc[ok, "sum_cnt_sq"]
+                       / (out.loc[ok, "n_mask"] ** 2))
