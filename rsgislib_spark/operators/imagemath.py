@@ -1836,3 +1836,93 @@ def mask_val_prob_stats(images: DataFrame,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_VALPROB_SCHEMA)
+
+
+_HCS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_valid", LongType()),
+    StructField("n_neg", LongType()),
+    StructField("mean_ms", DoubleType()),
+    StructField("sd_ms", DoubleType()),
+    StructField("mean_pan", DoubleType()),
+    StructField("sd_pan", DoubleType()),
+    StructField("out0", DoubleType()),
+    StructField("out1", DoubleType()),
+])
+
+
+def pan_sharpen_hcs_stats(images: DataFrame) -> DataFrame:
+    """imageutils.pan_sharpen_hcs (src/img/RSGISPanSharpen.cpp:37 naive
+    mode + stats kernels :185-245): Hyperspherical Color Space
+    pan-sharpening.  Two MS bands (the payload plane and its mirror,
+    both at 5-bit depth ``v // 32`` so every moment stays < 2^53 —
+    DuckDB's HUGEINT->DOUBLE cast is NOT correctly rounded, measured),
+    PAN = their integer mean.
+
+    Stats pass (pixels with band0 > 0, the reference's valid rule):
+    meanMS/meanPAN are means of the per-pixel squared-intensity planes,
+    sdMS/sdPAN their population sds — evaluated exactly as
+    ``sqrt(n*SS - S^2)/n`` on int64 moments.  Per pixel
+    ``pSq = (sdMS/sdPAN)*((P^2 - meanPAN) + sdPAN) + (meanMS - sdMS)``
+    (the reference's expression tree verbatim); ``n_neg`` counts the
+    pSq<0 clamp branch.  The forward-atan/reverse-trig chain of the
+    2-band transform telescopes algebraically to
+    ``out0 = iAdj * b0 / sqrt(2*b0^2 + b1^2)`` and
+    ``out1 = iAdj * sqrt(b0^2 + b1^2) / sqrt(2*b0^2 + b1^2)``
+    (cos(atan(t)) = 1/sqrt(1+t^2)) — sqrt/div/mul are correctly
+    rounded, so the re-expression is bit-stable across engines where
+    libm atan/sin/cos are not (same move as geo/transverse_mercator).
+    out0/out1 are sampled at the FIRST valid pixel (min flat index).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _HCS_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                v1, v2 = a // 32, a[:, ::-1] // 32
+                valid = (v1 > 0).ravel()
+                n = int(valid.sum())
+                if n == 0:
+                    out["image_id"].append(image_id)
+                    for f in _HCS_SCHEMA.fields[1:]:
+                        out[f.name].append(0 if f.dataType == LongType()
+                                           else 0.0)
+                    continue
+                b0, b1 = v1.ravel()[valid], v2.ravel()[valid]
+                x = b0 * b0 + b1 * b1
+                pan = (b0 + b1) // 2
+                y = pan * pan
+                s_ms, ss_ms = int(x.sum()), int((x * x).sum())
+                s_p, ss_p = int(y.sum()), int((y * y).sum())
+                mean_ms = s_ms / n
+                sd_ms = float(np.sqrt(np.float64(n * ss_ms - s_ms * s_ms))) / n
+                mean_pan = s_p / n
+                sd_pan = float(np.sqrt(np.float64(n * ss_p - s_p * s_p))) / n
+                r = sd_ms / sd_pan
+                psq = r * ((y.astype(np.float64) - mean_pan) + sd_pan) \
+                    + (mean_ms - sd_ms)
+                n_neg = int((psq < 0).sum())
+                fb0, fb1 = float(b0[0]), float(b1[0])
+                p0 = float(psq[0])
+                i_adj = float(np.sqrt(np.float64(p0))) if p0 >= 0 else 0.0
+                s0 = 2.0 * fb0 * fb0 + fb1 * fb1
+                out0 = i_adj * (fb0 / float(np.sqrt(np.float64(s0))))
+                out1 = i_adj * (float(np.sqrt(np.float64(fb0 * fb0
+                                                         + fb1 * fb1)))
+                                / float(np.sqrt(np.float64(s0))))
+                out["image_id"].append(image_id)
+                out["n_valid"].append(n)
+                out["n_neg"].append(n_neg)
+                out["mean_ms"].append(mean_ms)
+                out["sd_ms"].append(sd_ms)
+                out["mean_pan"].append(mean_pan)
+                out["sd_pan"].append(sd_pan)
+                out["out0"].append(out0)
+                out["out1"].append(out1)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_HCS_SCHEMA)

