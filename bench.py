@@ -100,7 +100,7 @@ BENCH_QUERIES = [
     "rat_cat_majority", "rel_diff_neigh", "rat_meanlit",
     "dist_large_clumps", "clump_tile_pos", "change_clumps", "select_on_grid", "local_minima", "unmix_ucls", "unmix_residual", "season_trend", "morph_dilate_circ", "register_offset",
     "filter_laplacian", "filter_total_diff", "filter_total_diff_abs",
-    "mask_val_prob", "pan_sharpen",
+    "mask_val_prob", "pan_sharpen", "unpack_bits",
 ]
 
 

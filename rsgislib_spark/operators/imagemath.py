@@ -1926,3 +1926,39 @@ def pan_sharpen_hcs_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_HCS_SCHEMA)
+
+
+_UNPACK_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("bit", LongType()),
+    StructField("n_set", LongType()),
+    StructField("first_set", LongType()),
+])
+
+
+def unpack_bits_stats(images: DataFrame, n_bits: int = 10) -> DataFrame:
+    """imageutils.unpack_pxl_vals (python/src/imageutils.cpp method
+    table): unpack the payload band into per-bit planes (the QA-mask
+    workflow).  Per (image, bit): the set-pixel count and the first set
+    flat index (-1 if the plane is empty) — pins every bit plane
+    exactly."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _UNPACK_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64).ravel()
+                for b in range(n_bits):
+                    plane = (a >> b) & 1
+                    n = int(plane.sum())
+                    first = int(np.argmax(plane)) if n else -1
+                    out["image_id"].append(image_id)
+                    out["bit"].append(b)
+                    out["n_set"].append(n)
+                    out["first_set"].append(first)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_UNPACK_SCHEMA)

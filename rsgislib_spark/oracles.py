@@ -671,6 +671,26 @@ JOIN hsmp m ON m.image_id = d.image_id
 """
 
 
+ORACLES["unpack_bits"] = f"""
+{_PREFIX},
+uxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+upxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM uxs),
+upx AS (SELECT image_id, CAST(y AS BIGINT) * w + x AS fi, ({_PXV}) AS v
+        FROM upxy),
+ub AS (SELECT p.image_id, b.bit, p.fi,
+              (p.v // (1 << b.bit)) % 2 AS s
+       FROM upx p CROSS JOIN
+            (SELECT unnest(generate_series(0, 9)) AS bit) b)
+SELECT image_id, CAST(bit AS BIGINT) AS bit,
+       CAST(sum(s) AS BIGINT) AS n_set,
+       CAST(coalesce(min(CASE WHEN s = 1 THEN fi END), -1) AS BIGINT)
+           AS first_set
+FROM ub GROUP BY image_id, bit
+"""
+
+
 def _win_list(ksz: int) -> str:
     """SQL list literal of the k x k window's pixel values."""
     r = ksz // 2

@@ -522,6 +522,14 @@ def q_pan_sharpen(spark, sf_dir) -> DataFrame:
                 "mean_pan", "sd_pan", "out0", "out1")
 
 
+def q_unpack_bits(spark, sf_dir) -> DataFrame:
+    """imageutils.unpack_pxl_vals: per-bit QA planes — set counts and
+    first set flat index per (image, bit)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return im.unpack_bits_stats(img, n_bits=10) \
+        .select("image_id", "bit", "n_set", "first_set")
+
+
 def q_local_minima(spark, sf_dir) -> DataFrame:
     """imagemorphology.image_local_minima (sequencial_out=True,
     allow_equal=True): per-image minima count, value sum, and the
@@ -2313,6 +2321,7 @@ QUERIES = {
     "filter_total_diff_abs": q_filter_total_diff_abs,
     "mask_val_prob": q_mask_val_prob,
     "pan_sharpen": q_pan_sharpen,
+    "unpack_bits": q_unpack_bits,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,
