@@ -1,0 +1,231 @@
+"""Radiometric calibration: DN -> radiance -> TOA reflectance.
+
+Reference: imagecalibration (python/src/imagecalibration.cpp;
+RSGISLandsatRadianceCalibrationMultiAdd::calcImageValue,
+src/calibration/RSGISStandardDN2RadianceCalibration.cpp:66-98:
+L = multi*DN + add with the all-bands-zero border rule;
+RSGISCalculateTopOfAtmosphereReflectance::calcImageValue,
+src/calibration/RSGISCalculateTopOfAtmosphereReflectance.cpp:37-48:
+rho = ((pi * L * d^2) / (ESUN_i * cos(theta_s))) * scale; solar
+distance d from the day-of-year series in the same header:87-89).
+
+Determinism contract: all transcendentals (pi, cos of the solar
+zenith, the solar-distance cosine series) are DRIVER-side Python
+constants shared verbatim with the SQL oracle via exact
+integer-mantissa literals; the per-pixel tree
+
+    L   = 0                 if every band's DN is 0 (border rule)
+        = G_i * v + O_i     otherwise
+    rho = ((PI * L * DSQ) / ED_i) * SC      with ED_i = ESUN_i*cos(zen)
+    q   = floor(rho * 2^20)
+
+is IEEE correctly-rounded ops only, mirrored term-for-term in SQL, so
+q is bit-identical across engines.  Band 1 is the decoded plane, band
+2 its horizontal mirror (the imagemath b2 convention).
+"""
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+from ..functions import codec
+
+__all__ = ["solar_distance", "toa_consts", "radiance_toa_stats",
+           "DEFAULT_CAL", "DEFAULT_6S", "sref_6s_stats",
+           "dos_subtract_stats"]
+
+
+def solar_distance(day_of_year: int) -> float:
+    """Earth-sun distance in AU for a day of year
+    (RSGISCalculateTopOfAtmosphereReflectance.h:85-90)."""
+    g = (357.529 + 0.98560028 * float(day_of_year)) * (math.pi / 180.0)
+    return 1.00014 - 0.01671 * math.cos(g) - 0.00014 * math.cos(2.0 * g)
+
+
+# two synthetic Landsat-ish bands: (gain, offset, esun)
+DEFAULT_CAL = ((0.012, -1.52, 1997.0), (0.021, 0.87, 1812.0))
+
+
+def toa_consts(esun: float, solar_zenith_deg: float,
+               day_of_year: int = 196, scale: float = 1000.0):
+    """(PI, DSQ, ED, SC) driver literals for one band."""
+    d = solar_distance(day_of_year)
+    return (math.pi, d * d,
+            esun * math.cos(math.radians(solar_zenith_deg)), scale)
+
+
+_TOA_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("band", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("n_border", LongType()),
+    StructField("sum_rho_q", LongType()),
+    StructField("min_rho_q", LongType()),
+    StructField("max_rho_q", LongType()),
+])
+
+_TOA_QSCALE = 1048576.0  # 2^20 dyadic quantizer
+
+
+def radiance_toa_stats(images: DataFrame, cal=DEFAULT_CAL,
+                       solar_zenith_deg: float = 35.0,
+                       day_of_year: int = 196,
+                       scale: float = 1000.0) -> DataFrame:
+    """imagecalibration.landsat_to_radiance_multi_add +
+    calc_standard_toa_reflectance fused per band.
+
+    Output: one row per (image, band 1..len(cal)): pixel count, border
+    count (all-band-zero rule), and sum/min/max of the 2^20-quantized
+    TOA reflectance (scaled by ``scale``, reference scaleFactor).
+    """
+    consts = [toa_consts(esun, solar_zenith_deg, day_of_year, scale)
+              for _, _, esun in cal]
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _TOA_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                bands = [v, v[:, ::-1]]
+                border = (bands[0] == 0) & (bands[1] == 0)
+                for bi, ((g, o, _), (PI, DSQ, ED, SC)) in enumerate(
+                        zip(cal, consts), start=1):
+                    dn = bands[bi - 1]
+                    L = np.where(border, 0.0, g * dn + o)
+                    rho = ((PI * L * DSQ) / ED) * SC
+                    q = np.floor(rho * _TOA_QSCALE).astype(np.int64)
+                    out["image_id"].append(image_id)
+                    out["band"].append(bi)
+                    out["n_pix"].append(int(q.size))
+                    out["n_border"].append(int(border.sum()))
+                    out["sum_rho_q"].append(int(q.sum()))
+                    out["min_rho_q"].append(int(q.min()))
+                    out["max_rho_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_TOA_SCHEMA)
+
+
+# per-band 6S coefficients (aX, bX, cX) for the two synthetic bands
+DEFAULT_6S = ((0.0021, 0.31, 0.041), (0.0038, 0.12, 0.027))
+
+_S6_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("band", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("n_lo", LongType()),
+    StructField("n_clamp", LongType()),
+    StructField("sum_sref_q", LongType()),
+    StructField("min_sref_q", LongType()),
+    StructField("max_sref_q", LongType()),
+])
+
+
+def sref_6s_stats(images: DataFrame, coeffs=DEFAULT_6S,
+                  scale: float = 1000.0) -> DataFrame:
+    """imagecalibration.apply_6s_coeff_single_param
+    (RSGISApply6SCoefficientsSingleParam::calcImageValue,
+    src/calibration/RSGISApply6SCoefficients.cpp:40-106).
+
+    Per band i:  y = aX*v - bX;  t = (y / (1.0 + cX*y)) * scale;
+    with useNoDataVal and noDataVal == 0 (the reference's Landsat
+    convention): all-band-zero pixels emit 0; otherwise t < 1 lifts to
+    1 else t + 1, then clamp at scale.  Pinned IEEE tree, 2^20
+    quantizer; n_lo / n_clamp count the two branch populations so the
+    oracle row proves both branches fire.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _S6_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                bands = [v, v[:, ::-1]]
+                border = (bands[0] == 0) & (bands[1] == 0)
+                for bi, (A, B, C) in enumerate(coeffs, start=1):
+                    dn = bands[bi - 1]
+                    y = A * dn - B
+                    t = (y / (1.0 + C * y)) * scale
+                    lo = t < 1.0
+                    o1 = np.where(lo, 1.0, t + 1.0)
+                    clamp = o1 > scale
+                    o2 = np.where(clamp, scale, o1)
+                    res = np.where(border, 0.0, o2)
+                    q = np.floor(res * _TOA_QSCALE).astype(np.int64)
+                    valid = ~border
+                    out["image_id"].append(image_id)
+                    out["band"].append(bi)
+                    out["n_pix"].append(int(q.size))
+                    out["n_lo"].append(int((lo & valid).sum()))
+                    out["n_clamp"].append(int((clamp & valid).sum()))
+                    out["sum_sref_q"].append(int(q.sum()))
+                    out["min_sref_q"].append(int(q.min()))
+                    out["max_sref_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_S6_SCHEMA)
+
+
+_DOS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("band", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("n_nodata", LongType()),
+    StructField("dark_off", LongType()),
+    StructField("sum_out", LongType()),
+    StructField("min_out", LongType()),
+    StructField("max_out", LongType()),
+])
+
+
+def dos_subtract_stats(images: DataFrame, dark_refl: int = 0) -> DataFrame:
+    """imagecalibration.apply_subtract_single_offsets with the
+    perform_dos_calc offset estimate
+    (RSGISApplyDarkObjSubtractSingleOffsets::calcImageValue,
+    src/calibration/RSGISApplySubtractOffsets.cpp:98-135;
+    imagecalibration/__init__.py perform_dos_calc).
+
+    The dark-object offset per (image, band) is the minimum VALID
+    (non-zero: noDataVal = 0) DN; out = (v - off) + dark_refl with the
+    nonNegative rule (out <= 0 -> 1) and nodata pass-through (v == 0
+    -> 0).  With dark_refl = 0 the dark-object pixels themselves land
+    exactly on the nonNegative branch.  Everything is int64 — no
+    floats anywhere.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _DOS_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                bands = [v, v[:, ::-1]]
+                for bi, dn in enumerate(bands, start=1):
+                    nodata = dn == 0
+                    valid = dn[~nodata]
+                    off = int(valid.min()) if valid.size else 0
+                    res = dn - off + int(dark_refl)
+                    res = np.where(res <= 0, 1, res)
+                    res = np.where(nodata, 0, res)
+                    out["image_id"].append(image_id)
+                    out["band"].append(bi)
+                    out["n_pix"].append(int(res.size))
+                    out["n_nodata"].append(int(nodata.sum()))
+                    out["dark_off"].append(off)
+                    out["sum_out"].append(int(res.sum()))
+                    out["min_out"].append(int(res.min()))
+                    out["max_out"].append(int(res.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_DOS_SCHEMA)

@@ -1,0 +1,287 @@
+"""DEM derivatives: slope, aspect, hillshade (reference `elevation`).
+
+Reference: python/src/elevation.cpp method table (slope, aspect,
+catagorise_aspect, hillshade) backed by the Horn 3x3 kernels in
+src/calibration/RSGISDEMTools.cpp:38-470.
+
+Determinism contract (NOTES lessons 3/19): the Horn gradients are
+exact int64 sums over the 3x3 window; transcendentals appear only as
+DRIVER-side Python constants (tan of class thresholds, sin/cos of the
+sun position) shared verbatim with the SQL oracle, and the per-pixel
+hillshade is a pinned IEEE expression tree of correctly-rounded ops
+(+ - * / sqrt floor) mirrored term-for-term in SQL.  Aspect
+categorisation needs no floats at all: the eight 45-degree compass
+sectors reduce to sign tests and |GX| vs |GY| comparisons on the exact
+integer gradients.
+"""
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from ..functions import codec
+
+__all__ = ["horn_gradients", "slope_class_stats", "aspect_cat_stats",
+           "hillshade_stats", "slope_class_thresholds", "hillshade_consts",
+           "fill_nodata_mean", "dem_plane", "dem_plane_sql"]
+
+
+def dem_plane(v: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Synthetic DEM derived from the payload plane: 60 m plateaus from
+    the value's high bits plus two incommensurate integer microreliefs,
+    so the Horn gradient population spans flat/gentle/moderate/steep
+    (the raw payload plane is affine almost everywhere — every pixel
+    would land in one slope class, NOTES lesson 15).  Pure integer
+    expression, mirrored in SQL by :func:`dem_plane_sql`."""
+    return (v // 256) * 60 + (x * y) % 7 + (x + 2 * y) % 5
+
+
+def dem_plane_sql(v: str, x: str = "x", y: str = "y") -> str:
+    """DuckDB mirror of :func:`dem_plane` (all operands non-negative,
+    so // and % agree between numpy and DuckDB)."""
+    return f"(({v}) // 256) * 60 + (({x}) * ({y})) % 7 + (({x}) + 2 * ({y})) % 5"
+
+
+def fill_nodata_mean(a: np.ndarray, nodata) -> np.ndarray:
+    """RSGISDEMTools.cpp:52-80 window prep, applied whole-plane: if any
+    pixel equals ``nodata`` and >1 valid pixels remain, replace nodata
+    pixels with the valid mean (float64 plane).  The registered synth
+    planes never contain the sentinel, so the registered queries stay
+    on the integer fast path; this branch is pytest-covered."""
+    m = a == nodata
+    if not m.any():
+        return a
+    valid = a[~m]
+    if valid.size <= 1:
+        return a
+    out = a.astype(np.float64)
+    out[m] = valid.astype(np.float64).sum() / valid.size
+    return out
+
+
+def _decode_dem(buf, w: int, h: int, fmt: str, nodata=None) -> np.ndarray:
+    """Decode a payload and lift it to the synthetic DEM plane."""
+    v = codec.decode_image(bytes(buf), int(w), int(h), str(fmt)) \
+        .astype(np.int64)
+    x = np.arange(int(w), dtype=np.int64)[None, :]
+    y = np.arange(int(h), dtype=np.int64)[:, None]
+    a = dem_plane(v, x, y)
+    if nodata is not None:
+        a = fill_nodata_mean(a, nodata)
+    return a
+
+
+def horn_gradients(a: np.ndarray):
+    """Exact integer Horn 3x3 gradients over the valid interior.
+
+    GX = (right column, weights 1/2/1) - (left column);
+    GY = (bottom row)                 - (top row).
+    The reference's slope uses (dx, dy) = (-GX, GY), aspect uses
+    (GX, GY), hillshade uses (GX/8, -GY/8) (RSGISDEMTools.cpp:86-92,
+    262-268, 537-541; ewRes = nsRes = 1 on the synthetic grid).
+    """
+    a = np.asarray(a)
+    if not np.issubdtype(a.dtype, np.floating):
+        a = a.astype(np.int64)  # exact path; float only after nodata fill
+    h, w = a.shape
+    if h < 3 or w < 3:
+        z = np.zeros((0, 0), dtype=a.dtype)
+        return z, z
+    colw = a[:-2, :] + 2 * a[1:-1, :] + a[2:, :]      # vertical 1/2/1
+    roww = a[:, :-2] + 2 * a[:, 1:-1] + a[:, 2:]      # horizontal 1/2/1
+    gx = colw[:, 2:] - colw[:, :-2]
+    gy = roww[2:, :] - roww[:-2, :]
+    return gx, gy
+
+
+def slope_class_thresholds(thresholds_deg=(5.0, 15.0, 30.0),
+                           res: float = 30.0):
+    """(8 * res * tan(T))^2 literals — with ewRes = nsRes = res,
+    slope >= T  <=>  GX^2 + GY^2 >= thr2 (atan is monotone)."""
+    return [float((8.0 * res * math.tan(math.radians(t))) ** 2)
+            for t in thresholds_deg]
+
+
+_SLOPE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("slope_cls", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_g2", LongType()),
+])
+
+
+def slope_class_stats(images: DataFrame,
+                      thresholds_deg=(5.0, 15.0, 30.0),
+                      res: float = 30.0, nodata=None) -> DataFrame:
+    """elevation.slope (python/src/elevation.cpp:46;
+    RSGISCalcSlope::calcImageValue, RSGISDEMTools.cpp:38-105) binned
+    into threshold classes.
+
+    slope_rad = atan(sqrt(GX^2 + GY^2) / (8 * res)) is monotone in the
+    exact integer g2 = GX^2 + GY^2, so class membership (slope >= T)
+    is the exact comparison g2 >= (8 res tan T)^2 with the right side
+    a shared driver literal — the atan itself never needs to be
+    evaluated.  Output: one row per (image, class
+    0..len(thresholds)), n_pix + exact sum of g2.
+    """
+    thr2 = slope_class_thresholds(thresholds_deg, res)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SLOPE_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                gx, gy = horn_gradients(_decode_dem(buf, w, h, fmt, nodata))
+                g2 = gx * gx + gy * gy
+                cls = np.zeros(g2.shape, dtype=np.int64)
+                for t2 in thr2:
+                    cls += (g2 >= t2)
+                for c in range(len(thr2) + 1):
+                    m = cls == c
+                    out["image_id"].append(image_id)
+                    out["slope_cls"].append(c)
+                    out["n_pix"].append(int(m.sum()))
+                    out["sum_g2"].append(int(g2[m].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SLOPE_SCHEMA)
+
+
+_ASPECT_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("aspect_cat", LongType()),
+    StructField("n_pix", LongType()),
+])
+
+
+def aspect_categories(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """catagorise_aspect over aspect = atan2(-dx, dy) degrees in
+    [0, 360) (RSGISDEMTools.cpp:214-296 + RSGISRecodeAspect:416-455),
+    with dx = GX, dy = GY: eight 45-degree sectors 1..8, flat = 0.
+
+    Engine variant with EXACT boundary semantics: writing Y = -GX and
+    X = GY (so the sector angle is atan2(Y, X)), every `aspect >= 45k`
+    test is a sign test or an |Y| vs |X| integer comparison — no
+    floating point anywhere, so half-boundary pixels (Y == +-X) land
+    deterministically in the sector whose closed lower edge they sit
+    on, which is the recode's [lo, hi) convention.
+    """
+    Y = -gx
+    X = gy
+    cat = np.zeros(Y.shape, dtype=np.int64)
+    flat = (X == 0) & (Y == 0)
+    c1 = (Y >= 0) & (X > Y)                      # [0, 45)
+    c2 = (Y > 0) & (X > 0) & (X <= Y)            # [45, 90)
+    c3 = (Y > 0) & (X <= 0) & (Y > -X)           # [90, 135)
+    c4 = (Y > 0) & (X < 0) & (Y <= -X)           # [135, 180)
+    c5 = ((Y == 0) & (X < 0)) | \
+         ((Y < 0) & (X < 0) & (Y > X))           # [180, 225)
+    c6 = (Y < 0) & (X < 0) & (Y <= X)            # [225, 270)
+    c7 = (Y < 0) & (X >= 0) & (-Y > X)           # [270, 315)
+    c8 = (Y < 0) & (X > 0) & (-Y <= X)           # [315, 360)
+    for v, m in enumerate((c1, c2, c3, c4, c5, c6, c7, c8), start=1):
+        cat[m] = v
+    cat[flat] = 0
+    return cat
+
+
+def aspect_cat_stats(images: DataFrame, nodata=None) -> DataFrame:
+    """elevation.aspect + catagorise_aspect: per (image, compass
+    category 0..8) pixel counts over the valid interior."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _ASPECT_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                gx, gy = horn_gradients(_decode_dem(buf, w, h, fmt, nodata))
+                cat = aspect_categories(gx, gy)
+                cnt = np.bincount(cat.ravel(), minlength=9)
+                for c in range(9):
+                    out["image_id"].append(image_id)
+                    out["aspect_cat"].append(c)
+                    out["n_pix"].append(int(cnt[c]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_ASPECT_SCHEMA)
+
+
+def hillshade_consts(azimuth: float = 315.0, zenith: float = 45.0):
+    """The four driver-side sun literals shared with the SQL oracle.
+
+    The reference remaps azimuth az' = wrap(360 - az + 90)
+    (RSGISCalcHillShade ctor, RSGISDEMTools.cpp:466-477) and then uses
+    C = az'_rad - pi/2 inside sin(aspect - C); expanding the sine of a
+    difference against aspect = atan2(dy, dx) gives
+    sqrt(xx+yy) * sin(aspect - C) = dy*cos(C) - dx*sin(C), so the only
+    transcendentals are these four constants.
+    """
+    azp = 360.0 - azimuth + 90.0
+    if azp > 360.0:
+        azp -= 360.0
+    c = math.radians(azp) - math.pi / 2.0
+    return (math.sin(math.radians(zenith)), math.cos(math.radians(zenith)),
+            math.cos(c), math.sin(c))
+
+
+_HS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_dark", LongType()),
+    StructField("sum_shade_q", LongType()),
+    StructField("min_shade_q", LongType()),
+    StructField("max_shade_q", LongType()),
+])
+
+_HS_QSCALE = 1048576.0  # 2^20: exact dyadic scale, floor-quantize
+
+
+def hillshade_stats(images: DataFrame, azimuth: float = 315.0,
+                    zenith: float = 45.0, res: float = 30.0,
+                    nodata=None) -> DataFrame:
+    """elevation.hillshade (python/src/elevation.cpp:188;
+    RSGISCalcHillShade::calcImageValue, RSGISDEMTools.cpp:479-572).
+
+    Pinned IEEE tree per interior pixel, mirrored verbatim in the SQL
+    oracle (SZ/CZ/K1/K2 from :func:`hillshade_consts`; R8 = 8 * res):
+
+        dx = GX / R8;  dy = -GY / R8
+        cang  = (SZ - CZ * (dy*K1 - dx*K2)) / sqrt(1 + (dx*dx + dy*dy))
+        shade = 1.0 if cang <= 0 else 1.0 + 254.0 * cang
+        q     = floor(shade * 2^20)
+
+    Every op is an IEEE correctly-rounded primitive on identical
+    inputs, so q is bit-identical across engines.  Output per image:
+    n_pix, n_dark (cang <= 0 count), sum/min/max of q.
+    """
+    SZ, CZ, K1, K2 = hillshade_consts(azimuth, zenith)
+    R8 = 8.0 * res
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _HS_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                gx, gy = horn_gradients(_decode_dem(buf, w, h, fmt, nodata))
+                dx = gx / R8
+                dy = -gy / R8
+                num = SZ - CZ * (dy * K1 - dx * K2)
+                cang = num / np.sqrt(1.0 + (dx * dx + dy * dy))
+                dark = cang <= 0.0
+                shade = np.where(dark, 1.0, 1.0 + 254.0 * cang)
+                q = np.floor(shade * _HS_QSCALE).astype(np.int64)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(q.size))
+                out["n_dark"].append(int(dark.sum()))
+                out["sum_shade_q"].append(int(q.sum()) if q.size else 0)
+                out["min_shade_q"].append(int(q.min()) if q.size else 0)
+                out["max_shade_q"].append(int(q.max()) if q.size else 0)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_HS_SCHEMA)

@@ -346,3 +346,112 @@ def segment_means(images: DataFrame, quant: int = 128) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_MEAN_SCHEMA)
+
+
+_ISO_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cls", LongType()),
+    StructField("centre", LongType()),
+    StructField("n_pix", LongType()),
+])
+
+
+def isodata_values(vals: np.ndarray, k: int = 4, iters: int = 6,
+                   min_dist: int = 100, var_thres: int = 3000,
+                   min_split: int = 32, split_off: int = 8):
+    """Deterministic integer ISODATA round (engine variant of
+    imagecalc.isodata_clustering, python/src/imagecalc.cpp method
+    table): k-means, then ONE merge of the closest adjacent centre
+    pair (< min_dist), then ONE split of the highest-variance
+    qualifying class (variance > var_thres and n >= min_split), then a
+    final reassignment.
+
+    Every decision is integer-exact: gaps are ints; the variance
+    qualifier is ``n*SS - S^2 > var_thres * n^2``; the variance argmax
+    compares ``A_i * n_j^2 > A_j * n_i^2`` in exact (Python) integers;
+    the merged centre is the weighted floor mean; split centres are
+    ``floor(S/n) -/+ split_off``.  Ties everywhere resolve to the
+    smaller centre then the smaller provenance rank.  Returns the
+    final (centre, key) list and the assignment LUT.
+    """
+    c, cls = kmeans_values(vals, k=k, iters=iters)
+    flat = vals.astype(np.int64).ravel()
+    n_j = np.zeros(k, dtype=np.int64)
+    s_j = np.zeros(k, dtype=np.int64)
+    ss_j = np.zeros(k, dtype=np.int64)
+    np.add.at(n_j, cls, 1)
+    np.add.at(s_j, cls, flat)
+    np.add.at(ss_j, cls, flat * flat)
+    # sorted provenance order: (centre, original index)
+    order = sorted(range(k), key=lambda j: (int(c[j]), j))
+    ents = [[int(c[j]), r, int(n_j[j]), int(s_j[j]), int(ss_j[j])]
+            for r, j in enumerate(order)]   # [centre, rank, n, S, SS]
+    # MERGE: closest adjacent sorted pair under min_dist (ties: smaller
+    # left centre, then smaller left rank)
+    best = None
+    for i in range(len(ents) - 1):
+        gap = ents[i + 1][0] - ents[i][0]
+        keyt = (gap, ents[i][0], ents[i][1])
+        if gap < min_dist and (best is None or keyt < best[0]):
+            best = (keyt, i)
+    if best is not None:
+        i = best[1]
+        a, b = ents[i], ents[i + 1]
+        nt = a[2] + b[2]
+        merged_c = (a[3] + b[3]) // nt if nt > 0 else (a[0] + b[0]) // 2
+        merged = [merged_c, min(a[1], b[1]), nt, a[3] + b[3], a[4] + b[4]]
+        ents = ents[:i] + [merged] + ents[i + 2:]
+    # SPLIT: qualifying class with the largest variance (exact integer
+    # cross-multiplied argmax; ties smaller centre then rank)
+    cand = None
+    for e in ents:
+        cen, rank, n, s, ss = e
+        if n < min_split:
+            continue
+        A = n * ss - s * s
+        if A <= var_thres * n * n:
+            continue
+        if cand is None:
+            cand = e
+        else:
+            cen2, rank2, n2, s2, ss2 = cand
+            A2 = n2 * ss2 - s2 * s2
+            li, ri = A * n2 * n2, A2 * n * n
+            if li > ri or (li == ri and (cen, rank) < (cen2, rank2)):
+                cand = e
+    if cand is not None:
+        m = cand[3] // cand[2]
+        ents.remove(cand)
+        ents.append([m - split_off, cand[1], 0, 0, 0])
+        ents.append([m + split_off, cand[1], 0, 0, 0])
+    # canonical final order: (centre, provenance rank)
+    ents.sort(key=lambda e: (e[0], e[1]))
+    centres = np.array([e[0] for e in ents], dtype=np.int64)
+    uniq = np.unique(flat)
+    cls_u = np.argmin(np.abs(uniq[:, None] - centres[None, :]), axis=1)
+    lut = np.zeros(int(uniq.max()) + 1, dtype=np.int64)
+    lut[uniq] = cls_u
+    return centres, lut[flat]
+
+
+def isodata_centres(images: DataFrame, **kw) -> DataFrame:
+    """Per-image deterministic-ISODATA classes: one row per final
+    class with its centre and population (empty classes report 0)."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _ISO_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                centres, cls = isodata_values(arr, **kw)
+                npix = np.bincount(cls, minlength=centres.size)
+                out["image_id"].extend([image_id] * centres.size)
+                out["cls"].extend(range(centres.size))
+                out["centre"].extend(int(v) for v in centres)
+                out["n_pix"].extend(int(v) for v in npix)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_ISO_SCHEMA)

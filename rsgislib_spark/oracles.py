@@ -2577,7 +2577,7 @@ kc0 AS (SELECT image_id,
         parts.append(f""",
 ka{r} AS (SELECT h.image_id, h.v, h.n, {argmin} AS cls
          FROM khist h JOIN kc{r - 1} c ON c.image_id = h.image_id),
-kc{r} AS (SELECT a.image_id,
+kc{r} AS MATERIALIZED (SELECT a.image_id,
                coalesce(CAST(sum(CASE WHEN cls = 0 THEN v * n END)
                              // sum(CASE WHEN cls = 0 THEN n END)
                         AS BIGINT), max(c.k0)) AS k0,
@@ -2593,7 +2593,7 @@ kc{r} AS (SELECT a.image_id,
          FROM ka{r} a JOIN kc{r - 1} c ON c.image_id = a.image_id
          GROUP BY a.image_id)""")
     parts.append(f""",
-kc AS (SELECT * FROM kc{iters})""")
+kc AS MATERIALIZED (SELECT * FROM kc{iters})""")
     return "".join(parts)
 
 
@@ -4147,4 +4147,340 @@ sel AS (SELECT image_id, cid, row_number() OVER (
 SELECT t.image_id, t.cid AS clump_id, t.n_pix, t.tile_row, t.tile_col,
        CAST(CASE WHEN s.rn = 1 THEN 1 ELSE 0 END AS INT) AS sel
 FROM tix t JOIN sel s ON s.image_id = t.image_id AND s.cid = t.cid
+"""
+
+# deterministic-ISODATA round over the kmeans centres: one merge of
+# the closest adjacent pair (<100), one split of the highest-variance
+# qualifying class (HUGEINT cross-multiplied exact argmax), reassign.
+ORACLES["isodata"] = f"""
+{_PREFIX},
+{_kmeans_ctes()},
+icent AS MATERIALIZED (SELECT image_id, unnest([0, 1, 2, 3]) AS j,
+                 unnest([k0, k1, k2, k3]) AS c
+          FROM kc),
+iasg0 AS (SELECT h.image_id, h.v, h.n, t.j,
+                 row_number() OVER (PARTITION BY h.image_id, h.v
+                                    ORDER BY abs(h.v - t.c), t.j) AS rn
+          FROM khist h JOIN icent t ON t.image_id = h.image_id),
+iasg AS (SELECT image_id, v, n, j FROM iasg0 WHERE rn = 1),
+ist AS (SELECT c.image_id, c.j, c.c,
+               CAST(coalesce(sum(a.n), 0) AS BIGINT) AS nn,
+               CAST(coalesce(sum(a.v * a.n), 0) AS BIGINT) AS sv,
+               CAST(coalesce(sum(a.v * a.v * a.n), 0) AS BIGINT) AS ssv
+        FROM icent c
+        LEFT JOIN iasg a ON a.image_id = c.image_id AND a.j = c.j
+        GROUP BY c.image_id, c.j, c.c),
+isrt AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY image_id
+                                      ORDER BY c, j) - 1 AS r
+         FROM ist),
+igap AS (SELECT a.image_id, a.r AS ri, b.c - a.c AS gap,
+                a.c AS lc, a.r AS lr
+         FROM isrt a JOIN isrt b
+           ON b.image_id = a.image_id AND b.r = a.r + 1
+         WHERE b.c - a.c < 100),
+impick AS (SELECT image_id, ri FROM (
+             SELECT *, row_number() OVER (PARTITION BY image_id
+                       ORDER BY gap, lc, lr) AS rn FROM igap)
+           WHERE rn = 1),
+ipm AS MATERIALIZED (SELECT s.image_id, s.c, s.r AS rank, s.nn, s.sv, s.ssv
+        FROM isrt s LEFT JOIN impick m ON m.image_id = s.image_id
+        WHERE m.ri IS NULL OR (s.r <> m.ri AND s.r <> m.ri + 1)
+        UNION ALL
+        SELECT a.image_id,
+               CASE WHEN a.nn + b.nn > 0
+                    THEN CAST((a.sv + b.sv) // (a.nn + b.nn) AS BIGINT)
+                    ELSE CAST((a.c + b.c) // 2 AS BIGINT) END,
+               least(a.r, b.r), a.nn + b.nn, a.sv + b.sv, a.ssv + b.ssv
+        FROM impick m
+        JOIN isrt a ON a.image_id = m.image_id AND a.r = m.ri
+        JOIN isrt b ON b.image_id = m.image_id AND b.r = m.ri + 1),
+iqual AS MATERIALIZED (SELECT *, CAST(nn AS HUGEINT) * ssv
+                    - CAST(sv AS HUGEINT) * sv AS va
+          FROM ipm
+          WHERE nn >= 32
+            AND CAST(nn AS HUGEINT) * ssv - CAST(sv AS HUGEINT) * sv
+                > 3000 * CAST(nn AS HUGEINT) * nn),
+ispick AS MATERIALIZED (SELECT q1.image_id, q1.c, q1.rank, q1.nn, q1.sv
+           FROM iqual q1
+           WHERE NOT EXISTS (
+             SELECT 1 FROM iqual q2
+             WHERE q2.image_id = q1.image_id
+               AND (q2.c <> q1.c OR q2.rank <> q1.rank)
+               AND (q2.va * CAST(q1.nn AS HUGEINT) * q1.nn
+                      > q1.va * CAST(q2.nn AS HUGEINT) * q2.nn
+                    OR (q2.va * CAST(q1.nn AS HUGEINT) * q1.nn
+                          = q1.va * CAST(q2.nn AS HUGEINT) * q2.nn
+                        AND (q2.c < q1.c
+                             OR (q2.c = q1.c AND q2.rank < q1.rank)))))),
+ifin AS (SELECT p.image_id, p.c, p.rank
+         FROM ipm p LEFT JOIN ispick sp
+           ON sp.image_id = p.image_id AND sp.c = p.c AND sp.rank = p.rank
+         WHERE sp.image_id IS NULL
+         UNION ALL
+         SELECT image_id, CAST(sv // nn - 8 AS BIGINT), rank FROM ispick
+         UNION ALL
+         SELECT image_id, CAST(sv // nn + 8 AS BIGINT), rank FROM ispick),
+ifr AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY image_id
+                                     ORDER BY c, rank) - 1 AS cls
+        FROM ifin),
+ifasg AS (SELECT image_id, v, n, cls FROM (
+            SELECT h.image_id, h.v, h.n, f.cls,
+                   row_number() OVER (PARTITION BY h.image_id, h.v
+                                      ORDER BY abs(h.v - f.c), f.cls) AS rn
+            FROM khist h JOIN ifr f ON f.image_id = h.image_id)
+          WHERE rn = 1),
+ifcnt AS (SELECT image_id, cls, CAST(sum(n) AS BIGINT) AS n_pix
+          FROM ifasg GROUP BY image_id, cls)
+SELECT f.image_id, CAST(f.cls AS BIGINT) AS cls,
+       CAST(f.c AS BIGINT) AS centre,
+       CAST(coalesce(t.n_pix, 0) AS BIGINT) AS n_pix
+FROM ifr f LEFT JOIN ifcnt t
+  ON t.image_id = f.image_id AND t.cls = f.cls
+"""
+
+
+# ---------------------------------------------------------------- elevation
+# DEM derivatives (python/src/elevation.cpp; RSGISDEMTools.cpp Horn
+# kernels).  The DEM plane, gradient sums, slope-class thresholds and
+# the hillshade IEEE tree are shared verbatim with
+# operators/elevation.py (see its module docstring for the
+# determinism contract).
+from .operators.elevation import (dem_plane_sql as _dem_sql,  # noqa: E402
+                                  hillshade_consts as _hs_consts,
+                                  slope_class_thresholds as _slope_thr2)
+from .geo.transverse_mercator import dlit as _dlit  # noqa: E402
+
+
+def _dem_at(dx: int, dy: int) -> str:
+    xs = f"(x + {dx})" if dx else "x"
+    ys = f"(y + {dy})" if dy else "y"
+    return "(" + _dem_sql(synth.pixel_value_sql("id", xs, ys, "fmt"),
+                          xs, ys) + ")"
+
+
+# Horn gradients: GX = weighted right column - left column,
+# GY = weighted bottom row - top row (exact integers).
+_EGX = (f"(({_dem_at(1, -1)} + 2 * {_dem_at(1, 0)} + {_dem_at(1, 1)}) - "
+        f"({_dem_at(-1, -1)} + 2 * {_dem_at(-1, 0)} + {_dem_at(-1, 1)}))")
+_EGY = (f"(({_dem_at(-1, 1)} + 2 * {_dem_at(0, 1)} + {_dem_at(1, 1)}) - "
+        f"({_dem_at(-1, -1)} + 2 * {_dem_at(0, -1)} + {_dem_at(1, -1)}))")
+
+_EG_CTE = """
+exs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(1, w - 2)) AS x
+        FROM img WHERE id % 19 = 0),
+epxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM exs),
+eg AS (SELECT image_id, {gx} AS gx, {gy} AS gy FROM epxy)
+""".strip().format(gx=_EGX, gy=_EGY)
+
+_SLOPE_T = _slope_thr2((5.0, 15.0, 30.0), 30.0)
+
+ORACLES["dem_slope"] = f"""
+{_PREFIX},
+{_EG_CTE},
+ecls AS (SELECT image_id, gx * gx + gy * gy AS g2,
+                CAST((CASE WHEN gx * gx + gy * gy >= {_dlit(_SLOPE_T[0])}
+                           THEN 1 ELSE 0 END)
+                   + (CASE WHEN gx * gx + gy * gy >= {_dlit(_SLOPE_T[1])}
+                           THEN 1 ELSE 0 END)
+                   + (CASE WHEN gx * gx + gy * gy >= {_dlit(_SLOPE_T[2])}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS slope_cls
+         FROM eg),
+eagg AS (SELECT image_id, slope_cls, count(*) AS n_pix,
+                sum(g2) AS sum_g2
+         FROM ecls GROUP BY image_id, slope_cls),
+eall AS (SELECT image_id, unnest([0, 1, 2, 3]) AS slope_cls
+         FROM img WHERE id % 19 = 0)
+SELECT a.image_id, CAST(a.slope_cls AS BIGINT) AS slope_cls,
+       CAST(coalesce(g.n_pix, 0) AS BIGINT) AS n_pix,
+       CAST(coalesce(g.sum_g2, 0) AS BIGINT) AS sum_g2
+FROM eall a LEFT JOIN eagg g
+  ON g.image_id = a.image_id AND g.slope_cls = a.slope_cls
+"""
+
+# compass recode on Y = -GX, X = GY: sign tests + |Y| vs |X| integer
+# comparisons only (operators/elevation.aspect_categories octant table)
+_ASPECT_CASE = """
+CASE WHEN X = 0 AND Y = 0 THEN 0
+     WHEN Y >= 0 AND X > Y THEN 1
+     WHEN Y > 0 AND X > 0 AND X <= Y THEN 2
+     WHEN Y > 0 AND X <= 0 AND Y > -X THEN 3
+     WHEN Y > 0 AND X < 0 AND Y <= -X THEN 4
+     WHEN (Y = 0 AND X < 0) OR (Y < 0 AND X < 0 AND Y > X) THEN 5
+     WHEN Y < 0 AND X < 0 AND Y <= X THEN 6
+     WHEN Y < 0 AND X >= 0 AND -Y > X THEN 7
+     ELSE 8 END
+""".strip()
+
+ORACLES["dem_aspect"] = f"""
+{_PREFIX},
+{_EG_CTE},
+eyx AS (SELECT image_id, -gx AS Y, gy AS X FROM eg),
+ecat AS (SELECT image_id, CAST({_ASPECT_CASE} AS BIGINT) AS aspect_cat
+         FROM eyx),
+eagg AS (SELECT image_id, aspect_cat, count(*) AS n_pix
+         FROM ecat GROUP BY image_id, aspect_cat),
+eall AS (SELECT image_id,
+                unnest([0, 1, 2, 3, 4, 5, 6, 7, 8]) AS aspect_cat
+         FROM img WHERE id % 19 = 0)
+SELECT a.image_id, CAST(a.aspect_cat AS BIGINT) AS aspect_cat,
+       CAST(coalesce(g.n_pix, 0) AS BIGINT) AS n_pix
+FROM eall a LEFT JOIN eagg g
+  ON g.image_id = a.image_id AND g.aspect_cat = a.aspect_cat
+"""
+
+_HS_SZ, _HS_CZ, _HS_K1, _HS_K2 = _hs_consts(315.0, 45.0)
+_HS_R8 = _dlit(8.0 * 30.0)
+
+ORACLES["dem_hillshade"] = f"""
+{_PREFIX},
+{_EG_CTE},
+hsd AS (SELECT image_id,
+               CAST(gx AS DOUBLE) / {_HS_R8} AS dx,
+               CAST(-gy AS DOUBLE) / {_HS_R8} AS dy
+        FROM eg),
+hsc AS (SELECT image_id,
+               ({_dlit(_HS_SZ)} - {_dlit(_HS_CZ)}
+                 * (dy * {_dlit(_HS_K1)} - dx * {_dlit(_HS_K2)}))
+               / sqrt({_dlit(1.0)} + (dx * dx + dy * dy)) AS cang
+        FROM hsd),
+hsq AS (SELECT image_id, CASE WHEN cang <= {_dlit(0.0)} THEN 1 ELSE 0
+                         END AS dark,
+               CAST(floor((CASE WHEN cang <= {_dlit(0.0)}
+                                THEN {_dlit(1.0)}
+                                ELSE {_dlit(1.0)} + {_dlit(254.0)} * cang
+                           END) * {_dlit(1048576.0)}) AS BIGINT) AS q
+        FROM hsc),
+hagg AS (SELECT image_id, count(*) AS n_pix, sum(dark) AS n_dark,
+                sum(q) AS sum_q, min(q) AS min_q, max(q) AS max_q
+         FROM hsq GROUP BY image_id)
+SELECT i.image_id,
+       CAST(coalesce(h.n_pix, 0) AS BIGINT) AS n_pix,
+       CAST(coalesce(h.n_dark, 0) AS BIGINT) AS n_dark,
+       CAST(coalesce(h.sum_q, 0) AS BIGINT) AS sum_shade_q,
+       CAST(coalesce(h.min_q, 0) AS BIGINT) AS min_shade_q,
+       CAST(coalesce(h.max_q, 0) AS BIGINT) AS max_shade_q
+FROM (SELECT image_id FROM img WHERE id % 19 = 0) i
+LEFT JOIN hagg h ON h.image_id = i.image_id
+"""
+
+
+# ------------------------------------------------------------- calibration
+# DN -> radiance -> TOA reflectance (operators/calibration.py; see its
+# module docstring for the reference file:line cites and the pinned
+# IEEE tree mirrored here).
+from .operators.calibration import (DEFAULT_CAL as _CAL,  # noqa: E402
+                                    toa_consts as _toa_consts)
+
+
+def _toa_band_select(band: int) -> str:
+    g, o, esun = _CAL[band - 1]
+    PI, DSQ, ED, SC = _toa_consts(esun, 35.0, 196, 1000.0)
+    dn = "v1" if band == 1 else "v2"
+    L = (f"CASE WHEN v1 = 0 AND v2 = 0 THEN {_dlit(0.0)} "
+         f"ELSE {_dlit(g)} * CAST({dn} AS DOUBLE) + {_dlit(o)} END")
+    rho = f"((({_dlit(PI)} * ({L}) * {_dlit(DSQ)}) / {_dlit(ED)}) * {_dlit(SC)})"
+    return f"""
+SELECT image_id, CAST({band} AS BIGINT) AS band,
+       CASE WHEN v1 = 0 AND v2 = 0 THEN 1 ELSE 0 END AS border,
+       CAST(floor({rho} * {_dlit(1048576.0)}) AS BIGINT) AS q
+FROM tpx
+""".strip()
+
+
+_TOA_V2 = synth.pixel_value_sql("id", "(w - 1 - x)", "y", "fmt")
+
+ORACLES["toa_radiance"] = f"""
+{_PREFIX},
+txs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+tpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM txs),
+tpx AS (SELECT image_id, {_PXV} AS v1, {_TOA_V2} AS v2 FROM tpxy),
+tb AS ({_toa_band_select(1)}
+       UNION ALL
+       {_toa_band_select(2)})
+SELECT image_id, band, count(*) AS n_pix,
+       CAST(sum(border) AS BIGINT) AS n_border,
+       CAST(sum(q) AS BIGINT) AS sum_rho_q,
+       CAST(min(q) AS BIGINT) AS min_rho_q,
+       CAST(max(q) AS BIGINT) AS max_rho_q
+FROM tb GROUP BY image_id, band
+"""
+
+
+from .operators.calibration import DEFAULT_6S as _S6  # noqa: E402
+
+
+def _s6_band_select(band: int) -> str:
+    A, B, C = _S6[band - 1]
+    SC = _dlit(1000.0)
+    dn = "v1" if band == 1 else "v2"
+    y = f"({_dlit(A)} * CAST({dn} AS DOUBLE) - {_dlit(B)})"
+    t = f"(({y} / ({_dlit(1.0)} + {_dlit(C)} * {y})) * {SC})"
+    res = (f"CASE WHEN v1 = 0 AND v2 = 0 THEN {_dlit(0.0)} "
+           f"WHEN {t} < {_dlit(1.0)} THEN {_dlit(1.0)} "
+           f"WHEN {t} + {_dlit(1.0)} > {SC} THEN {SC} "
+           f"ELSE {t} + {_dlit(1.0)} END")
+    return f"""
+SELECT image_id, CAST({band} AS BIGINT) AS band,
+       CASE WHEN NOT (v1 = 0 AND v2 = 0) AND {t} < {_dlit(1.0)}
+            THEN 1 ELSE 0 END AS lo,
+       CASE WHEN NOT (v1 = 0 AND v2 = 0) AND NOT ({t} < {_dlit(1.0)})
+                 AND {t} + {_dlit(1.0)} > {SC}
+            THEN 1 ELSE 0 END AS clamp,
+       CAST(floor(({res}) * {_dlit(1048576.0)}) AS BIGINT) AS q
+FROM tpx
+""".strip()
+
+
+ORACLES["sref_6s"] = f"""
+{_PREFIX},
+txs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+tpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM txs),
+tpx AS (SELECT image_id, {_PXV} AS v1, {_TOA_V2} AS v2 FROM tpxy),
+sb AS ({_s6_band_select(1)}
+       UNION ALL
+       {_s6_band_select(2)})
+SELECT image_id, band, count(*) AS n_pix,
+       CAST(sum(lo) AS BIGINT) AS n_lo,
+       CAST(sum(clamp) AS BIGINT) AS n_clamp,
+       CAST(sum(q) AS BIGINT) AS sum_sref_q,
+       CAST(min(q) AS BIGINT) AS min_sref_q,
+       CAST(max(q) AS BIGINT) AS max_sref_q
+FROM sb GROUP BY image_id, band
+"""
+
+# dark-object subtraction: offset = min valid DN per (image, band),
+# nonNegative <=0 -> 1 rule, nodata (0) pass-through — pure integers
+ORACLES["dos_subtract"] = f"""
+{_PREFIX},
+txs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+tpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM txs),
+tpx AS (SELECT image_id, {_PXV} AS v1, {_TOA_V2} AS v2 FROM tpxy),
+db AS (SELECT image_id, 1 AS band, v1 AS dn FROM tpx
+       UNION ALL
+       SELECT image_id, 2 AS band, v2 AS dn FROM tpx),
+doff AS (SELECT image_id, band,
+                coalesce(min(CASE WHEN dn <> 0 THEN dn END), 0) AS off
+         FROM db GROUP BY image_id, band),
+dres AS (SELECT d.image_id, d.band,
+                CASE WHEN d.dn = 0 THEN 0
+                     WHEN d.dn - o.off <= 0 THEN 1
+                     ELSE d.dn - o.off END AS res,
+                CASE WHEN d.dn = 0 THEN 1 ELSE 0 END AS nd,
+                o.off
+         FROM db d JOIN doff o
+           ON o.image_id = d.image_id AND o.band = d.band)
+SELECT image_id, CAST(band AS BIGINT) AS band, count(*) AS n_pix,
+       CAST(sum(nd) AS BIGINT) AS n_nodata,
+       CAST(min(off) AS BIGINT) AS dark_off,
+       CAST(sum(res) AS BIGINT) AS sum_out,
+       CAST(min(res) AS BIGINT) AS min_out,
+       CAST(max(res) AS BIGINT) AS max_out
+FROM dres GROUP BY image_id, band
 """

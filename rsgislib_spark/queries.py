@@ -35,7 +35,12 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   find_change_clumps, merge_small_clumps,
                                   rat_table, rel_diff_neigh_stats,
                                   select_clumps_on_grid)
+from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
+                                    sref_6s_stats)
+from .operators.elevation import (aspect_cat_stats, hillshade_stats,
+                                  slope_class_stats)
 from .operators.segmentation import (eliminate_small_segments,
+                                     isodata_centres,
                                      kmeans_centres, shepherd_segments,
                                      segment_means, union_clumps)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
@@ -908,6 +913,75 @@ def q_union_clumps(spark, sf_dir) -> DataFrame:
     img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return union_clumps(img) \
         .select("image_id", "clump_id", "n_pix", "val_a", "val_b")
+
+
+def q_dem_slope(spark, sf_dir) -> DataFrame:
+    """elevation.slope (python/src/elevation.cpp:46, Horn 3x3 kernel
+    RSGISDEMTools.cpp:38) binned by exact (8*res*tan T)^2 thresholds
+    over the synthetic DEM plane; res=30 m, T = 5/15/30 degrees."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return slope_class_stats(img, (5.0, 15.0, 30.0), res=30.0) \
+        .select("image_id", "slope_cls", "n_pix", "sum_g2")
+
+
+def q_dem_aspect(spark, sf_dir) -> DataFrame:
+    """elevation.aspect + catagorise_aspect (RSGISDEMTools.cpp:214,
+    :411): 8 compass sectors + flat as exact integer octant tests."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return aspect_cat_stats(img) \
+        .select("image_id", "aspect_cat", "n_pix")
+
+
+def q_dem_hillshade(spark, sf_dir) -> DataFrame:
+    """elevation.hillshade (RSGISDEMTools.cpp:479): pinned IEEE tree,
+    sun az 315 zen 45, res 30 m; 2^20-quantized shade stats."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return hillshade_stats(img, azimuth=315.0, zenith=45.0, res=30.0) \
+        .select("image_id", "n_pix", "n_dark", "sum_shade_q",
+                "min_shade_q", "max_shade_q")
+
+
+def q_toa_radiance(spark, sf_dir) -> DataFrame:
+    """imagecalibration: landsat_to_radiance_multi_add (L = G*DN + O,
+    all-band-zero border rule) fused with
+    calc_standard_toa_reflectance (rho = pi*L*d^2/(ESUN*cos zen) *
+    1000, day 196, zen 35); per-band 2^20-quantized stats."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return radiance_toa_stats(img, solar_zenith_deg=35.0,
+                              day_of_year=196, scale=1000.0) \
+        .select("image_id", "band", "n_pix", "n_border", "sum_rho_q",
+                "min_rho_q", "max_rho_q")
+
+
+def q_sref_6s(spark, sf_dir) -> DataFrame:
+    """imagecalibration.apply_6s_coeff_single_param
+    (RSGISApply6SCoefficients.cpp:40): y = aX*v - bX, t =
+    y/(1+cX*y)*1000, noDataVal==0 uplift + scale clamp; per-band
+    2^20-quantized stats with both branch populations counted."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return sref_6s_stats(img) \
+        .select("image_id", "band", "n_pix", "n_lo", "n_clamp",
+                "sum_sref_q", "min_sref_q", "max_sref_q")
+
+
+def q_dos_subtract(spark, sf_dir) -> DataFrame:
+    """imagecalibration.apply_subtract_single_offsets + perform_dos_calc
+    (RSGISApplySubtractOffsets.cpp:98): dark-object offset = min valid
+    DN, nonNegative <=0 -> 1 rule, nodata 0 pass-through; pure int64."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return dos_subtract_stats(img) \
+        .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
+                "sum_out", "min_out", "max_out")
+
+
+def q_isodata(spark, sf_dir) -> DataFrame:
+    """imagecalc.isodata_clustering (deterministic engine round):
+    kmeans -> merge closest adjacent pair (<100) -> split the highest-
+    variance qualifying class (>3000, n>=32) -> reassign; all
+    decisions exact-integer (HUGEINT cross-multiplied argmax)."""
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
+    return isodata_centres(img) \
+        .select("image_id", "cls", "centre", "n_pix")
 
 
 def q_kmeans_centres(spark, sf_dir) -> DataFrame:
@@ -2322,6 +2396,13 @@ QUERIES = {
     "mask_val_prob": q_mask_val_prob,
     "pan_sharpen": q_pan_sharpen,
     "unpack_bits": q_unpack_bits,
+    "isodata": q_isodata,
+    "dem_slope": q_dem_slope,
+    "dem_aspect": q_dem_aspect,
+    "dem_hillshade": q_dem_hillshade,
+    "toa_radiance": q_toa_radiance,
+    "sref_6s": q_sref_6s,
+    "dos_subtract": q_dos_subtract,
     "kmeans_centres": q_kmeans_centres,
     "shepherd_seg": q_shepherd_seg,
     "stretch_minmax": q_stretch_minmax,
