@@ -1,0 +1,201 @@
+"""Classification accuracy + regression error metrics.
+
+Reference: classification.classaccuracymetrics.calc_class_accuracy_metrics
+(python/rsgislib/classification/classaccuracymetrics.py:121-239 — confusion
+matrix, overall accuracy, cohen kappa, per-class precision/recall/f1,
+user/producer accuracy) and regression.get_regression_stats
+(python/rsgislib/regression/__init__.py:10-100 — r2, explained variance,
+MAE, median AE, MSE, RMSE, normalised RMSE, bias/norm-bias
+(tools/stats.py:1016-1040) and the bias-variance decomposition
+(tools/stats.py:1042-1067)).
+
+The reference evaluates these driver-side with sklearn over extracted
+sample arrays; here each image is one accuracy assessment and the whole
+computation is a single embarrassingly-parallel Arrow pass (no shuffle at
+all — per-image confusion counts / moment sums reduce inside the kernel).
+
+Determinism contract: every metric is emitted as ``floor(ratio * 2^20)``
+where the ratio is ONE correctly-rounded IEEE division of two EXACT
+integers (sums/counts < 2^53), optionally followed by one correctly
+rounded ``sqrt`` (RMSE; lesson 19) — bit-identical across engines.
+Algebra used to reach exact-integer numerators:
+
+    kappa = (N*sum(tp) - sum(nref_c*npred_c)) / (N^2 - sum(nref_c*npred_c))
+    f1    = 2*tp / (nref + npred)
+    r2    = ((n*Sr2 - Sr^2) - n*Sd2) / (n*Sr2 - Sr^2)
+    expl_var = ((n*Sr2 - Sr^2) - (n*Sd2 - Sd^2)) / (n*Sr2 - Sr^2)
+    var   = (n*Sd2 - Sd^2) / n^2
+
+The synthetic "classifier" / "regressor" is the deterministic pixel plane
+v(id,x,y) with the structured residual e = ((x*7 + y*3 + id) % 21) - 10:
+ref class = (v*4)//pmax, predicted class from the clamped v+e plane —
+near-diagonal confusion with every class populated and both error signs
+live.  Undefined ratios (empty class, degenerate kappa) emit -1.
+"""
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+from ..functions import codec
+
+__all__ = ["class_accuracy_stats", "regression_stats"]
+
+_Q = 1048576.0  # 2^20 dyadic quantizer (exact power-of-two multiply)
+_K = 4          # number of classes
+
+
+def _plane(image_id, buf, w, h, fmt, img_id):
+    """Decoded plane v, residual e, and pmax for one image."""
+    v = codec.decode_image(bytes(buf), int(w), int(h),
+                           str(fmt)).astype(np.int64)
+    pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+    x = np.arange(int(w), dtype=np.int64)[None, :]
+    y = np.arange(int(h), dtype=np.int64)[:, None]
+    e = (x * 7 + y * 3 + int(img_id)) % 21 - 10
+    return v, np.broadcast_to(e, v.shape), pmax
+
+
+_CLS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cls", LongType()),
+    StructField("n_ref", LongType()),
+    StructField("n_pred", LongType()),
+    StructField("tp", LongType()),
+    StructField("prec_q", LongType()),
+    StructField("rec_q", LongType()),
+    StructField("f1_q", LongType()),
+    StructField("oa_q", LongType()),
+    StructField("kappa_q", LongType()),
+])
+
+
+def _ratio_q(num: int, den: int) -> int:
+    """floor((num/den) * 2^20) with the -1 undefined sentinel."""
+    if den == 0:
+        return -1
+    return int(np.floor((float(num) / float(den)) * _Q))
+
+
+def class_accuracy_stats(images: DataFrame) -> DataFrame:
+    """Per-image confusion-matrix accuracy metrics, one row per class.
+
+    ref = (v*4)//pmax; pred from the clamped v+e plane.  Emits per
+    (image, cls): support counts, true positives, quantized
+    precision/recall/f1 plus the image-level overall accuracy and
+    cohen kappa repeated on every class row (the reference returns
+    them in the same dict).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _CLS_SCHEMA.fields}
+            for image_id, buf, w, h, fmt, img_id in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"], pdf["id"]):
+                v, e, pmax = _plane(image_id, buf, w, h, fmt, img_id)
+                rc = (v * _K) // pmax
+                vp = np.clip(v + e, 0, pmax - 1)
+                pc = (vp * _K) // pmax
+                cm = np.bincount((rc * _K + pc).ravel(),
+                                 minlength=_K * _K).reshape(_K, _K)
+                n_ref = cm.sum(axis=1)
+                n_pred = cm.sum(axis=0)
+                tp = np.diag(cm)
+                nn = int(cm.sum())
+                diag = int(tp.sum())
+                pe_num = int((n_ref.astype(np.int64)
+                              * n_pred.astype(np.int64)).sum())
+                oa_q = _ratio_q(diag, nn)
+                kappa_q = _ratio_q(nn * diag - pe_num, nn * nn - pe_num)
+                for c in range(_K):
+                    out["image_id"].append(image_id)
+                    out["cls"].append(c)
+                    out["n_ref"].append(int(n_ref[c]))
+                    out["n_pred"].append(int(n_pred[c]))
+                    out["tp"].append(int(tp[c]))
+                    out["prec_q"].append(_ratio_q(int(tp[c]),
+                                                  int(n_pred[c])))
+                    out["rec_q"].append(_ratio_q(int(tp[c]),
+                                                 int(n_ref[c])))
+                    out["f1_q"].append(_ratio_q(
+                        2 * int(tp[c]), int(n_ref[c]) + int(n_pred[c])))
+                    out["oa_q"].append(oa_q)
+                    out["kappa_q"].append(kappa_q)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_CLS_SCHEMA)
+
+
+_REG_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_d", LongType()),
+    StructField("sum_absd", LongType()),
+    StructField("sum_d2", LongType()),
+    StructField("r2_q", LongType()),
+    StructField("ev_q", LongType()),
+    StructField("mae_q", LongType()),
+    StructField("medae_q", LongType()),
+    StructField("mse_q", LongType()),
+    StructField("rmse_q", LongType()),
+    StructField("nrmse_q", LongType()),
+    StructField("bias_q", LongType()),
+    StructField("nbias_q", LongType()),
+    StructField("var_q", LongType()),
+])
+
+
+def regression_stats(images: DataFrame) -> DataFrame:
+    """regression.get_regression_stats over ref = v, pred = v + e.
+
+    One row per image with the full metric set, each a single
+    exact-integer division (see module docstring).  RMSE / norm-RMSE
+    additionally apply one correctly-rounded sqrt; the norm-RMSE tree
+    is pinned as ((sqrt(Sd2/n) * (n*100)) / Sr).
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _REG_SCHEMA.fields}
+            for image_id, buf, w, h, fmt, img_id in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"], pdf["id"]):
+                v, e, _ = _plane(image_id, buf, w, h, fmt, img_id)
+                d = np.ascontiguousarray(e).astype(np.int64)
+                n = int(d.size)
+                sd = int(d.sum())
+                sad = int(np.abs(d).sum())
+                sd2 = int((d * d).sum())
+                sr = int(v.sum())
+                sr2 = int((v * v).sum())
+                sstot = n * sr2 - sr * sr
+                med = float(np.median(np.abs(d)))
+                mse = float(sd2) / float(n)
+                rmse = np.sqrt(mse)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(n)
+                out["sum_d"].append(sd)
+                out["sum_absd"].append(sad)
+                out["sum_d2"].append(sd2)
+                out["r2_q"].append(_ratio_q(sstot - n * sd2, sstot))
+                out["ev_q"].append(_ratio_q(
+                    sstot - (n * sd2 - sd * sd), sstot))
+                out["mae_q"].append(_ratio_q(sad, n))
+                out["medae_q"].append(int(np.floor(med * _Q)))
+                out["mse_q"].append(int(np.floor(mse * _Q)))
+                out["rmse_q"].append(int(np.floor(rmse * _Q)))
+                out["nrmse_q"].append(
+                    -1 if sr == 0 else
+                    int(np.floor(((rmse * float(n * 100)) / float(sr))
+                                 * _Q)))
+                out["bias_q"].append(_ratio_q(sd, n))
+                out["nbias_q"].append(
+                    -1 if sr == 0 else _ratio_q(100 * sd, sr))
+                out["var_q"].append(_ratio_q(n * sd2 - sd * sd, n * n))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_REG_SCHEMA)

@@ -4484,3 +4484,112 @@ SELECT image_id, CAST(band AS BIGINT) AS band, count(*) AS n_pix,
        CAST(max(res) AS BIGINT) AS max_out
 FROM dres GROUP BY image_id, band
 """
+
+
+# ----------------------------------------------- classification / regression
+# classaccuracymetrics.calc_class_accuracy_metrics + regression.
+# get_regression_stats twins (operators/classification.py docstring has
+# the exact-integer-ratio determinism contract; 2^20 quantizer, -1
+# undefined sentinel).  ref class = (v*4)//pmax; pred class from the
+# clamped v + e plane with e = ((x*7 + y*3 + id) % 21) - 10.
+_CA_E = "((x * 7 + y * 3 + id) % 21 - 10)"
+_CA_PM = synth.pmax_sql("fmt")
+
+ORACLES["class_accuracy"] = f"""
+{_PREFIX},
+cxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+cpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM cxs),
+cvp AS (SELECT image_id,
+               ({_PXV} * 4) // {_CA_PM} AS rc,
+               (least(greatest({_PXV} + {_CA_E}, 0), {_CA_PM} - 1) * 4)
+                 // {_CA_PM} AS pc
+        FROM cpxy),
+ccm AS MATERIALIZED (SELECT image_id, rc, pc, count(*) AS n
+                     FROM cvp GROUP BY image_id, rc, pc),
+cimg AS MATERIALIZED (
+  SELECT image_id, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(CASE WHEN rc = pc THEN n ELSE 0 END) AS BIGINT) AS diag
+  FROM ccm GROUP BY image_id),
+ccls AS (SELECT image_id, unnest([0, 1, 2, 3]) AS cls
+         FROM (SELECT DISTINCT image_id FROM ccm)),
+cper AS MATERIALIZED (
+  SELECT c.image_id, c.cls,
+         CAST(coalesce(sum(CASE WHEN m.rc = c.cls THEN m.n END), 0)
+              AS BIGINT) AS n_ref,
+         CAST(coalesce(sum(CASE WHEN m.pc = c.cls THEN m.n END), 0)
+              AS BIGINT) AS n_pred,
+         CAST(coalesce(sum(CASE WHEN m.rc = c.cls AND m.pc = c.cls
+                           THEN m.n END), 0) AS BIGINT) AS tp
+  FROM ccls c LEFT JOIN ccm m ON m.image_id = c.image_id
+  GROUP BY c.image_id, c.cls),
+cpe AS MATERIALIZED (
+  SELECT image_id, CAST(sum(n_ref * n_pred) AS BIGINT) AS pe_num,
+         CAST(sum(tp) AS BIGINT) AS tpsum
+  FROM cper GROUP BY image_id)
+SELECT p.image_id, CAST(p.cls AS BIGINT) AS cls, p.n_ref, p.n_pred, p.tp,
+  CAST(CASE WHEN p.n_pred = 0 THEN -1 ELSE floor(
+    (CAST(p.tp AS DOUBLE) / CAST(p.n_pred AS DOUBLE)) * 1048576.0)
+    END AS BIGINT) AS prec_q,
+  CAST(CASE WHEN p.n_ref = 0 THEN -1 ELSE floor(
+    (CAST(p.tp AS DOUBLE) / CAST(p.n_ref AS DOUBLE)) * 1048576.0)
+    END AS BIGINT) AS rec_q,
+  CAST(CASE WHEN p.n_ref + p.n_pred = 0 THEN -1 ELSE floor(
+    (CAST(2 * p.tp AS DOUBLE) / CAST(p.n_ref + p.n_pred AS DOUBLE))
+    * 1048576.0) END AS BIGINT) AS f1_q,
+  CAST(CASE WHEN i.nn = 0 THEN -1 ELSE floor(
+    (CAST(i.diag AS DOUBLE) / CAST(i.nn AS DOUBLE)) * 1048576.0)
+    END AS BIGINT) AS oa_q,
+  CAST(CASE WHEN i.nn * i.nn - e.pe_num = 0 THEN -1 ELSE floor(
+    (CAST(i.nn * i.diag - e.pe_num AS DOUBLE)
+     / CAST(i.nn * i.nn - e.pe_num AS DOUBLE)) * 1048576.0)
+    END AS BIGINT) AS kappa_q
+FROM cper p
+JOIN cimg i ON i.image_id = p.image_id
+JOIN cpe e ON e.image_id = p.image_id
+"""
+
+ORACLES["regress_stats"] = f"""
+{_PREFIX},
+rxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+rpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM rxs),
+rv AS (SELECT image_id, {_PXV} AS r, {_CA_E} AS e FROM rpxy),
+ragg AS MATERIALIZED (
+  SELECT image_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(e) AS BIGINT) AS sd,
+         CAST(sum(abs(e)) AS BIGINT) AS sad,
+         CAST(sum(e * e) AS BIGINT) AS sd2,
+         CAST(sum(r) AS BIGINT) AS sr,
+         CAST(sum(r * r) AS BIGINT) AS sr2,
+         quantile_cont(abs(e), 0.5) AS med
+  FROM rv GROUP BY image_id)
+SELECT image_id, n AS n_pix, sd AS sum_d, sad AS sum_absd, sd2 AS sum_d2,
+  CAST(floor((CAST((n * sr2 - sr * sr) - n * sd2 AS DOUBLE)
+              / CAST(n * sr2 - sr * sr AS DOUBLE)) * 1048576.0)
+       AS BIGINT) AS r2_q,
+  CAST(floor((CAST((n * sr2 - sr * sr) - (n * sd2 - sd * sd) AS DOUBLE)
+              / CAST(n * sr2 - sr * sr AS DOUBLE)) * 1048576.0)
+       AS BIGINT) AS ev_q,
+  CAST(floor((CAST(sad AS DOUBLE) / CAST(n AS DOUBLE)) * 1048576.0)
+       AS BIGINT) AS mae_q,
+  CAST(floor(med * 1048576.0) AS BIGINT) AS medae_q,
+  CAST(floor((CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE)) * 1048576.0)
+       AS BIGINT) AS mse_q,
+  CAST(floor(sqrt(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE)) * 1048576.0)
+       AS BIGINT) AS rmse_q,
+  CAST(CASE WHEN sr = 0 THEN -1 ELSE floor(
+    ((sqrt(CAST(sd2 AS DOUBLE) / CAST(n AS DOUBLE))
+      * CAST(n * 100 AS DOUBLE)) / CAST(sr AS DOUBLE)) * 1048576.0)
+    END AS BIGINT) AS nrmse_q,
+  CAST(floor((CAST(sd AS DOUBLE) / CAST(n AS DOUBLE)) * 1048576.0)
+       AS BIGINT) AS bias_q,
+  CAST(CASE WHEN sr = 0 THEN -1 ELSE floor(
+    (CAST(100 * sd AS DOUBLE) / CAST(sr AS DOUBLE)) * 1048576.0)
+    END AS BIGINT) AS nbias_q,
+  CAST(floor((CAST(n * sd2 - sd * sd AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) * 1048576.0) AS BIGINT) AS var_q
+FROM ragg
+"""

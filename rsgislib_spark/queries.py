@@ -37,6 +37,8 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   select_clumps_on_grid)
 from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
                                     sref_6s_stats)
+from .operators.classification import (class_accuracy_stats,
+                                       regression_stats)
 from .operators.elevation import (aspect_cat_stats, hillshade_stats,
                                   slope_class_stats)
 from .operators.segmentation import (eliminate_small_segments,
@@ -972,6 +974,31 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_class_accuracy(spark, sf_dir) -> DataFrame:
+    """classification.classaccuracymetrics.calc_class_accuracy_metrics
+    (classaccuracymetrics.py:121-239): per-image confusion matrix with
+    quantized precision/recall/f1 per class + overall accuracy and
+    cohen kappa — every metric one exact-integer-ratio division
+    (operators/classification.py docstring).  Zero shuffles."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return class_accuracy_stats(img) \
+        .select("image_id", "cls", "n_ref", "n_pred", "tp", "prec_q",
+                "rec_q", "f1_q", "oa_q", "kappa_q")
+
+
+def q_regress_stats(spark, sf_dir) -> DataFrame:
+    """regression.get_regression_stats (regression/__init__.py:10-100)
+    + tools.stats bias_score / decompose_bias_variance: r2, explained
+    variance, MAE/medAE/MSE/RMSE/norm-RMSE, bias/norm-bias, residual
+    variance over ref = v, pred = v + e; one row per image, all metrics
+    exact-integer ratios (+ one correctly-rounded sqrt for RMSE)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return regression_stats(img) \
+        .select("image_id", "n_pix", "sum_d", "sum_absd", "sum_d2",
+                "r2_q", "ev_q", "mae_q", "medae_q", "mse_q", "rmse_q",
+                "nrmse_q", "bias_q", "nbias_q", "var_q")
 
 
 def q_isodata(spark, sf_dir) -> DataFrame:
@@ -2397,6 +2424,8 @@ QUERIES = {
     "pan_sharpen": q_pan_sharpen,
     "unpack_bits": q_unpack_bits,
     "isodata": q_isodata,
+    "class_accuracy": q_class_accuracy,
+    "regress_stats": q_regress_stats,
     "dem_slope": q_dem_slope,
     "dem_aspect": q_dem_aspect,
     "dem_hillshade": q_dem_hillshade,
