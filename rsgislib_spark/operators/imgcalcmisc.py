@@ -1,0 +1,278 @@
+"""Remaining imagecalc method-table scalar/aggregate operators.
+
+Reference (python/src/imagecalc.cpp method table; command layer
+src/cmds/RSGISCmdImageCalc.cpp):
+
+* ``calc_prop_true_exp``   — RSGISCalcPropExpTruePxls (:2325): proportion
+  of pixels where a muParser expression evaluates true.
+* ``calculate_img_band_rmse`` — per-band RMSE between two bands.
+* ``calc_img_rescale``     — RSGISRescaleImageData
+  (src/img/RSGISApplyGainOffset2Img.cpp:40-53):
+  out = ((v - cOffset)/cGain)*nGain + nOffset with cNoData -> nNoData.
+* ``calc_img_mean_in_mask`` — (:2801) mean of valid band pixels where the
+  mask plane equals mskValue.
+* ``all_bands_equal_to``   — RSGISAllBandsEqualTo (:1532): trueVal where
+  every band equals imgValue else falseVal.
+* ``get_img_band_stats_in_env`` / ``get_img_band_mode_in_env`` — (:1766)
+  band stats restricted to a lon/lat envelope; mode tie rule = first
+  (smallest) bin on strict > (src/math/RSGISMathsUtils.cpp:711-723).
+* ``image_pixel_column_summary`` — RSGISImagePixelSummary
+  (src/img/RSGISImageStatistics.cpp:1445): per-pixel stats across the
+  band stack, here aggregated per image.
+
+Bands follow the repo's imagemath convention: band1 = decoded plane v,
+band2 = its horizontal mirror.  Determinism: counts/sums/extrema are
+exact int64; each emitted ratio is ONE correctly-rounded IEEE division
+of exact integers (std adds one correctly-rounded sqrt), 2^20-quantized.
+The rescale constants are dyadic (cGain 2, nGain 8) so the rescale plane
+is exactly representable.  The envelope predicate tests the pixel-CENTER
+coordinate with the identical expression tree both engines evaluate:
+lon + (x+0.5)*res >= L0 etc. — no index rounding anywhere.
+"""
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (DoubleType, LongType, StringType,
+                               StructField, StructType)
+
+from .. import synth
+from ..functions import codec
+
+__all__ = ["prop_true_stats", "band_rmse_stats", "rescale_stats",
+           "mean_in_mask_stats", "all_bands_equal_stats",
+           "stats_in_env", "column_summary_stats", "ENV_DEFAULT"]
+
+_Q = 1048576.0
+
+# default analysis envelope: covers the whole western population plus
+# the "megacity" cluster (lat 45..45.05), whose top edge the 45.0009
+# limit slices through — so images fall fully inside, fully outside,
+# AND partially clipped on the corpus (pytest asserts all three).
+ENV_DEFAULT = (-180.0, 11.0, -60.0, 45.0009)
+
+
+def _iter_images(pdf, cols=("image_id", "bytes", "w", "h", "fmt")):
+    for row in zip(*(pdf[c] for c in cols)):
+        image_id, buf, w, h, fmt = row[:5]
+        v = codec.decode_image(bytes(buf), int(w), int(h),
+                               str(fmt)).astype(np.int64)
+        yield (image_id, v, v[:, ::-1]) + tuple(row[5:])
+
+
+def _simple(images: DataFrame, schema, per_image, extra_cols=()):
+    cols = ("image_id", "bytes", "w", "h", "fmt") + tuple(extra_cols)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in schema.fields}
+            for tup in _iter_images(pdf, cols):
+                per_image(out, *tup)
+            yield pd.DataFrame(out)
+
+    return images.select(*cols).mapInPandas(gen, schema=schema)
+
+
+_PROP_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_true", LongType()),
+    StructField("prop_q", LongType()),
+])
+
+
+def prop_true_stats(images: DataFrame) -> DataFrame:
+    """calc_prop_true_exp with the expression ``b1 > b2``."""
+
+    def one(out, image_id, v, m):
+        n, t = int(v.size), int((v > m).sum())
+        out["image_id"].append(image_id)
+        out["n_pix"].append(n)
+        out["n_true"].append(t)
+        out["prop_q"].append(int(np.floor((float(t) / float(n)) * _Q)))
+
+    return _simple(images, _PROP_SCHEMA, one)
+
+
+_RMSE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_d2", LongType()),
+    StructField("rmse_q", LongType()),
+])
+
+
+def band_rmse_stats(images: DataFrame) -> DataFrame:
+    """calculate_img_band_rmse between band1 and band2."""
+
+    def one(out, image_id, v, m):
+        d = v - m
+        n, sd2 = int(v.size), int((d * d).sum())
+        out["image_id"].append(image_id)
+        out["n_pix"].append(n)
+        out["sum_d2"].append(sd2)
+        out["rmse_q"].append(int(np.floor(
+            np.sqrt(float(sd2) / float(n)) * _Q)))
+
+    return _simple(images, _RMSE_SCHEMA, one)
+
+
+_RESC_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_nodata", LongType()),
+    StructField("sum_out_q", LongType()),
+    StructField("min_out_q", LongType()),
+    StructField("max_out_q", LongType()),
+])
+
+
+def rescale_stats(images: DataFrame, c_nodata=0, c_offset=1.0,
+                  c_gain=2.0, n_nodata=-1.0, n_offset=100.0,
+                  n_gain=8.0) -> DataFrame:
+    """calc_img_rescale on band1; dyadic constants keep the plane exact."""
+
+    def one(out, image_id, v, m):
+        nod = v == c_nodata
+        res = np.where(nod, n_nodata,
+                       ((v - c_offset) / c_gain) * n_gain + n_offset)
+        q = np.floor(res * _Q).astype(np.int64)
+        out["image_id"].append(image_id)
+        out["n_pix"].append(int(v.size))
+        out["n_nodata"].append(int(nod.sum()))
+        out["sum_out_q"].append(int(q.sum()))
+        out["min_out_q"].append(int(q.min()))
+        out["max_out_q"].append(int(q.max()))
+
+    return _simple(images, _RESC_SCHEMA, one)
+
+
+_MIM_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_msk", LongType()),
+    StructField("sum_v", LongType()),
+    StructField("mean_q", LongType()),
+])
+
+
+def mean_in_mask_stats(images: DataFrame, msk_value: int = 3) -> DataFrame:
+    """calc_img_mean_in_mask: band1 mean where the mask plane
+    (band2 // 64) equals msk_value, noDataVal 0 excluded."""
+
+    def one(out, image_id, v, m):
+        sel = ((m // 64) == msk_value) & (v != 0)
+        n, s = int(sel.sum()), int(v[sel].sum())
+        out["image_id"].append(image_id)
+        out["n_msk"].append(n)
+        out["sum_v"].append(s)
+        out["mean_q"].append(
+            -1 if n == 0 else int(np.floor((float(s) / float(n)) * _Q)))
+
+    return _simple(images, _MIM_SCHEMA, one)
+
+
+_ABE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_true", LongType()),
+    StructField("sum_out", LongType()),
+])
+
+
+def all_bands_equal_stats(images: DataFrame, img_value: int = 100,
+                          true_val: int = 255,
+                          false_val: int = 1) -> DataFrame:
+    """all_bands_equal_to over the (v, mirror) stack: both bands must
+    equal img_value (possible only on the mirror symmetry axis)."""
+
+    def one(out, image_id, v, m):
+        t = int(((v == img_value) & (m == img_value)).sum())
+        n = int(v.size)
+        out["image_id"].append(image_id)
+        out["n_pix"].append(n)
+        out["n_true"].append(t)
+        out["sum_out"].append(t * true_val + (n - t) * false_val)
+
+    return _simple(images, _ABE_SCHEMA, one)
+
+
+_ENV_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_env", LongType()),
+    StructField("min_v", LongType()),
+    StructField("max_v", LongType()),
+    StructField("sum_v", LongType()),
+    StructField("mode_v", LongType()),
+    StructField("mean_q", LongType()),
+    StructField("std_q", LongType()),
+])
+
+
+def stats_in_env(images: DataFrame, env=ENV_DEFAULT) -> DataFrame:
+    """get_img_band_stats_in_env + get_img_band_mode_in_env: band1
+    stats over pixels whose CENTER lies inside the lon/lat envelope.
+    Empty intersection emits an all -1 row (branch kept visible)."""
+    L0, L1, B0, B1 = env
+    res = synth.IMG_RES_DEG
+
+    def one(out, image_id, v, m, lon, lat):
+        h, w = v.shape
+        cx = float(lon) + (np.arange(w, dtype=np.float64)[None, :]
+                           + 0.5) * res
+        cy = float(lat) - (np.arange(h, dtype=np.float64)[:, None]
+                           + 0.5) * res
+        sel = ((cx >= L0) & (cx <= L1)
+               & np.broadcast_to((cy >= B0) & (cy <= B1), v.shape))
+        vals = v[sel]
+        out["image_id"].append(image_id)
+        if vals.size == 0:
+            for c in ("n_env", "min_v", "max_v", "sum_v", "mode_v",
+                      "mean_q", "std_q"):
+                out[c].append(-1 if c != "n_env" else 0)
+            return
+        n, s = int(vals.size), int(vals.sum())
+        s2 = int((vals * vals).sum())
+        mode = int(np.bincount(vals).argmax())  # first max = smallest
+        out["n_env"].append(n)
+        out["min_v"].append(int(vals.min()))
+        out["max_v"].append(int(vals.max()))
+        out["sum_v"].append(s)
+        out["mode_v"].append(mode)
+        out["mean_q"].append(int(np.floor((float(s) / float(n)) * _Q)))
+        out["std_q"].append(int(np.floor(np.sqrt(
+            float(n * s2 - s * s) / float(n * n)) * _Q)))
+
+    return _simple(images, _ENV_SCHEMA, one, extra_cols=("lon", "lat"))
+
+
+_COL_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_min", LongType()),
+    StructField("sum_max", LongType()),
+    StructField("sum_sum", LongType()),
+    StructField("sum_mean_q", LongType()),
+    StructField("sum_std_q", LongType()),
+])
+
+
+def column_summary_stats(images: DataFrame) -> DataFrame:
+    """image_pixel_column_summary over the (v, mirror) stack: per-pixel
+    min/max/sum/mean/stddev across bands, integer-aggregated per image.
+    For two bands mean = (b1+b2)/2 and population stddev = |b1-b2|/2 —
+    both exactly representable, so the quantization is exact."""
+
+    def one(out, image_id, v, m):
+        mn = np.minimum(v, m)
+        mx = np.maximum(v, m)
+        sm = v + m
+        mean_q = np.floor((sm.astype(np.float64) / 2.0) * _Q)
+        std_q = np.floor((np.abs(v - m).astype(np.float64) / 2.0) * _Q)
+        out["image_id"].append(image_id)
+        out["n_pix"].append(int(v.size))
+        out["sum_min"].append(int(mn.sum()))
+        out["sum_max"].append(int(mx.sum()))
+        out["sum_sum"].append(int(sm.sum()))
+        out["sum_mean_q"].append(int(mean_q.astype(np.int64).sum()))
+        out["sum_std_q"].append(int(std_q.astype(np.int64).sum()))
+
+    return _simple(images, _COL_SCHEMA, one)

@@ -4593,3 +4593,257 @@ SELECT image_id, n AS n_pix, sd AS sum_d, sad AS sum_absd, sd2 AS sum_d2,
               / CAST(n * n AS DOUBLE)) * 1048576.0) AS BIGINT) AS var_q
 FROM ragg
 """
+
+
+# ------------------------------------------------ Mahalanobis window filters
+# imagecalc.mahalanobis_dist_filter / mahalanobis_dist_to_img_filter
+# twins (operators/windowdist.py docstring has the determinism
+# contract: exact-integer ratio -> one division -> one sqrt; pinned
+# row-major addition chains; 2^20 per-pixel quantization before the
+# per-image integer aggregation).
+from .operators.windowdist import (NEIGH_OFFSETS as _MH_N,  # noqa: E402
+                                   WIN_OFFSETS as _MH_W)
+
+
+def _mh_pxv(dx: int, dy: int) -> str:
+    xs = f"(x + {dx})" if dx else "x"
+    ys = f"(y + {dy})" if dy else "y"
+    return "(" + synth.pixel_value_sql("id", xs, ys, "fmt") + ")"
+
+
+def _mh_interior(prefix: str) -> str:
+    return f"""
+{prefix}xs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(1, w - 2)) AS x
+        FROM img WHERE id % 19 = 0),
+{prefix}pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y
+                FROM {prefix}xs)""".strip()
+
+
+_MH_D = ", ".join(
+    f"({_mh_pxv(dx, dy)} - {_mh_pxv(0, 0)}) AS d{k}"
+    for k, (dy, dx) in enumerate(_MH_N, start=1))
+_MH_SD2 = " + ".join(f"d{k} * d{k}" for k in range(1, 9))
+_MH_NZ = " + ".join(f"(CASE WHEN d{k} = 0 THEN 1 ELSE 0 END)"
+                    for k in range(1, 9))
+_MH_S = ", ".join(
+    f"sqrt(CAST(d{k} * d{k} AS DOUBLE) / cov) AS s{k}"
+    for k in range(1, 9))
+_MH_SUM8 = " + ".join(f"s{k}" for k in range(1, 9))
+_MH_LIST8 = ", ".join(f"s{k}" for k in range(1, 9))
+
+ORACLES["mahal_window"] = f"""
+{_PREFIX},
+{_mh_interior('mw')},
+mwd AS (SELECT image_id, {_MH_D} FROM mwpxy),
+mwc AS (SELECT image_id,
+               CAST({_MH_SD2} AS DOUBLE)
+                 + CAST({_MH_NZ} AS DOUBLE) * (CAST(1 AS DOUBLE)
+                                               / CAST(1000 AS DOUBLE)) AS cov,
+               {", ".join(f"d{k}" for k in range(1, 9))}
+        FROM mwd),
+mws AS (SELECT image_id, {_MH_S} FROM mwc),
+mwq AS (SELECT image_id,
+          CAST(floor((({_MH_SUM8}) / CAST(8 AS DOUBLE)) * 1048576.0)
+               AS BIGINT) AS q_mean,
+          CAST(floor(((list_sort([{_MH_LIST8}])[4]
+                       + list_sort([{_MH_LIST8}])[5]) * CAST(0.5 AS DOUBLE))
+                     * 1048576.0) AS BIGINT) AS q_med,
+          CAST(floor(least({_MH_LIST8}) * 1048576.0) AS BIGINT) AS q_min,
+          CAST(floor(greatest({_MH_LIST8}) * 1048576.0) AS BIGINT) AS q_max
+        FROM mws)
+SELECT image_id, count(*) AS n_win,
+       CAST(sum(q_mean) AS BIGINT) AS sum_mean_q,
+       CAST(sum(q_med) AS BIGINT) AS sum_med_q,
+       CAST(min(q_min) AS BIGINT) AS min_q,
+       CAST(max(q_max) AS BIGINT) AS max_q
+FROM mwq GROUP BY image_id
+"""
+
+_MG_U = ", ".join(
+    "(CASE WHEN g.den = 0 THEN CAST(0 AS DOUBLE) ELSE "
+    f"sqrt(CAST(({_mh_pxv(dx, dy)} * g.n - g.s) "
+    f"* ({_mh_pxv(dx, dy)} * g.n - g.s) AS DOUBLE) "
+    f"/ CAST(g.den AS DOUBLE)) END) AS u{k}"
+    for k, (dy, dx) in enumerate(_MH_W, start=1))
+_MG_SUM9 = " + ".join(f"u{k}" for k in range(1, 10))
+_MG_LIST9 = ", ".join(f"u{k}" for k in range(1, 10))
+
+ORACLES["mahal_global"] = f"""
+{_PREFIX},
+ggxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+ggpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM ggxs),
+ggstat AS MATERIALIZED (
+  SELECT image_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum({_PXV}) AS BIGINT) AS s,
+         CAST(count(*) * sum({_PXV} * {_PXV})
+              * count(*) - count(*) * sum({_PXV}) * sum({_PXV})
+              AS BIGINT) AS den
+  FROM ggpxy GROUP BY image_id),
+{_mh_interior('mg')},
+mgu AS (SELECT p.image_id, {_MG_U}
+        FROM mgpxy p JOIN ggstat g ON g.image_id = p.image_id),
+mgq AS (SELECT image_id,
+          CAST(floor((({_MG_SUM9}) / CAST(9 AS DOUBLE)) * 1048576.0)
+               AS BIGINT) AS q_mean,
+          CAST(floor(list_sort([{_MG_LIST9}])[5] * 1048576.0)
+               AS BIGINT) AS q_med,
+          CAST(floor(least({_MG_LIST9}) * 1048576.0) AS BIGINT) AS q_min,
+          CAST(floor(greatest({_MG_LIST9}) * 1048576.0) AS BIGINT) AS q_max
+        FROM mgu)
+SELECT image_id, count(*) AS n_win,
+       CAST(sum(q_mean) AS BIGINT) AS sum_mean_q,
+       CAST(sum(q_med) AS BIGINT) AS sum_med_q,
+       CAST(min(q_min) AS BIGINT) AS min_q,
+       CAST(max(q_max) AS BIGINT) AS max_q
+FROM mgq GROUP BY image_id
+"""
+
+
+# ------------------------------------------------- imagecalc misc operators
+# Twins of operators/imgcalcmisc.py (module docstring has the reference
+# citations and the exact-int/one-division determinism contract).
+# Mirror band: v(w-1-x, y), the repo's imagemath band-2 convention.
+_IC_MIR = synth.pixel_value_sql("id", "(w - 1 - x)", "y", "fmt")
+
+_IC_PLANE = f"""
+icxs AS (SELECT image_id, id, w, h, fmt, lon, lat,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+icpxy AS MATERIALIZED (
+  SELECT image_id, lon, lat, x,
+         unnest(generate_series(0, h - 1)) AS y,
+         {_PXV} AS v, {_IC_MIR} AS mv
+  FROM icxs)
+""".strip()
+
+ORACLES["prop_true"] = f"""
+{_PREFIX},
+{_IC_PLANE}
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(CASE WHEN v > mv THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(floor((CAST(sum(CASE WHEN v > mv THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE)) * 1048576.0)
+            AS BIGINT) AS prop_q
+FROM icpxy GROUP BY image_id
+"""
+
+ORACLES["band_rmse"] = f"""
+{_PREFIX},
+{_IC_PLANE}
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum((v - mv) * (v - mv)) AS BIGINT) AS sum_d2,
+       CAST(floor(sqrt(CAST(sum((v - mv) * (v - mv)) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE)) * 1048576.0)
+            AS BIGINT) AS rmse_q
+FROM icpxy GROUP BY image_id
+"""
+
+ORACLES["img_rescale"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+rsq AS (SELECT image_id,
+               CASE WHEN v = 0 THEN 1 ELSE 0 END AS nod,
+               CAST(floor((CASE WHEN v = 0 THEN CAST(-1 AS DOUBLE)
+                    ELSE ((CAST(v AS DOUBLE) - CAST(1 AS DOUBLE))
+                          / CAST(2 AS DOUBLE)) * CAST(8 AS DOUBLE)
+                         + CAST(100 AS DOUBLE) END) * 1048576.0)
+                    AS BIGINT) AS q
+        FROM icpxy)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(nod) AS BIGINT) AS n_nodata,
+       CAST(sum(q) AS BIGINT) AS sum_out_q,
+       CAST(min(q) AS BIGINT) AS min_out_q,
+       CAST(max(q) AS BIGINT) AS max_out_q
+FROM rsq GROUP BY image_id
+"""
+
+ORACLES["mean_in_mask"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+mim AS (SELECT image_id,
+               CAST(coalesce(sum(CASE WHEN mv // 64 = 3 AND v <> 0
+                                      THEN 1 END), 0) AS BIGINT) AS n_msk,
+               CAST(coalesce(sum(CASE WHEN mv // 64 = 3 AND v <> 0
+                                      THEN v END), 0) AS BIGINT) AS sum_v
+        FROM icpxy GROUP BY image_id)
+SELECT image_id, n_msk, sum_v,
+       CAST(CASE WHEN n_msk = 0 THEN -1 ELSE floor(
+         (CAST(sum_v AS DOUBLE) / CAST(n_msk AS DOUBLE)) * 1048576.0)
+         END AS BIGINT) AS mean_q
+FROM mim
+"""
+
+ORACLES["all_bands_equal"] = f"""
+{_PREFIX},
+{_IC_PLANE}
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(CASE WHEN v = 100 AND mv = 100 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN v = 100 AND mv = 100 THEN 255 ELSE 1 END)
+            AS BIGINT) AS sum_out
+FROM icpxy GROUP BY image_id
+"""
+
+# envelope: pixel-centre predicate, identical tree in both engines
+_ENV_SEL = ("lon + (CAST(x AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {r} "
+            ">= CAST(-180 AS DOUBLE) AND "
+            "lon + (CAST(x AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {r} "
+            "<= CAST(11 AS DOUBLE) AND "
+            "lat - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {r} "
+            ">= CAST(-60 AS DOUBLE) AND "
+            "lat - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {r} "
+            "<= CAST(45.0009 AS DOUBLE)").format(r=_RD)
+
+ORACLES["stats_in_env"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+envp AS MATERIALIZED (SELECT image_id, v FROM icpxy WHERE {_ENV_SEL}),
+enva AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(v) AS BIGINT) AS mnv,
+                CAST(max(v) AS BIGINT) AS mxv,
+                CAST(sum(v) AS BIGINT) AS s,
+                CAST(sum(v * v) AS BIGINT) AS s2
+         FROM envp GROUP BY image_id),
+envm AS (SELECT image_id, v AS mode_v FROM (
+           SELECT image_id, v, row_number() OVER (
+             PARTITION BY image_id
+             ORDER BY count(*) DESC, v ASC) AS rn
+           FROM envp GROUP BY image_id, v)
+         WHERE rn = 1),
+envi AS (SELECT DISTINCT image_id FROM icpxy)
+SELECT i.image_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_env,
+       CAST(coalesce(a.mnv, -1) AS BIGINT) AS min_v,
+       CAST(coalesce(a.mxv, -1) AS BIGINT) AS max_v,
+       CAST(coalesce(a.s, -1) AS BIGINT) AS sum_v,
+       CAST(coalesce(m.mode_v, -1) AS BIGINT) AS mode_v,
+       CAST(CASE WHEN a.n IS NULL THEN -1 ELSE floor(
+         (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) * 1048576.0)
+         END AS BIGINT) AS mean_q,
+       CAST(CASE WHEN a.n IS NULL THEN -1 ELSE floor(
+         sqrt(CAST(a.n * a.s2 - a.s * a.s AS DOUBLE)
+              / CAST(a.n * a.n AS DOUBLE)) * 1048576.0)
+         END AS BIGINT) AS std_q
+FROM envi i
+LEFT JOIN enva a ON a.image_id = i.image_id
+LEFT JOIN envm m ON m.image_id = i.image_id
+"""
+
+ORACLES["column_summary"] = f"""
+{_PREFIX},
+{_IC_PLANE}
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(least(v, mv)) AS BIGINT) AS sum_min,
+       CAST(sum(greatest(v, mv)) AS BIGINT) AS sum_max,
+       CAST(sum(v + mv) AS BIGINT) AS sum_sum,
+       CAST(sum(CAST(floor((CAST(v + mv AS DOUBLE) / CAST(2 AS DOUBLE))
+                           * 1048576.0) AS BIGINT)) AS BIGINT)
+         AS sum_mean_q,
+       CAST(sum(CAST(floor((CAST(abs(v - mv) AS DOUBLE)
+                            / CAST(2 AS DOUBLE)) * 1048576.0) AS BIGINT))
+            AS BIGINT) AS sum_std_q
+FROM icpxy GROUP BY image_id
+"""

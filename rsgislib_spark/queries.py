@@ -39,6 +39,12 @@ from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
                                     sref_6s_stats)
 from .operators.classification import (class_accuracy_stats,
                                        regression_stats)
+from .operators.windowdist import (mahal_neighbour_stats,
+                                   mahal_to_image_stats)
+from .operators.imgcalcmisc import (all_bands_equal_stats,
+                                    band_rmse_stats, column_summary_stats,
+                                    mean_in_mask_stats, prop_true_stats,
+                                    rescale_stats, stats_in_env)
 from .operators.elevation import (aspect_cat_stats, hillshade_stats,
                                   slope_class_stats)
 from .operators.segmentation import (eliminate_small_segments,
@@ -974,6 +980,96 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_prop_true(spark, sf_dir) -> DataFrame:
+    """imagecalc.calc_prop_true_exp (RSGISCalcPropExpTruePxls,
+    RSGISCmdImageCalc.cpp:2325) with the expression b1 > b2."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return prop_true_stats(img) \
+        .select("image_id", "n_pix", "n_true", "prop_q")
+
+
+def q_band_rmse(spark, sf_dir) -> DataFrame:
+    """imagecalc.calculate_img_band_rmse between band 1 and band 2:
+    one exact-int division + one correctly-rounded sqrt."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return band_rmse_stats(img) \
+        .select("image_id", "n_pix", "sum_d2", "rmse_q")
+
+
+def q_img_rescale(spark, sf_dir) -> DataFrame:
+    """imagecalc.calc_img_rescale (RSGISRescaleImageData,
+    RSGISApplyGainOffset2Img.cpp:40): ((v-cOff)/cGain)*nGain + nOff
+    with nodata remap; dyadic constants keep the plane exact."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return rescale_stats(img) \
+        .select("image_id", "n_pix", "n_nodata", "sum_out_q",
+                "min_out_q", "max_out_q")
+
+
+def q_mean_in_mask(spark, sf_dir) -> DataFrame:
+    """imagecalc.calc_img_mean_in_mask (RSGISCmdImageCalc.cpp:2801):
+    band-1 mean where the mask plane (b2 // 64) == 3, nodata 0
+    excluded; -1 sentinel for empty masks."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return mean_in_mask_stats(img) \
+        .select("image_id", "n_msk", "sum_v", "mean_q")
+
+
+def q_all_bands_equal(spark, sf_dir) -> DataFrame:
+    """imagecalc.all_bands_equal_to (RSGISAllBandsEqualTo,
+    RSGISCmdImageCalc.cpp:1532): trueVal where every band == 100 —
+    possible only on the mirror symmetry axis (pytest proves the
+    corpus hits it)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return all_bands_equal_stats(img) \
+        .select("image_id", "n_pix", "n_true", "sum_out")
+
+
+def q_stats_in_env(spark, sf_dir) -> DataFrame:
+    """imagecalc.get_img_band_stats_in_env + get_img_band_mode_in_env
+    (RSGISCmdImageCalc.cpp:1766): band stats over pixels whose centre
+    lies in the lon/lat envelope [-180,0]x[-60,0]; mode tie = smallest
+    value (RSGISMathsUtils.cpp:711-723); empty intersection -> -1 row."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return stats_in_env(img) \
+        .select("image_id", "n_env", "min_v", "max_v", "sum_v",
+                "mode_v", "mean_q", "std_q")
+
+
+def q_column_summary(spark, sf_dir) -> DataFrame:
+    """imagecalc.image_pixel_column_summary (RSGISImagePixelSummary,
+    RSGISImageStatistics.cpp:1445): per-pixel min/max/sum/mean/stddev
+    across the (b1, b2) stack, integer-aggregated per image."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return column_summary_stats(img) \
+        .select("image_id", "n_pix", "sum_min", "sum_max", "sum_sum",
+                "sum_mean_q", "sum_std_q")
+
+
+def q_mahal_window(spark, sf_dir) -> DataFrame:
+    """imagecalc.mahalanobis_dist_filter (RSGISCmdImageCalc.cpp:581;
+    kernel RSGISImageWindowStats.cpp:35): 3x3 neighbour-delta
+    covariance (zero products lifted 0.001) -> per-neighbour
+    Mahalanobis distance -> window mean/median/min/max, 2^20-quantized
+    and integer-aggregated per image."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return mahal_neighbour_stats(img) \
+        .select("image_id", "n_win", "sum_mean_q", "sum_med_q",
+                "min_q", "max_q")
+
+
+def q_mahal_global(spark, sf_dir) -> DataFrame:
+    """imagecalc.mahalanobis_dist_to_img_filter
+    (RSGISCmdImageCalc.cpp:619; kernel RSGISImageWindowStats.cpp:177):
+    distance of every 3x3-window pixel to the GLOBAL image mean under
+    the global covariance, rationalised to the exact integer ratio
+    (v*n - S)^2 / (n*(n*S2 - S^2))."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return mahal_to_image_stats(img) \
+        .select("image_id", "n_win", "sum_mean_q", "sum_med_q",
+                "min_q", "max_q")
 
 
 def q_class_accuracy(spark, sf_dir) -> DataFrame:
@@ -2425,6 +2521,15 @@ QUERIES = {
     "unpack_bits": q_unpack_bits,
     "isodata": q_isodata,
     "class_accuracy": q_class_accuracy,
+    "mahal_window": q_mahal_window,
+    "mahal_global": q_mahal_global,
+    "prop_true": q_prop_true,
+    "band_rmse": q_band_rmse,
+    "img_rescale": q_img_rescale,
+    "mean_in_mask": q_mean_in_mask,
+    "all_bands_equal": q_all_bands_equal,
+    "stats_in_env": q_stats_in_env,
+    "column_summary": q_column_summary,
     "regress_stats": q_regress_stats,
     "dem_slope": q_dem_slope,
     "dem_aspect": q_dem_aspect,
