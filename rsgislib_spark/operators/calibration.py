@@ -35,7 +35,7 @@ from ..functions import codec
 
 __all__ = ["solar_distance", "toa_consts", "radiance_toa_stats",
            "DEFAULT_CAL", "DEFAULT_6S", "sref_6s_stats",
-           "dos_subtract_stats"]
+           "dos_subtract_stats", "saturated_stats"]
 
 
 def solar_distance(day_of_year: int) -> float:
@@ -229,3 +229,43 @@ def dos_subtract_stats(images: DataFrame, dark_refl: int = 0) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_DOS_SCHEMA)
+
+
+_SAT_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("band", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("n_sat", LongType()),
+    StructField("sat_ck", LongType()),
+])
+
+
+def saturated_stats(images: DataFrame) -> DataFrame:
+    """imagecalibration.saturated_pixels_mask (python/src/
+    imagecalibration.cpp method table): per-band mask of pixels at the
+    format's saturation value (pmax - 1).  Emits the count and the
+    flat-index checksum per (image, band); band 2 is the mirror plane,
+    whose saturation POSITIONS differ even though the count matches
+    (the mirror is a permutation), which the checksum captures."""
+    import numpy as _np
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SAT_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(_np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                ww = int(w)
+                for bi, plane in enumerate((v, v[:, ::-1]), start=1):
+                    ys, xs = _np.nonzero(plane == pmax - 1)
+                    out["image_id"].append(image_id)
+                    out["band"].append(bi)
+                    out["n_pix"].append(int(plane.size))
+                    out["n_sat"].append(int(ys.size))
+                    out["sat_ck"].append(int((ys * ww + xs).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SAT_SCHEMA)

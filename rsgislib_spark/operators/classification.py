@@ -40,7 +40,7 @@ from pyspark.sql.types import (LongType, StringType, StructField,
 
 from ..functions import codec
 
-__all__ = ["class_accuracy_stats", "regression_stats"]
+__all__ = ["class_accuracy_stats", "regression_stats", "strat_sample"]
 
 _Q = 1048576.0  # 2^20 dyadic quantizer (exact power-of-two multiply)
 _K = 4          # number of classes
@@ -199,3 +199,64 @@ def regression_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_REG_SCHEMA)
+
+
+_SAMP_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cls", LongType()),
+    StructField("rank", LongType()),
+    StructField("x", LongType()),
+    StructField("y", LongType()),
+    StructField("v", LongType()),
+])
+
+# portable integer mixer (Knuth multiplicative constant, same family as
+# the synth phash) standing in for the reference's numpy RNG draw
+_MIX_A, _MIX_B, _MIX_C, _MIX_M = 2654435761, 40503, 69061, 2147483647
+
+
+def strat_sample(images: DataFrame, n_per_cls: int = 3) -> DataFrame:
+    """classification.generate_stratified_random_accuracy_pts
+    (python/src/classification method table;
+    classaccuracymetrics consumers): n points per (image, class),
+    drawn by ranking a deterministic integer hash
+    h = (id*A + x*B + y*C) mod (2^31 - 1) — the engine's documented
+    seeded-RNG stand-in — ties broken by (x, y).  Classes with fewer
+    than n pixels emit what they have (the reference warns and keeps
+    going)."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SAMP_SCHEMA.fields}
+            for image_id, buf, w, h, fmt, img_id in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"], pdf["id"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                cls = (v * _K) // pmax
+                ww = int(w)
+                x = np.arange(ww, dtype=np.int64)[None, :]
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                hsh = (int(img_id) * _MIX_A + x * _MIX_B
+                       + y * _MIX_C) % _MIX_M
+                hsh = np.broadcast_to(hsh, v.shape)
+                xg = np.broadcast_to(x, v.shape)
+                yg = np.broadcast_to(y, v.shape)
+                for c in range(_K):
+                    sel = cls == c
+                    if not sel.any():
+                        continue
+                    hs, xs, ys, vs = (hsh[sel], xg[sel], yg[sel], v[sel])
+                    order = np.lexsort((ys, xs, hs))[:n_per_cls]
+                    for r, i in enumerate(order, start=1):
+                        out["image_id"].append(image_id)
+                        out["cls"].append(c)
+                        out["rank"].append(r)
+                        out["x"].append(int(xs[i]))
+                        out["y"].append(int(ys[i]))
+                        out["v"].append(int(vs[i]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SAMP_SCHEMA)

@@ -285,3 +285,101 @@ def hillshade_stats(images: DataFrame, azimuth: float = 315.0,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_HS_SCHEMA)
+
+
+def shadow_tan_q(solar_elev_deg: float = 10.0, res: float = 30.0,
+                 qscale: int = 1048576) -> int:
+    """Integer shadow threshold T = floor(tan(elev) * res * 2^20),
+    shared verbatim with the SQL oracle (driver-side trig)."""
+    import math
+    return int(math.floor(math.tan(math.radians(solar_elev_deg))
+                          * res * qscale))
+
+
+_SHADOW_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_shadow", LongType()),
+    StructField("shadow_ck", LongType()),
+])
+
+
+def shadow_mask_stats(images: DataFrame,
+                      solar_elev_deg: float = 10.0,
+                      res: float = 30.0) -> DataFrame:
+    """elevation.shadow_mask for solar azimuth 270 (sun due west).
+
+    Reference: RSGISCalcShadowBinaryMask
+    (RSGISCmdElevationTools.cpp:388-446; ray-walk toward the sun).
+    For an axis-aligned azimuth the ray test rationalises exactly:
+    pixel x is shadowed iff some k < x on its row has
+
+        (dem_k - dem_x) * 2^20 > T * (x - k),   T = tan(elev)*res*2^20
+
+    i.e. iff  max_{k<x}(dem_k * 2^20 + T*k)  >  dem_x * 2^20 + T*x —
+    ONE running maximum per row (O(n) scan / one SQL window frame),
+    all-integer, no per-pair work.  maxHeight is infinite (the scan is
+    exact, not stepped).  Output: n_shadow + position checksum."""
+    T = shadow_tan_q(solar_elev_deg, res)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SHADOW_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = _decode_dem(buf, w, h, fmt)
+                w_i = int(w)
+                key = a * 1048576 + T * np.arange(w_i, dtype=np.int64)[None, :]
+                runmax = np.maximum.accumulate(key, axis=1)
+                blocked = np.zeros(a.shape, dtype=bool)
+                blocked[:, 1:] = runmax[:, :-1] > key[:, 1:]
+                ys, xs = np.nonzero(blocked)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(a.size))
+                out["n_shadow"].append(int(blocked.sum()))
+                out["shadow_ck"].append(int((ys * w_i + xs).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SHADOW_SCHEMA)
+
+
+_DETREND_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_res_q", LongType()),
+    StructField("min_res_q", LongType()),
+    StructField("max_res_q", LongType()),
+])
+
+
+def detrend_stats(images: DataFrame) -> DataFrame:
+    """elevation.plane_fit_detreat_dem (RSGISCmdElevationTools,
+    RSGISDEMTools plane-fit detrend): subtract the 3x3
+    least-squares-plane fit from the centre pixel.  For the symmetric
+    3x3 design the fitted centre value IS the window mean, so the
+    residual is the exact rational (9*v_c - sum9)/9 — one
+    correctly-rounded division, 2^20-quantized.  Interior pixels."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _DETREND_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = _decode_dem(buf, w, h, fmt)
+                hh, ww = a.shape
+                s9 = sum(a[1 + dy:hh - 1 + dy, 1 + dx:ww - 1 + dx]
+                         for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+                c = a[1:-1, 1:-1]
+                num = 9 * c - s9
+                q = np.floor((num.astype(np.float64) / 9.0)
+                             * 1048576.0).astype(np.int64)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(q.size))
+                out["sum_res_q"].append(int(q.sum()))
+                out["min_res_q"].append(int(q.min()))
+                out["max_res_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_DETREND_SCHEMA)

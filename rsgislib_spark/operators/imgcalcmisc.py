@@ -40,7 +40,7 @@ from ..functions import codec
 
 __all__ = ["prop_true_stats", "band_rmse_stats", "rescale_stats",
            "mean_in_mask_stats", "all_bands_equal_stats",
-           "stats_in_env", "column_summary_stats", "ENV_DEFAULT"]
+           "stats_in_env", "column_summary_stats", "ENV_DEFAULT", "norm_pxl_stats"]
 
 _Q = 1048576.0
 
@@ -276,3 +276,35 @@ def column_summary_stats(images: DataFrame) -> DataFrame:
         out["sum_std_q"].append(int(std_q.astype(np.int64).sum()))
 
     return _simple(images, _COL_SCHEMA, one)
+
+
+_NORM_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("v_min", LongType()),
+    StructField("v_max", LongType()),
+    StructField("sum_norm_q", LongType()),
+])
+
+
+def norm_pxl_stats(images: DataFrame) -> DataFrame:
+    """imageutils.normalise_img_pxl_vals (python/src/imageutils.cpp
+    method table): rescale band 1 to [0, 1] by the per-image min/max,
+    norm = (v - min)/(max - min) — one exact-int division per pixel,
+    2^20-quantized and summed.  Constant images emit -1 (degenerate
+    range)."""
+
+    def one(out, image_id, v, m):
+        mn, mx = int(v.min()), int(v.max())
+        out["image_id"].append(image_id)
+        out["n_pix"].append(int(v.size))
+        out["v_min"].append(mn)
+        out["v_max"].append(mx)
+        if mx == mn:
+            out["sum_norm_q"].append(-1)
+            return
+        q = np.floor(((v - mn).astype(np.float64) / float(mx - mn))
+                     * _Q).astype(np.int64)
+        out["sum_norm_q"].append(int(q.sum()))
+
+    return _simple(images, _NORM_SCHEMA, one)

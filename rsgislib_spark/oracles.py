@@ -4713,7 +4713,7 @@ icxs AS (SELECT image_id, id, w, h, fmt, lon, lat,
                unnest(generate_series(0, w - 1)) AS x
         FROM img WHERE id % 19 = 0),
 icpxy AS MATERIALIZED (
-  SELECT image_id, lon, lat, x,
+  SELECT image_id, id, w, fmt, lon, lat, x,
          unnest(generate_series(0, h - 1)) AS y,
          {_PXV} AS v, {_IC_MIR} AS mv
   FROM icxs)
@@ -4846,4 +4846,171 @@ SELECT image_id, count(*) AS n_pix,
                             / CAST(2 AS DOUBLE)) * 1048576.0) AS BIGINT))
             AS BIGINT) AS sum_std_q
 FROM icpxy GROUP BY image_id
+"""
+
+
+# --------------------------- sampling / unmixing / DEM-shadow / saturation
+# Twins of classification.strat_sample, specunmix.exh_unmix_stats /
+# avg_endmember_stats, elevation.shadow_mask_stats / detrend_stats,
+# calibration.saturated_stats, imgcalcmisc.norm_pxl_stats (operator
+# docstrings carry the reference citations + determinism contracts).
+from .operators.elevation import shadow_tan_q as _shadow_tq  # noqa: E402
+from .operators.specunmix import (EM_SPECTRA as _EM,  # noqa: E402
+                                  UNMIX_STEPS as _US)
+
+_IC_PM = synth.pmax_sql("fmt")
+
+ORACLES["strat_sample"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+ssr AS (SELECT image_id, (v * 4) // {_IC_PM} AS cls, x, y, v,
+               (id * 2654435761 + x * 40503 + y * 69061)
+                 % 2147483647 AS hsh
+        FROM icpxy),
+ssk AS (SELECT image_id, cls, x, y, v,
+               row_number() OVER (PARTITION BY image_id, cls
+                                  ORDER BY hsh, x, y) AS rank
+        FROM ssr)
+SELECT image_id, CAST(cls AS BIGINT) AS cls, CAST(rank AS BIGINT) AS rank,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST(v AS BIGINT) AS v
+FROM ssk WHERE rank <= 3
+"""
+
+_EX_COMBOS = ", ".join(f"({a1}, {a2})"
+                       for a1 in range(_US + 1)
+                       for a2 in range(_US + 1) if a1 + a2 <= _US)
+
+ORACLES["exh_unmix"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+exg (a1, a2) AS (VALUES {_EX_COMBOS}),
+exd AS (SELECT p.image_id, p.x, p.y,
+               min((({_US} * p.v - g.a1 * {_EM[0][0]} - g.a2 * {_EM[1][0]})
+                    * ({_US} * p.v - g.a1 * {_EM[0][0]} - g.a2 * {_EM[1][0]})
+                  + ({_US} * p.mv - g.a1 * {_EM[0][1]} - g.a2 * {_EM[1][1]})
+                    * ({_US} * p.mv - g.a1 * {_EM[0][1]} - g.a2 * {_EM[1][1]}))
+                   * 1024 + g.a1 * 32 + g.a2) AS key
+        FROM icpxy p CROSS JOIN exg g
+        GROUP BY p.image_id, p.x, p.y)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum((key // 32) % 32) AS BIGINT) AS sum_a1,
+       CAST(sum(key % 32) AS BIGINT) AS sum_a2,
+       CAST(sum(key // 1024) AS BIGINT) AS sum_sse,
+       CAST(sum(CASE WHEN (key // 32) % 32 + key % 32 = {_US}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+FROM exd GROUP BY image_id
+"""
+
+ORACLES["avg_endmembers"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+aec AS (SELECT i.image_id, c.cls FROM (SELECT DISTINCT image_id
+                                       FROM icpxy) i
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS cls) c),
+aea AS (SELECT image_id, (v * 4) // {_IC_PM} AS cls,
+               count(*) AS n, CAST(sum(v) AS BIGINT) AS sb1,
+               CAST(sum(mv) AS BIGINT) AS sb2
+        FROM icpxy GROUP BY image_id, (v * 4) // {_IC_PM})
+SELECT c.image_id, CAST(c.cls AS BIGINT) AS cls,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_pix,
+       CAST(coalesce(a.sb1, 0) AS BIGINT) AS sum_b1,
+       CAST(coalesce(a.sb2, 0) AS BIGINT) AS sum_b2,
+       CAST(CASE WHEN a.n IS NULL THEN -1 ELSE floor(
+         (CAST(a.sb1 AS DOUBLE) / CAST(a.n AS DOUBLE)) * 1048576.0)
+         END AS BIGINT) AS mean_b1_q,
+       CAST(CASE WHEN a.n IS NULL THEN -1 ELSE floor(
+         (CAST(a.sb2 AS DOUBLE) / CAST(a.n AS DOUBLE)) * 1048576.0)
+         END AS BIGINT) AS mean_b2_q
+FROM aec c LEFT JOIN aea a
+  ON a.image_id = c.image_id AND a.cls = c.cls
+"""
+
+# detrend: 3x3 plane-fit residual = exact (9*center - sum9)/9
+_DT_S9 = " + ".join(_dem_at(dx, dy)
+                    for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+ORACLES["dem_detrend"] = f"""
+{_PREFIX},
+dtx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(1, w - 2)) AS x
+        FROM img WHERE id % 19 = 0),
+dtp AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM dtx),
+dtq AS (SELECT image_id,
+          CAST(floor((CAST(9 * {_dem_at(0, 0)} - ({_DT_S9}) AS DOUBLE)
+                      / CAST(9 AS DOUBLE)) * 1048576.0) AS BIGINT) AS q
+        FROM dtp)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(q) AS BIGINT) AS sum_res_q,
+       CAST(min(q) AS BIGINT) AS min_res_q,
+       CAST(max(q) AS BIGINT) AS max_res_q
+FROM dtq GROUP BY image_id
+"""
+
+_SH_T = _shadow_tq(10.0, 30.0)
+
+ORACLES["shadow_mask"] = f"""
+{_PREFIX},
+shx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+shp AS (SELECT image_id, w, x,
+               unnest(generate_series(0, h - 1)) AS y,
+               ({_dem_sql(synth.pixel_value_sql("id", "x", "y", "fmt"),
+                          "x", "y")}) * 1048576 + {_SH_T} * x AS key
+        FROM shx),
+shm AS (SELECT image_id, w, x, y, key,
+               max(key) OVER (PARTITION BY image_id, y
+                              ORDER BY x
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prevmax
+        FROM shp)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(CASE WHEN prevmax > key THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shadow,
+       CAST(coalesce(sum(CASE WHEN prevmax > key
+                          THEN y * w + x END), 0) AS BIGINT) AS shadow_ck
+FROM shm GROUP BY image_id
+"""
+
+ORACLES["saturated_mask"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+stb AS (SELECT image_id, 1 AS band,
+               CAST(sum(CASE WHEN v = {_IC_PM} - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sat,
+               CAST(coalesce(sum(CASE WHEN v = {_IC_PM} - 1
+                                 THEN y * w + x END), 0) AS BIGINT) AS ck,
+               count(*) AS n
+        FROM icpxy GROUP BY image_id
+        UNION ALL
+        SELECT image_id, 2 AS band,
+               CAST(sum(CASE WHEN mv = {_IC_PM} - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sat,
+               CAST(coalesce(sum(CASE WHEN mv = {_IC_PM} - 1
+                                 THEN y * w + x END), 0) AS BIGINT) AS ck,
+               count(*) AS n
+        FROM icpxy GROUP BY image_id)
+SELECT image_id, CAST(band AS BIGINT) AS band, CAST(n AS BIGINT) AS n_pix,
+       n_sat, ck AS sat_ck
+FROM stb
+"""
+
+ORACLES["norm_pxl_vals"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+nmx AS MATERIALIZED (SELECT image_id, CAST(min(v) AS BIGINT) AS mn,
+                            CAST(max(v) AS BIGINT) AS mx,
+                            count(*) AS n
+                     FROM icpxy GROUP BY image_id),
+nmq AS (SELECT p.image_id, m.n, m.mn, m.mx,
+               CASE WHEN m.mx = m.mn THEN NULL ELSE
+                 CAST(floor((CAST(p.v - m.mn AS DOUBLE)
+                             / CAST(m.mx - m.mn AS DOUBLE)) * 1048576.0)
+                      AS BIGINT) END AS q
+        FROM icpxy p JOIN nmx m ON m.image_id = p.image_id)
+SELECT image_id, CAST(max(n) AS BIGINT) AS n_pix,
+       CAST(max(mn) AS BIGINT) AS v_min,
+       CAST(max(mx) AS BIGINT) AS v_max,
+       CAST(coalesce(sum(q), -1) AS BIGINT) AS sum_norm_q
+FROM nmq GROUP BY image_id
 """

@@ -36,16 +36,19 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   rat_table, rel_diff_neigh_stats,
                                   select_clumps_on_grid)
 from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
-                                    sref_6s_stats)
+                                    saturated_stats, sref_6s_stats)
 from .operators.classification import (class_accuracy_stats,
-                                       regression_stats)
+                                       regression_stats, strat_sample)
+from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
 from .operators.imgcalcmisc import (all_bands_equal_stats,
                                     band_rmse_stats, column_summary_stats,
-                                    mean_in_mask_stats, prop_true_stats,
-                                    rescale_stats, stats_in_env)
-from .operators.elevation import (aspect_cat_stats, hillshade_stats,
+                                    mean_in_mask_stats, norm_pxl_stats,
+                                    prop_true_stats, rescale_stats,
+                                    stats_in_env)
+from .operators.elevation import (aspect_cat_stats, detrend_stats,
+                                  hillshade_stats, shadow_mask_stats,
                                   slope_class_stats)
 from .operators.segmentation import (eliminate_small_segments,
                                      isodata_centres,
@@ -980,6 +983,71 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_strat_sample(spark, sf_dir) -> DataFrame:
+    """classification.generate_stratified_random_accuracy_pts: 3 points
+    per (image, class), drawn by ranking the documented deterministic
+    integer hash (seeded-RNG stand-in), ties by (x, y)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return strat_sample(img) \
+        .select("image_id", "cls", "rank", "x", "y", "v")
+
+
+def q_exh_unmix(spark, sf_dir) -> DataFrame:
+    """specunmixing.exhcon_linear_spec_unmix
+    (RSGISLinearSpectralUnmixing.cpp:99): exhaustive constrained
+    abundance grid search, step 1/4, first-win (a1, a2) loop-order
+    ties — every distance an exact integer (specunmix docstring)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return exh_unmix_stats(img) \
+        .select("image_id", "n_pix", "sum_a1", "sum_a2", "sum_sse",
+                "n_full")
+
+
+def q_avg_endmembers(spark, sf_dir) -> DataFrame:
+    """specunmixing.extract_avg_endmembers: mean (b1, b2) spectrum per
+    class plane quartile; exact-int divisions, -1 empty sentinel."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return avg_endmember_stats(img) \
+        .select("image_id", "cls", "n_pix", "sum_b1", "sum_b2",
+                "mean_b1_q", "mean_b2_q")
+
+
+def q_dem_detrend(spark, sf_dir) -> DataFrame:
+    """elevation.plane_fit_detreat_dem: 3x3 LSQ-plane detrend — the
+    symmetric design makes the fitted centre the window mean, so the
+    residual is the exact rational (9*v - sum9)/9."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return detrend_stats(img) \
+        .select("image_id", "n_pix", "sum_res_q", "min_res_q",
+                "max_res_q")
+
+
+def q_shadow_mask(spark, sf_dir) -> DataFrame:
+    """elevation.shadow_mask (RSGISCalcShadowBinaryMask,
+    RSGISCmdElevationTools.cpp:388) for azimuth 270: the ray test
+    rationalises to ONE running maximum of dem*2^20 + T*x per row —
+    O(n), all-integer, exact (elevation.shadow_mask_stats docstring)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return shadow_mask_stats(img) \
+        .select("image_id", "n_pix", "n_shadow", "shadow_ck")
+
+
+def q_saturated_mask(spark, sf_dir) -> DataFrame:
+    """imagecalibration.saturated_pixels_mask: per-band count +
+    flat-index checksum of pixels at the format saturation value."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return saturated_stats(img) \
+        .select("image_id", "band", "n_pix", "n_sat", "sat_ck")
+
+
+def q_norm_pxl_vals(spark, sf_dir) -> DataFrame:
+    """imageutils.normalise_img_pxl_vals: per-image min-max
+    normalisation, one exact-int division per pixel, 2^20-quantized."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return norm_pxl_stats(img) \
+        .select("image_id", "n_pix", "v_min", "v_max", "sum_norm_q")
 
 
 def q_prop_true(spark, sf_dir) -> DataFrame:
@@ -2530,6 +2598,13 @@ QUERIES = {
     "all_bands_equal": q_all_bands_equal,
     "stats_in_env": q_stats_in_env,
     "column_summary": q_column_summary,
+    "strat_sample": q_strat_sample,
+    "exh_unmix": q_exh_unmix,
+    "avg_endmembers": q_avg_endmembers,
+    "dem_detrend": q_dem_detrend,
+    "shadow_mask": q_shadow_mask,
+    "saturated_mask": q_saturated_mask,
+    "norm_pxl_vals": q_norm_pxl_vals,
     "regress_stats": q_regress_stats,
     "dem_slope": q_dem_slope,
     "dem_aspect": q_dem_aspect,
