@@ -35,7 +35,7 @@ from ..functions import codec
 
 __all__ = ["solar_distance", "toa_consts", "radiance_toa_stats",
            "DEFAULT_CAL", "DEFAULT_6S", "sref_6s_stats",
-           "dos_subtract_stats", "saturated_stats"]
+           "dos_subtract_stats", "saturated_stats", "thermal_brightness_stats", "THERM_K1", "THERM_K2"]
 
 
 def solar_distance(day_of_year: int) -> float:
@@ -269,3 +269,55 @@ def saturated_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_SAT_SCHEMA)
+
+
+# Landsat-ish thermal constants: K1, K2 (band 6 style) and the rational
+# radiance calibration L = (37*DN + 3200)/1000 (exact-integer numerator)
+THERM_K1, THERM_K2 = 607.76, 1260.56
+
+_THB_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("band", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_tb_q", LongType()),
+    StructField("min_tb_q", LongType()),
+    StructField("max_tb_q", LongType()),
+])
+
+
+def thermal_brightness_stats(images: DataFrame) -> DataFrame:
+    """imagecalibration.landsat_thermal_rad_to_brightness
+    (RSGISCalculateTOAThermalBrightness::calcImageValue,
+    src/calibration/RSGISCalculateTopOfAtmosphereReflectance.cpp:75:
+    temp = K2 / log(K1/L + 1)).
+
+    The log goes through the pinned cross-engine tree
+    (functions/detmath.ln_pos_np — bit-identical in numpy and DuckDB),
+    radiance L is the exact rational (37*DN + 3200)/1000, and every
+    other op is one correctly-rounded IEEE primitive, so the
+    2^20-quantized temperature is exact-hash safe."""
+    import numpy as _np
+    from .detmath_shim import ln_pos  # local import keeps codec-light
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _THB_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(_np.int64)
+                for bi, dn in enumerate((v, v[:, ::-1]), start=1):
+                    L = (37 * dn + 3200).astype(_np.float64) / 1000.0
+                    arg = THERM_K1 / L + 1.0
+                    tb = THERM_K2 / ln_pos(arg)
+                    q = _np.floor(tb * 1048576.0).astype(_np.int64)
+                    out["image_id"].append(image_id)
+                    out["band"].append(bi)
+                    out["n_pix"].append(int(q.size))
+                    out["sum_tb_q"].append(int(q.sum()))
+                    out["min_tb_q"].append(int(q.min()))
+                    out["max_tb_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_THB_SCHEMA)

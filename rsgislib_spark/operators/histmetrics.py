@@ -1,0 +1,148 @@
+"""Histogram separability metrics needing a logarithm.
+
+Reference:
+* rastergis.calc_bhattacharyya_distance (python/src/rastergis method
+  table; RSGISCalcClumpStats / RSGISRATStats bhattacharyya):
+  B = 1/8 (mu1-mu2)^2 * 2/(s1^2+s2^2) + 1/2 ln((s1^2+s2^2)/(2 s1 s2))
+  between the band-1 populations of two classes.
+* tools.stats.calc_yen_threshold (tools/stats.py:679, after
+  scikit-image): crit(t) = ln( (p1 (1-p1))^2 / (P1sq * P2sq) ),
+  threshold = argmax.  On the exact value-level histogram this
+  rationalises to   crit = 2(ln c + ln(N-c)) - ln A1 - ln A2
+  with c = cum count, A1/A2 = cum sums of squared counts — EVERY ln
+  argument an exact integer.
+
+Both use the pinned cross-engine ln tree (functions/detmath) — the
+whole metric is correctly-rounded primitives on identical inputs, so
+the 2^20-quantized outputs are exact-hash safe.  Deviations from the
+reference, documented: Yen runs on the exact integer histogram (the
+reference bins adaptively and normalises in float32); Bhattacharyya
+compares the quartile classes 0 and 1 of the class plane with
+population variance A/n^2 (n-normalised), and degenerate inputs
+(class < 2 px or zero variance) emit the -1 sentinel row.
+"""
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+from ..functions import codec
+from ..functions.detmath import LN2, ln_pos_np
+
+__all__ = ["bhatt_dist_stats", "yen_threshold_stats"]
+
+_Q = 1048576.0
+
+_BH_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n1", LongType()),
+    StructField("n2", LongType()),
+    StructField("sum1", LongType()),
+    StructField("sum2", LongType()),
+    StructField("term1_q", LongType()),
+    StructField("b_q", LongType()),
+])
+
+
+def bhatt_dist_stats(images: DataFrame) -> DataFrame:
+    """Bhattacharyya distance between quartile classes 0 and 1 of the
+    band-1 plane, one row per image.  Pinned tree:
+
+        d_i   = A_i / n_i^2            (A_i = n_i*S2_i - S_i^2, exact)
+        term1 = ((mu1-mu2)^2 / (d1+d2)) * 0.25
+        B     = term1 + ((ln(d1+d2) - LN2) - ln(d1*d2)*0.5) * 0.5
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _BH_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                cls = (v * 4) // pmax
+                row = {"image_id": image_id}
+                pops = []
+                for c in (0, 1):
+                    vals = v[cls == c]
+                    n = int(vals.size)
+                    S = int(vals.sum())
+                    S2 = int((vals * vals).sum())
+                    pops.append((n, S, S2))
+                (n1, s1, s21), (n2, s2, s22) = pops
+                a1 = n1 * s21 - s1 * s1
+                a2 = n2 * s22 - s2 * s2
+                out["image_id"].append(image_id)
+                out["n1"].append(n1)
+                out["n2"].append(n2)
+                out["sum1"].append(s1)
+                out["sum2"].append(s2)
+                if n1 < 2 or n2 < 2 or a1 == 0 or a2 == 0:
+                    out["term1_q"].append(-1)
+                    out["b_q"].append(-1)
+                    continue
+                d1 = float(a1) / float(n1 * n1)
+                d2 = float(a2) / float(n2 * n2)
+                mu1 = float(s1) / float(n1)
+                mu2 = float(s2) / float(n2)
+                md = mu1 - mu2
+                num = d1 + d2
+                term1 = ((md * md) / num) * 0.25
+                b = term1 + ((float(ln_pos_np(num)) - LN2)
+                             - float(ln_pos_np(d1 * d2)) * 0.5) * 0.5
+                out["term1_q"].append(int(np.floor(term1 * _Q)))
+                out["b_q"].append(int(np.floor(b * _Q)))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BH_SCHEMA)
+
+
+_YEN_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_cand", LongType()),
+    StructField("thr_v", LongType()),
+    StructField("max_crit_q", LongType()),
+    StructField("sum_crit_q", LongType()),
+])
+
+
+def yen_threshold_stats(images: DataFrame) -> DataFrame:
+    """Yen threshold over the exact per-image value histogram; one row
+    per image with the argmax value (ties -> smallest value, the
+    ascending-scan convention), the max criterion, and the
+    quantized-criterion checksum over all candidates."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _YEN_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                vals, cnts = np.unique(v, return_counts=True)
+                cnts = cnts.astype(np.int64)
+                N = int(cnts.sum())
+                c = np.cumsum(cnts)
+                a1 = np.cumsum(cnts * cnts)
+                atot = int(a1[-1])
+                keep = c < N                     # t < vmax
+                cv, cc, ca1 = vals[keep], c[keep], a1[keep]
+                ca2 = atot - ca1
+                crit = ((ln_pos_np(cc.astype(np.float64))
+                         + ln_pos_np((N - cc).astype(np.float64))) * 2.0
+                        - (ln_pos_np(ca1.astype(np.float64))
+                           + ln_pos_np(ca2.astype(np.float64))))
+                q = np.floor(crit * _Q).astype(np.int64)
+                k = int(np.argmax(q))            # first max = smallest v
+                out["image_id"].append(image_id)
+                out["n_cand"].append(int(cv.size))
+                out["thr_v"].append(int(cv[k]))
+                out["max_crit_q"].append(int(q[k]))
+                out["sum_crit_q"].append(int(q.sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_YEN_SCHEMA)

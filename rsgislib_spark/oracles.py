@@ -5014,3 +5014,135 @@ SELECT image_id, CAST(max(n) AS BIGINT) AS n_pix,
        CAST(coalesce(sum(q), -1) AS BIGINT) AS sum_norm_q
 FROM nmq GROUP BY image_id
 """
+
+
+# ------------------------------------------------ deterministic-ln consumers
+# thermal brightness / Bhattacharyya / Yen threshold — twins of
+# calibration.thermal_brightness_stats and operators/histmetrics.py.
+# All logs go through the pinned cross-engine tree
+# (functions/detmath.ln_steps; module docstring has the proof sketch).
+from .functions.detmath import (LN2 as _LN2V,  # noqa: E402
+                                ln_chain_sql as _lnc)
+from .operators.calibration import (THERM_K1 as _TK1,  # noqa: E402
+                                    THERM_K2 as _TK2)
+
+_TH_INNER = f"""
+SELECT image_id, band,
+       {_dlit(_TK1)} / (CAST(37 * dn + 3200 AS DOUBLE)
+                        / CAST(1000 AS DOUBLE)) + CAST(1 AS DOUBLE) AS arg
+FROM (SELECT image_id, v AS dn, 1 AS band FROM icpxy
+      UNION ALL
+      SELECT image_id, mv AS dn, 2 AS band FROM icpxy) tb
+""".strip()
+
+ORACLES["thermal_bright"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+thq AS (SELECT image_id, band,
+               CAST(floor(({_dlit(_TK2)} / lnarg) * 1048576.0)
+                    AS BIGINT) AS q
+        FROM ({_lnc(_TH_INNER, "arg", "lnarg")}))
+SELECT image_id, CAST(band AS BIGINT) AS band, count(*) AS n_pix,
+       CAST(sum(q) AS BIGINT) AS sum_tb_q,
+       CAST(min(q) AS BIGINT) AS min_tb_q,
+       CAST(max(q) AS BIGINT) AS max_tb_q
+FROM thq GROUP BY image_id, band
+"""
+
+_BH_INNER = f"""
+SELECT image_id,
+       CAST(max(CASE WHEN cls = 0 THEN n END) AS BIGINT) AS n1,
+       CAST(max(CASE WHEN cls = 1 THEN n END) AS BIGINT) AS n2,
+       CAST(max(CASE WHEN cls = 0 THEN s END) AS BIGINT) AS s1,
+       CAST(max(CASE WHEN cls = 1 THEN s END) AS BIGINT) AS s2,
+       CAST(max(CASE WHEN cls = 0 THEN a END) AS BIGINT) AS a1,
+       CAST(max(CASE WHEN cls = 1 THEN a END) AS BIGINT) AS a2
+FROM (SELECT image_id, (v * 4) // {_IC_PM} AS cls,
+             count(*) AS n, sum(v) AS s,
+             count(*) * sum(v * v) - sum(v) * sum(v) AS a
+      FROM icpxy WHERE (v * 4) // {_IC_PM} IN (0, 1)
+      GROUP BY image_id, (v * 4) // {_IC_PM}) bc
+GROUP BY image_id
+""".strip()
+
+_BH_MID = f"""
+SELECT *, (d1 + d2) AS bnum, (d1 * d2) AS bprod,
+       (((mu1 - mu2) * (mu1 - mu2)) / (d1 + d2))
+         * CAST(0.25 AS DOUBLE) AS term1
+FROM (SELECT *,
+        CAST(a1 AS DOUBLE) / CAST(n1 * n1 AS DOUBLE) AS d1,
+        CAST(a2 AS DOUBLE) / CAST(n2 * n2 AS DOUBLE) AS d2,
+        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mu1,
+        CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mu2
+      FROM ({_BH_INNER})
+      WHERE n1 >= 2 AND n2 >= 2 AND a1 <> 0 AND a2 <> 0) bd
+""".strip()
+
+ORACLES["bhatt_dist"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+bok AS (SELECT image_id, n1, n2, s1 AS sum1, s2 AS sum2,
+               CAST(floor(term1 * 1048576.0) AS BIGINT) AS term1_q,
+               CAST(floor((term1 + ((lnnum - {_dlit(_LN2V)})
+                                    - lnprod * CAST(0.5 AS DOUBLE))
+                                   * CAST(0.5 AS DOUBLE))
+                          * 1048576.0) AS BIGINT) AS b_q
+        FROM ({_lnc(_lnc(_BH_MID, "bnum", "lnnum"),
+                    "bprod", "lnprod")})),
+ball AS (SELECT image_id,
+                CAST(max(CASE WHEN cls = 0 THEN n END) AS BIGINT) AS n1,
+                CAST(max(CASE WHEN cls = 1 THEN n END) AS BIGINT) AS n2,
+                CAST(max(CASE WHEN cls = 0 THEN s END) AS BIGINT) AS sum1,
+                CAST(max(CASE WHEN cls = 1 THEN s END) AS BIGINT) AS sum2
+         FROM (SELECT image_id, (v * 4) // {_IC_PM} AS cls,
+                      count(*) AS n, sum(v) AS s
+               FROM icpxy WHERE (v * 4) // {_IC_PM} IN (0, 1)
+               GROUP BY image_id, (v * 4) // {_IC_PM}) x
+         GROUP BY image_id)
+SELECT a.image_id, coalesce(a.n1, 0) AS n1, coalesce(a.n2, 0) AS n2,
+       coalesce(a.sum1, 0) AS sum1, coalesce(a.sum2, 0) AS sum2,
+       CAST(coalesce(k.term1_q, -1) AS BIGINT) AS term1_q,
+       CAST(coalesce(k.b_q, -1) AS BIGINT) AS b_q
+FROM ball a LEFT JOIN bok k ON k.image_id = a.image_id
+"""
+
+_YEN_INNER = f"""
+SELECT image_id, v, CAST(cc AS DOUBLE) AS fc,
+       CAST(nn - cc AS DOUBLE) AS fnc,
+       CAST(ca1 AS DOUBLE) AS fa1,
+       CAST(atot - ca1 AS DOUBLE) AS fa2
+FROM (SELECT image_id, v,
+             sum(n) OVER w AS cc,
+             sum(n * n) OVER w AS ca1,
+             sum(n) OVER (PARTITION BY image_id) AS nn,
+             sum(n * n) OVER (PARTITION BY image_id) AS atot
+      FROM (SELECT image_id, v, count(*) AS n
+            FROM icpxy GROUP BY image_id, v) hh
+      WINDOW w AS (PARTITION BY image_id ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) cw
+WHERE cc < nn
+""".strip()
+
+ORACLES["yen_threshold"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+ycr AS (SELECT image_id, v,
+               CAST(floor(((lnc + lnnc) * CAST(2 AS DOUBLE)
+                           - (lna1 + lna2)) * 1048576.0)
+                    AS BIGINT) AS q
+        FROM ({_lnc(_lnc(_lnc(_lnc(_YEN_INNER,
+                                   "fc", "lnc"),
+                              "fnc", "lnnc"),
+                         "fa1", "lna1"),
+                    "fa2", "lna2")})),
+ysel AS (SELECT image_id, v, q, row_number() OVER (
+           PARTITION BY image_id ORDER BY q DESC, v ASC) AS rn
+         FROM ycr)
+SELECT c.image_id, CAST(count(*) AS BIGINT) AS n_cand,
+       CAST(max(CASE WHEN s.rn = 1 THEN s.v END) AS BIGINT) AS thr_v,
+       CAST(max(CASE WHEN s.rn = 1 THEN s.q END) AS BIGINT)
+         AS max_crit_q,
+       CAST(sum(c.q) AS BIGINT) AS sum_crit_q
+FROM ycr c JOIN ysel s ON s.image_id = c.image_id AND s.v = c.v
+GROUP BY c.image_id
+"""

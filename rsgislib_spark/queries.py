@@ -36,7 +36,9 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   rat_table, rel_diff_neigh_stats,
                                   select_clumps_on_grid)
 from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
-                                    saturated_stats, sref_6s_stats)
+                                    saturated_stats, sref_6s_stats,
+                                    thermal_brightness_stats)
+from .operators.histmetrics import (bhatt_dist_stats, yen_threshold_stats)
 from .operators.classification import (class_accuracy_stats,
                                        regression_stats, strat_sample)
 from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
@@ -983,6 +985,39 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_thermal_bright(spark, sf_dir) -> DataFrame:
+    """imagecalibration.landsat_thermal_rad_to_brightness
+    (RSGISCalculateTopOfAtmosphereReflectance.cpp:75: T = K2/ln(K1/L+1)).
+    The ln is the pinned cross-engine tree (functions/detmath) — libm
+    log differs in the last ulp across engines (lesson 3), the tree
+    does not."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return thermal_brightness_stats(img) \
+        .select("image_id", "band", "n_pix", "sum_tb_q", "min_tb_q",
+                "max_tb_q")
+
+
+def q_bhatt_dist(spark, sf_dir) -> DataFrame:
+    """rastergis.calc_bhattacharyya_distance between the band-1
+    populations of quartile classes 0 and 1: exact-integer moment
+    sums, pinned divisions, and the detmath ln tree."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return bhatt_dist_stats(img) \
+        .select("image_id", "n1", "n2", "sum1", "sum2", "term1_q",
+                "b_q")
+
+
+def q_yen_threshold(spark, sf_dir) -> DataFrame:
+    """tools.stats.calc_yen_threshold (tools/stats.py:679, Yen 1995):
+    crit rationalised to 2(ln c + ln(N-c)) - ln A1 - ln A2 with every
+    ln argument an exact integer of the value histogram; argmax with
+    ascending first-win ties."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return yen_threshold_stats(img) \
+        .select("image_id", "n_cand", "thr_v", "max_crit_q",
+                "sum_crit_q")
 
 
 def q_strat_sample(spark, sf_dir) -> DataFrame:
@@ -2598,6 +2633,9 @@ QUERIES = {
     "all_bands_equal": q_all_bands_equal,
     "stats_in_env": q_stats_in_env,
     "column_summary": q_column_summary,
+    "thermal_bright": q_thermal_bright,
+    "bhatt_dist": q_bhatt_dist,
+    "yen_threshold": q_yen_threshold,
     "strat_sample": q_strat_sample,
     "exh_unmix": q_exh_unmix,
     "avg_endmembers": q_avg_endmembers,

@@ -1,0 +1,104 @@
+"""Deterministic-ln tree: accuracy vs libm, cross-engine bit equality
+vs DuckDB, and the three consumers vs straight float transcriptions of
+their references."""
+import math
+
+import duckdb
+import numpy as np
+
+from rsgislib_spark import synth
+from rsgislib_spark.functions.detmath import LN2, ln_chain_sql, ln_pos_np
+
+_Q = 1048576.0
+
+
+def test_ln_accuracy_and_boundaries():
+    xs = np.concatenate([
+        np.linspace(0.07, 1e13, 20011),
+        2.0 ** np.arange(-4, 44),                 # exact binade edges
+        np.nextafter(2.0 ** np.arange(-3, 43), 0),  # just below edges
+        np.array([1.0, 2.0, math.sqrt(2.0),
+                  np.nextafter(math.sqrt(2.0), 0),
+                  np.nextafter(math.sqrt(2.0), 2)]),
+    ])
+    rel = np.abs(ln_pos_np(xs) - np.log(xs)) \
+        / np.maximum(np.abs(np.log(xs)), 1e-30)
+    assert rel.max() < 5e-16
+
+
+def test_ln_bit_equal_duckdb():
+    rng = np.random.RandomState(7)
+    xs = np.concatenate([
+        np.exp(rng.uniform(np.log(0.07), np.log(1e13), 5000)),
+        2.0 ** np.arange(-4, 44),
+        np.array([1.0, math.sqrt(2.0)]),
+    ])
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t AS SELECT unnest(?) AS xv", params=[xs.tolist()])
+    sql = ln_chain_sql("SELECT xv FROM t", "xv", "lnx")
+    d = con.sql(f"SELECT xv, lnx FROM ({sql}) ORDER BY xv").df()
+    ref = ln_pos_np(np.sort(xs))
+    assert (d["lnx"].values == ref).all()
+
+
+def _planes(n=12, mod=19):
+    for k in range(n):
+        img_id = k * mod
+        w = 32 + (img_id * 7) % 97
+        h = 32 + (img_id * 13) % 97
+        fmt = synth.fmt_of_id(np.array([img_id]))[0]
+        v = synth.pixel_array(img_id, w, h, fmt).astype(np.int64)
+        pmax = 256 if fmt in ("raw8", "png") else 1024
+        yield v, pmax
+
+
+def test_thermal_matches_libm_formula():
+    K1, K2 = 607.76, 1260.56
+    for v, _ in _planes(n=6):
+        L = (37 * v + 3200) / 1000.0
+        ref = K2 / np.log(K1 / L + 1.0)
+        eng = K2 / ln_pos_np(K1 / L + 1.0)
+        assert np.allclose(ref, eng, rtol=1e-13, atol=0)
+        assert 200 < eng.min() and eng.max() < 500  # plausible Kelvin
+
+
+def test_bhattacharyya_matches_float_formula():
+    n_live = 0
+    for v, pmax in _planes():
+        cls = (v * 4) // pmax
+        p0, p1 = v[cls == 0].astype(float), v[cls == 1].astype(float)
+        if p0.size < 2 or p1.size < 2 or p0.var() == 0 or p1.var() == 0:
+            continue
+        n_live += 1
+        s1s, s2s = p0.var(), p1.var()   # population variance A/n^2
+        ref = (0.125 * (p0.mean() - p1.mean()) ** 2 * 2.0 / (s1s + s2s)
+               + 0.5 * math.log((s1s + s2s)
+                                / (2.0 * math.sqrt(s1s * s2s))))
+        num, prod = s1s + s2s, s1s * s2s
+        eng = (((p0.mean() - p1.mean()) ** 2 / num) * 0.25
+               + ((float(ln_pos_np(num)) - LN2)
+                  - float(ln_pos_np(prod)) * 0.5) * 0.5)
+        assert abs(ref - eng) < 1e-12, (ref, eng)
+        assert eng > 0
+    assert n_live > 5
+
+
+def test_yen_rationalisation_matches_skimage_form():
+    """2(ln c + ln(N-c)) - ln A1 - ln A2 == the scikit-image criterion
+    ln((p1(1-p1))^2 / (P1sq P2sq)) on the exact histogram."""
+    for v, _ in _planes(n=4):
+        vals, cnts = np.unique(v, return_counts=True)
+        N = cnts.sum()
+        pmf = cnts / N
+        p1 = np.cumsum(pmf)
+        p1sq = np.cumsum(pmf ** 2)
+        p2sq = np.cumsum(pmf[::-1] ** 2)[::-1]
+        ref = np.log(((p1sq[:-1] * p2sq[1:]) ** -1)
+                     * (p1[:-1] * (1.0 - p1[:-1])) ** 2)
+        c = np.cumsum(cnts)[:-1].astype(np.float64)
+        a1 = np.cumsum(cnts * cnts)[:-1].astype(np.float64)
+        a2 = (np.cumsum(cnts * cnts)[-1] - a1)
+        eng = ((ln_pos_np(c) + ln_pos_np(N - c)) * 2.0
+               - (ln_pos_np(a1) + ln_pos_np(a2)))
+        assert np.allclose(ref, eng, rtol=0, atol=1e-7)
+        assert int(np.argmax(eng)) == int(np.argmax(ref))
