@@ -30,7 +30,7 @@ from pyspark.sql.types import (LongType, StringType, StructField,
 from ..functions import codec
 from ..functions.detmath import LN2, ln_pos_np
 
-__all__ = ["bhatt_dist_stats", "yen_threshold_stats"]
+__all__ = ["bhatt_dist_stats", "yen_threshold_stats", "jm_dist_stats", "jm2d_dist_stats"]
 
 _Q = 1048576.0
 
@@ -146,3 +146,106 @@ def yen_threshold_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_YEN_SCHEMA)
+
+
+_JM_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n1", LongType()),
+    StructField("n2", LongType()),
+    StructField("n_bins", LongType()),
+    StructField("sum_bc_q", LongType()),
+    StructField("jm_q", LongType()),
+])
+
+_BCQ = 1073741824.0  # 2^30 per-bin quantizer (order-free integer sum)
+
+
+def _jm_from_hists(out, image_id, k1, c1, k2, c2):
+    """Shared-bin Bhattacharyya coefficient -> JM distance.
+
+    Reference: RSGISRATStats::calc1DJMDistance
+    (src/rastergis/RSGISRATStats.cpp:130-141): sum over shared bins of
+    sqrt(p1_i * p2_i), dist = sqrt(2*(1 - sum)).  Determinism: each
+    bin term sqrt(n1_i*n2_i / (N1*N2)) is one exact-int division + one
+    sqrt, 2^30-quantized BEFORE summation so the (order-unspecified)
+    aggregation is an exact integer sum; the final
+    sqrt((1 - sum/2^30)*2) is three more correctly-rounded ops."""
+    n1t, n2t = int(sum(c1.values())), int(sum(c2.values()))
+    out["image_id"].append(image_id)
+    out["n1"].append(n1t)
+    out["n2"].append(n2t)
+    if n1t == 0 or n2t == 0:
+        out["n_bins"].append(0)
+        out["sum_bc_q"].append(-1)
+        out["jm_q"].append(-1)
+        return
+    den = float(n1t * n2t)
+    shared = set(c1) & set(c2)
+    sq = 0
+    for b in shared:
+        t = np.sqrt(float(c1[b] * c2[b]) / den)
+        sq += int(np.floor(t * _BCQ))
+    u = float(sq) / _BCQ
+    jm = np.sqrt((1.0 - u) * 2.0)
+    out["n_bins"].append(len(shared))
+    out["sum_bc_q"].append(sq)
+    out["jm_q"].append(int(np.floor(jm * _Q)))
+
+
+def _cls_split(v, pmax):
+    cls = (v * 4) // pmax
+    return cls == 0, cls == 1
+
+
+def jm_dist_stats(images: DataFrame) -> DataFrame:
+    """rastergis.calc_1d_jm_distance: JM distance between the BAND-2
+    value histograms of quartile classes 0 and 1 (class col = b1
+    quartile, var col = b2 — overlapping supports, binWidth 1 on the
+    integer values)."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _JM_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                mv = v[:, ::-1]
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                m0, m1 = _cls_split(v, pmax)
+                c1 = dict(zip(*[a.tolist() for a in
+                                np.unique(mv[m0], return_counts=True)]))
+                c2 = dict(zip(*[a.tolist() for a in
+                                np.unique(mv[m1], return_counts=True)]))
+                _jm_from_hists(out, image_id, None, c1, None, c2)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_JM_SCHEMA)
+
+
+def jm2d_dist_stats(images: DataFrame) -> DataFrame:
+    """rastergis.calc_2d_jm_distance: the same JM over the 2-D
+    histogram of (b2, b1 % 64) — two var columns, both with
+    cross-class support."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _JM_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                mv = v[:, ::-1]
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                m0, m1 = _cls_split(v, pmax)
+                key = mv * 64 + (v % 64)   # 2-D bin packed
+                c1 = dict(zip(*[a.tolist() for a in
+                                np.unique(key[m0], return_counts=True)]))
+                c2 = dict(zip(*[a.tolist() for a in
+                                np.unique(key[m1], return_counts=True)]))
+                _jm_from_hists(out, image_id, None, c1, None, c2)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_JM_SCHEMA)

@@ -5146,3 +5146,48 @@ SELECT c.image_id, CAST(count(*) AS BIGINT) AS n_cand,
 FROM ycr c JOIN ysel s ON s.image_id = c.image_id AND s.v = c.v
 GROUP BY c.image_id
 """
+
+
+# JM distances (RSGISRATStats::calc1DJMDistance / calc2DJMDistance,
+# src/rastergis/RSGISRATStats.cpp:130-141) — twins of
+# histmetrics.jm_dist_stats / jm2d_dist_stats (per-bin 2^30
+# quantization makes the Bhattacharyya-coefficient sum order-free).
+def _jm_oracle(bin_expr: str) -> str:
+    return f"""
+{_PREFIX},
+{_IC_PLANE},
+jmn AS (SELECT image_id,
+               CAST(sum(CASE WHEN (v * 4) // {_IC_PM} = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS nt1,
+               CAST(sum(CASE WHEN (v * 4) // {_IC_PM} = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS nt2
+        FROM icpxy GROUP BY image_id),
+jh1 AS (SELECT image_id, {bin_expr} AS b, count(*) AS n
+        FROM icpxy WHERE (v * 4) // {_IC_PM} = 0
+        GROUP BY image_id, {bin_expr}),
+jh2 AS (SELECT image_id, {bin_expr} AS b, count(*) AS n
+        FROM icpxy WHERE (v * 4) // {_IC_PM} = 1
+        GROUP BY image_id, {bin_expr}),
+jbc AS (SELECT a.image_id, count(*) AS nb,
+               CAST(sum(CAST(floor(sqrt(CAST(a.n * b.n AS DOUBLE)
+                    / CAST(t.nt1 * t.nt2 AS DOUBLE))
+                    * 1073741824.0) AS BIGINT)) AS BIGINT) AS sq
+        FROM jh1 a
+        JOIN jh2 b ON b.image_id = a.image_id AND b.b = a.b
+        JOIN jmn t ON t.image_id = a.image_id
+        GROUP BY a.image_id)
+SELECT t.image_id, t.nt1 AS n1, t.nt2 AS n2,
+       CAST(CASE WHEN t.nt1 = 0 OR t.nt2 = 0 THEN 0
+            ELSE coalesce(c.nb, 0) END AS BIGINT) AS n_bins,
+       CAST(CASE WHEN t.nt1 = 0 OR t.nt2 = 0 THEN -1
+            ELSE coalesce(c.sq, 0) END AS BIGINT) AS sum_bc_q,
+       CAST(CASE WHEN t.nt1 = 0 OR t.nt2 = 0 THEN -1
+            ELSE floor(sqrt((CAST(1 AS DOUBLE)
+                 - CAST(coalesce(c.sq, 0) AS DOUBLE) / 1073741824.0)
+                 * CAST(2 AS DOUBLE)) * 1048576.0) END AS BIGINT) AS jm_q
+FROM jmn t LEFT JOIN jbc c ON c.image_id = t.image_id
+"""
+
+
+ORACLES["jm_dist"] = _jm_oracle("mv")
+ORACLES["jm2d_dist"] = _jm_oracle("(mv * 64 + (v % 64))")

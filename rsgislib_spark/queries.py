@@ -38,7 +38,8 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
 from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
                                     saturated_stats, sref_6s_stats,
                                     thermal_brightness_stats)
-from .operators.histmetrics import (bhatt_dist_stats, yen_threshold_stats)
+from .operators.histmetrics import (bhatt_dist_stats, jm2d_dist_stats,
+                                    jm_dist_stats, yen_threshold_stats)
 from .operators.classification import (class_accuracy_stats,
                                        regression_stats, strat_sample)
 from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
@@ -985,6 +986,24 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_jm_dist(spark, sf_dir) -> DataFrame:
+    """rastergis.calc_1d_jm_distance (RSGISRATStats.cpp:130-141):
+    JM = sqrt(2(1 - sum_i sqrt(p1_i p2_i))) over the shared band-2
+    value bins of quartile classes 0 and 1; per-bin terms are
+    2^30-quantized exact-int-ratio sqrts so the sum is order-free."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return jm_dist_stats(img) \
+        .select("image_id", "n1", "n2", "n_bins", "sum_bc_q", "jm_q")
+
+
+def q_jm2d_dist(spark, sf_dir) -> DataFrame:
+    """rastergis.calc_2d_jm_distance: same JM over the 2-D histogram
+    of (b2, b1 % 64) packed bins."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return jm2d_dist_stats(img) \
+        .select("image_id", "n1", "n2", "n_bins", "sum_bc_q", "jm_q")
 
 
 def q_thermal_bright(spark, sf_dir) -> DataFrame:
@@ -2634,6 +2653,8 @@ QUERIES = {
     "stats_in_env": q_stats_in_env,
     "column_summary": q_column_summary,
     "thermal_bright": q_thermal_bright,
+    "jm_dist": q_jm_dist,
+    "jm2d_dist": q_jm2d_dist,
     "bhatt_dist": q_bhatt_dist,
     "yen_threshold": q_yen_threshold,
     "strat_sample": q_strat_sample,

@@ -102,3 +102,29 @@ def test_yen_rationalisation_matches_skimage_form():
                - (ln_pos_np(a1) + ln_pos_np(a2)))
         assert np.allclose(ref, eng, rtol=0, atol=1e-7)
         assert int(np.argmax(eng)) == int(np.argmax(ref))
+
+
+def test_jm_matches_reference_float_form():
+    """Quantized-bin JM vs the straight RSGISRATStats.cpp:130-141
+    float transcription — within the 2^-30-per-bin quantization."""
+    for v, pmax in _planes(n=8):
+        mv = v[:, ::-1]
+        cls = (v * 4) // pmax
+        h1 = {}
+        h2 = {}
+        for b, c in zip(*np.unique(mv[cls == 0], return_counts=True)):
+            h1[int(b)] = int(c)
+        for b, c in zip(*np.unique(mv[cls == 1], return_counts=True)):
+            h2[int(b)] = int(c)
+        n1, n2 = sum(h1.values()), sum(h2.values())
+        if n1 == 0 or n2 == 0:
+            continue
+        ref = sum(math.sqrt((h1[b] / n1) * (h2[b] / n2))
+                  for b in set(h1) & set(h2))
+        ref_jm = math.sqrt(2 * (1 - ref))
+        sq = sum(int(np.floor(np.sqrt(float(h1[b] * h2[b])
+                                      / float(n1 * n2)) * 1073741824.0))
+                 for b in set(h1) & set(h2))
+        eng_jm = np.sqrt((1.0 - sq / 1073741824.0) * 2.0)
+        assert abs(ref_jm - eng_jm) < 1e-5
+        assert 0.0 < eng_jm < math.sqrt(2) + 1e-9
