@@ -35,7 +35,7 @@ from ..functions import codec
 
 __all__ = ["solar_distance", "toa_consts", "radiance_toa_stats",
            "DEFAULT_CAL", "DEFAULT_6S", "sref_6s_stats",
-           "dos_subtract_stats", "saturated_stats", "thermal_brightness_stats", "THERM_K1", "THERM_K2"]
+           "dos_subtract_stats", "saturated_stats", "thermal_brightness_stats", "THERM_K1", "THERM_K2", "spot_radiance_stats", "SPOT_GAINS", "subtract_offsets_stats", "SUB_OFFSETS"]
 
 
 def solar_distance(day_of_year: int) -> float:
@@ -321,3 +321,97 @@ def thermal_brightness_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_THB_SCHEMA)
+
+
+# SPOT5-style physical gains/biases for the two synthetic bands
+SPOT_GAINS = ((1.264, 0.52), (1.402, 0.31))
+
+_SPOT_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("band", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_l_q", LongType()),
+    StructField("min_l_q", LongType()),
+    StructField("max_l_q", LongType()),
+])
+
+
+def spot_radiance_stats(images: DataFrame, gains=SPOT_GAINS) -> DataFrame:
+    """imagecalibration.spot5_to_radiance
+    (RSGISSPOTRadianceCalibration::calcImageValue,
+    src/calibration/RSGISStandardDN2RadianceCalibration.cpp:107:
+    L = DN/gain + bias — SPOT's physical gain DIVIDES).  Gains/biases
+    are shared dlit literals; per-pixel tree is one division + one
+    add, 2^20-quantized."""
+    import numpy as _np
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SPOT_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(_np.int64)
+                for bi, ((g, b), dn) in enumerate(
+                        zip(gains, (v, v[:, ::-1])), start=1):
+                    L = dn.astype(_np.float64) / g + b
+                    q = _np.floor(L * 1048576.0).astype(_np.int64)
+                    out["image_id"].append(image_id)
+                    out["band"].append(bi)
+                    out["n_pix"].append(int(q.size))
+                    out["sum_l_q"].append(int(q.sum()))
+                    out["min_l_q"].append(int(q.min()))
+                    out["max_l_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SPOT_SCHEMA)
+
+
+# constant per-band dark offsets for apply_subtract_offsets
+SUB_OFFSETS = (17, 42)
+
+_SUBO_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("band", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("n_nodata", LongType()),
+    StructField("n_lifted", LongType()),
+    StructField("sum_out", LongType()),
+])
+
+
+def subtract_offsets_stats(images: DataFrame,
+                           offsets=SUB_OFFSETS) -> DataFrame:
+    """imagecalibration.apply_subtract_offsets
+    (RSGISApplyDarkObjSubtractOffsets::calcImageValue,
+    src/calibration/RSGISApplySubtractOffsets.cpp — the CONSTANT
+    per-band offset variant of dos_subtract): out = v - off with
+    nonNegative (<= 0 -> 1) and nodata-0 pass-through; pure int64.
+    ``n_lifted`` counts the nonNegative branch so it provably fires."""
+    import numpy as _np
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SUBO_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(_np.int64)
+                for bi, (off, dn) in enumerate(
+                        zip(offsets, (v, v[:, ::-1])), start=1):
+                    nodata = dn == 0
+                    res = dn - off
+                    lifted = (res <= 0) & ~nodata
+                    res = _np.where(res <= 0, 1, res)
+                    res = _np.where(nodata, 0, res)
+                    out["image_id"].append(image_id)
+                    out["band"].append(bi)
+                    out["n_pix"].append(int(res.size))
+                    out["n_nodata"].append(int(nodata.sum()))
+                    out["n_lifted"].append(int(lifted.sum()))
+                    out["sum_out"].append(int(res.sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SUBO_SCHEMA)

@@ -308,3 +308,97 @@ def norm_pxl_stats(images: DataFrame) -> DataFrame:
         out["sum_norm_q"].append(int(q.sum()))
 
     return _simple(images, _NORM_SCHEMA, one)
+
+
+# 4-class colour table (class -> r, g, b), shared with the SQL oracle
+CLR_TABLE = ((166, 206, 227), (31, 120, 180), (178, 223, 138),
+             (51, 160, 44))
+
+_CLR_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cls", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_r", LongType()),
+    StructField("sum_g", LongType()),
+    StructField("sum_b", LongType()),
+])
+
+
+def colour_classes_stats(images: DataFrame) -> DataFrame:
+    """classification.gen_rgb_img_from_clr_tbl +
+    rastergis.colour_rat_classes (python/src method tables): map the
+    quartile class plane through the colour table; per (image, class)
+    pixel count and the exact r/g/b sums of the rendered plane."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _CLR_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                cls = (v * 4) // pmax
+                for c, (r, g, b) in enumerate(CLR_TABLE):
+                    n = int((cls == c).sum())
+                    out["image_id"].append(image_id)
+                    out["cls"].append(c)
+                    out["n_pix"].append(n)
+                    out["sum_r"].append(n * r)
+                    out["sum_g"].append(n * g)
+                    out["sum_b"].append(n * b)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_CLR_SCHEMA)
+
+
+_TSF_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_ref1", LongType()),
+    StructField("n_ref2", LongType()),
+    StructField("n_ref3", LongType()),
+    StructField("n_unfilled", LongType()),
+    StructField("sum_comp", LongType()),
+    StructField("ref_ck", LongType()),
+])
+
+
+def ts_fill_composite_stats(images: DataFrame) -> DataFrame:
+    """imageutils.gen_timeseries_fill_composite_img (python/src/
+    imageutils.cpp:2706): walk the date-ordered image stack and take
+    the first VALID observation per pixel, recording which reference
+    image filled it.  Dates here are the plane and two deterministic
+    circular shifts; validity = value % 5 != 0 (so ~20% gaps chain
+    through the stack and the unfilled branch occurs).  All integer."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _TSF_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                dates = (v, np.roll(v, 3, axis=1), np.roll(v, 5, axis=0))
+                comp = np.zeros_like(v)
+                ref = np.zeros_like(v)
+                for i, p in enumerate(dates, start=1):
+                    take = (ref == 0) & (p % 5 != 0)
+                    comp = np.where(take, p, comp)
+                    ref = np.where(take, i, ref)
+                ww = int(w)
+                ys, xs = np.nonzero(ref)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(v.size))
+                out["n_ref1"].append(int((ref == 1).sum()))
+                out["n_ref2"].append(int((ref == 2).sum()))
+                out["n_ref3"].append(int((ref == 3).sum()))
+                out["n_unfilled"].append(int((ref == 0).sum()))
+                out["sum_comp"].append(int(comp.sum()))
+                out["ref_ck"].append(int((ref[ys, xs]
+                                          * (ys * ww + xs)).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_TSF_SCHEMA)

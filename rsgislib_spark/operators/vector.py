@@ -393,3 +393,66 @@ def merge_layers(layers, allow_missing: bool = True) -> DataFrame:
     for lyr in layers[1:]:
         out = out.unionByName(lyr, allowMissingColumns=allow_missing)
     return out
+
+
+_VM_ALLOWED = (
+    "Expression", "Name", "Load", "Constant", "BinOp", "UnaryOp",
+    "Add", "Sub", "Mult", "Div", "UAdd", "USub",
+)
+
+
+def vector_maths(df, out_col: str, expr: str, allowed_cols=None):
+    """vectorutils.vector_maths (python/src/vectorutils method table;
+    muParser expression over attribute columns creating a new column).
+
+    The expression is validated against an arithmetic-only AST
+    whitelist (same sandbox discipline as imagemath.validate_band_math
+    — no calls, attributes, subscripts), then handed to Catalyst via
+    ``F.expr`` so the JVM evaluates the IDENTICAL text the DuckDB
+    oracle runs: both engines execute the same IEEE tree.  Keep at most
+    one additive constant per expression (NOTES determinism lesson 2 —
+    Catalyst folds constant chains)."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    names = allowed_cols if allowed_cols is not None else set(df.columns)
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _VM_ALLOWED:
+            raise ValueError(f"vector_maths: disallowed syntax {kind!r}")
+        if isinstance(node, ast.Name) and node.id not in names:
+            raise ValueError(f"vector_maths: unknown column {node.id!r}")
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def lines_of_points(pts, order_col: str = "qid",
+                    x_col: str = "qlon", y_col: str = "qlat"):
+    """vectorutils.create_lines_of_points: consecutive points (in
+    ``order_col`` order) become line segments.  Output: one row per
+    segment with both endpoints and the 2^20-quantized length — the
+    length tree (dx*dx + dy*dy -> sqrt) is pinned and mirrored in the
+    oracle."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    seg = (pts
+           .withColumn("x2", F.lead(x_col).over(w))
+           .withColumn("y2", F.lead(y_col).over(w))
+           .where(F.col("x2").isNotNull()))
+    dx = F.col("x2") - F.col(x_col)
+    dy = F.col("y2") - F.col(y_col)
+    return seg.select(
+        F.col(order_col).alias("seg_id"),
+        F.col(x_col).alias("x1"), F.col(y_col).alias("y1"),
+        "x2", "y2",
+        F.floor(F.sqrt(dx * dx + dy * dy)
+                * F.lit(1048576.0)).cast("long").alias("len_q"))
+
+
+# vector_maths expressions shared verbatim with the DuckDB oracle —
+# same text, same IEEE tree in both engines
+VM_EXPRS = {
+    "area": "(zxmax - zxmin) * (zymax - zymin)",
+    "peri": "((zxmax - zxmin) + (zymax - zymin)) * 2.0",
+    "aspect_ratio": "(zxmax - zxmin) / (zymax - zymin)",
+}

@@ -5191,3 +5191,133 @@ FROM jmn t LEFT JOIN jbc c ON c.image_id = t.image_id
 
 ORACLES["jm_dist"] = _jm_oracle("mv")
 ORACLES["jm2d_dist"] = _jm_oracle("(mv * 64 + (v % 64))")
+
+
+# ------------------------------- vector maths / lines / misc calibration
+from .operators.vector import VM_EXPRS as _VME  # noqa: E402
+from .operators.calibration import (SPOT_GAINS as _SPG,  # noqa: E402
+                                    SUB_OFFSETS as _SBO)
+from .operators.imgcalcmisc import CLR_TABLE as _CLRT  # noqa: E402
+
+ORACLES["vec_maths"] = f"""
+{_PREFIX}
+SELECT CAST(zone_id AS BIGINT) AS zone_id, zname,
+       {_VME["area"]} AS area,
+       {_VME["peri"]} AS peri,
+       {_VME["aspect_ratio"]} AS aspect_ratio
+FROM zones
+"""
+
+ORACLES["lines_points"] = f"""
+{_PREFIX},
+lp AS (SELECT qid, qlon, qlat,
+              lead(qlon) OVER (ORDER BY qid) AS x2,
+              lead(qlat) OVER (ORDER BY qid) AS y2
+       FROM qpts)
+SELECT CAST(qid AS BIGINT) AS seg_id, qlon AS x1, qlat AS y1, x2, y2,
+       CAST(floor(sqrt((x2 - qlon) * (x2 - qlon)
+                       + (y2 - qlat) * (y2 - qlat)) * 1048576.0)
+            AS BIGINT) AS len_q
+FROM lp WHERE x2 IS NOT NULL
+"""
+
+_CLR_CASE_R = "".join(f"WHEN {c} THEN {r} "
+                      for c, (r, g, b) in enumerate(_CLRT))
+_CLR_CASE_G = "".join(f"WHEN {c} THEN {g} "
+                      for c, (r, g, b) in enumerate(_CLRT))
+_CLR_CASE_B = "".join(f"WHEN {c} THEN {b} "
+                      for c, (r, g, b) in enumerate(_CLRT))
+
+ORACLES["colour_classes"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+ccl AS (SELECT i.image_id, c.cls FROM (SELECT DISTINCT image_id
+                                       FROM icpxy) i
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS cls) c),
+cca AS (SELECT image_id, (v * 4) // {_IC_PM} AS cls, count(*) AS n
+        FROM icpxy GROUP BY image_id, (v * 4) // {_IC_PM})
+SELECT l.image_id, CAST(l.cls AS BIGINT) AS cls,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_pix,
+       CAST(coalesce(a.n, 0) * (CASE l.cls {_CLR_CASE_R}END)
+            AS BIGINT) AS sum_r,
+       CAST(coalesce(a.n, 0) * (CASE l.cls {_CLR_CASE_G}END)
+            AS BIGINT) AS sum_g,
+       CAST(coalesce(a.n, 0) * (CASE l.cls {_CLR_CASE_B}END)
+            AS BIGINT) AS sum_b
+FROM ccl l LEFT JOIN cca a
+  ON a.image_id = l.image_id AND a.cls = l.cls
+"""
+
+ORACLES["spot_radiance"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+spq AS (SELECT image_id, 1 AS band,
+               CAST(floor((CAST(v AS DOUBLE) / {_dlit(_SPG[0][0])}
+                           + {_dlit(_SPG[0][1])}) * 1048576.0)
+                    AS BIGINT) AS q
+        FROM icpxy
+        UNION ALL
+        SELECT image_id, 2 AS band,
+               CAST(floor((CAST(mv AS DOUBLE) / {_dlit(_SPG[1][0])}
+                           + {_dlit(_SPG[1][1])}) * 1048576.0)
+                    AS BIGINT) AS q
+        FROM icpxy)
+SELECT image_id, CAST(band AS BIGINT) AS band, count(*) AS n_pix,
+       CAST(sum(q) AS BIGINT) AS sum_l_q,
+       CAST(min(q) AS BIGINT) AS min_l_q,
+       CAST(max(q) AS BIGINT) AS max_l_q
+FROM spq GROUP BY image_id, band
+"""
+
+ORACLES["subtract_offsets"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+sbo AS (SELECT image_id, band, dn,
+               CASE WHEN dn = 0 THEN 0
+                    WHEN dn - off <= 0 THEN 1
+                    ELSE dn - off END AS res,
+               CASE WHEN dn = 0 THEN 1 ELSE 0 END AS nd,
+               CASE WHEN dn <> 0 AND dn - off <= 0 THEN 1 ELSE 0 END
+                 AS lifted
+        FROM (SELECT image_id, v AS dn, 1 AS band, {_SBO[0]} AS off
+              FROM icpxy
+              UNION ALL
+              SELECT image_id, mv AS dn, 2 AS band, {_SBO[1]} AS off
+              FROM icpxy) sb)
+SELECT image_id, CAST(band AS BIGINT) AS band, count(*) AS n_pix,
+       CAST(sum(nd) AS BIGINT) AS n_nodata,
+       CAST(sum(lifted) AS BIGINT) AS n_lifted,
+       CAST(sum(res) AS BIGINT) AS sum_out
+FROM sbo GROUP BY image_id, band
+"""
+
+_TS_P1 = _PXV
+_TS_P2 = synth.pixel_value_sql("id", "((x + w - 3) % w)", "y", "fmt")
+_TS_P3 = synth.pixel_value_sql("id", "x", "((y + h - 5) % h)", "fmt")
+
+ORACLES["ts_fill_composite"] = f"""
+{_PREFIX},
+tfx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+tfp AS (SELECT image_id, w, x, unnest(generate_series(0, h - 1)) AS y,
+               id, h, fmt
+        FROM tfx),
+tfr AS (SELECT image_id, w, x, y,
+               {_TS_P1} AS p1, {_TS_P2} AS p2, {_TS_P3} AS p3,
+               CASE WHEN {_TS_P1} % 5 <> 0 THEN 1
+                    WHEN {_TS_P2} % 5 <> 0 THEN 2
+                    WHEN {_TS_P3} % 5 <> 0 THEN 3
+                    ELSE 0 END AS ref
+        FROM tfp)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(CASE WHEN ref = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref1,
+       CAST(sum(CASE WHEN ref = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref2,
+       CAST(sum(CASE WHEN ref = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref3,
+       CAST(sum(CASE WHEN ref = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unfilled,
+       CAST(sum(CASE ref WHEN 1 THEN p1 WHEN 2 THEN p2
+                WHEN 3 THEN p3 ELSE 0 END) AS BIGINT) AS sum_comp,
+       CAST(sum(ref * (y * w + x)) AS BIGINT) AS ref_ck
+FROM tfr GROUP BY image_id
+"""

@@ -36,7 +36,8 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   rat_table, rel_diff_neigh_stats,
                                   select_clumps_on_grid)
 from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
-                                    saturated_stats, sref_6s_stats,
+                                    saturated_stats, spot_radiance_stats,
+                                    sref_6s_stats, subtract_offsets_stats,
                                     thermal_brightness_stats)
 from .operators.histmetrics import (bhatt_dist_stats, jm2d_dist_stats,
                                     jm_dist_stats, yen_threshold_stats)
@@ -46,10 +47,11 @@ from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
 from .operators.imgcalcmisc import (all_bands_equal_stats,
-                                    band_rmse_stats, column_summary_stats,
+                                    band_rmse_stats, colour_classes_stats,
+                                    column_summary_stats,
                                     mean_in_mask_stats, norm_pxl_stats,
                                     prop_true_stats, rescale_stats,
-                                    stats_in_env)
+                                    stats_in_env, ts_fill_composite_stats)
 from .operators.elevation import (aspect_cat_stats, detrend_stats,
                                   hillshade_stats, shadow_mask_stats,
                                   slope_class_stats)
@@ -59,6 +61,7 @@ from .operators.segmentation import (eliminate_small_segments,
                                      segment_means, union_clumps)
 from .operators.rasterize import clump_stats, polygonize_bboxes, rasterize_window
 from .operators import vector as vec
+from .operators.vector import VM_EXPRS, lines_of_points, vector_maths
 from .operators.imagestats import (imgs_equal_stats, pixel_histogram,
                                    pixel_stats)
 from .operators.knn import knn_classify, match_closest_points, npts_in_radius
@@ -986,6 +989,65 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_vec_maths(spark, sf_dir) -> DataFrame:
+    """vectorutils.vector_maths: sandboxed arithmetic expressions over
+    attribute columns, handed verbatim to Catalyst AND DuckDB
+    (identical IEEE tree; operators/vector.py VM_EXPRS)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    for name, expr in VM_EXPRS.items():
+        zones = vector_maths(zones, name, expr)
+    return zones.select("zone_id", "zname", "area", "peri",
+                        "aspect_ratio")
+
+
+def q_lines_points(spark, sf_dir) -> DataFrame:
+    """vectorutils.create_lines_of_points: consecutive query points
+    (qid order) -> line segments with 2^20-quantized lengths."""
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    return lines_of_points(qpts) \
+        .select("seg_id", "x1", "y1", "x2", "y2", "len_q")
+
+
+def q_colour_classes(spark, sf_dir) -> DataFrame:
+    """classification.gen_rgb_img_from_clr_tbl +
+    rastergis.colour_rat_classes: quartile class plane through the
+    shared colour table; per (image, class) exact r/g/b sums."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return colour_classes_stats(img) \
+        .select("image_id", "cls", "n_pix", "sum_r", "sum_g", "sum_b")
+
+
+def q_spot_radiance(spark, sf_dir) -> DataFrame:
+    """imagecalibration.spot5_to_radiance
+    (RSGISStandardDN2RadianceCalibration.cpp:107: L = DN/gain + bias —
+    the gain DIVIDES, unlike the Landsat multi/add form)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return spot_radiance_stats(img) \
+        .select("image_id", "band", "n_pix", "sum_l_q", "min_l_q",
+                "max_l_q")
+
+
+def q_subtract_offsets(spark, sf_dir) -> DataFrame:
+    """imagecalibration.apply_subtract_offsets (constant per-band
+    offsets; RSGISApplySubtractOffsets.cpp): nonNegative lift + nodata
+    pass-through, branch populations counted."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return subtract_offsets_stats(img) \
+        .select("image_id", "band", "n_pix", "n_nodata", "n_lifted",
+                "sum_out")
+
+
+def q_ts_fill_composite(spark, sf_dir) -> DataFrame:
+    """imageutils.gen_timeseries_fill_composite_img
+    (python/src/imageutils.cpp:2706): first-valid-by-date composite
+    with fill-reference tracking; dates = the plane + two circular
+    shifts, validity = v % 5 != 0."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return ts_fill_composite_stats(img) \
+        .select("image_id", "n_pix", "n_ref1", "n_ref2", "n_ref3",
+                "n_unfilled", "sum_comp", "ref_ck")
 
 
 def q_jm_dist(spark, sf_dir) -> DataFrame:
@@ -2655,6 +2717,12 @@ QUERIES = {
     "thermal_bright": q_thermal_bright,
     "jm_dist": q_jm_dist,
     "jm2d_dist": q_jm2d_dist,
+    "vec_maths": q_vec_maths,
+    "lines_points": q_lines_points,
+    "colour_classes": q_colour_classes,
+    "spot_radiance": q_spot_radiance,
+    "subtract_offsets": q_subtract_offsets,
+    "ts_fill_composite": q_ts_fill_composite,
     "bhatt_dist": q_bhatt_dist,
     "yen_threshold": q_yen_threshold,
     "strat_sample": q_strat_sample,

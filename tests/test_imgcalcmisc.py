@@ -73,3 +73,27 @@ def test_mode_tie_rule_first_max():
     # the reference's strict-> scan (RSGISMathsUtils.cpp:711-723)
     a = np.array([5, 5, 2, 2, 9], dtype=np.int64)
     assert int(np.bincount(a).argmax()) == 2
+
+
+def test_ts_fill_all_branches_live():
+    from rsgislib_spark.operators.imgcalcmisc import CLR_TABLE
+    assert len(CLR_TABLE) == 4
+    refs = [0, 0, 0, 0]
+    for img_id, v, _ in _imgs(n=40):
+        dates = (v, np.roll(v, 3, axis=1), np.roll(v, 5, axis=0))
+        ref = np.zeros_like(v)
+        for i, p in enumerate(dates, start=1):
+            take = (ref == 0) & (p % 5 != 0)
+            ref = np.where(take, i, ref)
+        for i in range(4):
+            refs[i] += int((ref == i).sum())
+    # every fill source AND the unfilled branch occur on the corpus
+    assert all(r > 0 for r in refs), refs
+
+
+def test_subtract_offsets_lift_branch_fires():
+    total = 0
+    for _, v, m in _imgs(n=20):
+        for off, dn in ((17, v), (42, m)):
+            total += int(((dn != 0) & (dn - off <= 0)).sum())
+    assert total > 0
