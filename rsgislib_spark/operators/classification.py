@@ -40,7 +40,8 @@ from pyspark.sql.types import (LongType, StringType, StructField,
 
 from ..functions import codec
 
-__all__ = ["class_accuracy_stats", "regression_stats", "strat_sample"]
+__all__ = ["class_accuracy_stats", "regression_stats", "strat_sample",
+           "global_class_stats", "GCS_MEAN_EXPR", "GCS_STD_EXPR"]
 
 _Q = 1048576.0  # 2^20 dyadic quantizer (exact power-of-two multiply)
 _K = 4          # number of classes
@@ -260,3 +261,67 @@ def strat_sample(images: DataFrame, n_per_cls: int = 3) -> DataFrame:
 
     return images.select("image_id", "id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_SAMP_SCHEMA)
+
+
+_GCS_PART_SCHEMA = StructType([
+    StructField("fmt", StringType()),
+    StructField("cls", LongType()),
+    StructField("n", LongType()),
+    StructField("s", LongType()),
+    StructField("s2", LongType()),
+    StructField("mn", LongType()),
+    StructField("mx", LongType()),
+])
+
+# shared Catalyst/DuckDB finalisation expressions (identical text)
+GCS_MEAN_EXPR = ("CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+                 "* 1048576.0) AS BIGINT)")
+GCS_STD_EXPR = ("CAST(floor(sqrt(CAST(n * s2 - s * s AS DOUBLE) "
+                "/ CAST(n * n AS DOUBLE)) * 1048576.0) AS BIGINT)")
+
+
+def global_class_stats(images: DataFrame) -> DataFrame:
+    """rastergis.get_global_class_stats (python/src/rastergis method
+    table): per-class statistics over the WHOLE corpus, not per image
+    — the one genuinely global aggregate in the classification family.
+
+    Shape: kernels emit tiny per-image per-(fmt, class) moment partials
+    (7 ints/row), then ONE shuffle of those partials reduces to 12
+    rows; mean/std finalisation runs as the same SQL text in Catalyst
+    (F.expr) and DuckDB.  n*s2 stays < 2^63 up to ~sf0.1 corpus sizes
+    (documented bound)."""
+    import pyspark.sql.functions as F
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _GCS_PART_SCHEMA.fields}
+            for buf, w, h, fmt in zip(pdf["bytes"], pdf["w"], pdf["h"],
+                                      pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                cls = (v * _K) // pmax
+                for c in range(_K):
+                    sel = cls == c
+                    if not sel.any():
+                        continue
+                    vs = v[sel]
+                    out["fmt"].append(str(fmt))
+                    out["cls"].append(c)
+                    out["n"].append(int(vs.size))
+                    out["s"].append(int(vs.sum()))
+                    out["s2"].append(int((vs * vs).sum()))
+                    out["mn"].append(int(vs.min()))
+                    out["mx"].append(int(vs.max()))
+            yield pd.DataFrame(out)
+
+    parts = images.select("bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_GCS_PART_SCHEMA)
+    agg = parts.groupBy("fmt", "cls").agg(
+        F.sum("n").alias("n"), F.sum("s").alias("s"),
+        F.sum("s2").alias("s2"), F.min("mn").alias("min_v"),
+        F.max("mx").alias("max_v"))
+    return agg.select(
+        "fmt", "cls", "n", "s", "min_v", "max_v",
+        F.expr(GCS_MEAN_EXPR).alias("mean_q"),
+        F.expr(GCS_STD_EXPR).alias("std_q"))

@@ -30,7 +30,10 @@ from pyspark.sql.types import (LongType, StringType, StructField,
 from ..functions import codec
 from ..functions.detmath import LN2, ln_pos_np
 
-__all__ = ["bhatt_dist_stats", "yen_threshold_stats", "jm_dist_stats", "jm2d_dist_stats"]
+__all__ = ["bhatt_dist_stats", "yen_threshold_stats", "jm_dist_stats",
+           "jm2d_dist_stats", "isodata_threshold_stats",
+           "cross_entropy_stats", "li_threshold_stats", "CE_THRESHOLD",
+           "LI_ROUNDS"]
 
 _Q = 1048576.0
 
@@ -249,3 +252,153 @@ def jm2d_dist_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_JM_SCHEMA)
+
+
+_ISO_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_fixed", LongType()),
+    StructField("thr_v", LongType()),
+])
+
+
+def isodata_threshold_stats(images: DataFrame) -> DataFrame:
+    """tools.stats.calc_isodata_threshold (tools/stats.py:717,
+    Ridler-Calvard inter-means, after scikit-image) on the exact
+    value-level histogram: threshold = first value v (ascending) with
+    0 <= (lower+higher)/2 - v < 1.  The predicate cross-multiplies to
+    the PURE INTEGER test  2v*b*d <= a*d + c*b < (2v+2)*b*d  with
+    a/b = mean below, c/d = mean above — no floats anywhere."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _ISO_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                vals, cnts = np.unique(v, return_counts=True)
+                N = int(cnts.sum())
+                Stot = int((vals * cnts).sum())
+                b = np.cumsum(cnts)
+                a = np.cumsum(vals * cnts)
+                keep = b < N
+                vv, bb, aa = vals[keep], b[keep], a[keep]
+                cc, dd = Stot - aa, N - bb
+                lhs = aa * dd + cc * bb
+                lo = 2 * vv * bb * dd
+                hit = (lo <= lhs) & (lhs < lo + 2 * bb * dd)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(N)
+                out["n_fixed"].append(int(hit.sum()))
+                out["thr_v"].append(
+                    int(vv[hit][0]) if hit.any() else -1)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_ISO_SCHEMA)
+
+
+_CE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_lo", LongType()),
+    StructField("n_hi", LongType()),
+    StructField("ce_q", LongType()),
+])
+
+CE_THRESHOLD = 100  # on the +1-offset plane (reference min<1 rule)
+
+
+def cross_entropy_stats(images: DataFrame,
+                        threshold: int = CE_THRESHOLD) -> DataFrame:
+    """tools.stats.calc_hist_cross_entropy (tools/stats.py:787, Li &
+    Lee 1993 eq. 8): nu = -m1a ln(mua) - m1b ln(mub) on the exact
+    value-level histogram of the +1-offset plane (values include 0, so
+    the reference's min<1 offset rule always applies).  m1* are exact
+    ratios S*/N, mu* exact ratios S*/N*; both ln's via the pinned
+    tree.  -1 sentinel when a side is empty."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _CE_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64) + 1
+                N = int(v.size)
+                lo = v <= threshold
+                na, sa = int(lo.sum()), int(v[lo].sum())
+                nb, sb = N - na, int(v.sum()) - sa
+                out["image_id"].append(image_id)
+                out["n_lo"].append(na)
+                out["n_hi"].append(nb)
+                if na == 0 or nb == 0:
+                    out["ce_q"].append(-1)
+                    continue
+                m1a = float(sa) / float(N)
+                m1b = float(sb) / float(N)
+                mua = float(sa) / float(na)
+                mub = float(sb) / float(nb)
+                nu = (0.0 - m1a * float(ln_pos_np(mua))) \
+                    - m1b * float(ln_pos_np(mub))
+                out["ce_q"].append(int(np.floor(nu * _Q)))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_CE_SCHEMA)
+
+
+_LI_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_fore", LongType()),
+    StructField("t_q", LongType()),
+])
+
+LI_ROUNDS = 16
+
+
+def li_threshold_stats(images: DataFrame,
+                       rounds: int = LI_ROUNDS) -> DataFrame:
+    """tools.stats.calc_li_threshold (tools/stats.py:834, Li & Lee
+    1993 gradient iteration, after scikit-image):
+    t <- (mean_back - mean_fore)/(ln mean_back - ln mean_fore),
+    started from the plane mean.  Engine variant (documented): a FIXED
+    unroll of 16 rounds replaces the data-dependent tolerance stop
+    (worst image converges by round 14 at the reference's 0.5
+    tolerance — pytest); the +1 offset rule
+    applies as in cross_entropy; degenerate rounds (one side empty or
+    equal means) carry t forward unchanged."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _LI_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64) + 1
+                N = int(v.size)
+                S = int(v.sum())
+                t = float(S) / float(N)
+                for _ in range(rounds):
+                    fore = v > t
+                    nf = int(fore.sum())
+                    nb = N - nf
+                    if nf == 0 or nb == 0:
+                        continue
+                    sf = int(v[fore].sum())
+                    mf = float(sf) / float(nf)
+                    mb = float(S - sf) / float(nb)
+                    if mb == mf:
+                        continue
+                    t = (mb - mf) / (float(ln_pos_np(mb))
+                                     - float(ln_pos_np(mf)))
+                nf = int((v > t).sum())
+                out["image_id"].append(image_id)
+                out["n_pix"].append(N)
+                out["n_fore"].append(nf)
+                out["t_q"].append(int(np.floor(t * _Q)))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_LI_SCHEMA)

@@ -402,3 +402,50 @@ def ts_fill_composite_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_TSF_SCHEMA)
+
+
+_CSH_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_cloud", LongType()),
+    StructField("n_shadow", LongType()),
+    StructField("shadow_ck", LongType()),
+])
+
+CSH_DMIN, CSH_DMAX = 3, 6  # projected shadow offset range in pixels
+
+
+def cloud_shadow_stats(images: DataFrame) -> DataFrame:
+    """imagecalibration.calc_cloud_shadow_mask (python/src/
+    imagecalibration.cpp method table): project the cloud mask along
+    the sun vector over the plausible cloud-height range and flag
+    non-cloud pixels the projection covers.  Engine variant
+    (documented): azimuth 270 (eastward cast), heights spanning
+    offsets 3..6 px — shadow(x) = OR of cloud(x-d), d in [3,6], i.e.
+    ONE sliding-window maximum per row (the SQL twin is a window frame
+    ROWS BETWEEN 6 PRECEDING AND 3 PRECEDING); cloud = bit 7 of the
+    value plane.  All integer."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _CSH_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                cloud = ((v // 128) % 2) == 1
+                sh = np.zeros_like(cloud)
+                for d in range(CSH_DMIN, CSH_DMAX + 1):
+                    sh[:, d:] |= cloud[:, :-d]
+                shadow = sh & ~cloud
+                ys, xs = np.nonzero(shadow)
+                ww = int(w)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(v.size))
+                out["n_cloud"].append(int(cloud.sum()))
+                out["n_shadow"].append(int(shadow.sum()))
+                out["shadow_ck"].append(int((ys * ww + xs).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_CSH_SCHEMA)

@@ -962,3 +962,49 @@ def select_clumps_on_grid(images: DataFrame, quant: int = 128,
     return (g.join(best, ["image_id", "clump_id"], "left")
             .select("image_id", "clump_id", "n_pix", "tile_row",
                     "tile_col", F.coalesce("sel", F.lit(0)).alias("sel")))
+
+
+_PV_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("n_valid", LongType()),
+    StructField("prop_q", LongType()),
+])
+
+
+def prop_valid_stats(images: DataFrame, quant: int = 128) -> DataFrame:
+    """rastergis.populate_rat_with_prop_valid_pxls (python/src/
+    rastergis method table): proportion of VALID pixels per clump,
+    validity = value % 5 != 0 (the engine's standing gap mask).  One
+    exact-int division per clump over the ``value // quant``
+    segmentation lattice (same labels as :func:`rat_table`)."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _PV_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                ys, xs = np.nonzero(lab)
+                ls = lab[ys, xs]
+                valid = (arr[ys, xs] % 5 != 0).astype(np.int64)
+                npix = np.bincount(ls, minlength=n + 1)[1:]
+                nval = np.bincount(ls, weights=valid,
+                                   minlength=n + 1)[1:].astype(np.int64)
+                out["image_id"].extend([image_id] * n)
+                out["clump_id"].extend(range(1, n + 1))
+                out["n_pix"].extend(int(x) for x in npix)
+                out["n_valid"].extend(int(x) for x in nval)
+                out["prop_q"].extend(
+                    int(np.floor((float(a) / float(b)) * 1048576.0))
+                    for a, b in zip(nval, npix))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_PV_SCHEMA)

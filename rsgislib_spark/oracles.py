@@ -5321,3 +5321,172 @@ SELECT image_id, count(*) AS n_pix,
        CAST(sum(ref * (y * w + x)) AS BIGINT) AS ref_ck
 FROM tfr GROUP BY image_id
 """
+
+
+# ------------------- thresholds (integer/ln), cloud shadow, global stats
+from .operators.histmetrics import (CE_THRESHOLD as _CET,  # noqa: E402
+                                    LI_ROUNDS as _LIR)
+from .operators.classification import (GCS_MEAN_EXPR as _GMQ,  # noqa: E402
+                                       GCS_STD_EXPR as _GSQ)
+from .operators.imgcalcmisc import (CSH_DMIN as _CSD0,  # noqa: E402
+                                    CSH_DMAX as _CSD1)
+
+ORACLES["isodata_thresh"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+ith AS (SELECT image_id, v, count(*) AS n
+        FROM icpxy GROUP BY image_id, v),
+itc AS (SELECT image_id, v,
+               sum(n) OVER w AS b, sum(v * n) OVER w AS a,
+               sum(n) OVER (PARTITION BY image_id) AS nn,
+               sum(v * n) OVER (PARTITION BY image_id) AS stot
+        FROM ith
+        WINDOW w AS (PARTITION BY image_id ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+itp AS (SELECT image_id, v, nn,
+               CASE WHEN 2 * v * b * (nn - b)
+                         <= a * (nn - b) + (stot - a) * b
+                     AND a * (nn - b) + (stot - a) * b
+                         < 2 * v * b * (nn - b) + 2 * b * (nn - b)
+                    THEN 1 ELSE 0 END AS hit
+        FROM itc WHERE b < nn)
+SELECT image_id, CAST(max(nn) AS BIGINT) AS n_pix,
+       CAST(sum(hit) AS BIGINT) AS n_fixed,
+       CAST(coalesce(min(CASE WHEN hit = 1 THEN v END), -1) AS BIGINT)
+         AS thr_v
+FROM itp GROUP BY image_id
+"""
+
+_CE_INNER = f"""
+SELECT image_id,
+       CAST(na AS BIGINT) AS n_lo, CAST(nn - na AS BIGINT) AS n_hi,
+       CAST(sa AS DOUBLE) / CAST(nn AS DOUBLE) AS m1a,
+       CAST(st - sa AS DOUBLE) / CAST(nn AS DOUBLE) AS m1b,
+       CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS mua,
+       CAST(st - sa AS DOUBLE) / CAST(nn - na AS DOUBLE) AS mub
+FROM (SELECT image_id, count(*) AS nn, sum(v + 1) AS st,
+             sum(CASE WHEN v + 1 <= {_CET} THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN v + 1 <= {_CET} THEN v + 1 ELSE 0 END) AS sa
+      FROM icpxy GROUP BY image_id) ce
+WHERE na > 0 AND na < nn
+""".strip()
+
+ORACLES["cross_entropy"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+ceq AS (SELECT image_id, n_lo, n_hi,
+               CAST(floor(((CAST(0 AS DOUBLE) - m1a * lnmua)
+                           - m1b * lnmub) * 1048576.0) AS BIGINT) AS ce_q
+        FROM ({_lnc(_lnc(_CE_INNER, "mua", "lnmua"), "mub", "lnmub")})),
+cea AS (SELECT image_id,
+               CAST(sum(CASE WHEN v + 1 <= {_CET} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_lo,
+               CAST(sum(CASE WHEN v + 1 > {_CET} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hi
+        FROM icpxy GROUP BY image_id)
+SELECT a.image_id, a.n_lo, a.n_hi,
+       CAST(coalesce(q.ce_q, -1) AS BIGINT) AS ce_q
+FROM cea a LEFT JOIN ceq q ON q.image_id = a.image_id
+"""
+
+
+def _li_oracle(rounds: int) -> str:
+    parts = [f"""
+lih AS MATERIALIZED (SELECT image_id, v + 1 AS v, count(*) AS n
+                     FROM icpxy GROUP BY image_id, v + 1),
+lit AS MATERIALIZED (SELECT image_id, CAST(sum(n) AS BIGINT) AS nn,
+                            CAST(sum(v * n) AS BIGINT) AS ss
+                     FROM lih GROUP BY image_id),
+lt0 AS (SELECT image_id, nn, ss,
+               CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) AS t
+        FROM lit)"""]
+    for r in range(1, rounds + 1):
+        inner = f"""
+SELECT t.image_id, t.nn, t.ss, t.t,
+       CAST(coalesce(sum(CASE WHEN h.v > t.t THEN h.n END), 0)
+            AS BIGINT) AS nf,
+       CAST(coalesce(sum(CASE WHEN h.v > t.t THEN h.v * h.n END), 0)
+            AS BIGINT) AS sf
+FROM lt{r - 1} t JOIN lih h ON h.image_id = t.image_id
+GROUP BY t.image_id, t.nn, t.ss, t.t
+""".strip()
+        mid = f"""
+SELECT *, CAST(sf AS DOUBLE) / CAST(nf AS DOUBLE) AS mf,
+       CAST(ss - sf AS DOUBLE) / CAST(nn - nf AS DOUBLE) AS mb
+FROM ({inner}) WHERE nf > 0 AND nf < nn
+""".strip()
+        chained = _lnc(_lnc(mid, "mf", "lnmf"), "mb", "lnmb")
+        parts.append(f""",
+ltx{r} AS (SELECT image_id, nn, ss,
+                CASE WHEN mb = mf THEN t
+                     ELSE (mb - mf) / (lnmb - lnmf) END AS t
+         FROM ({chained})),
+lt{r} AS MATERIALIZED (
+  SELECT p.image_id, p.nn, p.ss, coalesce(x.t, p.t) AS t
+  FROM lt{r - 1} p LEFT JOIN ltx{r} x ON x.image_id = p.image_id)""")
+    return "".join(parts)
+
+
+ORACLES["li_threshold"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+{_li_oracle(_LIR)},
+lfin AS (SELECT t.image_id, t.nn, t.t,
+                CAST(coalesce(sum(CASE WHEN h.v > t.t THEN h.n END), 0)
+                     AS BIGINT) AS nf
+         FROM lt{_LIR} t JOIN lih h ON h.image_id = t.image_id
+         GROUP BY t.image_id, t.nn, t.t)
+SELECT image_id, nn AS n_pix, nf AS n_fore,
+       CAST(floor(t * 1048576.0) AS BIGINT) AS t_q
+FROM lfin
+"""
+
+ORACLES["cloud_shadow"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+csc AS (SELECT image_id, w, x, y,
+               CASE WHEN (v // 128) % 2 = 1 THEN 1 ELSE 0 END AS cl
+        FROM icpxy),
+csm AS (SELECT image_id, w, x, y, cl,
+               coalesce(max(cl) OVER (PARTITION BY image_id, y
+                   ORDER BY x ROWS BETWEEN {_CSD1} PRECEDING
+                   AND {_CSD0} PRECEDING), 0) AS proj
+        FROM csc)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(cl) AS BIGINT) AS n_cloud,
+       CAST(sum(CASE WHEN proj = 1 AND cl = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shadow,
+       CAST(coalesce(sum(CASE WHEN proj = 1 AND cl = 0
+                         THEN y * w + x END), 0) AS BIGINT) AS shadow_ck
+FROM csm GROUP BY image_id
+"""
+
+ORACLES["global_class_stats"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+gca AS (SELECT fmt, (v * 4) // {_IC_PM} AS cls,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS s,
+               CAST(sum(v * v) AS BIGINT) AS s2,
+               CAST(min(v) AS BIGINT) AS min_v,
+               CAST(max(v) AS BIGINT) AS max_v
+        FROM icpxy GROUP BY fmt, (v * 4) // {_IC_PM})
+SELECT fmt, CAST(cls AS BIGINT) AS cls, n, s, min_v, max_v,
+       {_GMQ} AS mean_q,
+       {_GSQ} AS std_q
+FROM gca
+"""
+
+ORACLES["prop_valid"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_RAT_VALS}
+SELECT image_id, cid AS clump_id, count(*) AS n_pix,
+       CAST(sum(CASE WHEN v % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST(floor((CAST(sum(CASE WHEN v % 5 <> 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  * 1048576.0) AS BIGINT) AS prop_q
+FROM vals GROUP BY image_id, cid
+"""

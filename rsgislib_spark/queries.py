@@ -29,6 +29,7 @@ from .operators.overlay import (overlay_difference_rect,
                                 overlay_intersection_rect, rect_erase,
                                 rect_sym_difference, rect_union)
 from .operators.rastergis import (clump_border_stats, clump_cat_majority,
+                                  prop_valid_stats,
                                   clump_cat_stats, clump_geo_stats,
                                   clump_meanlit_stats, clump_tile_positions,
                                   collapse_rat, dist_to_large_clumps,
@@ -39,15 +40,19 @@ from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
                                     saturated_stats, spot_radiance_stats,
                                     sref_6s_stats, subtract_offsets_stats,
                                     thermal_brightness_stats)
-from .operators.histmetrics import (bhatt_dist_stats, jm2d_dist_stats,
-                                    jm_dist_stats, yen_threshold_stats)
+from .operators.histmetrics import (bhatt_dist_stats, cross_entropy_stats,
+                                    isodata_threshold_stats,
+                                    jm2d_dist_stats, jm_dist_stats,
+                                    li_threshold_stats, yen_threshold_stats)
 from .operators.classification import (class_accuracy_stats,
+                                       global_class_stats,
                                        regression_stats, strat_sample)
 from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
 from .operators.imgcalcmisc import (all_bands_equal_stats,
-                                    band_rmse_stats, colour_classes_stats,
+                                    band_rmse_stats, cloud_shadow_stats,
+                                    colour_classes_stats,
                                     column_summary_stats,
                                     mean_in_mask_stats, norm_pxl_stats,
                                     prop_true_stats, rescale_stats,
@@ -989,6 +994,64 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_isodata_thresh(spark, sf_dir) -> DataFrame:
+    """tools.stats.calc_isodata_threshold (tools/stats.py:717,
+    Ridler-Calvard inter-means): first value with
+    0 <= (lower+higher)/2 - v < 1, cross-multiplied to a pure integer
+    predicate — no floats anywhere."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return isodata_threshold_stats(img) \
+        .select("image_id", "n_pix", "n_fixed", "thr_v")
+
+
+def q_cross_entropy(spark, sf_dir) -> DataFrame:
+    """tools.stats.calc_hist_cross_entropy (tools/stats.py:787, Li &
+    Lee 1993 eq. 8): nu = -m1a ln(mua) - m1b ln(mub) at threshold 100
+    on the +1-offset plane; both ln's via the detmath tree."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return cross_entropy_stats(img) \
+        .select("image_id", "n_lo", "n_hi", "ce_q")
+
+
+def q_li_threshold(spark, sf_dir) -> DataFrame:
+    """tools.stats.calc_li_threshold (tools/stats.py:834, Li's minimum
+    cross-entropy gradient iteration): 16 fixed unrolled rounds of
+    t <- (mb - mf)/(ln mb - ln mf) from the plane mean (worst corpus
+    image converges by round 14, pytest); ln via the detmath tree."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return li_threshold_stats(img) \
+        .select("image_id", "n_pix", "n_fore", "t_q")
+
+
+def q_cloud_shadow(spark, sf_dir) -> DataFrame:
+    """imagecalibration.calc_cloud_shadow_mask: cloud mask projected
+    along the sun vector over the height range — ONE sliding-window
+    max per row (SQL frame ROWS BETWEEN 6 PRECEDING AND 3 PRECEDING);
+    cloud = bit 7 of the plane.  All integer."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return cloud_shadow_stats(img) \
+        .select("image_id", "n_pix", "n_cloud", "n_shadow", "shadow_ck")
+
+
+def q_global_class_stats(spark, sf_dir) -> DataFrame:
+    """rastergis.get_global_class_stats: per-class statistics over the
+    WHOLE corpus — per-image moment partials, ONE tiny shuffle, 12
+    rows out; finalisation runs the same SQL text in both engines."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return global_class_stats(img) \
+        .select("fmt", "cls", "n", "s", "min_v", "max_v", "mean_q",
+                "std_q")
+
+
+def q_prop_valid(spark, sf_dir) -> DataFrame:
+    """rastergis.populate_rat_with_prop_valid_pxls: valid-pixel
+    proportion per clump of the value//128 segmentation lattice; one
+    exact-int division per clump."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return prop_valid_stats(img) \
+        .select("image_id", "clump_id", "n_pix", "n_valid", "prop_q")
 
 
 def q_vec_maths(spark, sf_dir) -> DataFrame:
@@ -2717,6 +2780,12 @@ QUERIES = {
     "thermal_bright": q_thermal_bright,
     "jm_dist": q_jm_dist,
     "jm2d_dist": q_jm2d_dist,
+    "isodata_thresh": q_isodata_thresh,
+    "cross_entropy": q_cross_entropy,
+    "li_threshold": q_li_threshold,
+    "cloud_shadow": q_cloud_shadow,
+    "global_class_stats": q_global_class_stats,
+    "prop_valid": q_prop_valid,
     "vec_maths": q_vec_maths,
     "lines_points": q_lines_points,
     "colour_classes": q_colour_classes,

@@ -128,3 +128,68 @@ def test_jm_matches_reference_float_form():
         eng_jm = np.sqrt((1.0 - sq / 1073741824.0) * 2.0)
         assert abs(ref_jm - eng_jm) < 1e-5
         assert 0.0 < eng_jm < math.sqrt(2) + 1e-9
+
+
+def test_li_converges_within_unroll():
+    """The fixed 16-round unroll must pass the reference's tolerance
+    stop: the final t equals round 13's t to < half the min value gap
+    (= 0.5 on integer data) on every corpus image."""
+    from rsgislib_spark.functions.detmath import ln_pos_np as _ln
+    for v, _ in _planes(n=12):
+        v = v + 1
+        N, S = v.size, int(v.sum())
+        t = float(S) / float(N)
+        ts = []
+        for _r in range(16):
+            fore = v > t
+            nf = int(fore.sum())
+            if nf == 0 or nf == N:
+                ts.append(t)
+                continue
+            sf = int(v[fore].sum())
+            mf = float(sf) / float(nf)
+            mb = float(S - sf) / float(N - nf)
+            if mb != mf:
+                t = (mb - mf) / (float(_ln(mb)) - float(_ln(mf)))
+            ts.append(t)
+        assert abs(ts[15] - ts[12]) < 0.5, ts
+        # and the fixed point satisfies Li's criterion vs libm too
+        ref_t = (mb - mf) / (math.log(mb) - math.log(mf))
+        assert abs(ts[15] - ref_t) < 1e-6
+
+
+def test_isodata_fixed_point_exists_and_is_intermeans():
+    for v, _ in _planes(n=12):
+        vals, cnts = np.unique(v, return_counts=True)
+        N, Stot = int(cnts.sum()), int((vals * cnts).sum())
+        b = np.cumsum(cnts)
+        a = np.cumsum(vals * cnts)
+        keep = b < N
+        vv, bb, aa = vals[keep], b[keep], a[keep]
+        cc, dd = Stot - aa, N - bb
+        lhs = aa * dd + cc * bb
+        lo = 2 * vv * bb * dd
+        hit = (lo <= lhs) & (lhs < lo + 2 * bb * dd)
+        assert hit.any()
+        t = int(vv[hit][0])
+        # float check of the inter-means criterion at t
+        lo_m = v[v <= t].mean()
+        hi_m = v[v > t].mean()
+        assert 0.0 <= (lo_m + hi_m) / 2.0 - t < 1.0
+
+
+def test_cloud_shadow_matches_bruteforce():
+    for v, _ in _planes(n=4):
+        cloud = ((v // 128) % 2) == 1
+        sh = np.zeros_like(cloud)
+        for d in range(3, 7):
+            sh[:, d:] |= cloud[:, :-d]
+        fast = sh & ~cloud
+        h, w = v.shape
+        for y in (0, h // 2):
+            for x in range(w):
+                ref = any(3 <= x - k <= 6 and cloud[y, k]
+                          for k in range(max(0, x - 6), x)) \
+                    and not cloud[y, x]
+                assert ref == bool(fast[y, x])
+        assert fast.sum() > 0  # shadows occur
