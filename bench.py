@@ -101,6 +101,19 @@ BENCH_QUERIES = [
     "dist_large_clumps", "clump_tile_pos", "change_clumps", "select_on_grid", "local_minima", "unmix_ucls", "unmix_residual", "season_trend", "morph_dilate_circ", "register_offset",
     "filter_laplacian", "filter_total_diff", "filter_total_diff_abs",
     "mask_val_prob", "pan_sharpen", "unpack_bits",
+    # round-4 session-7 operators (DEM/calibration/classification/
+    # thresholds/distances + imagecalc misc)
+    "isodata", "dem_slope", "dem_aspect", "dem_hillshade",
+    "toa_radiance", "sref_6s", "dos_subtract", "class_accuracy",
+    "regress_stats", "mahal_window", "mahal_global", "prop_true",
+    "band_rmse", "img_rescale", "mean_in_mask", "all_bands_equal",
+    "stats_in_env", "column_summary", "strat_sample", "exh_unmix",
+    "avg_endmembers", "dem_detrend", "shadow_mask", "saturated_mask",
+    "norm_pxl_vals", "thermal_bright", "bhatt_dist", "yen_threshold",
+    "jm_dist", "jm2d_dist", "vec_maths", "lines_points",
+    "colour_classes", "spot_radiance", "subtract_offsets",
+    "ts_fill_composite", "isodata_thresh", "cross_entropy",
+    "li_threshold", "cloud_shadow", "global_class_stats", "prop_valid",
 ]
 
 

@@ -449,3 +449,74 @@ def cloud_shadow_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_CSH_SCHEMA)
+
+
+_SG_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("gx", LongType()),
+    StructField("gy", LongType()),
+    StructField("v", LongType()),
+])
+
+SG_OFF, SG_STEP = 4, 8
+
+
+def sampling_grid_stats(images: DataFrame) -> DataFrame:
+    """imageutils.gen_sampling_grid (python/src/imageutils.cpp method
+    table): a regular sample lattice over each image — offset 4,
+    step 8 in both axes — emitting the sampled value per node."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SG_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                for gy in range(SG_OFF, int(h), SG_STEP):
+                    for gx in range(SG_OFF, int(w), SG_STEP):
+                        out["image_id"].append(image_id)
+                        out["gx"].append(gx)
+                        out["gy"].append(gy)
+                        out["v"].append(int(v[gy, gx]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SG_SCHEMA)
+
+
+_SWS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_lo", LongType()),
+    StructField("n_hi", LongType()),
+    StructField("sum_out_q", LongType()),
+])
+
+SWS_MIN, SWS_MAX = 50, 800  # the GIVEN stretch stats
+
+
+def stretch_with_stats(images: DataFrame, in_min: int = SWS_MIN,
+                       in_max: int = SWS_MAX) -> DataFrame:
+    """imageutils.stretch_img_with_stats (python/src/imageutils.cpp
+    method table): linear stretch using SUPPLIED statistics rather
+    than per-image ones — out = (v - in_min)*255/(in_max - in_min)
+    saturating at [0, 255].  One exact-int division per pixel,
+    2^20-quantized; both clamp branches counted."""
+
+    def one(out, image_id, v, m):
+        num = (v - in_min) * 255
+        lo = num <= 0
+        hi = num >= 255 * (in_max - in_min)
+        res = np.where(
+            lo, 0.0,
+            np.where(hi, 255.0,
+                     num.astype(np.float64) / float(in_max - in_min)))
+        q = np.floor(res * _Q).astype(np.int64)
+        out["image_id"].append(image_id)
+        out["n_pix"].append(int(v.size))
+        out["n_lo"].append(int(lo.sum()))
+        out["n_hi"].append(int(hi.sum()))
+        out["sum_out_q"].append(int(q.sum()))
+
+    return _simple(images, _SWS_SCHEMA, one)

@@ -1008,3 +1008,97 @@ def prop_valid_stats(images: DataFrame, quant: int = 128) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_PV_SCHEMA)
+
+
+_MEQ_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("merged_id", LongType()),
+    StructField("q_val", LongType()),
+    StructField("n_clumps", LongType()),
+    StructField("n_pix", LongType()),
+])
+
+
+def merge_equiv_clumps_stats(images: DataFrame,
+                             quant: int = 128) -> DataFrame:
+    """segmentation.merge_equiv_clumps (python/src/segmentation method
+    table): clumps whose attribute values are equal merge into one
+    unit, adjacent or not.  On the value//quant lattice the clump
+    attribute IS its (constant) quantized value, so the merged units
+    are the distinct q values; merged ids are dense ranks of q
+    (ascending)."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _MEQ_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                q = arr // quant
+                lab = _label_regions(q)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                ys, xs = np.nonzero(lab)
+                ls = lab[ys, xs]
+                qs = q[ys, xs]
+                # q per clump (constant by construction): first pixel
+                clump_q = np.zeros(n + 1, dtype=np.int64)
+                clump_q[ls[::-1]] = qs[::-1]   # first occurrence wins
+                uq = np.unique(clump_q[1:])
+                sizes = np.bincount(ls, minlength=n + 1)[1:]
+                for mi, qv in enumerate(sorted(int(x) for x in uq),
+                                        start=1):
+                    sel = clump_q[1:] == qv
+                    out["image_id"].append(image_id)
+                    out["merged_id"].append(mi)
+                    out["q_val"].append(qv)
+                    out["n_clumps"].append(int(sel.sum()))
+                    out["n_pix"].append(int(sizes[sel].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_MEQ_SCHEMA)
+
+
+_DROP_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("new_id", LongType()),
+    StructField("old_id", LongType()),
+    StructField("n_pix", LongType()),
+])
+
+
+def drop_clumps_stats(images: DataFrame, quant: int = 128,
+                      min_pix: int = 50) -> DataFrame:
+    """segmentation.drop_selected_clumps (python/src/segmentation
+    method table): remove the selected clumps (here: the < min_pix
+    small units, the reference's usual selection) and densely relabel
+    the survivors in ascending old-label order."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _DROP_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                lab = _label_regions(arr // quant)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                sizes = np.bincount(lab[lab > 0], minlength=n + 1)[1:]
+                new_id = 0
+                for old in range(1, n + 1):
+                    if int(sizes[old - 1]) < min_pix:
+                        continue
+                    new_id += 1
+                    out["image_id"].append(image_id)
+                    out["new_id"].append(new_id)
+                    out["old_id"].append(old)
+                    out["n_pix"].append(int(sizes[old - 1]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_DROP_SCHEMA)

@@ -5490,3 +5490,81 @@ SELECT image_id, cid AS clump_id, count(*) AS n_pix,
                   * 1048576.0) AS BIGINT) AS prop_q
 FROM vals GROUP BY image_id, cid
 """
+
+
+# ------------------- sampling grid / stretch-with-stats / clump merges
+from .operators.imgcalcmisc import (SG_OFF as _SGO,  # noqa: E402
+                                    SG_STEP as _SGS,
+                                    SWS_MIN as _SWSL, SWS_MAX as _SWSH)
+
+ORACLES["sampling_grid"] = f"""
+{_PREFIX},
+sgx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series({_SGO}, w - 1, {_SGS})) AS gx
+        FROM img WHERE id % 19 = 0),
+sgp AS (SELECT *, unnest(generate_series({_SGO}, h - 1, {_SGS})) AS gy
+        FROM sgx)
+SELECT image_id, CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+       CAST({synth.pixel_value_sql("id", "gx", "gy", "fmt")} AS BIGINT)
+         AS v
+FROM sgp
+"""
+
+ORACLES["stretch_with_stats"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+swq AS (SELECT image_id,
+               CASE WHEN (v - {_SWSL}) * 255 <= 0 THEN 1 ELSE 0 END AS lo,
+               CASE WHEN (v - {_SWSL}) * 255 >= 255 * ({_SWSH} - {_SWSL})
+                    THEN 1 ELSE 0 END AS hi,
+               CAST(floor((CASE
+                 WHEN (v - {_SWSL}) * 255 <= 0 THEN CAST(0 AS DOUBLE)
+                 WHEN (v - {_SWSL}) * 255 >= 255 * ({_SWSH} - {_SWSL})
+                   THEN CAST(255 AS DOUBLE)
+                 ELSE CAST((v - {_SWSL}) * 255 AS DOUBLE)
+                      / CAST({_SWSH} - {_SWSL} AS DOUBLE) END)
+                 * 1048576.0) AS BIGINT) AS q
+        FROM icpxy)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(lo) AS BIGINT) AS n_lo,
+       CAST(sum(hi) AS BIGINT) AS n_hi,
+       CAST(sum(q) AS BIGINT) AS sum_out_q
+FROM swq GROUP BY image_id
+"""
+
+ORACLES["merge_equiv"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+meq AS (SELECT rl.image_id, rl.cid, cl.n_pix,
+               ({synth.pixel_value_sql("i.id", "(cl.root % i.w)",
+                                       "(cl.root // i.w)", "i.fmt")})
+                 // 128 AS qv
+        FROM rl
+        JOIN cl ON cl.image_id = rl.image_id AND cl.root = rl.root
+        JOIN img i ON i.image_id = rl.image_id),
+mea AS (SELECT image_id, qv, count(*) AS n_clumps,
+               CAST(sum(n_pix) AS BIGINT) AS n_pix
+        FROM meq GROUP BY image_id, qv)
+SELECT image_id,
+       CAST(row_number() OVER (PARTITION BY image_id ORDER BY qv)
+            AS BIGINT) AS merged_id,
+       CAST(qv AS BIGINT) AS q_val,
+       CAST(n_clumps AS BIGINT) AS n_clumps, n_pix
+FROM mea
+"""
+
+ORACLES["drop_clumps"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+dcc AS (SELECT rl.image_id, rl.cid, CAST(cl.n_pix AS BIGINT) AS n_pix
+        FROM rl JOIN cl ON cl.image_id = rl.image_id
+                       AND cl.root = rl.root
+        WHERE cl.n_pix >= 50)
+SELECT image_id,
+       CAST(row_number() OVER (PARTITION BY image_id ORDER BY cid)
+            AS BIGINT) AS new_id,
+       cid AS old_id, n_pix
+FROM dcc
+"""

@@ -29,6 +29,8 @@ from .operators.overlay import (overlay_difference_rect,
                                 overlay_intersection_rect, rect_erase,
                                 rect_sym_difference, rect_union)
 from .operators.rastergis import (clump_border_stats, clump_cat_majority,
+                                  drop_clumps_stats,
+                                  merge_equiv_clumps_stats,
                                   prop_valid_stats,
                                   clump_cat_stats, clump_geo_stats,
                                   clump_meanlit_stats, clump_tile_positions,
@@ -53,6 +55,8 @@ from .operators.windowdist import (mahal_neighbour_stats,
 from .operators.imgcalcmisc import (all_bands_equal_stats,
                                     band_rmse_stats, cloud_shadow_stats,
                                     colour_classes_stats,
+                                    sampling_grid_stats,
+                                    stretch_with_stats,
                                     column_summary_stats,
                                     mean_in_mask_stats, norm_pxl_stats,
                                     prop_true_stats, rescale_stats,
@@ -994,6 +998,39 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_sampling_grid(spark, sf_dir) -> DataFrame:
+    """imageutils.gen_sampling_grid: regular sample lattice (offset 4,
+    step 8) over each image with the sampled value per node."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return sampling_grid_stats(img).select("image_id", "gx", "gy", "v")
+
+
+def q_stretch_with_stats(spark, sf_dir) -> DataFrame:
+    """imageutils.stretch_img_with_stats: linear stretch with SUPPLIED
+    in_min/in_max (50/800) saturating at [0,255]; one exact-int
+    division per pixel, clamp branches counted."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return stretch_with_stats(img) \
+        .select("image_id", "n_pix", "n_lo", "n_hi", "sum_out_q")
+
+
+def q_merge_equiv(spark, sf_dir) -> DataFrame:
+    """segmentation.merge_equiv_clumps: clumps with equal attribute
+    values merge (adjacent or not); on the value//128 lattice the
+    merged units are the distinct quantized values."""
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
+    return merge_equiv_clumps_stats(img) \
+        .select("image_id", "merged_id", "q_val", "n_clumps", "n_pix")
+
+
+def q_drop_clumps(spark, sf_dir) -> DataFrame:
+    """segmentation.drop_selected_clumps: remove the < 50 px clumps
+    and densely relabel survivors in ascending old-label order."""
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
+    return drop_clumps_stats(img) \
+        .select("image_id", "new_id", "old_id", "n_pix")
 
 
 def q_isodata_thresh(spark, sf_dir) -> DataFrame:
@@ -2780,6 +2817,10 @@ QUERIES = {
     "thermal_bright": q_thermal_bright,
     "jm_dist": q_jm_dist,
     "jm2d_dist": q_jm2d_dist,
+    "sampling_grid": q_sampling_grid,
+    "stretch_with_stats": q_stretch_with_stats,
+    "merge_equiv": q_merge_equiv,
+    "drop_clumps": q_drop_clumps,
     "isodata_thresh": q_isodata_thresh,
     "cross_entropy": q_cross_entropy,
     "li_threshold": q_li_threshold,
