@@ -415,3 +415,120 @@ def subtract_offsets_stats(images: DataFrame,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_SUBO_SCHEMA)
+
+
+# elevation-indexed 6S coefficient LUT: (elev, aX, bX, cX)
+LUT_6S = ((0, 0.0021, 0.31, 0.041), (60, 0.0024, 0.28, 0.038),
+          (120, 0.0027, 0.25, 0.034), (180, 0.0030, 0.22, 0.031))
+
+_S6L_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("lut_idx", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_sref_q", LongType()),
+    StructField("min_sref_q", LongType()),
+    StructField("max_sref_q", LongType()),
+])
+
+
+def sref_6s_lut_stats(images: DataFrame, lut=LUT_6S,
+                      scale: float = 1000.0) -> DataFrame:
+    """imagecalibration.apply_6s_coeff_elev_lut_param
+    (RSGISApply6SCoefficientsElevLUTParam::calcImageValue,
+    src/calibration/RSGISApply6SCoefficients.cpp:140-205): per pixel,
+    pick the LUT entry whose elevation is NEAREST (squared distance,
+    strict <, first/lowest index wins ties — the C++ scan order), then
+    apply that entry's (aX, bX, cX) through the same pinned 6S tree as
+    sref_6s.  Engine variant (documented): the reference's secondary
+    two-entry interpolation is omitted — nearest-entry coefficients
+    only.  Elevation = the synthetic DEM plane; with sorted integer
+    LUT elevations the nearest-entry rule is the midpoint ladder
+    e <= 30 -> 0, e <= 90 -> 1, e <= 150 -> 2 else 3 (ties at the
+    exact midpoints go to the lower index).  Output grouped per
+    (image, lut_idx) so every LUT branch is hash-visible."""
+    import numpy as _np
+    from .elevation import dem_plane
+
+    elevs = [e for e, *_ in lut]
+    mids = [(elevs[i] + elevs[i + 1]) // 2 for i in range(len(lut) - 1)]
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _S6L_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(_np.int64)
+                x = _np.arange(int(w), dtype=_np.int64)[None, :]
+                y = _np.arange(int(h), dtype=_np.int64)[:, None]
+                e = dem_plane(v, x, y)
+                idx = _np.zeros_like(e)
+                for m in mids:
+                    idx += (e > m)
+                for li, (_, A, B, C) in enumerate(lut):
+                    sel = idx == li
+                    n = int(sel.sum())
+                    out["image_id"].append(image_id)
+                    out["lut_idx"].append(li)
+                    out["n_pix"].append(n)
+                    if n == 0:
+                        out["sum_sref_q"].append(-1)
+                        out["min_sref_q"].append(-1)
+                        out["max_sref_q"].append(-1)
+                        continue
+                    dn = v[sel]
+                    yv = A * dn - B
+                    t = (yv / (1.0 + C * yv)) * scale
+                    o1 = _np.where(t < 1.0, 1.0, t + 1.0)
+                    o2 = _np.where(o1 > scale, scale, o1)
+                    q = _np.floor(o2 * 1048576.0).astype(_np.int64)
+                    out["sum_sref_q"].append(int(q.sum()))
+                    out["min_sref_q"].append(int(q.min()))
+                    out["max_sref_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_S6L_SCHEMA)
+
+
+_T2R_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_l_q", LongType()),
+    StructField("min_l_q", LongType()),
+    StructField("max_l_q", LongType()),
+])
+
+
+def toa_to_radiance_stats(images: DataFrame,
+                          solar_zenith_deg: float = 35.0,
+                          day_of_year: int = 196,
+                          scale: float = 1000.0) -> DataFrame:
+    """imagecalibration.toa_refl_to_radiance (python/src/
+    imagecalibration.cpp method table): the inverse of
+    calc_standard_toa_reflectance — L = ((rho/SC) * ED) / (PI * DSQ),
+    with the value plane read as scaled TOA reflectance.  Same driver
+    literals as radiance_toa_stats; pinned three-op tree."""
+    import numpy as _np
+
+    PI, DSQ, ED, SC = toa_consts(DEFAULT_CAL[0][2], solar_zenith_deg,
+                                 day_of_year, scale)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _T2R_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(_np.int64)
+                L = ((v.astype(_np.float64) / SC) * ED) / (PI * DSQ)
+                q = _np.floor(L * 1048576.0).astype(_np.int64)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(q.size))
+                out["sum_l_q"].append(int(q.sum()))
+                out["min_l_q"].append(int(q.min()))
+                out["max_l_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_T2R_SCHEMA)

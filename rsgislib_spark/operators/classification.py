@@ -325,3 +325,40 @@ def global_class_stats(images: DataFrame) -> DataFrame:
         "fmt", "cls", "n", "s", "min_v", "max_v",
         F.expr(GCS_MEAN_EXPR).alias("mean_q"),
         F.expr(GCS_STD_EXPR).alias("std_q"))
+
+
+def rand_sample(images: DataFrame, n_per_img: int = 5) -> DataFrame:
+    """classification.generate_random_accuracy_pts — the unstratified
+    sibling of :func:`strat_sample`: n points per IMAGE by the same
+    deterministic integer-hash ranking, class recorded but not
+    partitioned on."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SAMP_SCHEMA.fields}
+            for image_id, buf, w, h, fmt, img_id in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"], pdf["id"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                cls = (v * _K) // pmax
+                x = np.arange(int(w), dtype=np.int64)[None, :]
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                hsh = (int(img_id) * _MIX_A + x * _MIX_B
+                       + y * _MIX_C) % _MIX_M
+                hsh = np.broadcast_to(hsh, v.shape).ravel()
+                xg = np.broadcast_to(x, v.shape).ravel()
+                yg = np.broadcast_to(y, v.shape).ravel()
+                order = np.lexsort((yg, xg, hsh))[:n_per_img]
+                for r, i in enumerate(order, start=1):
+                    out["image_id"].append(image_id)
+                    out["cls"].append(int(cls.ravel()[i]))
+                    out["rank"].append(r)
+                    out["x"].append(int(xg[i]))
+                    out["y"].append(int(yg[i]))
+                    out["v"].append(int(v.ravel()[i]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SAMP_SCHEMA)

@@ -383,3 +383,107 @@ def detrend_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_DETREND_SCHEMA)
+
+
+def slope_pxlres_consts(thresholds_deg=(5.0, 15.0, 30.0)):
+    """64*tan^2(T) driver literals for the per-pixel-resolution slope
+    classes (slope >= T  <=>  g2 >= 64 tan^2(T) * res_px^2)."""
+    import math
+    return tuple(64.0 * math.tan(math.radians(t)) ** 2
+                 for t in thresholds_deg)
+
+
+_SPR_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("slope_cls", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_g2", LongType()),
+])
+
+
+def slope_pxlres_stats(images: DataFrame,
+                       thresholds_deg=(5.0, 15.0, 30.0)) -> DataFrame:
+    """elevation.slope_pxl_res_img (python/src/elevation.cpp method
+    table): Horn slope with a PER-PIXEL resolution image instead of a
+    constant — res_px = 30 + ((x + y) % 3) * 5 here.  The class test
+    is the pinned comparison  g2 >= C_T * (res_px*res_px)  with C_T =
+    64 tan^2(T) a shared dlit literal and res_px^2 an exact integer —
+    one multiply per threshold, no atan."""
+    import numpy as _np
+
+    cts = slope_pxlres_consts(thresholds_deg)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SPR_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = _decode_dem(buf, w, h, fmt)
+                gx, gy = horn_gradients(a)
+                g2 = gx * gx + gy * gy
+                x = _np.arange(1, int(w) - 1, dtype=_np.int64)[None, :]
+                y = _np.arange(1, int(h) - 1, dtype=_np.int64)[:, None]
+                res = 30 + ((x + y) % 3) * 5
+                r2 = _np.broadcast_to(res * res, g2.shape)
+                cls = _np.zeros(g2.shape, dtype=_np.int64)
+                for ct in cts:
+                    cls += (g2.astype(_np.float64)
+                            >= ct * r2.astype(_np.float64))
+                for c in range(len(cts) + 1):
+                    m = cls == c
+                    out["image_id"].append(image_id)
+                    out["slope_cls"].append(c)
+                    out["n_pix"].append(int(m.sum()))
+                    out["sum_g2"].append(int(g2[m].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SPR_SCHEMA)
+
+
+_AMF_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("aspect_cat", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("cat_ck", LongType()),
+])
+
+
+def aspect_median_stats(images: DataFrame) -> DataFrame:
+    """elevation.dtm_aspect_median_filter (python/src/elevation.cpp
+    method table): 3x3 median filter over the aspect CATEGORY plane
+    (catagorise_aspect codes 0..8 — exact integer octant tests, see
+    :func:`aspect_categories`); median of 9 small ints is exact.
+    Applies on the doubly-interior region; output per (image, cat)
+    with a position checksum."""
+    import numpy as _np
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _AMF_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                a = _decode_dem(buf, w, h, fmt)
+                gx, gy = horn_gradients(a)
+                cat = aspect_categories(gx, gy)
+                hh, ww2 = cat.shape
+                stack = _np.stack([cat[1 + dy:hh - 1 + dy,
+                                       1 + dx:ww2 - 1 + dx]
+                                   for dy in (-1, 0, 1)
+                                   for dx in (-1, 0, 1)])
+                med = _np.sort(stack, axis=0)[4]
+                # doubly-interior pixel coordinates in the FULL image
+                ww = int(w)
+                xs0 = _np.arange(2, ww - 2, dtype=_np.int64)[None, :]
+                ys0 = _np.arange(2, int(h) - 2, dtype=_np.int64)[:, None]
+                flat = _np.broadcast_to(ys0 * ww + xs0, med.shape)
+                for c in range(9):
+                    m = med == c
+                    out["image_id"].append(image_id)
+                    out["aspect_cat"].append(c)
+                    out["n_pix"].append(int(m.sum()))
+                    out["cat_ck"].append(int(flat[m].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_AMF_SCHEMA)

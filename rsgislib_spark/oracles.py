@@ -5568,3 +5568,178 @@ SELECT image_id,
        cid AS old_id, n_pix
 FROM dcc
 """
+
+
+# -------------- 6S elev-LUT, inverse TOA, pxl-res slope, aspect median
+from .operators.calibration import LUT_6S as _L6S  # noqa: E402
+from .operators.elevation import (slope_pxlres_consts  # noqa: E402
+                                  as _spr_consts)
+
+_L6S_ROWS = ", ".join(
+    f"({i}, {_dlit(a)}, {_dlit(b)}, {_dlit(c)})"
+    for i, (_, a, b, c) in enumerate(_L6S))
+_L6S_MIDS = [( _L6S[i][0] + _L6S[i + 1][0]) // 2
+             for i in range(len(_L6S) - 1)]
+
+ORACLES["sref_6s_lut"] = f"""
+{_PREFIX},
+l6x AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 19 = 0),
+l6p AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM l6x),
+l6e AS (SELECT image_id, {_PXV} AS v,
+               CAST((CASE WHEN {_dem_sql(_PXV, "x", "y")} > {_L6S_MIDS[0]}
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN {_dem_sql(_PXV, "x", "y")} > {_L6S_MIDS[1]}
+                          THEN 1 ELSE 0 END)
+                  + (CASE WHEN {_dem_sql(_PXV, "x", "y")} > {_L6S_MIDS[2]}
+                          THEN 1 ELSE 0 END) AS BIGINT) AS lut_idx
+        FROM l6p),
+l6t (idx, ca, cb, cc) AS (VALUES {_L6S_ROWS}),
+l6q AS (SELECT e.image_id, e.lut_idx,
+               CAST(floor((CASE
+                 WHEN (t.ca * e.v - t.cb)
+                      / (CAST(1 AS DOUBLE) + t.cc * (t.ca * e.v - t.cb))
+                      * CAST(1000 AS DOUBLE) < CAST(1 AS DOUBLE)
+                   THEN CAST(1 AS DOUBLE)
+                 WHEN (t.ca * e.v - t.cb)
+                      / (CAST(1 AS DOUBLE) + t.cc * (t.ca * e.v - t.cb))
+                      * CAST(1000 AS DOUBLE) + CAST(1 AS DOUBLE)
+                      > CAST(1000 AS DOUBLE)
+                   THEN CAST(1000 AS DOUBLE)
+                 ELSE (t.ca * e.v - t.cb)
+                      / (CAST(1 AS DOUBLE) + t.cc * (t.ca * e.v - t.cb))
+                      * CAST(1000 AS DOUBLE) + CAST(1 AS DOUBLE)
+                 END) * 1048576.0) AS BIGINT) AS q
+        FROM l6e e JOIN l6t t ON t.idx = e.lut_idx),
+l6a AS (SELECT image_id, lut_idx, count(*) AS n,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(min(q) AS BIGINT) AS mnq,
+               CAST(max(q) AS BIGINT) AS mxq
+        FROM l6q GROUP BY image_id, lut_idx),
+l6l AS (SELECT i.image_id, c.idx FROM (SELECT DISTINCT image_id
+                                       FROM l6e) i
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS idx) c)
+SELECT l.image_id, CAST(l.idx AS BIGINT) AS lut_idx,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_pix,
+       CAST(coalesce(a.sq, -1) AS BIGINT) AS sum_sref_q,
+       CAST(coalesce(a.mnq, -1) AS BIGINT) AS min_sref_q,
+       CAST(coalesce(a.mxq, -1) AS BIGINT) AS max_sref_q
+FROM l6l l LEFT JOIN l6a a
+  ON a.image_id = l.image_id AND a.lut_idx = l.idx
+"""
+
+from .operators.calibration import toa_consts as _toa_c  # noqa: E402
+_T2R_PI, _T2R_DSQ, _T2R_ED, _T2R_SC = _toa_c(1997.0, 35.0, 196, 1000.0)
+
+ORACLES["toa_to_radiance"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+t2q AS (SELECT image_id,
+               CAST(floor((((CAST(v AS DOUBLE) / {_dlit(_T2R_SC)})
+                            * {_dlit(_T2R_ED)})
+                           / ({_dlit(_T2R_PI)} * {_dlit(_T2R_DSQ)}))
+                          * 1048576.0) AS BIGINT) AS q
+        FROM icpxy)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(q) AS BIGINT) AS sum_l_q,
+       CAST(min(q) AS BIGINT) AS min_l_q,
+       CAST(max(q) AS BIGINT) AS max_l_q
+FROM t2q GROUP BY image_id
+"""
+
+_SPR_T = _spr_consts((5.0, 15.0, 30.0))
+
+ORACLES["dem_slope_pxlres"] = f"""
+{_PREFIX},
+{_EG_CTE.replace("eg AS (SELECT image_id,",
+                 "eg AS (SELECT image_id, x, y,")},
+sprc AS (SELECT image_id, gx * gx + gy * gy AS g2,
+                CAST((CASE WHEN CAST(gx * gx + gy * gy AS DOUBLE)
+                           >= {_dlit(_SPR_T[0])}
+                              * CAST((30 + ((x + y) % 3) * 5)
+                                     * (30 + ((x + y) % 3) * 5)
+                                     AS DOUBLE) THEN 1 ELSE 0 END)
+                   + (CASE WHEN CAST(gx * gx + gy * gy AS DOUBLE)
+                           >= {_dlit(_SPR_T[1])}
+                              * CAST((30 + ((x + y) % 3) * 5)
+                                     * (30 + ((x + y) % 3) * 5)
+                                     AS DOUBLE) THEN 1 ELSE 0 END)
+                   + (CASE WHEN CAST(gx * gx + gy * gy AS DOUBLE)
+                           >= {_dlit(_SPR_T[2])}
+                              * CAST((30 + ((x + y) % 3) * 5)
+                                     * (30 + ((x + y) % 3) * 5)
+                                     AS DOUBLE) THEN 1 ELSE 0 END)
+                     AS BIGINT) AS slope_cls
+         FROM eg),
+spra AS (SELECT image_id, slope_cls, count(*) AS n_pix,
+                CAST(sum(g2) AS BIGINT) AS sum_g2
+         FROM sprc GROUP BY image_id, slope_cls),
+sprl AS (SELECT image_id, unnest([0, 1, 2, 3]) AS slope_cls
+         FROM img WHERE id % 19 = 0)
+SELECT l.image_id, CAST(l.slope_cls AS BIGINT) AS slope_cls,
+       CAST(coalesce(a.n_pix, 0) AS BIGINT) AS n_pix,
+       CAST(coalesce(a.sum_g2, 0) AS BIGINT) AS sum_g2
+FROM sprl l LEFT JOIN spra a
+  ON a.image_id = l.image_id AND a.slope_cls = l.slope_cls
+"""
+
+ORACLES["aspect_med"] = f"""
+{_PREFIX},
+{_EG_CTE.replace("eg AS (SELECT image_id,",
+                 "eg AS (SELECT image_id, w, x, y,")},
+amc AS MATERIALIZED (
+  -- px/py renames first: a bare x column would collide with the X
+  -- alias under DuckDB's case-insensitive resolution
+  SELECT image_id, w, px AS x, py AS y,
+         CAST({_ASPECT_CASE} AS BIGINT) AS cat
+  FROM (SELECT image_id, w, x AS px, y AS py, -gx AS Y, gy AS X
+        FROM eg) yx),
+amm AS (SELECT c0.image_id, c0.w, c0.x, c0.y,
+               list_sort([c1.cat, c2.cat, c3.cat, c4.cat, c0.cat,
+                          c5.cat, c6.cat, c7.cat, c8.cat])[5] AS med
+        FROM amc c0
+        JOIN amc c1 ON c1.image_id = c0.image_id
+                   AND c1.x = c0.x - 1 AND c1.y = c0.y - 1
+        JOIN amc c2 ON c2.image_id = c0.image_id
+                   AND c2.x = c0.x AND c2.y = c0.y - 1
+        JOIN amc c3 ON c3.image_id = c0.image_id
+                   AND c3.x = c0.x + 1 AND c3.y = c0.y - 1
+        JOIN amc c4 ON c4.image_id = c0.image_id
+                   AND c4.x = c0.x - 1 AND c4.y = c0.y
+        JOIN amc c5 ON c5.image_id = c0.image_id
+                   AND c5.x = c0.x + 1 AND c5.y = c0.y
+        JOIN amc c6 ON c6.image_id = c0.image_id
+                   AND c6.x = c0.x - 1 AND c6.y = c0.y + 1
+        JOIN amc c7 ON c7.image_id = c0.image_id
+                   AND c7.x = c0.x AND c7.y = c0.y + 1
+        JOIN amc c8 ON c8.image_id = c0.image_id
+                   AND c8.x = c0.x + 1 AND c8.y = c0.y + 1),
+ama AS (SELECT image_id, med, count(*) AS n_pix,
+               CAST(sum(y * w + x) AS BIGINT) AS ck
+        FROM amm GROUP BY image_id, med),
+aml AS (SELECT image_id,
+               unnest([0, 1, 2, 3, 4, 5, 6, 7, 8]) AS cat
+        FROM img WHERE id % 19 = 0)
+SELECT l.image_id, CAST(l.cat AS BIGINT) AS aspect_cat,
+       CAST(coalesce(a.n_pix, 0) AS BIGINT) AS n_pix,
+       CAST(coalesce(a.ck, 0) AS BIGINT) AS cat_ck
+FROM aml l LEFT JOIN ama a
+  ON a.image_id = l.image_id AND a.med = l.cat
+"""
+
+ORACLES["rand_sample"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+rsr AS (SELECT image_id, (v * 4) // {_IC_PM} AS cls, x, y, v,
+               (id * 2654435761 + x * 40503 + y * 69061)
+                 % 2147483647 AS hsh
+        FROM icpxy),
+rsk AS (SELECT image_id, cls, x, y, v,
+               row_number() OVER (PARTITION BY image_id
+                                  ORDER BY hsh, x, y) AS rank
+        FROM rsr)
+SELECT image_id, CAST(cls AS BIGINT) AS cls, CAST(rank AS BIGINT) AS rank,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST(v AS BIGINT) AS v
+FROM rsk WHERE rank <= 5
+"""

@@ -40,14 +40,16 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   select_clumps_on_grid)
 from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
                                     saturated_stats, spot_radiance_stats,
-                                    sref_6s_stats, subtract_offsets_stats,
-                                    thermal_brightness_stats)
+                                    sref_6s_lut_stats, sref_6s_stats,
+                                    subtract_offsets_stats,
+                                    thermal_brightness_stats,
+                                    toa_to_radiance_stats)
 from .operators.histmetrics import (bhatt_dist_stats, cross_entropy_stats,
                                     isodata_threshold_stats,
                                     jm2d_dist_stats, jm_dist_stats,
                                     li_threshold_stats, yen_threshold_stats)
 from .operators.classification import (class_accuracy_stats,
-                                       global_class_stats,
+                                       global_class_stats, rand_sample,
                                        regression_stats, strat_sample)
 from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
 from .operators.windowdist import (mahal_neighbour_stats,
@@ -61,8 +63,9 @@ from .operators.imgcalcmisc import (all_bands_equal_stats,
                                     mean_in_mask_stats, norm_pxl_stats,
                                     prop_true_stats, rescale_stats,
                                     stats_in_env, ts_fill_composite_stats)
-from .operators.elevation import (aspect_cat_stats, detrend_stats,
-                                  hillshade_stats, shadow_mask_stats,
+from .operators.elevation import (aspect_cat_stats, aspect_median_stats,
+                                  detrend_stats, hillshade_stats,
+                                  shadow_mask_stats, slope_pxlres_stats,
                                   slope_class_stats)
 from .operators.segmentation import (eliminate_small_segments,
                                      isodata_centres,
@@ -998,6 +1001,54 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_sref_6s_lut(spark, sf_dir) -> DataFrame:
+    """imagecalibration.apply_6s_coeff_elev_lut_param
+    (RSGISApply6SCoefficients.cpp:140): per-pixel 6S coefficients
+    chosen by NEAREST LUT elevation (first/lowest index ties — the C++
+    scan order); same pinned 6S tree as sref_6s, grouped per LUT entry
+    so every branch is hash-visible."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return sref_6s_lut_stats(img) \
+        .select("image_id", "lut_idx", "n_pix", "sum_sref_q",
+                "min_sref_q", "max_sref_q")
+
+
+def q_toa_to_radiance(spark, sf_dir) -> DataFrame:
+    """imagecalibration.toa_refl_to_radiance: the exact inverse of the
+    TOA reflectance transform — L = ((rho/SC)*ED)/(PI*DSQ) with the
+    same driver literals as toa_radiance."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return toa_to_radiance_stats(img) \
+        .select("image_id", "n_pix", "sum_l_q", "min_l_q", "max_l_q")
+
+
+def q_dem_slope_pxlres(spark, sf_dir) -> DataFrame:
+    """elevation.slope_pxl_res_img: Horn slope classes with a
+    PER-PIXEL resolution plane (30/35/40 m by (x+y)%3) — the class
+    test g2 >= 64 tan^2(T) * res_px^2 stays one pinned multiply."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return slope_pxlres_stats(img) \
+        .select("image_id", "slope_cls", "n_pix", "sum_g2")
+
+
+def q_aspect_med(spark, sf_dir) -> DataFrame:
+    """elevation.dtm_aspect_median_filter: 3x3 median over the aspect
+    CATEGORY plane (exact small-int median of 9); per-category counts
+    + position checksum on the doubly-interior region."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return aspect_median_stats(img) \
+        .select("image_id", "aspect_cat", "n_pix", "cat_ck")
+
+
+def q_rand_sample(spark, sf_dir) -> DataFrame:
+    """classification.generate_random_accuracy_pts: 5 points per image
+    by the deterministic hash ranking (unstratified sibling of
+    strat_sample); class recorded, not partitioned on."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return rand_sample(img) \
+        .select("image_id", "cls", "rank", "x", "y", "v")
 
 
 def q_sampling_grid(spark, sf_dir) -> DataFrame:
@@ -2817,6 +2868,11 @@ QUERIES = {
     "thermal_bright": q_thermal_bright,
     "jm_dist": q_jm_dist,
     "jm2d_dist": q_jm2d_dist,
+    "sref_6s_lut": q_sref_6s_lut,
+    "toa_to_radiance": q_toa_to_radiance,
+    "dem_slope_pxlres": q_dem_slope_pxlres,
+    "aspect_med": q_aspect_med,
+    "rand_sample": q_rand_sample,
     "sampling_grid": q_sampling_grid,
     "stretch_with_stats": q_stretch_with_stats,
     "merge_equiv": q_merge_equiv,
