@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "colour_classes", "spot_radiance", "subtract_offsets",
     "ts_fill_composite", "isodata_thresh", "cross_entropy",
     "li_threshold", "cloud_shadow", "global_class_stats", "prop_valid",
+    "sampling_grid", "stretch_with_stats", "merge_equiv", "drop_clumps",
+    "sref_6s_lut", "toa_to_radiance", "dem_slope_pxlres", "aspect_med",
+    "rand_sample", "dem_fill", "local_incidence",
 ]
 
 

@@ -487,3 +487,118 @@ def aspect_median_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_AMF_SCHEMA)
+
+
+_FILL_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_raised", LongType()),
+    StructField("sum_fill", LongType()),
+    StructField("sum_raise", LongType()),
+    StructField("n_rounds", LongType()),
+])
+
+
+def fill_dem_stats(images: DataFrame) -> DataFrame:
+    """elevation.fill_dem_soille_gratin_1994 (python/src/elevation.cpp
+    method table; RSGISHydroDEMFillSoilleGratin1994): flood-fill of DEM
+    depressions — the filled surface is the MINIMAL surface >= dem
+    with no interior local minimum, equivalently
+    F(p) = min over border paths of max(dem along path).
+
+    Engine realisation: morphological reconstruction by erosion —
+    F = dem on the border, +inf inside, then iterate
+    F <- max(dem, min(F, 4-neighbour mins)) to the fixpoint (converges
+    in O(w+h) vectorized rounds; the reference's priority-flood queue
+    computes the same fixpoint, pytest-verified against a heapq
+    transcription).  Pure integers.  No SQL oracle — the minimax-path
+    fixpoint is not SQL-expressible (rows-only check, like
+    alpha_shape); correctness carried by the pytest invariants."""
+    import numpy as _np
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _FILL_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                dem = _decode_dem(buf, w, h, fmt)
+                filled, rounds = fill_soille_gratin(dem)
+                raised = filled > dem
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(dem.size))
+                out["n_raised"].append(int(raised.sum()))
+                out["sum_fill"].append(int(filled.sum()))
+                out["sum_raise"].append(int((filled - dem).sum()))
+                out["n_rounds"].append(rounds)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_FILL_SCHEMA)
+
+
+def fill_soille_gratin(dem: np.ndarray):
+    """Vectorized reconstruction-by-erosion fixpoint (see
+    :func:`fill_dem_stats`); returns (filled, rounds)."""
+    big = int(dem.max()) + 1
+    f = np.full_like(dem, big)
+    f[0, :] = dem[0, :]
+    f[-1, :] = dem[-1, :]
+    f[:, 0] = dem[:, 0]
+    f[:, -1] = dem[:, -1]
+    rounds = 0
+    while True:
+        rounds += 1
+        nmin = f.copy()
+        nmin[1:, :] = np.minimum(nmin[1:, :], f[:-1, :])
+        nmin[:-1, :] = np.minimum(nmin[:-1, :], f[1:, :])
+        nmin[:, 1:] = np.minimum(nmin[:, 1:], f[:, :-1])
+        nmin[:, :-1] = np.minimum(nmin[:, :-1], f[:, 1:])
+        new = np.maximum(dem, nmin)
+        if (new == f).all():
+            return f, rounds
+        f = new
+
+
+_INC_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_facing_away", LongType()),
+    StructField("sum_cosi_q", LongType()),
+    StructField("min_cosi_q", LongType()),
+    StructField("max_cosi_q", LongType()),
+])
+
+
+def incidence_stats(images: DataFrame, azimuth: float = 135.0,
+                    zenith: float = 60.0, res: float = 30.0) -> DataFrame:
+    """elevation.local_incidence_angle (python/src/elevation.cpp
+    method table; RSGISCalcRayIncidentAngle): the angle between the
+    surface normal and the sun vector.  Engine variant (documented):
+    emits the 2^20-quantized COSINE of the incidence angle — the same
+    pinned hillshade-core tree without the 1+254 display scaling; the
+    reference's final acos is monotone, so orderings/threshold tests
+    agree and the transcendental stays out of the hash path."""
+    SZ, CZ, K1, K2 = hillshade_consts(azimuth, zenith)
+    R8 = 8.0 * res
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _INC_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                gx, gy = horn_gradients(_decode_dem(buf, w, h, fmt))
+                dx = gx / R8
+                dy = -gy / R8
+                num = SZ - CZ * (dy * K1 - dx * K2)
+                cosi = num / np.sqrt(1.0 + (dx * dx + dy * dy))
+                q = np.floor(cosi * 1048576.0).astype(np.int64)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(q.size))
+                out["n_facing_away"].append(int((cosi <= 0.0).sum()))
+                out["sum_cosi_q"].append(int(q.sum()))
+                out["min_cosi_q"].append(int(q.min()))
+                out["max_cosi_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_INC_SCHEMA)

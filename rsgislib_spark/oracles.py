@@ -5743,3 +5743,32 @@ SELECT image_id, CAST(cls AS BIGINT) AS cls, CAST(rank AS BIGINT) AS rank,
        CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, CAST(v AS BIGINT) AS v
 FROM rsk WHERE rank <= 5
 """
+
+
+# local incidence angle: the hillshade-core tree at sun (135, 60),
+# emitted as the quantized cosine (operators/elevation.incidence_stats)
+_IN_SZ, _IN_CZ, _IN_K1, _IN_K2 = _hs_consts(135.0, 60.0)
+
+ORACLES["local_incidence"] = f"""
+{_PREFIX},
+{_EG_CTE},
+ind AS (SELECT image_id,
+               CAST(gx AS DOUBLE) / {_HS_R8} AS dx,
+               CAST(-gy AS DOUBLE) / {_HS_R8} AS dy
+        FROM eg),
+inc AS (SELECT image_id,
+               ({_dlit(_IN_SZ)} - {_dlit(_IN_CZ)}
+                 * (dy * {_dlit(_IN_K1)} - dx * {_dlit(_IN_K2)}))
+               / sqrt({_dlit(1.0)} + (dx * dx + dy * dy)) AS cosi
+        FROM ind),
+inq AS (SELECT image_id,
+               CASE WHEN cosi <= {_dlit(0.0)} THEN 1 ELSE 0 END AS away,
+               CAST(floor(cosi * 1048576.0) AS BIGINT) AS q
+        FROM inc)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(away) AS BIGINT) AS n_facing_away,
+       CAST(sum(q) AS BIGINT) AS sum_cosi_q,
+       CAST(min(q) AS BIGINT) AS min_cosi_q,
+       CAST(max(q) AS BIGINT) AS max_cosi_q
+FROM inq GROUP BY image_id
+"""

@@ -64,7 +64,8 @@ from .operators.imgcalcmisc import (all_bands_equal_stats,
                                     prop_true_stats, rescale_stats,
                                     stats_in_env, ts_fill_composite_stats)
 from .operators.elevation import (aspect_cat_stats, aspect_median_stats,
-                                  detrend_stats, hillshade_stats,
+                                  detrend_stats, fill_dem_stats,
+                                  hillshade_stats, incidence_stats,
                                   shadow_mask_stats, slope_pxlres_stats,
                                   slope_class_stats)
 from .operators.segmentation import (eliminate_small_segments,
@@ -1001,6 +1002,28 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_dem_fill(spark, sf_dir) -> DataFrame:
+    """elevation.fill_dem_soille_gratin_1994: depression fill as the
+    reconstruction-by-erosion fixpoint (== the reference's
+    priority-flood result, pytest vs a heapq transcription).
+    Rows-only: the minimax-path fixpoint is not SQL-expressible."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return fill_dem_stats(img) \
+        .select("image_id", "n_pix", "n_raised", "sum_fill",
+                "sum_raise", "n_rounds")
+
+
+def q_local_incidence(spark, sf_dir) -> DataFrame:
+    """elevation.local_incidence_angle at sun (az 135, zen 60): the
+    quantized COSINE of the incidence angle (the reference's final
+    acos is monotone — documented variant), via the verified
+    hillshade-core pinned tree."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return incidence_stats(img) \
+        .select("image_id", "n_pix", "n_facing_away", "sum_cosi_q",
+                "min_cosi_q", "max_cosi_q")
 
 
 def q_sref_6s_lut(spark, sf_dir) -> DataFrame:
@@ -2868,6 +2891,8 @@ QUERIES = {
     "thermal_bright": q_thermal_bright,
     "jm_dist": q_jm_dist,
     "jm2d_dist": q_jm2d_dist,
+    "dem_fill": q_dem_fill,
+    "local_incidence": q_local_incidence,
     "sref_6s_lut": q_sref_6s_lut,
     "toa_to_radiance": q_toa_to_radiance,
     "dem_slope_pxlres": q_dem_slope_pxlres,

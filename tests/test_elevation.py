@@ -217,3 +217,55 @@ def test_dos_invariants():
     assert (res[nodata] == 0).all()
     # subtraction never produces values above the input range
     assert res.max() <= v.max()
+
+
+def test_fill_soille_gratin_matches_priority_flood():
+    """Reconstruction-by-erosion fixpoint == the reference's
+    priority-flood (heapq transcription), and the fill invariants:
+    F >= dem, F == dem on the border, no interior strict local
+    minimum below its neighbourhood, minimality on raised pixels."""
+    import heapq
+    from rsgislib_spark.operators.elevation import fill_soille_gratin
+
+    def priority_flood(dem):
+        h, w = dem.shape
+        filled = dem.copy()
+        seen = np.zeros(dem.shape, dtype=bool)
+        pq = []
+        for x in range(w):
+            for y in (0, h - 1):
+                heapq.heappush(pq, (int(dem[y, x]), y, x))
+                seen[y, x] = True
+        for y in range(h):
+            for x in (0, w - 1):
+                if not seen[y, x]:
+                    heapq.heappush(pq, (int(dem[y, x]), y, x))
+                    seen[y, x] = True
+        while pq:
+            lvl, y, x = heapq.heappop(pq)
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < h and 0 <= nx < w and not seen[ny, nx]:
+                    seen[ny, nx] = True
+                    filled[ny, nx] = max(int(dem[ny, nx]), lvl)
+                    heapq.heappush(pq, (int(filled[ny, nx]), ny, nx))
+        return filled
+
+    total_raised = 0
+    for k in range(6):
+        img_id = k * 19
+        w = 32 + (img_id * 7) % 97
+        h = 32 + (img_id * 13) % 97
+        fmt = synth.fmt_of_id(np.array([img_id]))[0]
+        v = synth.pixel_array(img_id, w, h, fmt).astype(np.int64)
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        dem = dem_plane(v, x, y)
+        filled, rounds = fill_soille_gratin(dem)
+        ref = priority_flood(dem)
+        assert (filled == ref).all()
+        assert (filled >= dem).all()
+        assert (filled[0] == dem[0]).all() and (filled[-1] == dem[-1]).all()
+        total_raised += int((filled > dem).sum())
+        assert rounds >= 2
+    assert total_raised > 0, "corpus has no depressions -> vacuous"
