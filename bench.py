@@ -116,7 +116,7 @@ BENCH_QUERIES = [
     "li_threshold", "cloud_shadow", "global_class_stats", "prop_valid",
     "sampling_grid", "stretch_with_stats", "merge_equiv", "drop_clumps",
     "sref_6s_lut", "toa_to_radiance", "dem_slope_pxlres", "aspect_med",
-    "rand_sample", "dem_fill", "local_incidence",
+    "rand_sample", "dem_fill", "local_incidence", "kurt_skew_thresh",
 ]
 
 

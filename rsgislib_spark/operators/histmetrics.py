@@ -402,3 +402,86 @@ def li_threshold_stats(images: DataFrame,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_LI_SCHEMA)
+
+
+_KS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_cand", LongType()),
+    StructField("thr_v", LongType()),
+    StructField("crit_q", LongType()),
+    StructField("n_sub", LongType()),
+])
+
+
+def kurt_skew_threshold_stats(images: DataFrame) -> DataFrame:
+    """tools.stats.calc_kurt_skew_threshold (tools/stats.py:900):
+    minimise |kurtosis| + |skew| of the data ABOVE the threshold
+    (low_thres=True).  Engine variant (documented): the reference's
+    stochastic dual-annealing search is replaced by an EXHAUSTIVE scan
+    of the integer candidate thresholds — deterministic and globally
+    optimal on the discrete grid.  The population moments rationalise
+    to exact integers (Python bigint / SQL HUGEINT):
+
+        A2 = n*S2 - S1^2                     (= n^2 m2)
+        A3 = n^2 S3 - 3n S1 S2 + 2 S1^3      (= n^3 m3)
+        A4 = n^3 S4 - 4n^2 S1 S3 + 6n S1^2 S2 - 3 S1^4   (= n^4 m4)
+        skew = A3 / (A2 * sqrt(A2));  kurt = A4 / A2^2 - 3
+
+    so the criterion |kurt| + |skew| is a pinned tree on exact-int
+    casts; argmin ties go to the smallest threshold.  Candidates need
+    n_sub >= 4 and A2 > 0."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _KS_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                vals, cnts = np.unique(v, return_counts=True)
+                # suffix sums over strictly-greater values: at index i,
+                # subset = data > vals[i]
+                def _suffix(a):
+                    return np.concatenate(
+                        [np.cumsum(a[::-1])[::-1][1:], [0]])
+                sn = _suffix(cnts)
+                s1 = _suffix(vals * cnts)
+                s2 = _suffix(vals ** 2 * cnts)
+                s3 = _suffix(vals ** 3 * cnts)
+                s4 = _suffix(vals ** 4 * cnts)
+                best = None
+                n_cand = 0
+                for i in range(vals.size):
+                    n = int(sn[i])
+                    if n < 4:
+                        continue
+                    S1, S2, S3, S4 = (int(s1[i]), int(s2[i]),
+                                      int(s3[i]), int(s4[i]))
+                    a2 = n * S2 - S1 * S1
+                    if a2 <= 0:
+                        continue
+                    n_cand += 1
+                    a3 = n * n * S3 - 3 * n * S1 * S2 + 2 * S1 ** 3
+                    a4 = (n ** 3 * S4 - 4 * n * n * S1 * S3
+                          + 6 * n * S1 * S1 * S2 - 3 * S1 ** 4)
+                    a2d = float(a2)
+                    sk = float(a3) / (a2d * np.sqrt(a2d))
+                    ku = float(a4) / (a2d * a2d) - 3.0
+                    cq = int(np.floor((abs(ku) + abs(sk)) * _Q))
+                    key = (cq, int(vals[i]))
+                    if best is None or key < best[:2]:
+                        best = (cq, int(vals[i]), n)
+                out["image_id"].append(image_id)
+                out["n_cand"].append(n_cand)
+                if best is None:
+                    out["thr_v"].append(-1)
+                    out["crit_q"].append(-1)
+                    out["n_sub"].append(-1)
+                else:
+                    out["thr_v"].append(best[1])
+                    out["crit_q"].append(best[0])
+                    out["n_sub"].append(best[2])
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_KS_SCHEMA)

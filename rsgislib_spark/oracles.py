@@ -5772,3 +5772,54 @@ SELECT image_id, count(*) AS n_pix,
        CAST(max(q) AS BIGINT) AS max_cosi_q
 FROM inq GROUP BY image_id
 """
+
+
+# kurt+skew threshold (histmetrics.kurt_skew_threshold_stats docstring
+# has the exact-integer moment rationalisation; HUGEINT intermediates)
+ORACLES["kurt_skew_thresh"] = f"""
+{_PREFIX},
+{_IC_PLANE},
+ksh AS (SELECT image_id, v, CAST(count(*) AS HUGEINT) AS n
+        FROM icpxy GROUP BY image_id, v),
+kss AS (SELECT image_id, v,
+               coalesce(sum(n) OVER w, 0) AS sn,
+               coalesce(sum(CAST(v AS HUGEINT) * n) OVER w, 0) AS s1,
+               coalesce(sum(CAST(v AS HUGEINT) * v * n) OVER w, 0) AS s2,
+               coalesce(sum(CAST(v AS HUGEINT) * v * v * n) OVER w, 0)
+                 AS s3,
+               coalesce(sum(CAST(v AS HUGEINT) * v * v * v * n) OVER w,
+                        0) AS s4
+        FROM ksh
+        WINDOW w AS (PARTITION BY image_id ORDER BY v DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING)),
+ksm AS (SELECT image_id, v, sn,
+               sn * s2 - s1 * s1 AS a2,
+               sn * sn * s3 - 3 * sn * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+               sn * sn * sn * s4 - 4 * sn * sn * s1 * s3
+                 + 6 * sn * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+        FROM kss WHERE sn >= 4),
+ksc AS (SELECT image_id, v, sn,
+               CAST(floor((abs(CAST(a4 AS DOUBLE)
+                               / (CAST(a2 AS DOUBLE)
+                                  * CAST(a2 AS DOUBLE))
+                               - CAST(3 AS DOUBLE))
+                           + abs(CAST(a3 AS DOUBLE)
+                                 / (CAST(a2 AS DOUBLE)
+                                    * sqrt(CAST(a2 AS DOUBLE)))))
+                          * 1048576.0) AS BIGINT) AS crit_q
+        FROM ksm WHERE a2 > 0),
+ksn AS (SELECT image_id, count(*) AS n_cand FROM ksc GROUP BY image_id),
+ksb AS (SELECT image_id, v, crit_q, sn, row_number() OVER (
+          PARTITION BY image_id ORDER BY crit_q, v) AS rn
+        FROM ksc),
+ksi AS (SELECT DISTINCT image_id FROM ksh)
+SELECT i.image_id,
+       CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(coalesce(b.v, -1) AS BIGINT) AS thr_v,
+       CAST(coalesce(b.crit_q, -1) AS BIGINT) AS crit_q,
+       CAST(coalesce(b.sn, -1) AS BIGINT) AS n_sub
+FROM ksi i
+LEFT JOIN ksn c ON c.image_id = i.image_id
+LEFT JOIN ksb b ON b.image_id = i.image_id AND b.rn = 1
+"""

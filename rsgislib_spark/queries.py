@@ -47,6 +47,7 @@ from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
 from .operators.histmetrics import (bhatt_dist_stats, cross_entropy_stats,
                                     isodata_threshold_stats,
                                     jm2d_dist_stats, jm_dist_stats,
+                                    kurt_skew_threshold_stats,
                                     li_threshold_stats, yen_threshold_stats)
 from .operators.classification import (class_accuracy_stats,
                                        global_class_stats, rand_sample,
@@ -1002,6 +1003,17 @@ def q_dos_subtract(spark, sf_dir) -> DataFrame:
     return dos_subtract_stats(img) \
         .select("image_id", "band", "n_pix", "n_nodata", "dark_off",
                 "sum_out", "min_out", "max_out")
+
+
+def q_kurt_skew_thresh(spark, sf_dir) -> DataFrame:
+    """tools.stats.calc_kurt_skew_threshold (tools/stats.py:900):
+    minimise |kurtosis|+|skew| of the above-threshold population —
+    exhaustive integer-grid argmin replacing the reference's
+    dual annealing (documented); moments rationalised to exact
+    integers (HUGEINT/bigint), criterion a pinned tree."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return kurt_skew_threshold_stats(img) \
+        .select("image_id", "n_cand", "thr_v", "crit_q", "n_sub")
 
 
 def q_dem_fill(spark, sf_dir) -> DataFrame:
@@ -2891,6 +2903,7 @@ QUERIES = {
     "thermal_bright": q_thermal_bright,
     "jm_dist": q_jm_dist,
     "jm2d_dist": q_jm2d_dist,
+    "kurt_skew_thresh": q_kurt_skew_thresh,
     "dem_fill": q_dem_fill,
     "local_incidence": q_local_incidence,
     "sref_6s_lut": q_sref_6s_lut,

@@ -193,3 +193,32 @@ def test_cloud_shadow_matches_bruteforce():
                     and not cloud[y, x]
                 assert ref == bool(fast[y, x])
         assert fast.sum() > 0  # shadows occur
+
+
+def test_kurt_skew_rationalisation_matches_float_moments():
+    """A2/A3/A4 integer forms == population m2/m3/m4 (scipy.stats
+    bias=True semantics) on above-threshold subsets."""
+    for v, _ in _planes(n=4):
+        vals = v.ravel()
+        for thr in (int(np.percentile(vals, 30)),
+                    int(np.percentile(vals, 70))):
+            sub = vals[vals > thr].astype(np.float64)
+            n = sub.size
+            if n < 4 or sub.var() == 0:
+                continue
+            m2 = ((sub - sub.mean()) ** 2).mean()
+            m3 = ((sub - sub.mean()) ** 3).mean()
+            m4 = ((sub - sub.mean()) ** 4).mean()
+            skew = m3 / m2 ** 1.5
+            kurt = m4 / m2 ** 2 - 3.0
+            si = vals[vals > thr].astype(object)
+            S1, S2 = int(sum(si)), int(sum(x * x for x in si))
+            S3 = int(sum(x ** 3 for x in si))
+            S4 = int(sum(x ** 4 for x in si))
+            a2 = n * S2 - S1 * S1
+            a3 = n * n * S3 - 3 * n * S1 * S2 + 2 * S1 ** 3
+            a4 = (n ** 3 * S4 - 4 * n * n * S1 * S3
+                  + 6 * n * S1 * S1 * S2 - 3 * S1 ** 4)
+            a2d = float(a2)
+            assert abs(float(a3) / (a2d * np.sqrt(a2d)) - skew) < 1e-9
+            assert abs(float(a4) / (a2d * a2d) - 3.0 - kurt) < 1e-9
