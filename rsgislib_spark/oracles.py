@@ -5823,3 +5823,149 @@ FROM ksi i
 LEFT JOIN ksn c ON c.image_id = i.image_id
 LEFT JOIN ksb b ON b.image_id = i.image_id AND b.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# SAR-texture / centre-difference window filters (operators/statfilters.py)
+# ---------------------------------------------------------------------------
+
+_MD3_K = ((1, 1, 1), (1, -8, 1), (1, 1, 1))
+
+# mean (|)difference(|) vs centre = the total-diff numerators / 8; the
+# numerator is an exact int and k/8 is dyadic, so the double division
+# is exact in both engines (RSGISStatsFilters.cpp:673,728).
+ORACLES["filter_mean_diff"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(1, w - 2)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+c AS (SELECT image_id, {_kernel_term(_MD3_K)} AS s FROM pxy)
+SELECT image_id, count(*) AS n_interior,
+       CAST(sum(s) AS DOUBLE) / CAST(8 AS DOUBLE) AS sum_md,
+       CAST(min(s) AS DOUBLE) / CAST(8 AS DOUBLE) AS min_md,
+       CAST(max(s) AS DOUBLE) / CAST(8 AS DOUBLE) AS max_md
+FROM c GROUP BY image_id
+"""
+
+ORACLES["filter_mean_diff_abs"] = f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(1, w - 2)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+c AS (SELECT image_id, ({_TDA_T}) AS s FROM pxy)
+SELECT image_id, count(*) AS n_interior,
+       CAST(sum(s) AS DOUBLE) / CAST(8 AS DOUBLE) AS sum_mda,
+       CAST(min(s) AS DOUBLE) / CAST(8 AS DOUBLE) AS min_mda,
+       CAST(max(s) AS DOUBLE) / CAST(8 AS DOUBLE) AS max_mda
+FROM c GROUP BY image_id
+"""
+
+
+def _texture_oracle(kind: str) -> str:
+    """DuckDB twin of statfilters.window_texture_stats (3x3, mod=19).
+
+    Binds the nine shifted pixel values as CTE columns (perf lesson 14)
+    and mirrors the operator's pinned op tree exactly: integer window
+    sums, sqrt/ln per-term transforms summed in row-major order,
+    2^20-quantized per-pixel outputs, exact integer aggregation.
+    """
+    from .functions.detmath import ln_steps
+
+    idx = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    vcols = ", ".join(f"({_pxv_at(dx, dy)}) AS v{i}"
+                      for i, (dy, dx) in enumerate(idx))
+    base = f"""
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(1, w - 2)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM xs),
+vb AS (SELECT image_id, {vcols} FROM pxy)
+""".strip()
+    q20 = "1048576.0"
+    if kind == "cov":
+        s = " + ".join(f"v{i}" for i in range(9))
+        ss = " + ".join(f"v{i} * v{i}" for i in range(9))
+        inner = f"""
+tb AS (SELECT image_id, ({s}) AS s, ({ss}) AS ss FROM vb),
+qb AS (SELECT image_id,
+          CASE WHEN s > 0 THEN 0 ELSE 1 END AS g,
+          CASE WHEN s > 0
+               THEN CAST(floor(sqrt(CAST(9 * ss - s * s AS DOUBLE))
+                               / CAST(s AS DOUBLE) * {q20}) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS q
+       FROM tb)
+""".strip()
+        agg_src = "qb"
+    else:
+        nv = " + ".join(f"(CASE WHEN v{i} <> 0 THEN 1 ELSE 0 END)"
+                        for i in range(9))
+        if kind == "nv_power":
+            sm = " + ".join(f"(CASE WHEN v{i} <> 0 THEN CAST(v{i} AS DOUBLE)"
+                            f" ELSE CAST(0 AS DOUBLE) END)" for i in range(9))
+            sq = " + ".join(f"(CASE WHEN v{i} <> 0 THEN "
+                            f"CAST(v{i} * v{i} AS DOUBLE)"
+                            f" ELSE CAST(0 AS DOUBLE) END)" for i in range(9))
+            src = "vb"
+        elif kind == "nv_sqrt":
+            sm = " + ".join(f"(CASE WHEN v{i} <> 0 THEN "
+                            f"sqrt(CAST(v{i} AS DOUBLE))"
+                            f" ELSE CAST(0 AS DOUBLE) END)" for i in range(9))
+            sq = " + ".join(f"(CASE WHEN v{i} <> 0 THEN CAST(v{i} AS DOUBLE)"
+                            f" ELSE CAST(0 AS DOUBLE) END)" for i in range(9))
+            src = "vb"
+        else:  # nv_ln
+            chain = "SELECT *, " + ", ".join(
+                f"CAST(v{i} AS DOUBLE) AS vd{i}" for i in range(9)) \
+                + " FROM vb"
+            for i in range(9):
+                for name, expr in ln_steps(f"vd{i}", f"l{i}", lo=0, hi=10):
+                    chain = f"SELECT *, {expr} AS {name} FROM ({chain})"
+            sm = " + ".join(f"(CASE WHEN v{i} <> 0 THEN l{i}"
+                            f" ELSE CAST(0 AS DOUBLE) END)" for i in range(9))
+            sq = " + ".join(f"(CASE WHEN v{i} <> 0 THEN l{i} * l{i}"
+                            f" ELSE CAST(0 AS DOUBLE) END)" for i in range(9))
+            base += f",\nlnb AS ({chain})"
+            src = "lnb"
+        inner = f"""
+tb AS (SELECT image_id, v4 AS vc, ({nv}) AS nv,
+              (CAST(0 AS DOUBLE) + {sm}) AS sm,
+              (CAST(0 AS DOUBLE) + {sq}) AS sq
+       FROM {src}),
+mb AS (SELECT image_id, vc, nv, sm, sq,
+          CASE WHEN vc <> 0 AND nv > 3
+               THEN sm / CAST(nv AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS im
+       FROM tb),
+qb AS (SELECT image_id,
+          CASE WHEN vc <> 0 AND nv > 3 AND im * im > CAST(0 AS DOUBLE)
+               THEN 0 ELSE 1 END AS g,
+          CASE WHEN vc <> 0 AND nv > 3 AND im * im > CAST(0 AS DOUBLE)
+               THEN CAST(floor((sq / CAST(nv AS DOUBLE) / (im * im)
+                                - CAST(1 AS DOUBLE)) * {q20}) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS q
+       FROM mb)
+""".strip()
+        agg_src = "qb"
+    return f"""
+{_PREFIX},
+{base},
+{inner}
+SELECT i.image_id,
+       CAST(coalesce(t.n_interior, 0) AS BIGINT) AS n_interior,
+       CAST(coalesce(t.n_guard, 0) AS BIGINT) AS n_guard,
+       CAST(coalesce(t.sum_q, 0) AS BIGINT) AS sum_q,
+       CAST(coalesce(t.min_q, 0) AS BIGINT) AS min_q,
+       CAST(coalesce(t.max_q, 0) AS BIGINT) AS max_q
+FROM (SELECT image_id FROM img WHERE id % 19 = 0) i
+LEFT JOIN (SELECT image_id, count(*) AS n_interior, sum(g) AS n_guard,
+                  sum(q) AS sum_q, min(q) AS min_q, max(q) AS max_q
+           FROM {agg_src} GROUP BY image_id) t
+  ON t.image_id = i.image_id
+"""
+
+
+ORACLES["filter_coeff_var"] = _texture_oracle("cov")
+ORACLES["filter_norm_var"] = _texture_oracle("nv_power")
+ORACLES["filter_norm_var_sqrt"] = _texture_oracle("nv_sqrt")
+ORACLES["filter_norm_var_ln"] = _texture_oracle("nv_ln")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import synth
 from .operators import imagemath as im
+from .operators import statfilters as sfilt
 from .operators import similarity as simi
 from .operators import textops as tx
 from .operators.mosaic import (composite_max_index_window, mosaic_mode_window,
@@ -608,6 +609,65 @@ def q_filter_total_diff_abs(spark, sf_dir) -> DataFrame:
     return im.total_diff_abs_stats(img) \
         .select("image_id", "n_interior", "sum_tda", "min_tda",
                 "max_tda")
+
+
+def q_filter_mean_diff(spark, sf_dir) -> DataFrame:
+    """apply_mean_diff_filter (imagefilter/__init__.py:254;
+    RSGISStatsFilters.cpp:673): mean of (neighbour - centre) over the
+    3x3 window = (window sum - 9*centre) / 8.  The numerator is the
+    negated total-diff kernel; /8 is dyadic so the doubles are exact."""
+    img = _px_images(spark, sf_dir, mod=19)
+    c = im.conv_stats(img, ((1, 1, 1), (1, -8, 1), (1, 1, 1)))
+    return c.select(
+        "image_id", "n_interior",
+        (F.col("sum_conv").cast("double") / F.lit(8.0)).alias("sum_md"),
+        (F.col("min_conv").cast("double") / F.lit(8.0)).alias("min_md"),
+        (F.col("max_conv").cast("double") / F.lit(8.0)).alias("max_md"))
+
+
+def q_filter_mean_diff_abs(spark, sf_dir) -> DataFrame:
+    """apply_mean_diff_abs_filter (imagefilter/__init__.py:285;
+    RSGISStatsFilters.cpp:728): mean |neighbour - centre| over the 3x3
+    window = total-diff-abs / 8 (dyadic, exact)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    c = im.total_diff_abs_stats(img)
+    return c.select(
+        "image_id", "n_interior",
+        (F.col("sum_tda").cast("double") / F.lit(8.0)).alias("sum_mda"),
+        (F.col("min_tda").cast("double") / F.lit(8.0)).alias("min_mda"),
+        (F.col("max_tda").cast("double") / F.lit(8.0)).alias("max_mda"))
+
+
+def q_filter_coeff_var(spark, sf_dir) -> DataFrame:
+    """apply_coeff_of_var_filter (imagefilter/__init__.py:382;
+    RSGISStatsFilters.cpp:295): window stddev/mean, rationalised to
+    sqrt(n*SS - S^2)/S on exact ints (operators/statfilters.py)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return sfilt.window_texture_stats(img, "cov")
+
+
+def q_filter_norm_var(spark, sf_dir) -> DataFrame:
+    """apply_norm_var_filter (imagefilter/__init__.py:444;
+    RSGISSARTextureFilters.cpp:29): normalised variance of the power
+    values over nonzero window pixels; zero-centre/nv<=3 guards."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return sfilt.window_texture_stats(img, "nv_power")
+
+
+def q_filter_norm_var_sqrt(spark, sf_dir) -> DataFrame:
+    """apply_norm_var_sqrt_filter (imagefilter/__init__.py:475;
+    RSGISSARTextureFilters.cpp:84): normalised variance of amplitudes
+    (sqrt of the power values), pinned row-major sqrt-sum chain."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return sfilt.window_texture_stats(img, "nv_sqrt")
+
+
+def q_filter_norm_var_ln(spark, sf_dir) -> DataFrame:
+    """apply_norm_var_ln_filter (imagefilter/__init__.py:507;
+    RSGISSARTextureFilters.cpp:142): normalised variance of ln(power)
+    via the cross-engine detmath ln tree (NOTES lesson 21)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return sfilt.window_texture_stats(img, "nv_ln")
 
 
 def q_morph_open(spark, sf_dir) -> DataFrame:
@@ -2886,6 +2946,12 @@ QUERIES = {
     "filter_laplacian": q_filter_laplacian,
     "filter_total_diff": q_filter_total_diff,
     "filter_total_diff_abs": q_filter_total_diff_abs,
+    "filter_mean_diff": q_filter_mean_diff,
+    "filter_mean_diff_abs": q_filter_mean_diff_abs,
+    "filter_coeff_var": q_filter_coeff_var,
+    "filter_norm_var": q_filter_norm_var,
+    "filter_norm_var_sqrt": q_filter_norm_var_sqrt,
+    "filter_norm_var_ln": q_filter_norm_var_ln,
     "mask_val_prob": q_mask_val_prob,
     "pan_sharpen": q_pan_sharpen,
     "unpack_bits": q_unpack_bits,
