@@ -5969,3 +5969,82 @@ ORACLES["filter_coeff_var"] = _texture_oracle("cov")
 ORACLES["filter_norm_var"] = _texture_oracle("nv_power")
 ORACLES["filter_norm_var_sqrt"] = _texture_oracle("nv_sqrt")
 ORACLES["filter_norm_var_ln"] = _texture_oracle("nv_ln")
+
+
+# ---------------------------------------------------------------------------
+# Spectral-index family (operators/indices.py; imagecalc/calcindices.py)
+# ---------------------------------------------------------------------------
+
+def _spectral_indices_oracle() -> str:
+    """DuckDB twin of indices.spectral_indices_stats (mod=19).
+
+    Bands as CTE columns (lesson 14), numerators/denominators as exact
+    ints, ONE CAST-to-DOUBLE division per ratio index, floor(idx*2^20)
+    quantisation, exact BIGINT sums.  `^` is avoided (DuckDB power
+    returns DOUBLE) — squares are spelled as products.
+    """
+    v = synth.pixel_value_sql("id", "x", "y", "fmt")
+    vm = synth.pixel_value_sql("id", "(w - 1 - x)", "y", "fmt")
+    vf = synth.pixel_value_sql("id", "x", "(h - 1 - y)", "fmt")
+    vr = synth.pixel_value_sql("id", "(w - 1 - x)", "(h - 1 - y)", "fmt")
+    pmax = synth.pmax_sql("fmt")
+
+    def ratio(num, den):
+        return (f"CASE WHEN ({den}) = 0 THEN CAST(-999 AS DOUBLE) "
+                f"ELSE CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) END")
+
+    idx_exprs = {
+        "ndwi": ratio("green - nir", "green + nir"),
+        "gndvi": ratio("nir - green", "nir + green"),
+        "ndsi": ratio("green - swir", "green + swir"),
+        "nbr": ratio("nir - swir", "nir + swir"),
+        "wbi": ratio("blue", "nir"),
+        "white": ratio("abs(3*blue - s) + abs(3*green - s) + abs(3*red - s)",
+                       "s"),
+        "bright": ("CASE WHEN s = 0 THEN CAST(-999 AS DOUBLE) ELSE "
+                   "(CAST(blue AS DOUBLE)/CAST(1000 AS DOUBLE)"
+                   " + CAST(green AS DOUBLE)/CAST(1000 AS DOUBLE)"
+                   " + CAST(red AS DOUBLE)/CAST(1000 AS DOUBLE))"
+                   "/CAST(3 AS DOUBLE) END"),
+        "bai": ratio("1000000",
+                     "(100 - red)*(100 - red) + (60 - nir)*(60 - nir)"),
+        "ctvi": ("CASE WHEN (nir + red) = 0 THEN CAST(-999 AS DOUBLE) "
+                 "WHEN ctx >= CAST(0 AS DOUBLE) THEN sqrt(ctx) "
+                 "ELSE -sqrt(-ctx) END"),
+        "evi": ratio("5*(nir - red)", "2*nir + 12*red - 15*blue + 2000"),
+        "evi2": ratio("25*(nir - red)", "10*nir + 24*red + 10000"),
+        "mvi": ratio("nir - green", "swir - green"),
+    }
+    qcols = ",\n  ".join(
+        f"CAST(floor(({e}) * CAST(1048576 AS DOUBLE)) AS BIGINT) AS q_{k}"
+        for k, e in idx_exprs.items())
+    scols = ",\n  ".join(
+        f"CAST(sum(q_{k}) AS BIGINT) AS s_{k}" for k in idx_exprs)
+    return f"""
+{_PREFIX},
+xs AS (SELECT image_id, id, w, h, fmt,
+              unnest(generate_series(0, w - 1)) AS x
+       FROM img WHERE id % 19 = 0),
+pxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM xs),
+b AS (SELECT image_id,
+             {v} AS blue, {vm} AS green, {vf} AS red, {vr} AS nir,
+             ({pmax} - 1 - {v}) AS swir
+      FROM pxy),
+b2 AS (SELECT *, blue + green + red AS s,
+              CASE WHEN (nir + red) = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE CAST(nir - red AS DOUBLE)
+                        / CAST(nir + red AS DOUBLE) END
+              + CAST(0.5 AS DOUBLE) AS ctx
+       FROM b),
+q AS (SELECT image_id,
+  {qcols}
+FROM b2)
+SELECT image_id, count(*) AS n_pix,
+  {scols},
+  CAST(min(q_ndwi) AS BIGINT) AS mn_ndwi,
+  CAST(max(q_ndwi) AS BIGINT) AS mx_ndwi
+FROM q GROUP BY image_id
+"""
+
+
+ORACLES["spectral_indices"] = _spectral_indices_oracle()

@@ -670,6 +670,16 @@ def q_filter_norm_var_ln(spark, sf_dir) -> DataFrame:
     return sfilt.window_texture_stats(img, "nv_ln")
 
 
+def q_spectral_indices(spark, sf_dir) -> DataFrame:
+    """The 12-index calcindices family in one decoded pass (§2.9):
+    ndwi/gndvi/ndsi/nbr/wbi/whiteness/brightness/bai/ctvi/evi/evi2/mvi
+    (imagecalc/calcindices.py:84-760), rationalised to exact-int
+    ratios + 2^20 quantised sums (operators/indices.py)."""
+    from .operators.indices import spectral_indices_stats
+    img = _px_images(spark, sf_dir, mod=19)
+    return spectral_indices_stats(img)
+
+
 def q_morph_open(spark, sf_dir) -> DataFrame:
     """grayscale opening: dilate(erode) over the two-pass interior
     (§2.6, python/src/imagemorphology.cpp:655)."""
@@ -2952,6 +2962,7 @@ QUERIES = {
     "filter_norm_var": q_filter_norm_var,
     "filter_norm_var_sqrt": q_filter_norm_var_sqrt,
     "filter_norm_var_ln": q_filter_norm_var_ln,
+    "spectral_indices": q_spectral_indices,
     "mask_val_prob": q_mask_val_prob,
     "pan_sharpen": q_pan_sharpen,
     "unpack_bits": q_unpack_bits,
