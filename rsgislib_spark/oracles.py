@@ -6048,3 +6048,22 @@ FROM q GROUP BY image_id
 
 
 ORACLES["spectral_indices"] = _spectral_indices_oracle()
+
+
+# Web-mercator tile grid (geo/webmerc.py): same generated SQL tree the
+# Spark query evaluates (shared expression text => bit-identical).
+def _web_tiles_oracle() -> str:
+    from .geo.webmerc import webmerc_tile_sql
+
+    inner = """SELECT qid,
+              CAST(-180.0 AS DOUBLE) + ((qlon + 180.0) % 360.0) AS qlon,
+              CAST(-85.0 AS DOUBLE) + ((qlat + 60.0) % 170.0) AS qlat
+       FROM qpts"""
+    sql, fin = webmerc_tile_sql(inner, "qlon", "qlat", zoom=12)
+    keys = ("tx", "ty", "tms_y", "qk_num", "mx", "my", "lon_tl",
+            "bxmin", "bxmax", "bymin", "bymax")
+    sel = ", ".join(f"{fin[k]} AS {k}" for k in keys)
+    return f"{_PREFIX}\nSELECT qid, {sel}\nFROM ({sql})"
+
+
+ORACLES["web_tiles"] = _web_tiles_oracle()

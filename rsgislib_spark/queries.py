@@ -2315,6 +2315,24 @@ def _remapped_qpts(spark, sf_dir, lon0: float, lon_span: float,
         .alias("qlat"))
 
 
+def q_web_tiles(spark, sf_dir) -> DataFrame:
+    """Web-mercator tile-grid math at zoom 12 (§2.9; tools web-tile
+    helpers: get_web_mercator_xy, get_tile_for_point, get_tile_bbox /
+    xy_mercator_bounds, get_tile_tl_lonlat, convert_between_tms_xyz /
+    flip_xyz_tms_tiles, get_quadkey_for_tile_path).  Mercator y is
+    R*atanh(sin lat) on the pinned polynomial-sin + detmath-ln tree —
+    bit-exact in every engine (geo/webmerc.py); tile indices, the TMS
+    flip, the base-4 quadkey integer and the metre-space tile bbox are
+    exact integer / dyadic arithmetic."""
+    from .geo.webmerc import webmerc_tile_steps
+    from .operators.vector import _apply_expr_steps
+    qpts = _remapped_qpts(spark, sf_dir, -180.0, 360.0, -85.0, 170.0)
+    steps, finals = webmerc_tile_steps("qlon", "qlat", zoom=12)
+    df = _apply_expr_steps(qpts, steps, finals)
+    return df.select("qid", "tx", "ty", "tms_y", "qk_num", "mx", "my",
+                     "lon_tl", "bxmin", "bxmax", "bymin", "bymax")
+
+
 def q_reproj_lcc(spark, sf_dir) -> DataFrame:
     """Lambert Conformal Conic 2SP forward (EPSG:2154, RGF93 /
     Lambert-93): rho via the band-fitted isometric-latitude polynomial
@@ -2963,6 +2981,7 @@ QUERIES = {
     "filter_norm_var_sqrt": q_filter_norm_var_sqrt,
     "filter_norm_var_ln": q_filter_norm_var_ln,
     "spectral_indices": q_spectral_indices,
+    "web_tiles": q_web_tiles,
     "mask_val_prob": q_mask_val_prob,
     "pan_sharpen": q_pan_sharpen,
     "unpack_bits": q_unpack_bits,
