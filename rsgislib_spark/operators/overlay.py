@@ -34,6 +34,7 @@ __all__ = [
     "rect_erase",
     "rect_sym_difference",
     "rect_union",
+    "rect_identity",
 ]
 
 _SIDES = ("xmin", "xmax", "ymin", "ymax")
@@ -473,3 +474,62 @@ def rect_union(
         F.when(F.col("side") == "b", F.col("feat_id")).alias("b_id"),
         "rxmin", "rxmax", "rymin", "rymax", "part_idx")
     return inter.unionByName(rest)
+
+
+def rect_identity(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    a_key: str = "a_id",
+    b_key: str = "b_id",
+    a_bbox=("axmin", "axmax", "aymin", "aymax"),
+    b_bbox=("bxmin", "bxmax", "bymin", "bymax"),
+    res: int = 5,
+) -> DataFrame:
+    """Layer-level rect overlay identity (``vec_lyr_identity_gp``,
+    vectorgeoms/__init__.py:1305 — geopandas ``overlay(how=
+    'identity')``): the A∩B intersection pieces carrying both keys plus
+    the A-only remainder (A erased by B) — i.e. union without the
+    B-only pieces, so the result's coverage is exactly layer A.  One
+    slab-decomposition erase pass instead of union's two.
+    """
+    from .spatial_join import with_bbox_cells
+
+    ax0, ax1, ay0, ay1 = a_bbox
+    bx0, bx1, by0, by1 = b_bbox
+    ac = with_bbox_cells(a.select(F.col(a_key).alias("_ak"),
+                                  *[F.col(c) for c in a_bbox]),
+                         ax0, ax1, ay0, ay1, res=res)
+    bc = with_bbox_cells(b.select(F.col(b_key).alias("_bk2"),
+                                  *[F.col(c) for c in b_bbox]),
+                         bx0, bx1, by0, by1, res=res)
+    inter = (
+        ac.join(bc, "cell", "inner")
+        .where((F.col(ax1) > F.col(bx0)) & (F.col(bx1) > F.col(ax0))
+               & (F.col(ay1) > F.col(by0)) & (F.col(by1) > F.col(ay0)))
+        .dropDuplicates(["_ak", "_bk2"])
+        .select(F.lit("int").alias("kind"),
+                F.col("_ak").cast("long").alias("a_id"),
+                F.col("_bk2").cast("long").alias("b_id"),
+                F.greatest(ax0, bx0).alias("rxmin"),
+                F.least(ax1, bx1).alias("rxmax"),
+                F.greatest(ay0, by0).alias("rymin"),
+                F.least(ay1, by1).alias("rymax"),
+                F.lit(1).cast("long").alias("part_idx"))
+    )
+    a_only = rect_erase(
+        a.select(F.col(a_key).alias("base_id"),
+                 F.col(a_bbox[0]).alias("bxmin"),
+                 F.col(a_bbox[1]).alias("bxmax"),
+                 F.col(a_bbox[2]).alias("bymin"),
+                 F.col(a_bbox[3]).alias("bymax")),
+        b.select(F.col(b_bbox[0]).alias("exmin"),
+                 F.col(b_bbox[1]).alias("exmax"),
+                 F.col(b_bbox[2]).alias("eymin"),
+                 F.col(b_bbox[3]).alias("eymax")),
+        res=res,
+    ).select(F.lit("a").alias("kind"),
+             F.col("base_id").cast("long").alias("a_id"),
+             F.lit(None).cast("long").alias("b_id"),
+             "rxmin", "rxmax", "rymin", "rymax", "part_idx")
+    return inter.unionByName(a_only)

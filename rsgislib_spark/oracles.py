@@ -6067,3 +6067,87 @@ def _web_tiles_oracle() -> str:
 
 
 ORACLES["web_tiles"] = _web_tiles_oracle()
+
+
+# overlay identity = the union oracle without its B-only branch
+# (operators/overlay.rect_identity; vec_lyr_identity_gp)
+ORACLES["overlay_identity"] = f"""
+{_PREFIX},
+za AS (SELECT zone_id AS fid, zxmin AS bx0, zxmax AS bx1,
+              zymin AS by0, zymax AS by1 FROM zones),
+bandE AS (SELECT CAST(-40.0 AS DOUBLE) AS ex0, CAST(40.0 AS DOUBLE) AS ex1,
+                 CAST(-15.0 AS DOUBLE) AS ey0, CAST(15.0 AS DOUBLE) AS ey1),
+{_rect_erase_sql('sa', 'za', 'bandE', 'fid')},
+ib AS (SELECT 'int' AS kind, z.zone_id AS a_id, CAST(1 AS BIGINT) AS b_id,
+              greatest(z.zxmin, CAST(-40.0 AS DOUBLE)) AS rxmin,
+              least(z.zxmax, CAST(40.0 AS DOUBLE)) AS rxmax,
+              greatest(z.zymin, CAST(-15.0 AS DOUBLE)) AS rymin,
+              least(z.zymax, CAST(15.0 AS DOUBLE)) AS rymax,
+              CAST(1 AS BIGINT) AS part_idx
+       FROM zones z
+       WHERE z.zxmax > CAST(-40.0 AS DOUBLE)
+         AND CAST(40.0 AS DOUBLE) > z.zxmin
+         AND z.zymax > CAST(-15.0 AS DOUBLE)
+         AND CAST(15.0 AS DOUBLE) > z.zymin)
+SELECT kind, a_id, b_id, part_idx, rxmin, rxmax, rymin, rymax FROM ib
+UNION ALL
+SELECT 'a' AS kind, fid AS a_id, CAST(NULL AS BIGINT) AS b_id, part_idx,
+       rxmin, rxmax, rymin, rymax FROM saparts
+"""
+
+
+# CQV predictor selection (tools/stats.py:85): dyadic quantile_cont
+# matches numpy/Spark linear interpolation bit-exactly (lesson 6).
+ORACLES["cqv_select"] = f"""
+{_PREFIX},
+cst AS (
+  SELECT 'area' AS pred, CAST(w * h AS DOUBLE) AS val FROM img
+  UNION ALL SELECT 'alat', abs(lat) + CAST(1 AS DOUBLE) FROM img
+  UNION ALL SELECT 'alon', abs(lon) + CAST(1 AS DOUBLE) FROM img
+  UNION ALL SELECT 'h', CAST(h AS DOUBLE) FROM img
+  UNION ALL SELECT 'idm', CAST(id % 97 AS DOUBLE) FROM img
+  UNION ALL SELECT 'w', CAST(w AS DOUBLE) FROM img),
+cq AS (SELECT pred,
+              quantile_cont(val, 0.25) AS q1,
+              quantile_cont(val, 0.75) AS q3
+       FROM cst GROUP BY pred)
+SELECT pred, q1, q3,
+       (q3 - q1) / (q3 + q1) AS cqv,
+       CAST(((q3 - q1) / (q3 + q1)) >= CAST(0.25 AS DOUBLE)
+            AND ((q3 - q1) / (q3 + q1)) <= CAST(0.75 AS DOUBLE)
+            AS BIGINT) AS good
+FROM cq
+"""
+
+
+# extent-on-grid snaps (tools/geometrytools.py:272/331/385): the same
+# generated expression text the Spark query evaluates.
+def _extent_on_grid_oracle() -> str:
+    from .geo.bbox import extent_on_grid_sql, extent_whole_num_grid_sql
+
+    grow = extent_on_grid_sql("zxmin", "zxmax", "zymin", "zymax", 0.25, True)
+    shrink = extent_on_grid_sql("zxmin", "zxmax", "zymin", "zymax",
+                                0.25, False)
+    whole = extent_whole_num_grid_sql("zxmin", "zxmax", "zymin", "zymax",
+                                      0.25, True)
+    common = extent_on_grid_sql(
+        "greatest(zxmin, CAST(-40.0 AS DOUBLE))",
+        "least(zxmax, CAST(40.0 AS DOUBLE))",
+        "greatest(zymin, CAST(-15.0 AS DOUBLE))",
+        "least(zymax, CAST(15.0 AS DOUBLE))", 0.25, True)
+    cols = ["zone_id"]
+    cols += [f"{e} AS {k}" for k, e in grow.items()]
+    cols += [f"{e} AS s{k[1:]}" for k, e in shrink.items()]
+    cols += [f"{e} AS {k}" for k, e in whole.items()]
+    cols += [f"{e} AS c{k[1:]}" for k, e in common.items()]
+    sel = ",\n  ".join(cols)
+    return f"""
+{_PREFIX}
+SELECT {sel}
+FROM zones
+WHERE zxmax > CAST(-40.0 AS DOUBLE) AND zxmin < CAST(40.0 AS DOUBLE)
+  AND zymax > CAST(-15.0 AS DOUBLE) AND zymin < CAST(15.0 AS DOUBLE)
+"""
+
+
+ORACLES["extent_on_grid"] = _extent_on_grid_oracle()

@@ -2091,6 +2091,72 @@ def q_overlay_union(spark, sf_dir) -> DataFrame:
                       "rxmin", "rxmax", "rymin", "rymax")
 
 
+def q_overlay_identity(spark, sf_dir) -> DataFrame:
+    """overlay identity with geometry output: A∩B pieces + the A-only
+    remainder — geopandas how='identity' (§2.8, vec_lyr_identity_gp,
+    vectorgeoms/__init__.py:1305); one erase pass, coverage == layer A."""
+    from .operators.overlay import rect_identity
+    zones = synth.synth_zones(spark, sf_dir)
+    out = rect_identity(_zone_rect_layer_a(zones), _band_rect_layer_b(spark))
+    return out.select("kind", "a_id", "b_id", "part_idx",
+                      "rxmin", "rxmax", "rymin", "rymax")
+
+
+def q_extent_on_grid(spark, sf_dir) -> DataFrame:
+    """tools.geometrytools find_extent_on_grid /
+    find_extent_on_whole_num_grid / find_common_extent_on_grid
+    (:331/:385/:272) over the zone bboxes at grid 0.25: grow
+    (full_contain) and shrink snaps, origin-anchored whole-number
+    snap, and the band-intersection common-extent snap.  All IEEE
+    floor/ceil/dyadic arithmetic — bit-exact (§2.9)."""
+    from .geo.bbox import extent_on_grid_sql, extent_whole_num_grid_sql
+    zones = synth.synth_zones(spark, sf_dir)
+    grow = extent_on_grid_sql("zxmin", "zxmax", "zymin", "zymax", 0.25, True)
+    shrink = extent_on_grid_sql("zxmin", "zxmax", "zymin", "zymax",
+                                0.25, False)
+    whole = extent_whole_num_grid_sql("zxmin", "zxmax", "zymin", "zymax",
+                                      0.25, True)
+    common = extent_on_grid_sql(
+        "greatest(zxmin, CAST(-40.0 AS DOUBLE))",
+        "least(zxmax, CAST(40.0 AS DOUBLE))",
+        "greatest(zymin, CAST(-15.0 AS DOUBLE))",
+        "least(zymax, CAST(15.0 AS DOUBLE))", 0.25, True)
+    cols = ["zone_id"]
+    cols += [f"{e} AS {k}" for k, e in grow.items()]
+    cols += [f"{e} AS s{k[1:]}" for k, e in shrink.items()]
+    cols += [f"{e} AS {k}" for k, e in whole.items()]
+    cols += [f"{e} AS c{k[1:]}" for k, e in common.items()]
+    return zones.where(
+        "zxmax > CAST(-40.0 AS DOUBLE) AND zxmin < CAST(40.0 AS DOUBLE) "
+        "AND zymax > CAST(-15.0 AS DOUBLE) AND zymin < CAST(15.0 AS DOUBLE)"
+    ).selectExpr(*cols)
+
+
+def q_cqv_select(spark, sf_dir) -> DataFrame:
+    """tools.stats.cqv_threshold (tools/stats.py:85): quartile
+    coefficient of variation (Q3-Q1)/(Q3+Q1) per predictor column,
+    keep 0.25 <= cqv <= 0.75.  Exact linear-interp quartiles (dyadic
+    percentiles are bit-reproducible across engines — NOTES lesson 6);
+    one stack -> groupBy shuffle, map-side combinable."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    stacked = img.select(F.expr(
+        "stack(6, 'area', CAST(w * h AS DOUBLE), "
+        "'alat', abs(lat) + CAST(1 AS DOUBLE), "
+        "'alon', abs(lon) + CAST(1 AS DOUBLE), "
+        "'h', CAST(h AS DOUBLE), 'idm', CAST(id % 97 AS DOUBLE), "
+        "'w', CAST(w AS DOUBLE)) AS (pred, val)"))
+    agg = stacked.groupBy("pred").agg(
+        F.expr("percentile(val, CAST(0.25 AS DOUBLE))").alias("q1"),
+        F.expr("percentile(val, CAST(0.75 AS DOUBLE))").alias("q3"))
+    return agg.select(
+        "pred", "q1", "q3",
+        ((F.col("q3") - F.col("q1")) / (F.col("q3") + F.col("q1")))
+        .alias("cqv"),
+        F.expr("CAST(((q3 - q1) / (q3 + q1)) >= CAST(0.25 AS DOUBLE) "
+               "AND ((q3 - q1) / (q3 + q1)) <= CAST(0.75 AS DOUBLE) "
+               "AS BIGINT)").alias("good"))
+
+
 def q_shift_layer(spark, sf_dir) -> DataFrame:
     """shiftxy_vec_lyr: translate the query-point layer by (0.25, -0.125)
     (§2.9, vectorgeoms/__init__.py:3022)."""
@@ -2982,6 +3048,9 @@ QUERIES = {
     "filter_norm_var_ln": q_filter_norm_var_ln,
     "spectral_indices": q_spectral_indices,
     "web_tiles": q_web_tiles,
+    "overlay_identity": q_overlay_identity,
+    "cqv_select": q_cqv_select,
+    "extent_on_grid": q_extent_on_grid,
     "mask_val_prob": q_mask_val_prob,
     "pan_sharpen": q_pan_sharpen,
     "unpack_bits": q_unpack_bits,
