@@ -532,3 +532,69 @@ def toa_to_radiance_stats(images: DataFrame,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_T2R_SCHEMA)
+
+
+_QA_SCHEMA = None  # built lazily below
+
+
+def _qa_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    global _QA_SCHEMA
+    if _QA_SCHEMA is None:
+        _QA_SCHEMA = StructType(
+            [StructField("image_id", StringType()),
+             StructField("n_pix", LongType())]
+            + [StructField(c, LongType()) for c in
+               ("n_fill", "n_dilated", "n_cirrus", "n_cloud", "n_shadow",
+                "n_snow", "n_clear", "n_water", "s_cloud_conf",
+                "s_shadow_conf", "s_snow_conf", "s_cirrus_conf",
+                "n_cloud_high")])
+    return _QA_SCHEMA
+
+
+def qa_pixel_parse_stats(images: DataFrame) -> DataFrame:
+    """parse_landsat_c2_qa_pixel_img (imagecalibration/
+    sensorlvl2data.py:535): decode the Collection-2 QA_PIXEL bit
+    layout — 8 single-bit flags (Fill..Water, bits 0-7) and four 2-bit
+    confidence fields mapped (00,01,10,11) -> (1,2,3,4) with bit 8/10/
+    12/14 as the HIGH bit (the reference's val_bin branch table).
+
+    The QA plane is ``qa = (v * 67) % 65536`` over the payload plane —
+    a deterministic 16-bit stand-in that populates all 16 bits (the
+    synthetic planes only carry 8-10).  Aggregates per image: flag
+    counts, confidence sums, and the high-cloud-confidence count.
+    All exact integer arithmetic.
+    """
+    import pandas as pd
+
+    schema = _qa_schema()
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in schema.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"],
+                                                pdf["bytes"], pdf["w"],
+                                                pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                qa = (v * 67) % 65536
+
+                def bit(j):
+                    return (qa >> j) & 1
+
+                conf = [1 + 2 * bit(hi) + bit(hi + 1)
+                        for hi in (8, 10, 12, 14)]
+                out["image_id"].append(str(image_id))
+                out["n_pix"].append(int(qa.size))
+                for k, j in zip(("n_fill", "n_dilated", "n_cirrus",
+                                 "n_cloud", "n_shadow", "n_snow",
+                                 "n_clear", "n_water"), range(8)):
+                    out[k].append(int(bit(j).sum()))
+                for k, c in zip(("s_cloud_conf", "s_shadow_conf",
+                                 "s_snow_conf", "s_cirrus_conf"), conf):
+                    out[k].append(int(c.sum()))
+                out["n_cloud_high"].append(int((conf[0] == 4).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)

@@ -362,3 +362,78 @@ def rand_sample(images: DataFrame, n_per_img: int = 5) -> DataFrame:
 
     return images.select("image_id", "id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_SAMP_SCHEMA)
+
+
+def quantity_accuracy_stats(images: DataFrame) -> DataFrame:
+    """cls_quantity_accuracy (classification/classaccuracymetrics.py:46
+    — Pontius & Millones 2011): quantity disagreement Q, allocation
+    disagreement A, proportion correct C, total disagreement D over the
+    4-quartile confusion of the plane (true) vs its mirror (pred),
+    with cls_area = the classifier-identified (column) pixel counts.
+
+    Determinism: each normalised-matrix entry is ONE division of exact
+    ints — ``n_ij = (cm_ij * area_i) / (rowsum_i * area_tot)`` — a
+    documented rationalisation of the reference's two-step float chain;
+    all cross-class sums are pinned left-associated in class order
+    (the reference's np.sum pairwise order is NOT reproduced — 4-class
+    sums are order-stable here by construction).  Zero rows guard to 0.
+    Metrics are emitted as exact doubles of that pinned tree.
+    """
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("n_total", LongType()),
+        StructField("n_correct", LongType()),
+        StructField("q_dis", DoubleType()),
+        StructField("a_dis", DoubleType()),
+        StructField("prop_corr", DoubleType()),
+        StructField("t_dis", DoubleType()),
+    ])
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in schema.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"],
+                                                pdf["bytes"], pdf["w"],
+                                                pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                c = (v * 4) // pmax
+                p = (v[:, ::-1] * 4) // pmax
+                cm = [[int(((c == i) & (p == j)).sum()) for j in range(4)]
+                      for i in range(4)]
+                rows = [sum(cm[i]) for i in range(4)]
+                areas = [sum(cm[i][j] for i in range(4)) for j in range(4)]
+                t = sum(areas)
+                norm = [[(float(cm[i][j] * areas[i])
+                          / float(rows[i] * t)) if rows[i] else 0.0
+                         for j in range(4)] for i in range(4)]
+                comp = [((norm[i][0] + norm[i][1]) + norm[i][2])
+                        + norm[i][3] for i in range(4)]
+                ref = [((norm[0][j] + norm[1][j]) + norm[2][j])
+                       + norm[3][j] for j in range(4)]
+                dq = [abs(ref[k] - comp[k]) for k in range(4)]
+                q_dis = (((dq[0] + dq[1]) + dq[2]) + dq[3]) / 2.0
+                mins = [min(comp[k] - norm[k][k], ref[k] - norm[k][k])
+                        for k in range(4)]
+                s2 = ((2.0 * mins[0] + 2.0 * mins[1]) + 2.0 * mins[2]) \
+                    + 2.0 * mins[3]
+                a_dis = s2 / 2.0
+                diag = ((norm[0][0] + norm[1][1]) + norm[2][2]) + norm[3][3]
+                tot = comp[0]
+                for k in range(1, 4):
+                    tot = tot + comp[k]
+                prop = diag / tot
+                out["image_id"].append(str(image_id))
+                out["n_total"].append(t)
+                out["n_correct"].append(sum(cm[i][i] for i in range(4)))
+                out["q_dis"].append(q_dis)
+                out["a_dis"].append(a_dis)
+                out["prop_corr"].append(prop)
+                out["t_dis"].append(q_dis + a_dis)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)

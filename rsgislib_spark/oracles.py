@@ -6151,3 +6151,98 @@ WHERE zxmax > CAST(-40.0 AS DOUBLE) AND zxmin < CAST(40.0 AS DOUBLE)
 
 
 ORACLES["extent_on_grid"] = _extent_on_grid_oracle()
+
+
+# Landsat C2 QA_PIXEL parse (imagecalibration/sensorlvl2data.py:535)
+def _qa_c2_oracle() -> str:
+    def bit(j):
+        return (f"(CASE WHEN (q % {1 << (j + 1)}) >= {1 << j} "
+                f"THEN 1 ELSE 0 END)")
+
+    bits = ",\n         ".join(f"{bit(j)} AS b{j}" for j in range(16))
+    flags = ", ".join(
+        f"CAST(sum(b{j}) AS BIGINT) AS {k}" for k, j in zip(
+            ("n_fill", "n_dilated", "n_cirrus", "n_cloud", "n_shadow",
+             "n_snow", "n_clear", "n_water"), range(8)))
+    confs = ", ".join(
+        f"CAST(sum(1 + 2 * b{hi} + b{hi + 1}) AS BIGINT) AS {k}"
+        for k, hi in zip(("s_cloud_conf", "s_shadow_conf", "s_snow_conf",
+                          "s_cirrus_conf"), (8, 10, 12, 14)))
+    return f"""
+{_PREFIX},
+{_IC_PLANE},
+qa AS (SELECT image_id, ((v * 67) % 65536) AS q FROM icpxy),
+qb AS (SELECT image_id,
+         {bits}
+       FROM qa)
+SELECT image_id, count(*) AS n_pix,
+       {flags},
+       {confs},
+       CAST(sum(CASE WHEN b8 = 1 AND b9 = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cloud_high
+FROM qb GROUP BY image_id
+"""
+
+
+ORACLES["qa_c2_parse"] = _qa_c2_oracle()
+
+
+# Pontius quantity/allocation disagreement (classaccuracymetrics.py:46)
+def _quantity_acc_oracle() -> str:
+    cm = ",\n         ".join(
+        f"sum(CASE WHEN cls = {i} AND pcls = {j} THEN 1 ELSE 0 END) "
+        f"AS c{i}{j}" for i in range(4) for j in range(4))
+    rows = ",\n         ".join(
+        f"(c{i}0 + c{i}1 + c{i}2 + c{i}3) AS r{i}" for i in range(4))
+    areas = ",\n         ".join(
+        f"(c0{j} + c1{j} + c2{j} + c3{j}) AS a{j}" for j in range(4))
+    norm = ",\n         ".join(
+        f"(CASE WHEN r{i} = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE CAST(c{i}{j} * a{i} AS DOUBLE) "
+        f"/ CAST(r{i} * tt AS DOUBLE) END) AS n{i}{j}"
+        for i in range(4) for j in range(4))
+    comp = ",\n         ".join(
+        f"(n{i}0 + n{i}1 + n{i}2 + n{i}3) AS cp{i}" for i in range(4))
+    ref = ",\n         ".join(
+        f"(n0{j} + n1{j} + n2{j} + n3{j}) AS rf{j}" for j in range(4))
+    dq = " + ".join(f"abs(rf{k} - cp{k})" for k in range(4))
+    mins = " + ".join(
+        f"CAST(2 AS DOUBLE) * least(cp{k} - n{k}{k}, rf{k} - n{k}{k})"
+        for k in range(4))
+    diag = " + ".join(f"n{k}{k}" for k in range(4))
+    tot = " + ".join(f"cp{k}" for k in range(4))
+    return f"""
+{_PREFIX},
+{_IC_PLANE},
+qac AS (SELECT image_id, (v * 4) // {_IC_PM} AS cls,
+               (mv * 4) // {_IC_PM} AS pcls
+        FROM icpxy),
+qcm AS (SELECT image_id,
+         {cm}
+        FROM qac GROUP BY image_id),
+qrt AS (SELECT *,
+         {rows},
+         {areas}
+        FROM qcm),
+qrt2 AS (SELECT *, (a0 + a1 + a2 + a3) AS tt FROM qrt),
+qnm AS (SELECT *,
+         {norm}
+        FROM qrt2),
+qcr AS (SELECT *,
+         {comp},
+         {ref}
+        FROM qnm),
+qm AS (SELECT image_id,
+              CAST(tt AS BIGINT) AS n_total,
+              CAST(c00 + c11 + c22 + c33 AS BIGINT) AS n_correct,
+              (({dq}) / CAST(2 AS DOUBLE)) AS q_dis,
+              (({mins}) / CAST(2 AS DOUBLE)) AS a_dis,
+              (({diag}) / ({tot})) AS prop_corr
+       FROM qcr)
+SELECT image_id, n_total, n_correct, q_dis, a_dis, prop_corr,
+       (q_dis + a_dis) AS t_dis
+FROM qm
+"""
+
+
+ORACLES["quantity_acc"] = _quantity_acc_oracle()

@@ -2102,6 +2102,24 @@ def q_overlay_identity(spark, sf_dir) -> DataFrame:
                       "rxmin", "rxmax", "rymin", "rymax")
 
 
+def q_quantity_acc(spark, sf_dir) -> DataFrame:
+    """cls_quantity_accuracy (classaccuracymetrics.py:46, Pontius &
+    Millones 2011): quantity / allocation disagreement, proportion
+    correct, total disagreement per image (§2.5)."""
+    from .operators.classification import quantity_accuracy_stats
+    img = _px_images(spark, sf_dir, mod=19)
+    return quantity_accuracy_stats(img)
+
+
+def q_qa_c2_parse(spark, sf_dir) -> DataFrame:
+    """parse_landsat_c2_qa_pixel_img (imagecalibration/
+    sensorlvl2data.py:535): C2 QA_PIXEL bit decode — 8 flag bands +
+    four (1-4) confidence bands, aggregated per image (§2.2)."""
+    from .operators.calibration import qa_pixel_parse_stats
+    img = _px_images(spark, sf_dir, mod=19)
+    return qa_pixel_parse_stats(img)
+
+
 def q_extent_on_grid(spark, sf_dir) -> DataFrame:
     """tools.geometrytools find_extent_on_grid /
     find_extent_on_whole_num_grid / find_common_extent_on_grid
@@ -3051,6 +3069,8 @@ QUERIES = {
     "overlay_identity": q_overlay_identity,
     "cqv_select": q_cqv_select,
     "extent_on_grid": q_extent_on_grid,
+    "qa_c2_parse": q_qa_c2_parse,
+    "quantity_acc": q_quantity_acc,
     "mask_val_prob": q_mask_val_prob,
     "pan_sharpen": q_pan_sharpen,
     "unpack_bits": q_unpack_bits,
