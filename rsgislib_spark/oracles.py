@@ -6246,3 +6246,47 @@ FROM qm
 
 
 ORACLES["quantity_acc"] = _quantity_acc_oracle()
+
+
+# Line-geometry family (operators/lineops.py) — same expression text.
+def _line_intersect_oracle() -> str:
+    from .operators.lineops import DX, DY, edge_union_sql, t_expr, u_expr
+
+    t, u = t_expr(), u_expr()
+    return f"""
+{_PREFIX},
+ledg AS ({edge_union_sql()}),
+lhit AS (SELECT qid, qlon, qlat, t, u
+         FROM (SELECT q.qid, q.qlon, q.qlat,
+                      {t} AS t, {u} AS u
+               FROM qpts q CROSS JOIN ledg e)
+         WHERE t >= CAST(0 AS DOUBLE) AND t <= CAST(1 AS DOUBLE)
+           AND u >= CAST(0 AS DOUBLE) AND u <= CAST(1 AS DOUBLE)),
+lagg AS (SELECT qid, qlon, qlat, count(*) AS n_hits,
+                min(t) AS t_min, max(t) AS t_max
+         FROM lhit GROUP BY qid, qlon, qlat),
+lsc AS (SELECT h.qid, min(h.t) AS t_scnd_raw
+        FROM lhit h JOIN lagg a ON a.qid = h.qid
+        WHERE h.t > a.t_min GROUP BY h.qid)
+SELECT a.qid, CAST(a.n_hits AS BIGINT) AS n_hits, a.t_min,
+       coalesce(s.t_scnd_raw, CAST(-1 AS DOUBLE)) AS t_scnd, a.t_max,
+       a.qlon + a.t_min * CAST({DX} AS DOUBLE) AS cx,
+       a.qlat + a.t_min * CAST({DY} AS DOUBLE) AS cy,
+       a.qlon + a.t_max * CAST({DX} AS DOUBLE) AS fx,
+       a.qlat + a.t_max * CAST({DY} AS DOUBLE) AS fy
+FROM lagg a LEFT JOIN lsc s ON s.qid = a.qid
+"""
+
+
+ORACLES["line_intersect"] = _line_intersect_oracle()
+
+
+def _line_project_oracle() -> str:
+    from .operators.lineops import line_project_exprs
+
+    e = line_project_exprs()
+    sel = ", ".join(f"{x} AS {k}" for k, x in e.items())
+    return f"{_PREFIX}\nSELECT qid, {sel}\nFROM qpts"
+
+
+ORACLES["line_project"] = _line_project_oracle()

@@ -2102,6 +2102,30 @@ def q_overlay_identity(spark, sf_dir) -> DataFrame:
                       "rxmin", "rxmax", "rymin", "rymax")
 
 
+def q_line_intersect(spark, sf_dir) -> DataFrame:
+    """closest_line_intersection / line_intersection_range /
+    scnd_line_intersection_range (vectorgeoms/__init__.py:432/626/833):
+    qpoint rays (direction (41,17)) vs the zone-rect boundaries —
+    closest / second-closest / furthest boundary hits per line, pure
+    Catalyst over a broadcast edge table (§2.3, §2.9)."""
+    from .operators.lineops import line_zone_intersections
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    zones = synth.synth_zones(spark, sf_dir)
+    return line_zone_intersections(qpts, zones)
+
+
+def q_line_project(spark, sf_dir) -> DataFrame:
+    """get_pt_on_line / find_pt_to_side / create_orthg_lines
+    (vectorgeoms/__init__.py:154/206/270): distance-along point and
+    right/left perpendicular offsets, via the algebraic identities of
+    the reference's atan/sin/cos branch ladder (one sqrt, bit-exact;
+    §2.9)."""
+    from .operators.lineops import line_project_exprs
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    e = line_project_exprs()
+    return qpts.selectExpr("qid", *[f"{x} AS {k}" for k, x in e.items()])
+
+
 def q_quantity_acc(spark, sf_dir) -> DataFrame:
     """cls_quantity_accuracy (classaccuracymetrics.py:46, Pontius &
     Millones 2011): quantity / allocation disagreement, proportion
@@ -3071,6 +3095,8 @@ QUERIES = {
     "extent_on_grid": q_extent_on_grid,
     "qa_c2_parse": q_qa_c2_parse,
     "quantity_acc": q_quantity_acc,
+    "line_intersect": q_line_intersect,
+    "line_project": q_line_project,
     "mask_val_prob": q_mask_val_prob,
     "pan_sharpen": q_pan_sharpen,
     "unpack_bits": q_unpack_bits,
