@@ -6290,3 +6290,552 @@ def _line_project_oracle() -> str:
 
 
 ORACLES["line_project"] = _line_project_oracle()
+
+
+# ------------------------------------------------------------------ binstats
+# tools.stats accuracy_scores_binary / bin_accuracy_scores_prob /
+# breusch_pagan_test / calc_pandas_vif / get_nbins_histogram twins
+# (operators/binstats.py docstrings carry the determinism contract:
+# exact integer aggregates, quantized residuals r16 = floor(16*rn/det)
+# so no >2^53 value crosses a DOUBLE cast, detmath ln ladders for every
+# log, pinned IEEE expression trees mirrored verbatim below).
+
+def _fdv(a: str, b: str) -> str:
+    """Python-floor integer division a//b for b > 0 (lesson 4: DuckDB
+    // truncates toward zero; route negatives through the pymod)."""
+    return (f"((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b}))")
+
+
+_BST_E = "((x * 7 + y * 3 + id) % 21 - 10)"
+_BST_PM = synth.pmax_sql("fmt")
+
+_BST_PX = f"""
+bstx AS (SELECT image_id, id, w, h, fmt,
+                unnest(generate_series(0, w - 1)) AS x
+         FROM img WHERE id % 19 = 0),
+bstxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM bstx),
+bstv AS (SELECT image_id, id, x, y, {_PXV} AS v,
+                least(greatest({_PXV} + {_BST_E}, 0),
+                      {_BST_PM} - 1) AS vp,
+                {_BST_PM} AS pmax
+         FROM bstxy)
+""".strip()
+
+_RQ = "1048576.0"
+
+
+def _rq_sql(num: str, den: str) -> str:
+    return (f"CAST(CASE WHEN ({den}) = 0 THEN -1 ELSE floor("
+            f"(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) * {_RQ})"
+            f" END AS BIGINT)")
+
+
+# ---- binary_scores -------------------------------------------------------
+_BIN_LN_TALL = f"""
+SELECT image_id, kind, CAST(arg AS DOUBLE) AS arg FROM (
+  SELECT image_id, 'n' AS kind, n AS arg FROM bcm
+  UNION ALL SELECT image_id, 'n1t', tp + fp FROM bcm
+  UNION ALL SELECT image_id, 'n0t', ta + fa FROM bcm
+  UNION ALL SELECT image_id, 'n1p', tp + fa FROM bcm
+  UNION ALL SELECT image_id, 'n0p', ta + fp FROM bcm
+  UNION ALL SELECT image_id, 'ctp', tp FROM bcm
+  UNION ALL SELECT image_id, 'cfp', fp FROM bcm
+  UNION ALL SELECT image_id, 'cfa', fa FROM bcm
+  UNION ALL SELECT image_id, 'cta', ta FROM bcm
+) WHERE arg > 0
+""".strip()
+
+_BIN_MI_TERM = """
+CASE WHEN {c} > 0 THEN
+  (CAST({c} AS DOUBLE) / CAST(b.n AS DOUBLE))
+  * ((l.ln_n + l.{lnc}) - (l.{lnrm} + l.{lncm}))
+ELSE CAST(0 AS DOUBLE) END
+""".strip()
+
+
+def _bin_scores_oracle() -> str:
+    from .functions.detmath import ln_chain_sql
+    mi11 = _BIN_MI_TERM.format(c="b.tp", lnc="ln_ctp",
+                               lnrm="ln_n1t", lncm="ln_n1p")
+    mi10 = _BIN_MI_TERM.format(c="b.fp", lnc="ln_cfp",
+                               lnrm="ln_n1t", lncm="ln_n0p")
+    mi01 = _BIN_MI_TERM.format(c="b.fa", lnc="ln_cfa",
+                               lnrm="ln_n0t", lncm="ln_n1p")
+    mi00 = _BIN_MI_TERM.format(c="b.ta", lnc="ln_cta",
+                               lnrm="ln_n0t", lncm="ln_n0p")
+    pivot = ", ".join(
+        f"max(CASE WHEN kind = '{k}' THEN lnv END) AS ln_{k}"
+        for k in ("n", "n1t", "n0t", "n1p", "n0p",
+                  "ctp", "cfp", "cfa", "cta"))
+    return f"""
+{_PREFIX},
+{_BST_PX},
+bcls AS (SELECT image_id, (v * 2) // pmax AS yt, (vp * 2) // pmax AS yp
+         FROM bstv),
+bcm AS MATERIALIZED (SELECT image_id, count(*) AS n,
+    CAST(sum(CASE WHEN yt = 1 AND yp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN yt = 0 AND yp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+    CAST(sum(CASE WHEN yt = 1 AND yp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN yt = 0 AND yp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fa
+  FROM bcls GROUP BY image_id),
+blns AS MATERIALIZED (
+  SELECT image_id, {pivot}
+  FROM ({ln_chain_sql(_BIN_LN_TALL, "arg", "lnv")})
+  GROUP BY image_id),
+bder AS (SELECT b.*, l.* EXCLUDE (image_id),
+    b.tp + b.fp AS n1, b.ta + b.fa AS n0,
+    (b.tp + b.fp) * (b.tp + b.fa)
+      + (b.ta + b.fa) * (b.ta + b.fp) AS pe,
+    CASE WHEN b.fa > 0 THEN
+      CAST(b.tp AS DOUBLE) / CAST(b.fa AS DOUBLE) / CAST(b.n AS DOUBLE)
+    END AS prev,
+    CASE WHEN (b.tp + b.fp) > 0 AND (b.tp + b.fa) > 0
+          AND (b.ta + b.fp) > 0 AND (b.ta + b.fa) > 0 THEN
+      sqrt(((CAST(b.tp + b.fp AS DOUBLE) * CAST(b.tp + b.fa AS DOUBLE))
+            * CAST(b.ta + b.fp AS DOUBLE)) * CAST(b.ta + b.fa AS DOUBLE))
+    END AS mccden,
+    CASE WHEN b.tp + b.fp > 0 AND b.ta + b.fa > 0
+          AND b.tp + b.fa > 0 AND b.ta + b.fp > 0 THEN
+      (l.ln_n - (CAST(b.tp + b.fp AS DOUBLE) * l.ln_n1t
+                 + CAST(b.ta + b.fa AS DOUBLE) * l.ln_n0t)
+                / CAST(b.n AS DOUBLE))
+    END AS h_t,
+    CASE WHEN b.tp + b.fp > 0 AND b.ta + b.fa > 0
+          AND b.tp + b.fa > 0 AND b.ta + b.fp > 0 THEN
+      (l.ln_n - (CAST(b.tp + b.fa AS DOUBLE) * l.ln_n1p
+                 + CAST(b.ta + b.fp AS DOUBLE) * l.ln_n0p)
+                / CAST(b.n AS DOUBLE))
+    END AS h_p,
+    ((((CAST(0 AS DOUBLE) + {mi11}) + {mi10}) + {mi01}) + {mi00}) AS mi
+  FROM bcm b JOIN blns l ON l.image_id = b.image_id)
+SELECT image_id, CAST(n AS BIGINT) AS n, tp, ta, fp, fa,
+  CAST(CASE WHEN fa = 0 THEN -1
+       ELSE floor(prev * {_RQ}) END AS BIGINT) AS prev_q,
+  CAST(CASE WHEN fa = 0 THEN -1
+       ELSE floor((CAST(1 AS DOUBLE) - prev) * {_RQ}) END AS BIGINT)
+    AS odp_q,
+  {_rq_sql("tp + ta", "n")} AS ccr_q,
+  {_rq_sql("fp + fa", "n")} AS mr_q,
+  {_rq_sql("tp", "tp + fp")} AS ppp_q,
+  {_rq_sql("ta", "ta + fa")} AS app_q,
+  {_rq_sql("tp + ta", "n1 + n0")} AS acc_q,
+  CAST(CASE WHEN n1 = 0 OR n0 = 0 THEN -1 ELSE floor(
+    (CAST(tp * n0 + ta * n1 AS DOUBLE) / CAST(2 * n1 * n0 AS DOUBLE))
+    * {_RQ}) END AS BIGINT) AS bacc_q,
+  {_rq_sql("tp", "n1")} AS sens_q,
+  {_rq_sql("ta", "n0")} AS spec_q,
+  {_rq_sql("tp", "tp + fp")} AS prec_q,
+  {_rq_sql("2 * tp", "2 * tp + fp + fa")} AS f1_q,
+  CAST(CASE WHEN mccden IS NULL THEN -1 ELSE floor(
+    (CAST(tp * ta - fp * fa AS DOUBLE) / mccden) * {_RQ})
+    END AS BIGINT) AS mcc_q,
+  {_rq_sql("n * (tp + ta) - pe", "n * n - pe")} AS kappa_q,
+  CAST(CASE WHEN h_t IS NULL OR h_p IS NULL
+              OR (h_t + h_p) / CAST(2 AS DOUBLE) <= CAST(0 AS DOUBLE)
+       THEN -1 ELSE floor(
+         (mi / ((h_t + h_p) / CAST(2 AS DOUBLE))) * {_RQ})
+       END AS BIGINT) AS nmi_q,
+  CAST(CASE WHEN n1 = 0 OR n0 = 0 THEN -1 ELSE floor(
+    (CAST(tp * n0 + ta * n1 - n1 * n0 AS DOUBLE)
+     / CAST(n1 * n0 AS DOUBLE)) * {_RQ}) END AS BIGINT) AS tss_q
+FROM bder
+"""
+
+
+ORACLES["binary_scores"] = _bin_scores_oracle()
+
+
+# ---- prob_scores ---------------------------------------------------------
+_PROB_LN_TALL = """
+SELECT image_id, vp, yt, c, CAST(arg AS DOUBLE) AS arg FROM (
+  SELECT image_id, vp, yt, c,
+         CASE WHEN yt = 1 THEN vp + 1 ELSE pmax + 1 - vp END AS arg
+  FROM pgy
+  UNION ALL
+  SELECT image_id, -1 AS vp, -1 AS yt, 0 AS c, pmax + 2 AS arg
+  FROM (SELECT DISTINCT image_id, pmax FROM pgy)
+)
+""".strip()
+
+
+def _prob_scores_oracle() -> str:
+    from .functions.detmath import ln_chain_sql
+    return f"""
+{_PREFIX},
+{_BST_PX},
+pgy AS MATERIALIZED (
+  SELECT image_id, vp, (v * 2) // pmax AS yt, max(pmax) AS pmax,
+         count(*) AS c
+  FROM bstv GROUP BY image_id, vp, (v * 2) // pmax),
+pval AS MATERIALIZED (
+  SELECT image_id, vp, CAST(sum(c) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN yt = 1 THEN c ELSE 0 END) AS BIGINT) AS ps
+  FROM pgy GROUP BY image_id, vp),
+pwin AS (SELECT image_id, vp, cnt, ps,
+         CAST(coalesce(sum(cnt) OVER (PARTITION BY image_id ORDER BY vp
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb,
+         CAST(sum(ps) OVER (PARTITION BY image_id ORDER BY vp DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp_cum,
+         CAST(sum(cnt) OVER (PARTITION BY image_id ORDER BY vp DESC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pred_cum
+         FROM pval),
+pimg AS MATERIALIZED (
+  SELECT image_id, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(ps) AS BIGINT) AS n1,
+         CAST(sum(cnt) - sum(ps) AS BIGINT) AS n0,
+         CAST(sum(ps * (2 * cumb + cnt + 1)) AS BIGINT) AS two_r1
+  FROM pwin GROUP BY image_id),
+pap AS (SELECT w.image_id,
+         CAST(sum((w.ps * w.tp_cum * 1073741824)
+                  // (i.n1 * w.pred_cum)) AS BIGINT) AS ap_q30
+        FROM pwin w JOIN pimg i ON i.image_id = w.image_id
+        WHERE i.n1 > 0 GROUP BY w.image_id),
+pmom AS MATERIALIZED (
+  SELECT image_id,
+         CAST(sum(CASE WHEN yt = 1 THEN c ELSE 0 END) AS BIGINT) AS sx,
+         CAST(sum(c * vp) AS BIGINT) AS sy,
+         CAST(sum(c * vp * vp) AS BIGINT) AS syy,
+         CAST(sum(CASE WHEN yt = 1 THEN c * vp ELSE 0 END) AS BIGINT)
+           AS sxy,
+         CAST(sum(c * (vp - yt * pmax) * (vp - yt * pmax)) AS BIGINT)
+           AS sd2,
+         max(pmax) AS pmax
+  FROM pgy GROUP BY image_id),
+plls AS (
+  SELECT image_id,
+         CAST(sum(c * CAST(floor((lnv - lnpm2) * 1073741824.0)
+                           AS BIGINT)) AS BIGINT) AS sq
+  FROM (SELECT t.*, p.lnpm2
+        FROM (SELECT image_id, vp, yt, c, lnv
+              FROM ({ln_chain_sql(_PROB_LN_TALL, "arg", "lnv")})
+              WHERE vp >= 0) t
+        JOIN (SELECT image_id, lnv AS lnpm2
+              FROM ({ln_chain_sql(_PROB_LN_TALL, "arg", "lnv")})
+              WHERE vp < 0) p ON p.image_id = t.image_id)
+  GROUP BY image_id)
+SELECT i.image_id, i.n, i.n1, i.n0,
+  CAST(CASE WHEN i.n1 = 0 OR i.n0 = 0 THEN -1 ELSE floor(
+    (CAST(i.two_r1 - i.n1 * (i.n1 + 1) AS DOUBLE)
+     / CAST(2 * i.n1 * i.n0 AS DOUBLE)) * {_RQ}) END AS BIGINT) AS auc_q,
+  CAST(CASE WHEN (CAST(i.n AS DOUBLE) * CAST(m.sx AS DOUBLE)
+                  - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE)) = 0
+              OR (CAST(i.n AS DOUBLE) * CAST(m.syy AS DOUBLE)
+                  - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)) = 0
+       THEN -1 ELSE floor(
+         (CAST(i.n * m.sxy - m.sx * m.sy AS DOUBLE)
+          / sqrt(CAST(i.n * m.sx - m.sx * m.sx AS DOUBLE)
+                 * CAST(i.n * m.syy - m.sy * m.sy AS DOUBLE)))
+         * {_RQ}) END AS BIGINT) AS pbr_q,
+  CAST(coalesce(a.ap_q30, -1) AS BIGINT) AS ap_q30,
+  CAST(floor((CAST(m.sd2 AS DOUBLE)
+              / CAST(m.pmax * m.pmax * i.n AS DOUBLE)) * {_RQ})
+       AS BIGINT) AS brier_q,
+  CAST(-l.sq AS BIGINT) AS logloss_q30
+FROM pimg i
+JOIN pmom m ON m.image_id = i.image_id
+JOIN plls l ON l.image_id = i.image_id
+LEFT JOIN pap a ON a.image_id = i.image_id
+"""
+
+
+ORACLES["prob_scores"] = _prob_scores_oracle()
+
+
+# ---- breusch_pagan -------------------------------------------------------
+_BP_C99 = _dlit(6.6348966010212145)   # chi2.isf(0.01, 1)
+_BP_C95 = _dlit(3.841458820694124)    # chi2.isf(0.05, 1)
+
+ORACLES["breusch_pagan"] = f"""
+{_PREFIX},
+{_BST_PX},
+bpx AS (SELECT image_id, v % 8 AS x8, vp AS yv FROM bstv),
+bpm AS MATERIALIZED (
+  SELECT image_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x8) AS BIGINT) AS sx,
+         CAST(sum(x8 * x8) AS BIGINT) AS sxx,
+         CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(x8 * yv) AS BIGINT) AS sxy
+  FROM bpx GROUP BY image_id),
+bpd AS MATERIALIZED (
+  SELECT image_id, n, sx, sxx,
+         n * sxx - sx * sx AS d,
+         n * sxy - sx * sy AS b_num,
+         sy * sxx - sx * sxy AS a_num
+  FROM bpm),
+bpr AS MATERIALIZED (
+  SELECT p.image_id, p.x8,
+         {_fdv("16 * (p.yv * d.d - d.a_num - d.b_num * p.x8)", "d.d")}
+           AS r16
+  FROM bpx p JOIN bpd d ON d.image_id = p.image_id WHERE d.d != 0),
+bpt AS MATERIALIZED (
+  SELECT image_id, x8, r16, (r16 * r16) // 1048576 AS t FROM bpr),
+bpam AS MATERIALIZED (
+  SELECT image_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x8) AS BIGINT) AS sx,
+         CAST(sum(x8 * x8) AS BIGINT) AS sxx,
+         CAST(sum(t) AS BIGINT) AS st,
+         CAST(sum(x8 * t) AS BIGINT) AS sxt,
+         CAST(sum(t * t) AS BIGINT) AS stt,
+         CAST(sum(r16 * r16) AS BIGINT) AS ssr16
+  FROM bpt GROUP BY image_id),
+bpad AS MATERIALIZED (
+  SELECT image_id, n, st, stt, ssr16,
+         n * sxx - sx * sx AS da,
+         n * sxt - sx * st AS ba,
+         st * sxx - sx * sxt AS aa,
+         n * stt - st * st AS sst_num
+  FROM bpam),
+bpar AS (
+  SELECT t.image_id,
+         {_fdv("16 * (t.t * d.da - d.aa - d.ba * t.x8)", "d.da")} AS ra
+  FROM bpt t JOIN bpad d ON d.image_id = t.image_id WHERE d.da != 0),
+bpssa AS MATERIALIZED (
+  SELECT image_id, CAST(sum(ra * ra) AS BIGINT) AS ssr_a
+  FROM bpar GROUP BY image_id),
+bplm AS (
+  SELECT d.image_id, d.n, d.ssr16, d.sst_num,
+         CASE WHEN d.sst_num != 0 THEN
+           CAST(d.n AS DOUBLE)
+           * (CAST(1 AS DOUBLE)
+              - (CAST(d.n AS DOUBLE) * CAST(a.ssr_a AS DOUBLE))
+                / (CAST(256 AS DOUBLE) * CAST(d.sst_num AS DOUBLE)))
+         END AS lm
+  FROM bpad d JOIN bpssa a ON a.image_id = d.image_id)
+SELECT m.image_id,
+       CAST(m.n AS BIGINT) AS n,
+       CAST(CASE WHEN l.image_id IS NULL THEN -1
+                 ELSE l.ssr16 END AS BIGINT) AS ssr16,
+       CAST(CASE WHEN l.lm IS NULL THEN -1
+                 ELSE floor(l.lm * {_RQ}) END AS BIGINT) AS lm_q,
+       CAST(CASE WHEN l.lm IS NULL THEN -1
+                 WHEN l.lm > {_BP_C99} THEN 2
+                 WHEN l.lm > {_BP_C95} THEN 1
+                 ELSE 0 END AS BIGINT) AS ci_class
+FROM bpm m
+LEFT JOIN bplm l ON l.image_id = m.image_id
+"""
+
+
+# ---- vif_scores ----------------------------------------------------------
+def _det3_sql(m) -> str:
+    """Exact 3x3 integer determinant text; m is a 3x3 of SQL exprs."""
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (f"(({a}) * (({e}) * ({i}) - ({f}) * ({h}))"
+            f" - ({b}) * (({d}) * ({i}) - ({f}) * ({g}))"
+            f" + ({c}) * (({d}) * ({h}) - ({e}) * ({g})))")
+
+
+def _vif_oracle() -> str:
+    det = _det3_sql([["n", "s1", "s2"], ["s1", "s11", "s12"],
+                     ["s2", "s12", "s22"]])
+    d0 = _det3_sql([["sy", "s1", "s2"], ["s1y", "s11", "s12"],
+                    ["s2y", "s12", "s22"]])
+    d1 = _det3_sql([["n", "sy", "s2"], ["s1", "s1y", "s12"],
+                    ["s2", "s2y", "s22"]])
+    d2 = _det3_sql([["n", "s1", "sy"], ["s1", "s11", "s1y"],
+                    ["s2", "s12", "s2y"]])
+    return f"""
+{_PREFIX},
+{_BST_PX},
+vfc AS (SELECT image_id, v % 4 AS c1, (v // 4) % 4 AS c2,
+               ((v % 4) + ((v // 4) % 4)) // 2 + (v // 16) % 2 AS c3
+        FROM bstv WHERE x % 3 = 0 AND y % 3 = 0),
+vroles AS (
+  SELECT image_id, 1 AS col_id, c1 AS yv, c2 AS x1, c3 AS x2 FROM vfc
+  UNION ALL
+  SELECT image_id, 2, c2, c1, c3 FROM vfc
+  UNION ALL
+  SELECT image_id, 3, c3, c1, c2 FROM vfc),
+vmom AS MATERIALIZED (
+  SELECT image_id, col_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         CAST(sum(x1 * x1) AS BIGINT) AS s11,
+         CAST(sum(x2 * x2) AS BIGINT) AS s22,
+         CAST(sum(x1 * x2) AS BIGINT) AS s12,
+         CAST(sum(yv) AS BIGINT) AS sy,
+         CAST(sum(yv * yv) AS BIGINT) AS syy,
+         CAST(sum(x1 * yv) AS BIGINT) AS s1y,
+         CAST(sum(x2 * yv) AS BIGINT) AS s2y
+  FROM vroles GROUP BY image_id, col_id),
+vdet AS MATERIALIZED (
+  SELECT image_id, col_id, n, sy, syy,
+         {det} AS det, {d0} AS d0, {d1} AS d1, {d2} AS d2,
+         n * syy - sy * sy AS sst_num
+  FROM vmom),
+vres AS (
+  SELECT r.image_id, r.col_id,
+         {_fdv("16 * (r.yv * d.det - d.d0 - d.d1 * r.x1"
+               " - d.d2 * r.x2)", "d.det")} AS r16
+  FROM vroles r
+  JOIN vdet d ON d.image_id = r.image_id AND d.col_id = r.col_id
+  WHERE d.det != 0),
+vssr AS MATERIALIZED (
+  SELECT image_id, col_id, CAST(sum(r16 * r16) AS BIGINT) AS ssr16
+  FROM vres GROUP BY image_id, col_id)
+SELECT d.image_id, CAST(d.col_id AS BIGINT) AS col_id,
+       CAST(d.n AS BIGINT) AS n,
+       CAST(CASE WHEN d.det = 0 OR d.sst_num = 0 THEN -1
+                 ELSE s.ssr16 END AS BIGINT) AS ssr16,
+       CAST(CASE WHEN d.det = 0 OR d.sst_num = 0 THEN -1
+                 WHEN s.ssr16 = 0 THEN 0
+                 ELSE floor((CAST(1 AS DOUBLE)
+                   / ((CAST(d.n AS DOUBLE) * CAST(s.ssr16 AS DOUBLE))
+                      / (CAST(256 AS DOUBLE)
+                         * CAST(d.sst_num AS DOUBLE)))) * {_RQ})
+                 END AS BIGINT) AS vif_q
+FROM vdet d
+LEFT JOIN vssr s ON s.image_id = d.image_id AND s.col_id = d.col_id
+"""
+
+
+ORACLES["vif_scores"] = _vif_oracle()
+
+
+# ---- hist_nbins ----------------------------------------------------------
+ORACLES["hist_nbins"] = f"""
+{_PREFIX},
+{_BST_PX},
+hsr AS (SELECT image_id, v,
+               row_number() OVER (PARTITION BY image_id ORDER BY v)
+                 AS rn,
+               count(*) OVER (PARTITION BY image_id) AS n
+        FROM bstv),
+hpq AS MATERIALIZED (
+  SELECT image_id, CAST(max(n) AS BIGINT) AS n,
+         CAST(min(v) AS BIGINT) AS vmin,
+         CAST(max(v) AS BIGINT) AS vmax,
+         CAST(max(CASE WHEN rn = (1 * (n - 1)) // 4 + 1 THEN v END)
+              AS BIGINT) AS a25,
+         CAST(max(CASE WHEN rn = least((1 * (n - 1)) // 4 + 2, n)
+                  THEN v END) AS BIGINT) AS b25,
+         CAST(max(CASE WHEN rn = (2 * (n - 1)) // 4 + 1 THEN v END)
+              AS BIGINT) AS a50,
+         CAST(max(CASE WHEN rn = least((2 * (n - 1)) // 4 + 2, n)
+                  THEN v END) AS BIGINT) AS b50,
+         CAST(max(CASE WHEN rn = (3 * (n - 1)) // 4 + 1 THEN v END)
+              AS BIGINT) AS a75,
+         CAST(max(CASE WHEN rn = least((3 * (n - 1)) // 4 + 2, n)
+                  THEN v END) AS BIGINT) AS b75
+  FROM hsr GROUP BY image_id),
+hq4 AS MATERIALIZED (
+  SELECT image_id, n, vmin, vmax,
+         4 * a25 + (b25 - a25) * ((1 * (n - 1)) - 4 * ((1 * (n - 1)) // 4))
+           AS q25_4,
+         4 * a50 + (b50 - a50) * ((2 * (n - 1)) - 4 * ((2 * (n - 1)) // 4))
+           AS q50_4,
+         4 * a75 + (b75 - a75) * ((3 * (n - 1)) - 4 * ((3 * (n - 1)) // 4))
+           AS q75_4
+  FROM hpq),
+hkd AS (
+  SELECT *, q75_4 - q25_4 AS iqr4,
+         8 * (vmax - vmin) * (vmax - vmin) * (vmax - vmin) * n AS a3n
+  FROM hq4),
+hks AS (
+  SELECT h.*,
+         CASE WHEN h.iqr4 > 0 THEN (
+           SELECT max(cand.k) FROM (
+             SELECT CAST(floor(pow(CAST(h.a3n AS DOUBLE),
+                                   CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+                               / CAST(h.iqr4 AS DOUBLE)) AS BIGINT)
+                    + u.o AS k
+             FROM (SELECT unnest(generate_series(-6, 8)) AS o) u) cand
+           WHERE cand.k >= 0
+             AND (cand.k * h.iqr4) * (cand.k * h.iqr4) * (cand.k * h.iqr4)
+                 <= h.a3n)
+         END AS kmax
+  FROM hkd h)
+SELECT image_id, n, vmin, vmax,
+       CAST(q25_4 AS BIGINT) AS q25_4, CAST(q75_4 AS BIGINT) AS q75_4,
+       CAST(CASE WHEN iqr4 <= 0 THEN -1 ELSE kmax + 2 END AS BIGINT)
+         AS n_bins,
+       CAST(CASE WHEN iqr4 <= 0 THEN -1 ELSE floor(
+         (CAST(iqr4 * iqr4 * iqr4 AS DOUBLE)
+          / (CAST(8 AS DOUBLE) * CAST(n AS DOUBLE))) * {_RQ})
+         END AS BIGINT) AS bw3_q,
+       CAST(4 * vmin + q25_4 AS BIGINT) AS ca1_8,
+       CAST(q25_4 + q50_4 AS BIGINT) AS ca2_8,
+       CAST(q50_4 + q75_4 AS BIGINT) AS ca3_8,
+       CAST(q75_4 + 4 * vmax AS BIGINT) AS ca4_8,
+       CAST(floor((sqrt(CAST((4 * vmin) * q25_4 AS DOUBLE))
+                   / CAST(4 AS DOUBLE)) * {_RQ}) AS BIGINT) AS cg1_q,
+       CAST(floor((sqrt(CAST(q25_4 * q50_4 AS DOUBLE))
+                   / CAST(4 AS DOUBLE)) * {_RQ}) AS BIGINT) AS cg2_q,
+       CAST(floor((sqrt(CAST(q50_4 * q75_4 AS DOUBLE))
+                   / CAST(4 AS DOUBLE)) * {_RQ}) AS BIGINT) AS cg3_q,
+       CAST(floor((sqrt(CAST(q75_4 * (4 * vmax) AS DOUBLE))
+                   / CAST(4 AS DOUBLE)) * {_RQ}) AS BIGINT) AS cg4_q
+FROM hks
+"""
+
+
+# ------------------------------------------------------------------- tools.utm
+# zone ladders shared verbatim with the engine (geo/utmzones.py);
+# eastings via the polynomial-trig TM forward (bit-exact, see
+# reproj_utm above).
+from .geo.utmzones import zone_exprs as _uz_exprs  # noqa: E402
+from .geo.utmzones import zone_number_expr as _uz_zone  # noqa: E402
+
+_UZ_COLS = ", ".join(f"{e} AS {k}"
+                     for k, e in _uz_exprs("lon", "lat").items())
+
+ORACLES["utm_zone_pts"] = f"""
+{_PREFIX},
+upts AS (SELECT qid * 2 AS pid, qlon AS lon, qlat AS lat FROM qpts
+         UNION ALL
+         SELECT qid * 2 + 1, qlon,
+                qlat / CAST(5 AS DOUBLE) + CAST(76 AS DOUBLE)
+         FROM qpts)
+SELECT CAST(pid AS BIGINT) AS pid, lon, lat, {_UZ_COLS}
+FROM upts
+"""
+
+ORACLES["utm_zone_mode"] = f"""
+{_PREFIX},
+uz AS (SELECT {_uz_zone("qlon", "qlat")} AS zone FROM qpts),
+uc AS MATERIALIZED (SELECT zone, count(*) AS c FROM uz GROUP BY zone),
+ub AS (SELECT min(zone) AS mode_zone, max(c) AS n_modal
+       FROM uc WHERE c = (SELECT max(c) FROM uc)),
+ut AS (SELECT count(*) AS n_pts, count(DISTINCT zone) AS n_zones
+       FROM uz)
+SELECT CAST(mode_zone AS BIGINT) AS mode_zone,
+       CAST(n_modal AS BIGINT) AS n_modal,
+       CAST(n_pts AS BIGINT) AS n_pts,
+       CAST(n_zones AS BIGINT) AS n_zones
+FROM ub, ut
+"""
+
+ORACLES["utm_bbox_split"] = f"""
+{_PREFIX},
+ubb AS (SELECT min(qlon) AS x0, max(qlon) AS x1,
+               min(qlat) AS y0, max(qlat) AS y1 FROM qpts),
+uzc AS (SELECT *, {_uz_zone("x0", "y1")} AS z_tl,
+               {_uz_zone("x1", "y1")} AS z_tr,
+               {_uz_zone("x1", "y0")} AS z_br,
+               {_uz_zone("x0", "y0")} AS z_bl
+        FROM ubb),
+uzr AS (SELECT *, least(z_tl, z_tr, z_br, z_bl) AS zmin,
+               greatest(z_tl, z_tr, z_br, z_bl) AS zmax
+        FROM uzc),
+uex AS (SELECT *, unnest(generate_series(zmin, zmax)) AS zone
+        FROM uzr)
+SELECT CAST(zone AS BIGINT) AS zone,
+       CASE WHEN x0 > ((zone * 6.0) - 6.0) - 180.0 THEN x0
+            ELSE ((zone * 6.0) - 6.0) - 180.0 END AS x_min,
+       CASE WHEN x1 < (zone * 6.0) - 180.0 THEN x1
+            ELSE (zone * 6.0) - 180.0 END AS x_max,
+       y0 AS y_min, y1 AS y_max
+FROM uex
+"""
+
+_UE_LO, _ = _utm("CAST(-180 AS DOUBLE)", "lat", 1)
+_UE_HI, _ = _utm("CAST(-174 AS DOUBLE)", "lat", 1)
+
+ORACLES["utm_eastings"] = f"""
+{_PREFIX},
+ulats AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+                 CAST(n_nationkey * 5 - 60 AS DOUBLE) AS lat
+          FROM nation)
+SELECT k, lat, {_UE_LO} AS min_easting, {_UE_HI} AS max_easting
+FROM ulats
+"""

@@ -20,6 +20,8 @@ from .operators import imagemath as im
 from .operators import statfilters as sfilt
 from .operators import similarity as simi
 from .operators import textops as tx
+from .operators import binstats as bstat
+from .operators import utmops
 from .operators.mosaic import (composite_max_index_window, mosaic_mode_window,
                                mosaic_thresh_window, mosaic_window,
                                pixel_trend_window)
@@ -2962,8 +2964,118 @@ def flagship(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_binary_scores(spark, sf_dir) -> DataFrame:
+    """tools.stats.accuracy_scores_binary
+    (/root/reference/python/rsgislib/tools/stats.py:452-600): the full
+    16-metric presence/absence panel per image — including the
+    reference's own FP/FA binding and its ``prevalence = (TP/FA)/n``
+    expression reproduced verbatim (operators/binstats.py docstring).
+    NMI runs through the deterministic detmath ln tree; MCC through one
+    pinned sqrt.  Zero shuffles (per-image mapInPandas pass)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return bstat.binary_scores_stats(img) \
+        .select("image_id", "n", "tp", "ta", "fp", "fa", "prev_q",
+                "odp_q", "ccr_q", "mr_q", "ppp_q", "app_q", "acc_q",
+                "bacc_q", "sens_q", "spec_q", "prec_q", "f1_q",
+                "mcc_q", "kappa_q", "nmi_q", "tss_q")
+
+
+def q_prob_scores(spark, sf_dir) -> DataFrame:
+    """tools.stats.bin_accuracy_scores_prob (stats.py:376-450):
+    ROC-AUC (Mann-Whitney, average-rank ties), point-biserial r,
+    average precision (per-term 2^30 exact-integer staircase), Brier
+    score and Laplace-smoothed log-loss (per-term quantized detmath
+    ln) over y_prob = clip(v+e)/pmax.  One mapInPandas pass."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return bstat.prob_scores_stats(img) \
+        .select("image_id", "n", "n1", "n0", "auc_q", "pbr_q",
+                "ap_q30", "brier_q", "logloss_q30")
+
+
+def q_breusch_pagan(spark, sf_dir) -> DataFrame:
+    """tools.stats.breusch_pagan_test (stats.py:313-373): OLS of
+    y = clip(v+e) on x = v%8, auxiliary regression of the quantized
+    squared residuals, LM = n * R2_aux, and the reference's 99%/95%/ns
+    classification via chi2 critical constants (df=1).  Residuals are
+    1/16-quantized exact integer floor divisions so no value > 2^53
+    ever crosses a double cast (operators/binstats.py docstring)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return bstat.breusch_pagan_stats(img) \
+        .select("image_id", "n", "ssr16", "lm_q", "ci_class")
+
+
+def q_vif_scores(spark, sf_dir) -> DataFrame:
+    """tools.stats.calc_pandas_vif (stats.py:11-82): per-predictor
+    variance inflation factors over three correlated 2-bit planes
+    (c3 is a blend of c1/c2 so multicollinearity is real); each column
+    regressed on the other two via exact 3x3 integer Cramer, VIF =
+    1/(1-R2) with the reference's R2==1 -> 0 sentinel."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return bstat.vif_scores_stats(img) \
+        .select("image_id", "col_id", "n", "ssr16", "vif_q")
+
+
+def q_hist_nbins(spark, sf_dir) -> DataFrame:
+    """tools.stats.get_nbins_histogram + get_bin_centres
+    (stats.py:604-639): Freedman-Diaconis bin count rationalised to an
+    exact cubed-integer comparison (no cube root evaluated), bin width
+    emitted as its exact cube, and arithmetic/geometric bin centres of
+    the exact quartile edge set."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return bstat.hist_nbins_stats(img) \
+        .select("image_id", "n", "vmin", "vmax", "q25_4", "q75_4",
+                "n_bins", "bw3_q", "ca1_8", "ca2_8", "ca3_8", "ca4_8",
+                "cg1_q", "cg2_q", "cg3_q", "cg4_q")
+
+
+def q_utm_zone_pts(spark, sf_dir) -> DataFrame:
+    """tools.utm latlon_to_zone_number / latitude_to_zone_letter /
+    epsg_for_utm / zone_number_to_central_longitude / check_valid_zone
+    (/root/reference/python/rsgislib/tools/utm.py:63-85,149-181,
+    383-428,473-481): per-point zone/letter/EPSG ladder with the
+    Norway+Svalbard exception arms, over the base layer plus a derived
+    high-latitude copy so every branch executes.  Pure Catalyst
+    projection, zero shuffles."""
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    return utmops.utm_point_zones(qpts)
+
+
+def q_utm_zone_mode(spark, sf_dir) -> DataFrame:
+    """tools.utm.latlon_to_mode_utm_zone_number (utm.py:469+): modal
+    UTM zone of the layer, smallest zone on ties (numpy mode
+    convention) — a 60-key aggregate with map-side combine."""
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    return utmops.utm_zone_mode(qpts)
+
+
+def q_utm_bbox_split(spark, sf_dir) -> DataFrame:
+    """tools.utm.split_wgs84_bbox_utm_zones (utm.py:107-146): the
+    layer's WGS84 bbox split at UTM zone boundaries — corner zones via
+    the reference ladder, one clipped bbox per spanned zone."""
+    qpts = synth.synth_qpoints(spark, sf_dir)
+    return utmops.utm_bbox_split(qpts)
+
+
+def q_utm_eastings(spark, sf_dir) -> DataFrame:
+    """tools.utm.min_max_eastings_for_lat (utm.py:41-60): TM-forward
+    easting at central-meridian -/+3 deg (zone 1) on a 25-step
+    latitude ladder; polynomial-trig series, bit-exact across
+    engines."""
+    nation = load_tables(spark, sf_dir, ["nation"])["nation"]
+    return utmops.utm_min_max_eastings(nation, zone=1)
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
+    "binary_scores": q_binary_scores,
+    "prob_scores": q_prob_scores,
+    "breusch_pagan": q_breusch_pagan,
+    "vif_scores": q_vif_scores,
+    "hist_nbins": q_hist_nbins,
+    "utm_zone_pts": q_utm_zone_pts,
+    "utm_zone_mode": q_utm_zone_mode,
+    "utm_bbox_split": q_utm_bbox_split,
+    "utm_eastings": q_utm_eastings,
     "sjoin_salted": q_sjoin_salted,
     "sjoin_polygon": q_sjoin_polygon,
     "sjoin_left_intersects": q_sjoin_left_intersects,

@@ -2,6 +2,7 @@
 well-formed, and the kernel counts match a numpy recomputation."""
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from rsgislib_spark import synth
@@ -55,10 +56,43 @@ def test_pair_compare_matches_numpy(spark, sf_dir):
         assert r["n_eq"] == int((np.abs(a - b) < 100.0).sum())
 
 
+def _offset_argmin_numpy(img_id, w, h, fmt, search=3):
+    """Independent transcription of the MSD argmin search (same
+    plant/perturbation world as find_image_offset_stats)."""
+    ref = synth.pixel_array(img_id, w, h, fmt).astype(np.int64)
+    sx, sy = img_id % 5 - 2, img_id % 7 - 3
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    fx, fy = xs - sx, ys - sy
+    fvalid = (fx >= 0) & (fx < w) & (fy >= 0) & (fy < h)
+    flt = np.zeros((h, w), dtype=np.int64)
+    flt[fvalid] = ref[np.broadcast_to(fy, (h, w))[fvalid],
+                      np.broadcast_to(fx, (h, w))[fvalid]]
+    flt = flt + (xs * ys) % 3
+    best = None
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            rx, ry = xs - dx, ys - dy
+            val = fvalid & (rx >= 0) & (rx < w) & (ry >= 0) & (ry < h)
+            n = int(val.sum())
+            if n == 0:
+                continue
+            d = ref[np.broadcast_to(ry, (h, w))[val],
+                    np.broadcast_to(rx, (h, w))[val]] - flt[val]
+            key = (int((d * d).sum()) / n, dy, dx)
+            if best is None or key < best[0]:
+                best = (key, dx, dy)
+    return best[1], best[2]
+
+
 def test_find_image_offset(spark, sf_dir):
-    """Registration recovers the planted shift on every image (the
-    (x*y)%3 perturbation keeps the true-shift MSD strictly smallest)."""
-    from rsgislib_spark import synth
+    """Registration returns the exact MSD argmin (parity with an
+    independent numpy transcription) and recovers the planted shift on
+    the overwhelming majority of images.  The modular-linear synth
+    plane is near-self-similar under shifts with 7*dx+13*dy = +-1, so
+    a rare image can have a true argmin below the planted shift — the
+    operator must find THAT, not the plant (observed: img_627)."""
+    from rsgislib_spark import synth as _synth
     from rsgislib_spark.operators.imagemath import find_image_offset_stats
 
     meta = synth.synth_images(spark, sf_dir,
@@ -66,8 +100,21 @@ def test_find_image_offset(spark, sf_dir):
     img = synth.attach_bytes(meta.repartition(4))
     out = find_image_offset_stats(img, search=3).toPandas()
     assert len(out) > 0
-    assert (out["found_dx"] == out["planted_dx"]).all()
-    assert (out["found_dy"] == out["planted_dy"]).all()
+    recovered = ((out["found_dx"] == out["planted_dx"])
+                 & (out["found_dy"] == out["planted_dy"]))
+    assert recovered.mean() >= 0.9
+    # exact argmin parity with the independent transcription,
+    # including every non-recovered image
+    meta_pd = synth.synth_images(spark, sf_dir, with_footprint=False) \
+        .select("id", "image_id", "w", "h", "fmt").toPandas() \
+        .set_index("image_id")
+    check = pd.concat([out[~recovered],
+                       out[recovered].head(10)])
+    for _, r in check.iterrows():
+        m = meta_pd.loc[r["image_id"]]
+        bdx, bdy = _offset_argmin_numpy(int(m["id"]), int(m["w"]),
+                                        int(m["h"]), str(m["fmt"]))
+        assert (r["found_dx"], r["found_dy"]) == (bdx, bdy)
     # the perturbation makes the minimum nonzero: mean of ((x*y)%3)^2
     assert (out["sum_sq"] > 0).all()
     assert (out["msd"] < 3.0).all()
