@@ -520,3 +520,186 @@ def stretch_with_stats(images: DataFrame, in_min: int = SWS_MIN,
         out["sum_out_q"].append(int(q.sum()))
 
     return _simple(images, _SWS_SCHEMA, one)
+
+
+# --------------------------------------------------------------------------
+# buffer_img_pxl_vals / calc_histograms_for_msk_vals / calc_fill_regions_knn
+# --------------------------------------------------------------------------
+
+_BUF_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_src", LongType()),
+    StructField("n_buf", LongType()),
+    StructField("sum_d2_in", LongType()),
+])
+
+
+def buffer_pxl_vals_stats(images: DataFrame, pxl_vals=(42, 99),
+                          buf_thres: int = 5) -> DataFrame:
+    """imagecalc.buffer_img_pxl_vals (imagecalc/__init__.py:459-520):
+    threshold the distance-to-target-values plane into a binary buffer
+    mask (dist <= buf_thres, pixel units / unit_geo=False so the test
+    is the exact integer d2 <= buf_thres^2).  Emits the mask size plus
+    the summed squared distance inside the buffer — all exact ints.
+
+    Same kernel family as dist_to_value_stats (the reference composes
+    buffer_img_pxl_vals from calc_dist_to_img_vals + a band_math
+    threshold, exactly as done here)."""
+    vals = tuple(int(a) for a in pxl_vals)
+    bt2 = int(buf_thres) * int(buf_thres)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _BUF_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                w, h = int(w), int(h)
+                arr = codec.decode_image(bytes(buf), w, h,
+                                         str(fmt)).astype(np.int64)
+                src = np.isin(arr, vals)
+                tys, txs = np.nonzero(src)
+                n_pix = w * h
+                if tys.size == 0:
+                    out["image_id"].append(image_id)
+                    out["n_pix"].append(n_pix)
+                    out["n_src"].append(0)
+                    out["n_buf"].append(0)
+                    out["sum_d2_in"].append(0)
+                    continue
+                ys, xs = np.mgrid[0:h, 0:w]
+                dx = xs.ravel()[:, None] - txs[None, :]
+                dy = ys.ravel()[:, None] - tys[None, :]
+                d2 = (dx * dx + dy * dy).min(axis=1)
+                inb = d2 <= bt2
+                out["image_id"].append(image_id)
+                out["n_pix"].append(n_pix)
+                out["n_src"].append(int(tys.size))
+                out["n_buf"].append(int(inb.sum()))
+                out["sum_d2_in"].append(int(d2[inb].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_BUF_SCHEMA)
+
+
+_MVH_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("msk_val", LongType()),
+    StructField("bin", LongType()),
+    StructField("cnt", LongType()),
+])
+
+
+def msk_val_hist_stats(images: DataFrame,
+                       bin_width: int = 32) -> DataFrame:
+    """imagecalc.calc_histograms_for_msk_vals (imagecalc/__init__.py:
+    908-960): one histogram of the values plane per mask value, mask 0
+    = no data (excluded, the reference's rule).  Values plane
+    b = (v*7+3) % pmax, mask plane m = (v//64) % 8; bins are
+    [min_val, max_val) at ``bin_width`` with min_val = 0, so
+    bin = b // bin_width exactly.  Sparse form: only nonzero-count
+    (msk_val, bin) rows are emitted (the reference returns dense
+    zero-padded arrays; the dense pad carries no information)."""
+    bw = int(bin_width)
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _MVH_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                w, h = int(w), int(h)
+                v = codec.decode_image(bytes(buf), w, h,
+                                       str(fmt)).astype(np.int64).ravel()
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                b = (v * 7 + 3) % pmax
+                m = (v // 64) % 8
+                keep = m != 0
+                key = m[keep] * 1024 + b[keep] // bw
+                uniq, cnt = np.unique(key, return_counts=True)
+                for k, c in zip(uniq, cnt):
+                    out["image_id"].append(image_id)
+                    out["msk_val"].append(int(k // 1024))
+                    out["bin"].append(int(k % 1024))
+                    out["cnt"].append(int(c))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_MVH_SCHEMA)
+
+
+_FILL_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_fill", LongType()),
+    StructField("sum_fill", LongType()),
+    StructField("min_fill", LongType()),
+    StructField("max_fill", LongType()),
+    StructField("sum_kd2", LongType()),
+])
+
+_FILL_OFFS = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if not (dx == 0 and dy == 0)]
+
+
+def fill_regions_knn_stats(images: DataFrame, k: int = 5) -> DataFrame:
+    """imagecalc.calc_fill_regions_knn (imagecalc/__init__.py:
+    1233-1330) with SUMTYPE_MODE: fill-region pixels take the modal
+    value of their k spatially-nearest reference pixels.
+
+    Engine adaptation (scale-safe candidate set): the fill lattice is
+    (x+y) % 9 == 0, so every 8-neighbour of a fill pixel is a
+    reference pixel — the k=5 nearest are always within the 3x3 ring
+    (4 at d2=1, then 4 at d2=2; ties broken by flat index, the rtree
+    iteration order stand-in).  The reference builds a global rtree
+    for the same purpose (:1273); a radius-bounded candidate join is
+    the distributed equivalent, and is exact here by construction.
+    Mode ties -> smallest value (scipy.stats.mode).  Emits per-image
+    aggregates of the filled plane, all exact ints."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _FILL_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                w, h = int(w), int(h)
+                v = codec.decode_image(bytes(buf), w, h,
+                                       str(fmt)).astype(np.int64)
+                ys, xs = np.mgrid[0:h, 0:w]
+                fill = (xs + ys) % 9 == 0
+                fy, fx = np.nonzero(fill)
+                n_fill = int(fy.size)
+                s = mn = mx = skd = 0
+                mn = None
+                for py, px in zip(fy, fx):
+                    cand = []
+                    for dx, dy in _FILL_OFFS:
+                        nx, ny = px + dx, py + dy
+                        if 0 <= nx < w and 0 <= ny < h:
+                            cand.append((dx * dx + dy * dy,
+                                         ny * w + nx,
+                                         int(v[ny, nx])))
+                    cand.sort()
+                    top = cand[:k]
+                    vals = sorted(c[2] for c in top)
+                    best_v, best_c = -1, 0
+                    for val in vals:
+                        c = sum(1 for q in vals if q == val)
+                        if c > best_c:
+                            best_v, best_c = val, c
+                    s += best_v
+                    skd += sum(c[0] for c in top)
+                    mn = best_v if mn is None else min(mn, best_v)
+                    mx = max(mx, best_v)
+                out["image_id"].append(image_id)
+                out["n_fill"].append(n_fill)
+                out["sum_fill"].append(int(s))
+                out["min_fill"].append(int(mn if mn is not None else -1))
+                out["max_fill"].append(int(mx))
+                out["sum_kd2"].append(int(skd))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_FILL_SCHEMA)

@@ -132,3 +132,72 @@ def avg_endmember_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_AVG_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# calc_ppi — pixel purity index
+# --------------------------------------------------------------------------
+
+_PPI_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("x", LongType()),
+    StructField("y", LongType()),
+    StructField("ppi_count", LongType()),
+])
+
+#: number of pinned projections (the reference's niters with seed)
+PPI_NPROJ = 8
+
+
+def ppi_proj(k: int, b: int) -> int:
+    """Pinned integer projection table u[k][b] = ((k*31 + b*7) % 17) - 8.
+
+    The reference draws r = rand(n_bands) - 0.5 per iteration with an
+    optional seed (specunmixing/__init__.py:1278-1380, the Boardman
+    1995 PPI); the engine pins an integer table with the same role so
+    the scores are exact integers and the argmin/argmax oracle-checkable.
+    """
+    return ((k * 31 + b * 7) % 17) - 8
+
+
+def ppi_counts(images: DataFrame, n_proj: int = PPI_NPROJ) -> DataFrame:
+    """Pixel purity index over three derived bands
+    (b0 = v, b1 = (v*7+3) % pmax, b2 = (v*13+5) % pmax).
+
+    Per projection the extreme-score pixels (argmin and argmax, FIRST
+    flat index on ties — numpy argmin/argmax semantics, matching the
+    reference's numpy.argmin/argmax at :1382-1384) each get +1; emits
+    the sparse nonzero count plane (image_id, x, y, ppi_count).
+    Mean-centering is omitted: subtracting the band mean shifts every
+    score by a constant and cannot change an arg-extreme (docstring
+    proof stands in for the reference's explicit centering at :1347).
+    One Arrow pass, zero shuffles.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _PPI_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                w, h = int(w), int(h)
+                v = codec.decode_image(bytes(buf), w, h,
+                                       str(fmt)).astype(np.int64).ravel()
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                bands = [v, (v * 7 + 3) % pmax, (v * 13 + 5) % pmax]
+                counts = {}
+                for k in range(n_proj):
+                    s = sum(ppi_proj(k, b) * bands[b] for b in range(3))
+                    imin = int(np.argmin(s))
+                    imax = int(np.argmax(s))
+                    counts[imin] = counts.get(imin, 0) + 1
+                    counts[imax] = counts.get(imax, 0) + 1
+                for idx in sorted(counts):
+                    out["image_id"].append(image_id)
+                    out["x"].append(idx % w)
+                    out["y"].append(idx // w)
+                    out["ppi_count"].append(counts[idx])
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_PPI_SCHEMA)

@@ -6839,3 +6839,158 @@ ulats AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
 SELECT k, lat, {_UE_LO} AS min_easting, {_UE_HI} AS max_easting
 FROM ulats
 """
+
+
+# ------------------------------------------------------------------ calc_ppi
+# pixel purity index twin (operators/specunmix.ppi_counts): pinned
+# integer projections u[k][b] = ((k*31+b*7)%17)-8 over three derived
+# bands; arg-extremes via packed (score, index) integer keys so the
+# first-index tie rule is exact (|s| <= 24552 < 2^15, idx < 2^32).
+from .operators.specunmix import PPI_NPROJ as _PPI_K  # noqa: E402
+
+
+def _ppi_oracle() -> str:
+    from .operators.specunmix import ppi_proj
+    score = " + ".join(
+        f"(CASE k WHEN {k} THEN "
+        + " + ".join(f"({ppi_proj(k, b)} * b{b})" for b in range(3))
+        + " ELSE 0 END)"
+        for k in range(_PPI_K))
+    return f"""
+{_PREFIX},
+qxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 37 = 0),
+qxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM qxs),
+qbv AS (SELECT image_id, w, CAST(y AS BIGINT) * w + x AS idx,
+               {_PXV} AS b0,
+               (({_PXV}) * 7 + 3) % {_BST_PM} AS b1,
+               (({_PXV}) * 13 + 5) % {_BST_PM} AS b2
+        FROM qxy),
+qsc AS (SELECT image_id, w, idx, k, ({score}) AS s
+        FROM qbv, (SELECT unnest(generate_series(0, {_PPI_K - 1}))
+                   AS k)),
+qext AS MATERIALIZED (
+  SELECT image_id, max(w) AS w, k,
+         min((s + 32768) * 4294967296 + idx) AS kmin,
+         max((s + 32768) * 4294967296 + (4294967295 - idx)) AS kmax
+  FROM qsc GROUP BY image_id, k),
+qhits AS (
+  SELECT image_id, w, kmin % 4294967296 AS idx FROM qext
+  UNION ALL
+  SELECT image_id, w, 4294967295 - (kmax % 4294967296) FROM qext)
+SELECT image_id, CAST(idx % w AS BIGINT) AS x,
+       CAST(idx // w AS BIGINT) AS y,
+       CAST(count(*) AS BIGINT) AS ppi_count
+FROM qhits GROUP BY image_id, w, idx
+"""
+
+
+ORACLES["ppi_counts"] = _ppi_oracle()
+
+
+# --------------------------------------- imagecalc buffer / msk-hist / fill
+ORACLES["buffer_pxl_vals"] = f"""
+{_PREFIX},
+ubxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 37 = 0),
+ubpxy AS MATERIALIZED (SELECT *,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM ubxs),
+ubtg AS (SELECT image_id, x AS tx, y AS ty FROM ubpxy
+         WHERE {_PXV} IN (42, 99)),
+ubmin AS (SELECT p.image_id, p.x, p.y,
+                min((p.x - t.tx) * (p.x - t.tx)
+                    + (p.y - t.ty) * (p.y - t.ty)) AS d2
+         FROM ubpxy p JOIN ubtg t ON t.image_id = p.image_id
+         GROUP BY p.image_id, p.x, p.y),
+ubagg AS (SELECT image_id,
+                CAST(sum(CASE WHEN d2 <= 25 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_buf,
+                CAST(sum(CASE WHEN d2 <= 25 THEN d2 ELSE 0 END)
+                     AS BIGINT) AS sum_d2_in
+         FROM ubmin GROUP BY image_id),
+ubsrc AS (SELECT image_id, CAST(count(*) AS BIGINT) AS n_src
+          FROM ubtg GROUP BY image_id),
+ubimg AS (SELECT image_id, CAST(w AS BIGINT) * h AS n_pix
+          FROM img WHERE id % 37 = 0)
+SELECT i.image_id, i.n_pix,
+       coalesce(s.n_src, 0) AS n_src,
+       coalesce(a.n_buf, 0) AS n_buf,
+       coalesce(a.sum_d2_in, 0) AS sum_d2_in
+FROM ubimg i
+LEFT JOIN ubsrc s ON s.image_id = i.image_id
+LEFT JOIN ubagg a ON a.image_id = i.image_id
+"""
+
+ORACLES["msk_val_hists"] = f"""
+{_PREFIX},
+mvxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 37 = 0),
+mvpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM mvxs),
+mvb AS (SELECT image_id,
+               (({_PXV}) * 7 + 3) % {_BST_PM} AS b,
+               (({_PXV}) // 64) % 8 AS m
+        FROM mvpxy)
+SELECT image_id, CAST(m AS BIGINT) AS msk_val,
+       CAST(b // 32 AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM mvb WHERE m != 0
+GROUP BY image_id, m, b // 32
+"""
+
+# fill_regions_knn: fill lattice (x+y)%9 == 0; candidates = the 3x3
+# ring (all reference pixels by construction); rank by (d2, flat idx),
+# keep k=5, mode with smallest-value ties.
+ORACLES["fill_regions_knn"] = f"""
+{_PREFIX},
+fkxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 37 = 0),
+fkpxy AS MATERIALIZED (SELECT *,
+               unnest(generate_series(0, h - 1)) AS y
+        FROM fkxs),
+fkfill AS (SELECT image_id, id, w, h, fmt, x, y FROM fkpxy
+           WHERE (x + y) % 9 = 0),
+fkoff AS (SELECT dx, dy, dx * dx + dy * dy AS d2
+          FROM (SELECT unnest([-1, 0, 1]) AS dx),
+               (SELECT unnest([-1, 0, 1]) AS dy)
+          WHERE NOT (dx = 0 AND dy = 0)),
+fkcand AS (
+  SELECT f.image_id, f.x, f.y, o.d2,
+         CAST(f.y + o.dy AS BIGINT) * f.w + (f.x + o.dx) AS nidx,
+         {synth.pixel_value_sql("f.id", "(f.x + o.dx)",
+                                "(f.y + o.dy)", "f.fmt")} AS nv
+  FROM fkfill f, fkoff o
+  WHERE f.x + o.dx >= 0 AND f.x + o.dx < f.w
+    AND f.y + o.dy >= 0 AND f.y + o.dy < f.h),
+fkrank AS (
+  SELECT *, row_number() OVER (PARTITION BY image_id, x, y
+                               ORDER BY d2, nidx) AS r
+  FROM fkcand),
+fktop AS MATERIALIZED (SELECT * FROM fkrank WHERE r <= 5),
+fkmode AS (
+  SELECT image_id, x, y, nv, count(*) AS c
+  FROM fktop GROUP BY image_id, x, y, nv),
+fkpick AS (
+  SELECT image_id, x, y, nv AS fill_v,
+         row_number() OVER (PARTITION BY image_id, x, y
+                            ORDER BY c DESC, nv ASC) AS r
+  FROM fkmode),
+fkd2 AS (
+  SELECT image_id, x, y, CAST(sum(d2) AS BIGINT) AS kd2
+  FROM fktop GROUP BY image_id, x, y),
+fkfin AS (
+  SELECT p.image_id, p.fill_v, d.kd2
+  FROM fkpick p JOIN fkd2 d
+    ON d.image_id = p.image_id AND d.x = p.x AND d.y = p.y
+  WHERE p.r = 1)
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_fill,
+       CAST(sum(fill_v) AS BIGINT) AS sum_fill,
+       CAST(min(fill_v) AS BIGINT) AS min_fill,
+       CAST(max(fill_v) AS BIGINT) AS max_fill,
+       CAST(sum(kd2) AS BIGINT) AS sum_kd2
+FROM fkfin GROUP BY image_id
+"""

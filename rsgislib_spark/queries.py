@@ -56,6 +56,8 @@ from .operators.classification import (class_accuracy_stats,
                                        global_class_stats, rand_sample,
                                        regression_stats, strat_sample)
 from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
+from .operators import specunmix as spx
+from .operators import imgcalcmisc as icm
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
 from .operators.imgcalcmisc import (all_bands_equal_stats,
@@ -3065,6 +3067,49 @@ def q_utm_eastings(spark, sf_dir) -> DataFrame:
     return utmops.utm_min_max_eastings(nation, zone=1)
 
 
+def q_ppi_counts(spark, sf_dir) -> DataFrame:
+    """imagecalc.specunmixing.calc_ppi (specunmixing/__init__.py:
+    1278-1408, Boardman 1995): pixel purity index — per pinned integer
+    projection the extreme-score pixels get +1 (first flat index on
+    ties, numpy argmin/argmax); emits the sparse nonzero count plane.
+    Mean-centering omitted: a constant score shift cannot move an
+    arg-extreme (operators/specunmix.ppi_counts docstring)."""
+    img = _px_images(spark, sf_dir, mod=37)
+    return spx.ppi_counts(img) \
+        .select("image_id", "x", "y", "ppi_count")
+
+
+def q_buffer_pxl_vals(spark, sf_dir) -> DataFrame:
+    """imagecalc.buffer_img_pxl_vals (imagecalc/__init__.py:459-520):
+    distance-to-target-values plane thresholded into a binary buffer
+    mask (d2 <= thres^2, pixel units) — the reference composes exactly
+    this from calc_dist_to_img_vals + band_math."""
+    img = _px_images(spark, sf_dir, mod=37)
+    return icm.buffer_pxl_vals_stats(img, pxl_vals=(42, 99),
+                                     buf_thres=5) \
+        .select("image_id", "n_pix", "n_src", "n_buf", "sum_d2_in")
+
+
+def q_msk_val_hists(spark, sf_dir) -> DataFrame:
+    """imagecalc.calc_histograms_for_msk_vals (imagecalc/__init__.py:
+    908-960): one values-plane histogram per mask value, mask 0
+    excluded (the reference's no-data rule); sparse nonzero rows."""
+    img = _px_images(spark, sf_dir, mod=37)
+    return icm.msk_val_hist_stats(img, bin_width=32) \
+        .select("image_id", "msk_val", "bin", "cnt")
+
+
+def q_fill_regions_knn(spark, sf_dir) -> DataFrame:
+    """imagecalc.calc_fill_regions_knn (imagecalc/__init__.py:
+    1233-1330, SUMTYPE_MODE): fill-lattice pixels take the modal value
+    of their k=5 nearest reference pixels (radius-bounded candidate
+    ring — exact by construction, operators/imgcalcmisc docstring)."""
+    img = _px_images(spark, sf_dir, mod=37)
+    return icm.fill_regions_knn_stats(img, k=5) \
+        .select("image_id", "n_fill", "sum_fill", "min_fill",
+                "max_fill", "sum_kd2")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3076,6 +3121,10 @@ QUERIES = {
     "utm_zone_mode": q_utm_zone_mode,
     "utm_bbox_split": q_utm_bbox_split,
     "utm_eastings": q_utm_eastings,
+    "ppi_counts": q_ppi_counts,
+    "buffer_pxl_vals": q_buffer_pxl_vals,
+    "msk_val_hists": q_msk_val_hists,
+    "fill_regions_knn": q_fill_regions_knn,
     "sjoin_salted": q_sjoin_salted,
     "sjoin_polygon": q_sjoin_polygon,
     "sjoin_left_intersects": q_sjoin_left_intersects,
