@@ -437,3 +437,80 @@ def quantity_accuracy_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# fill_class_timeseries
+# --------------------------------------------------------------------------
+
+_TSF_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("t", LongType()),
+    StructField("n_nodata_before", LongType()),
+    StructField("n_nodata_after", LongType()),
+    StructField("sum_after", LongType()),
+])
+
+TSF_T = 6       # timeseries length
+TSF_ITERS = 3   # reference default n_iters
+
+
+def _tsf_planes(v, pmax):
+    """T derived class planes: class ((v + t*29)//64) % 4 + 1 with
+    deterministic nodata holes where (v*7 + t*13 + x + y) % 5 == 0."""
+    h, w = v.shape
+    x = np.arange(w, dtype=np.int64)[None, :]
+    y = np.arange(h, dtype=np.int64)[:, None]
+    planes = []
+    for t in range(TSF_T):
+        cls = ((v + t * 29) // 64) % 4 + 1
+        hole = (v * 7 + t * 13 + x + y) % 5 == 0
+        planes.append(np.where(hole, 0, cls))
+    return planes
+
+
+def class_ts_fill_stats(images: DataFrame) -> DataFrame:
+    """classification.fill_class_timeseries
+    (classification/__init__.py:1370-1515): gap-fill a classification
+    timeseries from temporally adjacent images — the reference's exact
+    in-place pass order (forward n<-n+1, backward n<-n-1, recheck both
+    ends, n_iters=3 rounds), unrolled verbatim, so the result is a
+    finite CASE-composition the DuckDB oracle replays step for step.
+    Emits per (image, t): nodata before/after + filled-plane checksum.
+    """
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _TSF_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                w, h = int(w), int(h)
+                v = codec.decode_image(bytes(buf), w, h,
+                                       str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                p = _tsf_planes(v, pmax)
+                before = [int((q == 0).sum()) for q in p]
+                for _ in range(TSF_ITERS):
+                    for n in range(TSF_T - 1):          # forward
+                        m = p[n] == 0
+                        p[n] = np.where(m, p[n + 1], p[n])
+                    for n in range(TSF_T - 1, 0, -1):   # backward
+                        m = p[n] == 0
+                        p[n] = np.where(m, p[n - 1], p[n])
+                    # recheck ends
+                    m = p[0] == 0
+                    p[0] = np.where(m, p[1], p[0])
+                    m = p[TSF_T - 1] == 0
+                    p[TSF_T - 1] = np.where(m, p[TSF_T - 2],
+                                            p[TSF_T - 1])
+                for t in range(TSF_T):
+                    out["image_id"].append(image_id)
+                    out["t"].append(t)
+                    out["n_nodata_before"].append(before[t])
+                    out["n_nodata_after"].append(int((p[t] == 0).sum()))
+                    out["sum_after"].append(int(p[t].sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_TSF_SCHEMA)

@@ -456,3 +456,131 @@ VM_EXPRS = {
     "peri": "((zxmax - zxmin) + (zymax - zymin)) * 2.0",
     "aspect_ratio": "(zxmax - zxmin) / (zymax - zymin)",
 }
+
+
+# --------------------------------------------------------------------------
+# vectorgeoms small-op family: hole areas / area filter / polys->pts+lines /
+# clip / bbox helpers (tools.geometrytools)
+# --------------------------------------------------------------------------
+
+#: rect-zone corner walk (closed ring order, CCW)
+ZONE_CORNERS = (("zxmin", "zymin"), ("zxmax", "zymin"),
+                ("zxmax", "zymax"), ("zxmin", "zymax"))
+
+#: clip window used by the clip_vec_lyr twin (MinX, MaxX, MinY, MaxY)
+CLIP_WIN = (0.0, 40.0, 30.0, 60.0)
+
+
+def poly_hole_stats(zones: DataFrame,
+                    area_thres: float = 30.0) -> DataFrame:
+    """vectorgeoms.get_poly_hole_area + remove_polygon_area
+    (vectorgeoms/__init__.py:2009-2060, 2073-2130): interior-ring
+    (hole) areas via the shoelace over the ring vertices, polygon net
+    area = exterior - holes (OGR Area() semantics for holed polygons),
+    and the keep flag of the area threshold filter.  Same holed layer
+    as delete_polygon_holes (q_remove_holes)."""
+    from .geomtransforms import ring_area2_sql
+
+    w, h = "(zxmax - zxmin)", "(zymax - zymin)"
+    hole1 = (f"array(array(zxmin + {w}*0.25, zymin + {h}*0.25), "
+             f"array(zxmin + {w}*0.5, zymin + {h}*0.25), "
+             f"array(zxmin + {w}*0.5, zymin + {h}*0.5), "
+             f"array(zxmin + {w}*0.25, zymin + {h}*0.5))")
+    hole2 = (f"array(array(zxmin + {w}*0.1, zymin + {h}*0.1), "
+             f"array(zxmin + {w}*0.12, zymin + {h}*0.1), "
+             f"array(zxmin + {w}*0.12, zymin + {h}*0.12), "
+             f"array(zxmin + {w}*0.1, zymin + {h}*0.12))")
+    a1 = f"(abs({ring_area2_sql('spark', hole1)}) / 2.0)"
+    a2 = f"(abs({ring_area2_sql('spark', hole2)}) / 2.0)"
+    return zones.selectExpr(
+        "zone_id",
+        "CAST(2 AS BIGINT) AS n_holes",
+        f"{a1} AS hole_area_1",
+        f"{a2} AS hole_area_2",
+        f"({a1} + {a2}) AS sum_hole_area",
+        f"({w} * {h}) AS outer_area",
+        f"(({w} * {h}) - ({a1} + {a2})) AS net_area",
+        f"CAST(CASE WHEN (({w} * {h}) - ({a1} + {a2}))"
+        f" >= CAST({area_thres} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END AS BIGINT) AS kept")
+
+
+def zones_to_segments(zones: DataFrame) -> DataFrame:
+    """vectorgeoms.get_vec_lyr_as_pts / get_geom_pts /
+    convert_polys_to_lines_gp (vectorgeoms/__init__.py): the polygon
+    layer exploded to its vertex points, each carrying the NEXT vertex
+    (i.e. the boundary line segments).  Portable 4-way union, no
+    shuffle."""
+    parts = []
+    for i, (x1, y1) in enumerate(ZONE_CORNERS):
+        x2, y2 = ZONE_CORNERS[(i + 1) % 4]
+        parts.append(zones.selectExpr(
+            "zone_id", f"CAST({i} AS BIGINT) AS vtx_idx",
+            f"{x1} AS px", f"{y1} AS py",
+            f"{x2} AS nx", f"{y2} AS ny"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def clip_zone_rects(zones: DataFrame, win=CLIP_WIN) -> DataFrame:
+    """vectorgeoms.clip_vec_lyr (geopandas gpd.clip wrapper): rect
+    zones clipped to a rectangular window; empty results dropped (the
+    gpd.clip behaviour).  Exact min/max arithmetic."""
+    x0, x1, y0, y1 = win
+    c = zones.selectExpr(
+        "zone_id",
+        f"greatest(zxmin, CAST({x0} AS DOUBLE)) AS cxmin",
+        f"least(zxmax, CAST({x1} AS DOUBLE)) AS cxmax",
+        f"greatest(zymin, CAST({y0} AS DOUBLE)) AS cymin",
+        f"least(zymax, CAST({y1} AS DOUBLE)) AS cymax")
+    return c.where("cxmin < cxmax AND cymin < cymax") \
+        .selectExpr("*", "(cxmax - cxmin) * (cymax - cymin)"
+                         " AS clip_area")
+
+
+def bbox_centre_reproj(zones: DataFrame, epsg: int = 32630) -> DataFrame:
+    """tools.geometrytools get_bbox_centre_pt / bbox_equal /
+    bboxes_intersection / reproj_bbox_epsg
+    (geometrytools.py:14-79,138-155,190-207,529-538): per zone the
+    bbox centre, equality + intersection against the CLIP_WIN window,
+    and the bbox reprojected to UTM (EPSG:32630) with the reference's
+    exact corner min/max rule (minX = min(tl, bl), maxX = max(br, tr),
+    minY = min(br, bl), maxY = max(tl, tr))."""
+    from ..geo.transverse_mercator import (TMParams, _K0, _WGS84,
+                                           central_meridian_deg,
+                                           tm_forward_steps)
+    x0, x1, y0, y1 = CLIP_WIN
+    p = TMParams(*_WGS84, central_meridian_deg(epsg - 32600), 0.0,
+                 _K0, 500000.0, 0.0)
+    corners = {"tl": ("zxmin", "zymax"), "tr": ("zxmax", "zymax"),
+               "br": ("zxmax", "zymin"), "bl": ("zxmin", "zymin")}
+    df = zones.selectExpr(
+        "zone_id", "zxmin", "zxmax", "zymin", "zymax",
+        "(zxmin + (zxmax - zxmin) / 2) AS centre_x",
+        "(zymin + (zymax - zymin) / 2) AS centre_y",
+        f"CAST(CASE WHEN zxmin = CAST({x0} AS DOUBLE)"
+        f" AND zxmax = CAST({x1} AS DOUBLE)"
+        f" AND zymin = CAST({y0} AS DOUBLE)"
+        f" AND zymax = CAST({y1} AS DOUBLE)"
+        f" THEN 1 ELSE 0 END AS BIGINT) AS eq_win",
+        f"greatest(zxmin, CAST({x0} AS DOUBLE)) AS ixmin",
+        f"least(zxmax, CAST({x1} AS DOUBLE)) AS ixmax",
+        f"greatest(zymin, CAST({y0} AS DOUBLE)) AS iymin",
+        f"least(zymax, CAST({y1} AS DOUBLE)) AS iymax")
+    finals = {}
+    steps = []
+    for tag, (cx, cy) in corners.items():
+        s, ex, ny = tm_forward_steps(cx, cy, p, pfx=f"__rb{tag}")
+        steps += s
+        finals[f"{tag}_x"] = ex
+        finals[f"{tag}_y"] = ny
+    df = _apply_expr_steps(df, steps, finals)
+    return df.selectExpr(
+        "zone_id", "centre_x", "centre_y", "eq_win",
+        "ixmin", "ixmax", "iymin", "iymax",
+        "least(tl_x, bl_x) AS pminx",
+        "greatest(br_x, tr_x) AS pmaxx",
+        "least(br_y, bl_y) AS pminy",
+        "greatest(tl_y, tr_y) AS pmaxy")

@@ -6994,3 +6994,145 @@ SELECT image_id, CAST(count(*) AS BIGINT) AS n_fill,
        CAST(sum(kd2) AS BIGINT) AS sum_kd2
 FROM fkfin GROUP BY image_id
 """
+
+
+# --------------------------------------------------- fill_class_timeseries
+def _tsf_oracle() -> str:
+    from .operators.classification import TSF_ITERS, TSF_T
+    init = ", ".join(
+        f"(CASE WHEN (v * 7 + {t} * 13 + x + y) % 5 = 0 THEN 0"
+        f" ELSE ((v + {t} * 29) // 64) % 4 + 1 END) AS c{t}i"
+        for t in range(TSF_T))
+    work = ", ".join(f"c{t}i AS c{t}" for t in range(TSF_T))
+    sql = (f"SELECT image_id, {init} FROM bstv")
+    sql = f"SELECT *, {work} FROM ({sql})"
+    for _ in range(TSF_ITERS):
+        for n in range(TSF_T - 1):                  # forward
+            sql = (f"SELECT * REPLACE (CASE WHEN c{n} = 0 THEN c{n+1}"
+                   f" ELSE c{n} END AS c{n}) FROM ({sql})")
+        for n in range(TSF_T - 1, 0, -1):           # backward
+            sql = (f"SELECT * REPLACE (CASE WHEN c{n} = 0 THEN c{n-1}"
+                   f" ELSE c{n} END AS c{n}) FROM ({sql})")
+        sql = (f"SELECT * REPLACE (CASE WHEN c0 = 0 THEN c1"
+               f" ELSE c0 END AS c0) FROM ({sql})")
+        last, prev = TSF_T - 1, TSF_T - 2
+        sql = (f"SELECT * REPLACE (CASE WHEN c{last} = 0 THEN c{prev}"
+               f" ELSE c{last} END AS c{last}) FROM ({sql})")
+    aggs = ", ".join(
+        f"CAST(sum(CASE WHEN c{t}i = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS nb{t}, "
+        f"CAST(sum(CASE WHEN c{t} = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS na{t}, "
+        f"CAST(sum(c{t}) AS BIGINT) AS sa{t}"
+        for t in range(TSF_T))
+    rows = " UNION ALL ".join(
+        f"SELECT image_id, CAST({t} AS BIGINT) AS t,"
+        f" nb{t} AS n_nodata_before, na{t} AS n_nodata_after,"
+        f" sa{t} AS sum_after FROM tfagg"
+        for t in range(TSF_T))
+    return f"""
+{_PREFIX},
+{_BST_PX},
+tfagg AS MATERIALIZED (SELECT image_id, {aggs} FROM ({sql})
+                       GROUP BY image_id)
+{rows}
+"""
+
+
+ORACLES["class_ts_fill"] = _tsf_oracle()
+
+
+# ---------------------------------------- vectorgeoms small-op family
+from .operators.geomtransforms import ring_area2_sql as _ra2b  # noqa: E402
+
+_PHW_D, _PHH_D = "(zxmax - zxmin)", "(zymax - zymin)"
+_PH1_D = (f"[[zxmin + {_PHW_D}*0.25, zymin + {_PHH_D}*0.25], "
+          f"[zxmin + {_PHW_D}*0.5, zymin + {_PHH_D}*0.25], "
+          f"[zxmin + {_PHW_D}*0.5, zymin + {_PHH_D}*0.5], "
+          f"[zxmin + {_PHW_D}*0.25, zymin + {_PHH_D}*0.5]]")
+_PH2_D = (f"[[zxmin + {_PHW_D}*0.1, zymin + {_PHH_D}*0.1], "
+          f"[zxmin + {_PHW_D}*0.12, zymin + {_PHH_D}*0.1], "
+          f"[zxmin + {_PHW_D}*0.12, zymin + {_PHH_D}*0.12], "
+          f"[zxmin + {_PHW_D}*0.1, zymin + {_PHH_D}*0.12]]")
+_PA1_D = f"(abs({_ra2b('duckdb', _PH1_D)}) / 2.0)"
+_PA2_D = f"(abs({_ra2b('duckdb', _PH2_D)}) / 2.0)"
+
+ORACLES["poly_hole_area"] = f"""
+{_PREFIX}
+SELECT zone_id, CAST(2 AS BIGINT) AS n_holes,
+       {_PA1_D} AS hole_area_1,
+       {_PA2_D} AS hole_area_2,
+       ({_PA1_D} + {_PA2_D}) AS sum_hole_area,
+       ({_PHW_D} * {_PHH_D}) AS outer_area,
+       (({_PHW_D} * {_PHH_D}) - ({_PA1_D} + {_PA2_D})) AS net_area,
+       CAST(CASE WHEN (({_PHW_D} * {_PHH_D}) - ({_PA1_D} + {_PA2_D}))
+                 >= CAST(30.0 AS DOUBLE)
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM zones
+"""
+
+_ZC = (("zxmin", "zymin"), ("zxmax", "zymin"),
+       ("zxmax", "zymax"), ("zxmin", "zymax"))
+_SEG_ROWS = " UNION ALL ".join(
+    f"SELECT zone_id, CAST({i} AS BIGINT) AS vtx_idx, "
+    f"{_ZC[i][0]} AS px, {_ZC[i][1]} AS py, "
+    f"{_ZC[(i + 1) % 4][0]} AS nx, {_ZC[(i + 1) % 4][1]} AS ny "
+    f"FROM zones"
+    for i in range(4))
+
+ORACLES["vec_layer_pts"] = f"""
+{_PREFIX}
+{_SEG_ROWS}
+"""
+
+ORACLES["clip_vec_lyr"] = f"""
+{_PREFIX},
+clp AS (SELECT zone_id,
+               greatest(zxmin, CAST(0.0 AS DOUBLE)) AS cxmin,
+               least(zxmax, CAST(40.0 AS DOUBLE)) AS cxmax,
+               greatest(zymin, CAST(30.0 AS DOUBLE)) AS cymin,
+               least(zymax, CAST(60.0 AS DOUBLE)) AS cymax
+        FROM zones)
+SELECT *, (cxmax - cxmin) * (cymax - cymin) AS clip_area
+FROM clp WHERE cxmin < cxmax AND cymin < cymax
+"""
+
+
+def _bbox_reproj_oracle() -> str:
+    corners = {"tl": ("zxmin", "zymax"), "tr": ("zxmax", "zymax"),
+               "br": ("zxmax", "zymin"), "bl": ("zxmin", "zymin")}
+    ex = {}
+    for tag, (cx, cy) in corners.items():
+        e, n = _utm(cx, cy, 30)
+        ex[f"{tag}_x"], ex[f"{tag}_y"] = e, n
+    return f"""
+{_PREFIX},
+bcz AS (SELECT zone_id, zxmin, zxmax, zymin, zymax,
+               (zxmin + (zxmax - zxmin) / 2) AS centre_x,
+               (zymin + (zymax - zymin) / 2) AS centre_y,
+               CAST(CASE WHEN zxmin = CAST(0.0 AS DOUBLE)
+                          AND zxmax = CAST(40.0 AS DOUBLE)
+                          AND zymin = CAST(30.0 AS DOUBLE)
+                          AND zymax = CAST(60.0 AS DOUBLE)
+                    THEN 1 ELSE 0 END AS BIGINT) AS eq_win,
+               greatest(zxmin, CAST(0.0 AS DOUBLE)) AS ixmin,
+               least(zxmax, CAST(40.0 AS DOUBLE)) AS ixmax,
+               greatest(zymin, CAST(30.0 AS DOUBLE)) AS iymin,
+               least(zymax, CAST(60.0 AS DOUBLE)) AS iymax
+        FROM zones),
+bcp AS (SELECT *, {ex['tl_x']} AS tl_x, {ex['tl_y']} AS tl_y,
+               {ex['tr_x']} AS tr_x, {ex['tr_y']} AS tr_y,
+               {ex['br_x']} AS br_x, {ex['br_y']} AS br_y,
+               {ex['bl_x']} AS bl_x, {ex['bl_y']} AS bl_y
+        FROM bcz)
+SELECT zone_id, centre_x, centre_y, eq_win,
+       ixmin, ixmax, iymin, iymax,
+       least(tl_x, bl_x) AS pminx,
+       greatest(br_x, tr_x) AS pmaxx,
+       least(br_y, bl_y) AS pminy,
+       greatest(tl_y, tr_y) AS pmaxy
+FROM bcp
+"""
+
+
+ORACLES["bbox_reproj"] = _bbox_reproj_oracle()

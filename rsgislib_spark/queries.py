@@ -58,6 +58,7 @@ from .operators.classification import (class_accuracy_stats,
 from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
 from .operators import specunmix as spx
 from .operators import imgcalcmisc as icm
+from .operators import classification as cls_ops
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
 from .operators.imgcalcmisc import (all_bands_equal_stats,
@@ -3110,6 +3111,52 @@ def q_fill_regions_knn(spark, sf_dir) -> DataFrame:
                 "max_fill", "sum_kd2")
 
 
+def q_class_ts_fill(spark, sf_dir) -> DataFrame:
+    """classification.fill_class_timeseries
+    (classification/__init__.py:1370-1515): gap-fill a 6-step class
+    timeseries with the reference's exact in-place pass order
+    (forward, backward, recheck-ends, 3 rounds) unrolled verbatim —
+    the oracle replays the identical CASE composition."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return cls_ops.class_ts_fill_stats(img) \
+        .select("image_id", "t", "n_nodata_before", "n_nodata_after",
+                "sum_after")
+
+
+def q_poly_hole_area(spark, sf_dir) -> DataFrame:
+    """vectorgeoms.get_poly_hole_area + remove_polygon_area
+    (vectorgeoms/__init__.py:2009-2060,2073-2130): interior-ring
+    shoelace areas, net polygon area (exterior minus holes, the OGR
+    Area() rule) and the area-threshold keep flag."""
+    zones = synth.synth_zones(spark, sf_dir)
+    return vec.poly_hole_stats(zones, area_thres=30.0)
+
+
+def q_vec_layer_pts(spark, sf_dir) -> DataFrame:
+    """vectorgeoms.get_vec_lyr_as_pts / get_geom_pts /
+    convert_polys_to_lines_gp: polygon vertices as a point layer, each
+    with its successor vertex (the boundary segments)."""
+    zones = synth.synth_zones(spark, sf_dir)
+    return vec.zones_to_segments(zones)
+
+
+def q_clip_vec_lyr(spark, sf_dir) -> DataFrame:
+    """vectorgeoms.clip_vec_lyr (gpd.clip wrapper): zones clipped to a
+    rectangular window, empties dropped."""
+    zones = synth.synth_zones(spark, sf_dir)
+    return vec.clip_zone_rects(zones)
+
+
+def q_bbox_reproj(spark, sf_dir) -> DataFrame:
+    """tools.geometrytools get_bbox_centre_pt / bbox_equal /
+    bboxes_intersection / reproj_bbox_epsg (geometrytools.py:14-79,
+    138-155,190-207,529-538): centre point, window equality and
+    intersection, and the UTM-reprojected bbox with the reference's
+    corner min/max rule — TM forward bit-exact across engines."""
+    zones = synth.synth_zones(spark, sf_dir)
+    return vec.bbox_centre_reproj(zones, epsg=32630)
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3125,6 +3172,11 @@ QUERIES = {
     "buffer_pxl_vals": q_buffer_pxl_vals,
     "msk_val_hists": q_msk_val_hists,
     "fill_regions_knn": q_fill_regions_knn,
+    "class_ts_fill": q_class_ts_fill,
+    "poly_hole_area": q_poly_hole_area,
+    "vec_layer_pts": q_vec_layer_pts,
+    "clip_vec_lyr": q_clip_vec_lyr,
+    "bbox_reproj": q_bbox_reproj,
     "sjoin_salted": q_sjoin_salted,
     "sjoin_polygon": q_sjoin_polygon,
     "sjoin_left_intersects": q_sjoin_left_intersects,
