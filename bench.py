@@ -117,6 +117,15 @@ BENCH_QUERIES = [
     "sampling_grid", "stretch_with_stats", "merge_equiv", "drop_clumps",
     "sref_6s_lut", "toa_to_radiance", "dem_slope_pxlres", "aspect_med",
     "rand_sample", "dem_fill", "local_incidence", "kurt_skew_thresh",
+    # round-4 late session-7 operators
+    "spectral_indices", "web_tiles", "overlay_identity",
+    "cqv_select", "extent_on_grid", "qa_c2_parse", "quantity_acc",
+    "line_intersect", "line_project", "binary_scores", "prob_scores",
+    "breusch_pagan", "vif_scores", "hist_nbins", "utm_zone_pts",
+    "utm_bbox_split", "ppi_counts", "buffer_pxl_vals", "msk_val_hists",
+    "fill_regions_knn",
+    # round-4 session-8 operators
+    "class_ts_fill", "poly_hole_area", "clip_vec_lyr", "bbox_reproj",
 ]
 
 

@@ -703,3 +703,211 @@ def fill_regions_knn_stats(images: DataFrame, k: int = 5) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_FILL_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# imagecalc utility quartet: recode_int_raster / normalise_image_band /
+# rescale_img_pxl_vals (RIOS formula) / calc_img_basic_stats_for_ref_region
+# --------------------------------------------------------------------------
+
+#: recode_int_raster dict (key -> recode), applied in both keep modes
+RECODE_DICT = ((3, 103), (7, 0), (250, 11))
+
+#: normalise_image_band / rescale nodata value on the input plane
+IC_NODATA = 7
+
+#: rescale_img_pxl_vals ImageBandRescale params
+#: (in_min, in_max, out_min, out_max, out_no_data)
+RESCALE_PARAMS = (0.0, 1024.0, 600.0, 2000.0, -9999.0)
+
+_RECODE_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_recoded", LongType()),
+    StructField("sum_keep", LongType()),
+    StructField("sum_drop", LongType()),
+    StructField("n_drop_nonzero", LongType()),
+])
+
+
+def recode_raster_stats(images: DataFrame) -> DataFrame:
+    """imagecalc.recode_int_raster (imagecalc/__init__.py:1172-1232):
+    dict recode of an integer raster under BOTH keep_vals_not_in_dict
+    modes (True: unmapped pixels copied; False: unmapped pixels 0).
+    The reference applies each dict entry as a mask on the INPUT plane,
+    so entry order is immaterial.  Exact int64 throughout."""
+
+    def per_image(out, image_id, v, _vm):
+        keep = v.copy()
+        drop = np.zeros_like(v)
+        nrec = 0
+        for src, dst in RECODE_DICT:
+            m = v == src
+            nrec += int(m.sum())
+            keep[m] = dst
+            drop[m] = dst
+        out["image_id"].append(image_id)
+        out["n_pix"].append(v.size)
+        out["n_recoded"].append(nrec)
+        out["sum_keep"].append(int(keep.sum()))
+        out["sum_drop"].append(int(drop.sum()))
+        out["n_drop_nonzero"].append(int((drop != 0).sum()))
+
+    return _simple(images, _RECODE_SCHEMA, per_image)
+
+
+_BNORM_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("v_min", LongType()),
+    StructField("v_max", LongType()),
+    StructField("n_nodata", LongType()),
+    StructField("sum_norm_q", LongType()),
+])
+
+_Q30 = 1073741824.0  # 2^30 (dyadic scale: the multiply is exact)
+
+
+def band_normalise_stats(images: DataFrame) -> DataFrame:
+    """imagecalc.normalise_image_band (imagecalc/__init__.py:1140-1169):
+    (v - min)/range with nodata pixels mapped to 0.0 and min/max taken
+    over the non-nodata pixels (get_img_band_min_max use_no_data path).
+    norm is ONE correctly-rounded IEEE division of exact ints; the 2^30
+    quantisation multiply is exact, so Σ floor(norm * 2^30) passes the
+    exact-hash gate."""
+
+    def per_image(out, image_id, v, _vm):
+        valid = v != IC_NODATA
+        mn = int(v[valid].min())
+        mx = int(v[valid].max())
+        rng = float(mx - mn)
+        if rng == 0.0:
+            norm = np.zeros_like(v, dtype=np.float64)
+        else:
+            norm = (v - mn).astype(np.float64) / rng
+        norm = np.where(valid, norm, 0.0)
+        out["image_id"].append(image_id)
+        out["v_min"].append(mn)
+        out["v_max"].append(mx)
+        out["n_nodata"].append(int((~valid).sum()))
+        out["sum_norm_q"].append(int(np.floor(norm * _Q30).sum()))
+
+    return _simple(images, _BNORM_SCHEMA, per_image)
+
+
+_RIOS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_nodata", LongType()),
+    StructField("n_clamp_lo", LongType()),
+    StructField("n_clamp_hi", LongType()),
+    StructField("sum_out_q", LongType()),
+])
+
+
+def rescale_rios_stats(images: DataFrame) -> DataFrame:
+    """imagecalc.rescale_img_pxl_vals (imagecalc/__init__.py:819-918):
+    the RIOS _applyRescale expression REPLICATED VERBATIM, including
+    the reference's literal denominator/factor algebra
+    ``(v - in_min) / (v - in_max - v - in_min)
+      * (v - out_max - v - out_min) + v - out_min``
+    (left-to-right: den folds to -(in_max+in_min), factor to
+    -(out_max+out_min)), nodata remap first, then trim_to_limits
+    clamps (nodata excluded).  Every op is an exact int-valued double
+    or one correctly-rounded division/multiply/add, mirrored step for
+    step in the oracle; quantised at 2^20."""
+    in_min, in_max, out_min, out_max, out_nd = RESCALE_PARAMS
+
+    def per_image(out, image_id, v, _vm):
+        vf = v.astype(np.float64)
+        num = vf - in_min
+        den = vf - in_max - vf - in_min
+        fac = vf - out_max - vf - out_min
+        o = (num / den) * fac + vf - out_min
+        o = np.where(v == IC_NODATA, out_nd, o)
+        lo = (o != out_nd) & (o < out_min)
+        o = np.where(lo, out_min, o)
+        hi = (o != out_nd) & (o > out_max)
+        o = np.where(hi, out_max, o)
+        out["image_id"].append(image_id)
+        out["n_nodata"].append(int((v == IC_NODATA).sum()))
+        out["n_clamp_lo"].append(int(lo.sum()))
+        out["n_clamp_hi"].append(int(hi.sum()))
+        out["sum_out_q"].append(int(np.floor(o * _Q).sum()))
+
+    return _simple(images, _RIOS_SCHEMA, per_image)
+
+
+#: ref-region stack: T derived input planes + nodata holes
+RR_T = 4
+RR_NODATA = -1
+
+
+def _rr_planes(v, x, y, pmax):
+    """T=4 derived 'input images': plane_t = (v*(3+t) + t*17) % pmax
+    with nodata (-1) where (v+x+y)%13==0 (kills every t at once -> the
+    all-nodata branch) or (v*3 + t*5)%6 < 2 (t-varying holes)."""
+    planes = []
+    hole_all = (v + x + y) % 13 == 0
+    for t in range(RR_T):
+        p = (v * (3 + t) + t * 17) % pmax
+        hole = hole_all | ((v * 3 + t * 5) % 6 < 2)
+        planes.append(np.where(hole, RR_NODATA, p))
+    return planes
+
+
+_RR_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_allnodata", LongType()),
+    StructField("sum_n", LongType()),
+    StructField("sum_mean_q", LongType()),
+    StructField("sum_std_q", LongType()),
+])
+
+
+def ref_region_stats(images: DataFrame) -> DataFrame:
+    """imagecalc.calc_img_basic_stats_for_ref_region
+    (imagecalc/__init__.py:1018-1137): per-pixel nanmean/nanstd across
+    a stack of input images (nodata -> nan), mean of an all-nodata
+    pixel remapped to the nodata value and its std to 0.  The mean is
+    pinned as S/n (one division) and the population std as
+    sqrt(n*SS - S*S)/n (exact int argument, correctly-rounded sqrt
+    then division) — algebraically identical to nanstd, bit-exact
+    across engines.  2^20-quantised sums."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _RR_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                w, h = int(w), int(h)
+                v = codec.decode_image(bytes(buf), w, h,
+                                       str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                x = np.broadcast_to(x, v.shape)
+                y = np.broadcast_to(y, v.shape)
+                planes = _rr_planes(v, x, y, pmax)
+                stack = np.stack(planes)                  # (T, h, w)
+                valid = stack != RR_NODATA
+                n = valid.sum(axis=0).astype(np.int64)
+                s = np.where(valid, stack, 0).sum(axis=0)
+                ss = np.where(valid, stack * stack, 0).sum(axis=0)
+                nz = n > 0
+                mean = np.where(
+                    nz, s / np.where(nz, n, 1), float(RR_NODATA))
+                std = np.where(
+                    nz,
+                    np.sqrt((n * ss - s * s).astype(np.float64))
+                    / np.where(nz, n, 1),
+                    0.0)
+                out["image_id"].append(image_id)
+                out["n_allnodata"].append(int((~nz).sum()))
+                out["sum_n"].append(int(n.sum()))
+                out["sum_mean_q"].append(
+                    int(np.floor(mean * _Q).sum()))
+                out["sum_std_q"].append(int(np.floor(std * _Q).sum()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_RR_SCHEMA)

@@ -7136,3 +7136,127 @@ FROM bcp
 
 
 ORACLES["bbox_reproj"] = _bbox_reproj_oracle()
+
+
+# ------------------------------------------------- imagecalc utility quartet
+_RC_KEEP = ("CASE WHEN v = 3 THEN 103 WHEN v = 7 THEN 0"
+            " WHEN v = 250 THEN 11 ELSE v END")
+_RC_DROP = ("CASE WHEN v = 3 THEN 103 WHEN v = 7 THEN 0"
+            " WHEN v = 250 THEN 11 ELSE 0 END")
+
+ORACLES["recode_raster"] = f"""
+{_PREFIX},
+{_BST_PX},
+rcp AS (SELECT image_id, v, {_RC_KEEP} AS keepv, {_RC_DROP} AS dropv
+        FROM bstv)
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_pix,
+       CAST(sum(CASE WHEN v IN (3, 7, 250) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_recoded,
+       CAST(sum(keepv) AS BIGINT) AS sum_keep,
+       CAST(sum(dropv) AS BIGINT) AS sum_drop,
+       CAST(sum(CASE WHEN dropv <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_drop_nonzero
+FROM rcp GROUP BY image_id
+"""
+
+ORACLES["band_normalise"] = f"""
+{_PREFIX},
+{_BST_PX},
+bnm AS (SELECT image_id,
+               CAST(min(CASE WHEN v <> 7 THEN v END) AS BIGINT) AS mn,
+               CAST(max(CASE WHEN v <> 7 THEN v END) AS BIGINT) AS mx
+        FROM bstv GROUP BY image_id),
+bnq AS (SELECT b.image_id, b.v, m.mn, m.mx,
+               CASE WHEN b.v = 7 THEN CAST(0.0 AS DOUBLE)
+                    WHEN m.mx = m.mn THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST(b.v - m.mn AS DOUBLE)
+                         / CAST(m.mx - m.mn AS DOUBLE) END AS nrm
+        FROM bstv b JOIN bnm m USING (image_id))
+SELECT image_id, min(mn) AS v_min, max(mx) AS v_max,
+       CAST(sum(CASE WHEN v = 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nodata,
+       CAST(sum(CAST(floor(nrm * CAST(1073741824.0 AS DOUBLE))
+                AS BIGINT)) AS BIGINT) AS sum_norm_q
+FROM bnq GROUP BY image_id
+"""
+
+# rescale_img_pxl_vals: the RIOS expression tree mirrored verbatim
+# (in_min 0, in_max 1024, out_min 600, out_max 2000, nodata 7 -> -9999)
+_RIOS_O0 = ("((((CAST(v AS DOUBLE) - CAST(0.0 AS DOUBLE))"
+            " / (((CAST(v AS DOUBLE) - CAST(1024.0 AS DOUBLE))"
+            " - CAST(v AS DOUBLE)) - CAST(0.0 AS DOUBLE)))"
+            " * (((CAST(v AS DOUBLE) - CAST(2000.0 AS DOUBLE))"
+            " - CAST(v AS DOUBLE)) - CAST(600.0 AS DOUBLE)))"
+            " + CAST(v AS DOUBLE)) - CAST(600.0 AS DOUBLE)")
+
+ORACLES["rescale_rios"] = f"""
+{_PREFIX},
+{_BST_PX},
+rr0 AS (SELECT image_id, v,
+               CASE WHEN v = 7 THEN CAST(-9999.0 AS DOUBLE)
+                    ELSE {_RIOS_O0} END AS o1
+        FROM bstv),
+rr1 AS (SELECT image_id, v, o1,
+               CASE WHEN o1 <> CAST(-9999.0 AS DOUBLE)
+                     AND o1 < CAST(600.0 AS DOUBLE) THEN 1 ELSE 0
+               END AS is_lo
+        FROM rr0),
+rr2 AS (SELECT image_id, v, is_lo,
+               CASE WHEN is_lo = 1 THEN CAST(600.0 AS DOUBLE)
+                    ELSE o1 END AS o2
+        FROM rr1),
+rr3 AS (SELECT image_id, v, is_lo,
+               CASE WHEN o2 <> CAST(-9999.0 AS DOUBLE)
+                     AND o2 > CAST(2000.0 AS DOUBLE) THEN 1 ELSE 0
+               END AS is_hi,
+               CASE WHEN o2 <> CAST(-9999.0 AS DOUBLE)
+                     AND o2 > CAST(2000.0 AS DOUBLE)
+                    THEN CAST(2000.0 AS DOUBLE) ELSE o2 END AS o3
+        FROM rr2)
+SELECT image_id,
+       CAST(sum(CASE WHEN v = 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nodata,
+       CAST(sum(is_lo) AS BIGINT) AS n_clamp_lo,
+       CAST(sum(is_hi) AS BIGINT) AS n_clamp_hi,
+       CAST(sum(CAST(floor(o3 * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS sum_out_q
+FROM rr3 GROUP BY image_id
+"""
+
+# calc_img_basic_stats_for_ref_region: T=4 derived planes, nanmean /
+# nanstd pinned as S/n and sqrt(n*SS - S*S)/n
+ORACLES["ref_region_stats"] = f"""
+{_PREFIX},
+{_BST_PX},
+rgt AS (SELECT image_id, id, x, y, v, pmax,
+               unnest(generate_series(0, 3)) AS t
+        FROM bstv),
+rgv AS (SELECT image_id, id, x, y,
+               CASE WHEN ((v + x + y) % 13 = 0)
+                      OR ((v * 3 + t * 5) % 6 < 2) THEN NULL
+                    ELSE (v * (3 + t) + t * 17) % pmax END AS pv
+        FROM rgt),
+rga AS MATERIALIZED (
+  SELECT image_id, id, x, y,
+         CAST(count(pv) AS BIGINT) AS n,
+         CAST(coalesce(sum(pv), 0) AS BIGINT) AS s,
+         CAST(coalesce(sum(pv * pv), 0) AS BIGINT) AS ss
+  FROM rgv GROUP BY image_id, id, x, y),
+rgm AS (SELECT image_id, n,
+               CASE WHEN n > 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                    ELSE CAST(-1.0 AS DOUBLE) END AS mean,
+               CASE WHEN n > 0
+                    THEN sqrt(CAST(n * ss - s * s AS DOUBLE))
+                         / CAST(n AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS sd
+        FROM rga)
+SELECT image_id,
+       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_allnodata,
+       CAST(sum(n) AS BIGINT) AS sum_n,
+       CAST(sum(CAST(floor(mean * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS sum_mean_q,
+       CAST(sum(CAST(floor(sd * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS sum_std_q
+FROM rgm GROUP BY image_id
+"""

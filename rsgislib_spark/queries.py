@@ -3157,6 +3157,45 @@ def q_bbox_reproj(spark, sf_dir) -> DataFrame:
     return vec.bbox_centre_reproj(zones, epsg=32630)
 
 
+def q_recode_raster(spark, sf_dir) -> DataFrame:
+    """imagecalc.recode_int_raster (imagecalc/__init__.py:1172-1232):
+    dict recode under both keep_vals_not_in_dict modes; exact int64."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return icm.recode_raster_stats(img) \
+        .select("image_id", "n_pix", "n_recoded", "sum_keep",
+                "sum_drop", "n_drop_nonzero")
+
+
+def q_band_normalise(spark, sf_dir) -> DataFrame:
+    """imagecalc.normalise_image_band (imagecalc/__init__.py:1140-1169):
+    (v - min)/range with the nodata->0.0 remap and nodata-excluded
+    min/max; one correctly-rounded division per pixel, 2^30-quantised."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return icm.band_normalise_stats(img) \
+        .select("image_id", "v_min", "v_max", "n_nodata", "sum_norm_q")
+
+
+def q_rescale_rios(spark, sf_dir) -> DataFrame:
+    """imagecalc.rescale_img_pxl_vals (imagecalc/__init__.py:819-918):
+    the RIOS _applyRescale expression replicated verbatim (including
+    its literal denominator algebra), nodata remap + trim clamps."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return icm.rescale_rios_stats(img) \
+        .select("image_id", "n_nodata", "n_clamp_lo", "n_clamp_hi",
+                "sum_out_q")
+
+
+def q_ref_region_stats(spark, sf_dir) -> DataFrame:
+    """imagecalc.calc_img_basic_stats_for_ref_region
+    (imagecalc/__init__.py:1018-1137): per-pixel nanmean/nanstd across
+    a 4-image stack with nodata holes; all-nodata pixels remapped to
+    (nodata, 0) as the reference does."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return icm.ref_region_stats(img) \
+        .select("image_id", "n_allnodata", "sum_n", "sum_mean_q",
+                "sum_std_q")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3173,6 +3212,10 @@ QUERIES = {
     "msk_val_hists": q_msk_val_hists,
     "fill_regions_knn": q_fill_regions_knn,
     "class_ts_fill": q_class_ts_fill,
+    "recode_raster": q_recode_raster,
+    "band_normalise": q_band_normalise,
+    "rescale_rios": q_rescale_rios,
+    "ref_region_stats": q_ref_region_stats,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
