@@ -5390,10 +5390,10 @@ FROM cea a LEFT JOIN ceq q ON q.image_id = a.image_id
 """
 
 
-def _li_oracle(rounds: int) -> str:
+def _li_oracle(rounds: int, src: str = "icpxy") -> str:
     parts = [f"""
 lih AS MATERIALIZED (SELECT image_id, v + 1 AS v, count(*) AS n
-                     FROM icpxy GROUP BY image_id, v + 1),
+                     FROM {src} GROUP BY image_id, v + 1),
 lit AS MATERIALIZED (SELECT image_id, CAST(sum(n) AS BIGINT) AS nn,
                             CAST(sum(v * n) AS BIGINT) AS ss
                      FROM lih GROUP BY image_id),
@@ -7259,4 +7259,120 @@ SELECT image_id,
        CAST(sum(CAST(floor(sd * CAST(1048576.0 AS DOUBLE)) AS BIGINT))
             AS BIGINT) AS sum_std_q
 FROM rgm GROUP BY image_id
+"""
+
+
+# ------------------------------------------- changedetect class outliers
+# class mask = (vp // 64) % 4 + 1 = 2 over the perturbed mirror plane,
+# value-plane nodata 7; reference classification expression
+# (pxloutlierchng.py:397,497): nd->0, mask&outlier->2, mask->1, else 0.
+_CD_SRC = """
+cdc AS MATERIALIZED (SELECT image_id, v, ((vp // 64) % 4 + 1) AS cls
+                     FROM bstv),
+cdsrc AS MATERIALIZED (SELECT image_id, v FROM cdc
+                       WHERE cls = 2 AND v <> 7)
+""".strip()
+
+ORACLES["cd_otsu_outliers"] = f"""
+{_PREFIX},
+{_BST_PX},
+{_CD_SRC},
+ohist AS (SELECT image_id, v, count(*) AS cnt
+          FROM cdsrc GROUP BY image_id, v),
+ocum AS (SELECT image_id, v,
+                sum(cnt) OVER (PARTITION BY image_id ORDER BY v) AS w0,
+                sum(cnt * v) OVER (PARTITION BY image_id ORDER BY v) AS s0,
+                sum(cnt) OVER (PARTITION BY image_id) AS n,
+                sum(cnt * v) OVER (PARTITION BY image_id) AS s
+         FROM ohist),
+ocand AS (SELECT image_id, v AS t,
+                 CAST(w0 AS BIGINT) AS w0, CAST(n - w0 AS BIGINT) AS w1,
+                 CAST(s0 * (n - w0) - (s - s0) * w0 AS BIGINT) AS nn
+          FROM ocum WHERE w0 < n),
+osc AS (SELECT image_id, t,
+               row_number() OVER (PARTITION BY image_id
+                                  ORDER BY {_OTSU_SCORE} DESC, t ASC) AS r
+        FROM ocand)
+SELECT c.image_id, CAST(o.t AS BIGINT) AS thres,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mask,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7 AND c.v < o.t
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_chng,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7 AND NOT (c.v < o.t)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nochng
+FROM cdc c JOIN osc o ON o.image_id = c.image_id AND o.r = 1
+GROUP BY c.image_id, o.t
+"""
+
+
+def _cd_li_oracle() -> str:
+    return f"""
+{_PREFIX},
+{_BST_PX},
+{_CD_SRC},
+{_li_oracle(16, src="cdsrc")}
+SELECT c.image_id,
+       CAST(floor(t.t * 1048576.0) AS BIGINT) AS t_q,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mask,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7
+                      AND CAST(c.v + 1 AS DOUBLE) > t.t
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_chng,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7
+                      AND NOT (CAST(c.v + 1 AS DOUBLE) > t.t)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nochng
+FROM cdc c JOIN lt16 t ON t.image_id = c.image_id
+GROUP BY c.image_id, t.t
+"""
+
+
+ORACLES["cd_li_outliers"] = _cd_li_oracle()
+
+ORACLES["cd_kurtskew_outliers"] = f"""
+{_PREFIX},
+{_BST_PX},
+{_CD_SRC},
+ksh AS (SELECT image_id, v, CAST(count(*) AS HUGEINT) AS n
+        FROM cdsrc GROUP BY image_id, v),
+kss AS (SELECT image_id, v,
+               coalesce(sum(n) OVER w, 0) AS sn,
+               coalesce(sum(CAST(v AS HUGEINT) * n) OVER w, 0) AS s1,
+               coalesce(sum(CAST(v AS HUGEINT) * v * n) OVER w, 0) AS s2,
+               coalesce(sum(CAST(v AS HUGEINT) * v * v * n) OVER w, 0)
+                 AS s3,
+               coalesce(sum(CAST(v AS HUGEINT) * v * v * v * n) OVER w,
+                        0) AS s4
+        FROM ksh
+        WINDOW w AS (PARTITION BY image_id ORDER BY v DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING)),
+ksm AS (SELECT image_id, v, sn,
+               sn * s2 - s1 * s1 AS a2,
+               sn * sn * s3 - 3 * sn * s1 * s2 + 2 * s1 * s1 * s1 AS a3,
+               sn * sn * sn * s4 - 4 * sn * sn * s1 * s3
+                 + 6 * sn * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS a4
+        FROM kss WHERE sn >= 4),
+ksc AS (SELECT image_id, v,
+               CAST(floor((abs(CAST(a4 AS DOUBLE)
+                               / (CAST(a2 AS DOUBLE)
+                                  * CAST(a2 AS DOUBLE))
+                               - CAST(3 AS DOUBLE))
+                           + abs(CAST(a3 AS DOUBLE)
+                                 / (CAST(a2 AS DOUBLE)
+                                    * sqrt(CAST(a2 AS DOUBLE)))))
+                          * 1048576.0) AS BIGINT) AS crit_q
+        FROM ksm WHERE a2 > 0),
+ksb AS (SELECT image_id, v, crit_q, row_number() OVER (
+          PARTITION BY image_id ORDER BY crit_q, v) AS rn
+        FROM ksc)
+SELECT c.image_id, CAST(b.v AS BIGINT) AS thr_v,
+       CAST(b.crit_q AS BIGINT) AS crit_q,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mask,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7 AND c.v < b.v
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_chng,
+       CAST(sum(CASE WHEN c.cls = 2 AND c.v <> 7 AND NOT (c.v < b.v)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nochng
+FROM cdc c JOIN ksb b ON b.image_id = c.image_id AND b.rn = 1
+GROUP BY c.image_id, b.v, b.crit_q
 """

@@ -59,6 +59,7 @@ from .operators.specunmix import (avg_endmember_stats, exh_unmix_stats)
 from .operators import specunmix as spx
 from .operators import imgcalcmisc as icm
 from .operators import classification as cls_ops
+from .operators import changedetect as cdo
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
 from .operators.imgcalcmisc import (all_bands_equal_stats,
@@ -3196,6 +3197,35 @@ def q_ref_region_stats(spark, sf_dir) -> DataFrame:
                 "sum_std_q")
 
 
+def q_cd_otsu_outliers(spark, sf_dir) -> DataFrame:
+    """changedetect.find_class_otsu_outliers (pxloutlierchng.py:344),
+    low_thres=True: Otsu over the class-masked, nodata-free values,
+    then the reference's 0/1/2 band_math classification."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return cdo.class_otsu_outliers_stats(img) \
+        .select("image_id", "thres", "n_mask", "n_chng", "n_nochng")
+
+
+def q_cd_li_outliers(spark, sf_dir) -> DataFrame:
+    """changedetect.find_class_li_outliers (pxloutlierchng.py:436),
+    low_thres=False: Li minimum-cross-entropy over the masked subset
+    (engine's +1-domain 16-round unroll), outliers above."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return cdo.class_li_outliers_stats(img) \
+        .select("image_id", "t_q", "n_mask", "n_chng", "n_nochng")
+
+
+def q_cd_kurtskew_outliers(spark, sf_dir) -> DataFrame:
+    """changedetect.find_class_kurt_skew_outliers
+    (pxloutlierchng.py:229), low_thres=True: |kurt|+|skew| minimising
+    threshold over the masked subset (exhaustive integer scan),
+    outliers below."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return cdo.class_kurt_skew_outliers_stats(img) \
+        .select("image_id", "thr_v", "crit_q", "n_mask", "n_chng",
+                "n_nochng")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3216,6 +3246,9 @@ QUERIES = {
     "band_normalise": q_band_normalise,
     "rescale_rios": q_rescale_rios,
     "ref_region_stats": q_ref_region_stats,
+    "cd_otsu_outliers": q_cd_otsu_outliers,
+    "cd_li_outliers": q_cd_li_outliers,
+    "cd_kurtskew_outliers": q_cd_kurtskew_outliers,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
