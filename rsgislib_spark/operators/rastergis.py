@@ -1102,3 +1102,182 @@ def drop_clumps_stats(images: DataFrame, quant: int = 128,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_DROP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# calc_dist_between_clumps / calc_dist_to_classes / create_uid_col +
+# take_random_sample
+# --------------------------------------------------------------------------
+
+_DBC_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("cls", LongType()),
+    StructField("min_sq_px", LongType()),
+    StructField("dist_deg", DoubleType()),
+])
+
+_OFFS8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+          (0, 1), (1, -1), (1, 0), (1, 1))
+
+
+def dist_between_clumps(images: DataFrame, quant: int = 128,
+                        res: float = 0.001) -> DataFrame:
+    """rastergis.calc_dist_between_clumps
+    (python/rsgislib/rastergis/__init__.py:972): polygonise the clump
+    image (zero band masked out) and record each clump's distance to
+    the nearest other clump (vectorutils dist2NearestGeom).  Engine
+    measurement: clumps are the ODD quantisation bands of the
+    segmentation lattice (the even bands are the polygonise mask's
+    excluded zero region — a full lattice would make every distance
+    the touching-pixel constant); the minimum is attained between
+    8-boundary pixel centres (an interior pixel's neighbour toward the
+    target is strictly closer), so the exact-int64 boundary pair scan
+    equals the geometry distance on the pixel lattice, reported in
+    world units via one correctly-rounded sqrt * res.  Clumps with no
+    other odd-band clump in their image emit no row (the reference's
+    nearest-geometry search has no target)."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _DBC_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                q = arr // quant
+                lab = _label_regions(q)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                # 8-boundary pixels: any neighbour differs (or edge)
+                pad = np.pad(lab, 1, constant_values=-1)
+                bnd = np.zeros_like(lab, dtype=bool)
+                for dx, dy in _OFFS8:
+                    bnd |= pad[1 + dy:pad.shape[0] - 1 + dy,
+                               1 + dx:pad.shape[1] - 1 + dx] != lab
+                odd = (q % 2) == 1
+                ys, xs = np.nonzero(bnd & odd)
+                if ys.size == 0:
+                    continue
+                ls = lab[ys, xs]
+                if np.unique(ls).size < 2:
+                    continue
+                d2 = ((xs[:, None] - xs[None, :]) ** 2
+                      + (ys[:, None] - ys[None, :]) ** 2)
+                d2[ls[:, None] == ls[None, :]] = np.int64(1) << 60
+                per_pt = d2.min(axis=1)
+                mn = np.full(n + 1, np.int64(1) << 60, dtype=np.int64)
+                np.minimum.at(mn, ls, per_pt)
+                npix = np.bincount(lab.ravel(), minlength=n + 1)
+                qv = np.zeros(n + 1, dtype=np.int64)
+                qv[lab[ys, xs]] = q[ys, xs]
+                for c in sorted(set(int(l) for l in ls)):
+                    sq = int(mn[c])
+                    out["image_id"].append(image_id)
+                    out["clump_id"].append(c)
+                    out["n_pix"].append(int(npix[c]))
+                    out["cls"].append(int(qv[c]))
+                    out["min_sq_px"].append(sq)
+                    out["dist_deg"].append(
+                        float(np.sqrt(np.float64(sq)) * np.float64(res)))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_DBC_SCHEMA)
+
+
+_DTC_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cls", LongType()),
+    StructField("n_src", LongType()),
+    StructField("n_within", LongType()),
+    StructField("sum_d2", LongType()),
+    StructField("max_d2", LongType()),
+])
+
+DTC_CAP_SQ = 256  # max_dist = 16 px (squared), beyond -> nodata
+
+
+def dist_to_classes(images: DataFrame, k: int = 4) -> DataFrame:
+    """rastergis.calc_dist_to_classes
+    (python/rsgislib/rastergis/__init__.py:810): per RAT class, a
+    proximity raster (gdal.ComputeProximity DISTUNITS=GEO) capped at
+    max_dist with nodata beyond.  Engine: class plane rc=(v*k)//pmax,
+    per-pixel exact-int64 squared EDT seeded on each class, cap
+    d2 <= 256; per (image, class) the count of within-range pixels
+    (class pixels at d2=0 included), their d2 sum and max."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _DTC_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                pmax = 256 if str(fmt) in ("raw8", "png") else 1024
+                rc = (arr * k) // pmax
+                for c in range(k):
+                    m = rc == c
+                    n_src = int(m.sum())
+                    if n_src == 0:
+                        continue
+                    dt = _sq_edt(m)
+                    within = dt <= DTC_CAP_SQ
+                    out["image_id"].append(image_id)
+                    out["cls"].append(c)
+                    out["n_src"].append(n_src)
+                    out["n_within"].append(int(within.sum()))
+                    out["sum_d2"].append(int(dt[within].sum()))
+                    out["max_d2"].append(int(dt[within].max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_DTC_SCHEMA)
+
+
+_UID_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("clump_id", LongType()),
+    StructField("uid", LongType()),
+    StructField("cls", LongType()),
+    StructField("n_pix", LongType()),
+])
+
+
+def rat_uid_rows(images: DataFrame, quant: int = 128) -> DataFrame:
+    """rastergis.create_uid_col (rastergis/__init__.py:570): UID
+    starting at 0 in RAT row order = clump label order (first
+    row-major encounter, identical to the oracle's
+    row_number-over-root cid).  Base rows for take_random_sample."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _UID_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                arr = codec.decode_image(bytes(buf), int(w), int(h),
+                                         str(fmt)).astype(np.int64)
+                q = arr // quant
+                lab = _label_regions(q)
+                n = int(lab.max())
+                if n == 0:
+                    continue
+                npix = np.bincount(lab.ravel(), minlength=n + 1)
+                ys, xs = np.nonzero(lab >= 1)
+                qv = np.zeros(n + 1, dtype=np.int64)
+                qv[lab[ys, xs]] = q[ys, xs]
+                for c in range(1, n + 1):
+                    out["image_id"].append(image_id)
+                    out["clump_id"].append(c)
+                    out["uid"].append(c - 1)
+                    out["cls"].append(int(qv[c]))
+                    out["n_pix"].append(int(npix[c]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_UID_SCHEMA)

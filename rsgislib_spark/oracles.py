@@ -7376,3 +7376,125 @@ SELECT c.image_id, CAST(b.v AS BIGINT) AS thr_v,
 FROM cdc c JOIN ksb b ON b.image_id = c.image_id AND b.rn = 1
 GROUP BY c.image_id, b.v, b.crit_q
 """
+
+
+# ----------------------------------------- rastergis distance/uid family
+# calc_dist_between_clumps: odd-band clumps only (the even bands are
+# the polygonise mask's excluded zero region); min pair over 8-boundary
+# pixels of DIFFERENT roots.
+ORACLES["dist_between_clumps"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+compm AS MATERIALIZED (
+  SELECT c.image_id, c.x, c.y, c.root, i.w, i.h
+  FROM comp c JOIN img i ON i.image_id = c.image_id),
+offs AS (SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                               (0, 1), (1, -1), (1, 0), (1, 1)) t(dx, dy)),
+bnd AS MATERIALIZED (
+  SELECT DISTINCT image_id, x, y, root FROM (
+    SELECT a.image_id, a.x, a.y, a.root, b.root AS broot
+    FROM compm a
+    CROSS JOIN offs o
+    LEFT JOIN compm b ON b.image_id = a.image_id
+                     AND b.x = a.x + o.dx AND b.y = a.y + o.dy)
+  WHERE broot IS NULL OR broot <> root),
+ob AS MATERIALIZED (
+  SELECT b.image_id, b.x, b.y, b.root
+  FROM bnd b JOIN cl ON cl.image_id = b.image_id AND cl.root = b.root
+  WHERE cl.cls % 2 = 1),
+obn AS (SELECT image_id FROM ob GROUP BY image_id
+        HAVING count(DISTINCT root) >= 2),
+dbc AS (SELECT a.image_id, a.root,
+               min((a.x - b.x) * (a.x - b.x)
+                   + (a.y - b.y) * (a.y - b.y)) AS msq
+        FROM ob a
+        JOIN obn n ON n.image_id = a.image_id
+        JOIN ob b ON b.image_id = a.image_id AND b.root <> a.root
+        GROUP BY a.image_id, a.root)
+SELECT d.image_id, rl.cid AS clump_id,
+       CAST(cl.n_pix AS BIGINT) AS n_pix, CAST(cl.cls AS BIGINT) AS cls,
+       CAST(d.msq AS BIGINT) AS min_sq_px,
+       sqrt(CAST(d.msq AS DOUBLE)) * CAST(0.001 AS DOUBLE) AS dist_deg
+FROM dbc d
+JOIN rl ON rl.image_id = d.image_id AND rl.root = d.root
+JOIN cl ON cl.image_id = d.image_id AND cl.root = d.root
+"""
+
+# calc_dist_to_classes: per class, proximity capped at d2<=256; the
+# nearest class pixel for an outside pixel is an 8-boundary class
+# pixel, so the pair scan only needs those (mod-53 image subset).
+ORACLES["dist_to_classes"] = f"""
+{_PREFIX},
+dcx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 53 = 0),
+dcpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM dcx),
+dcv AS MATERIALIZED (
+  SELECT image_id, x, y, w, h,
+         (({_PXV}) * 4) // {_BST_PM} AS rc
+  FROM dcpxy),
+offs AS (SELECT * FROM (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                               (0, 1), (1, -1), (1, 0), (1, 1)) t(dx, dy)),
+dcb AS MATERIALIZED (
+  SELECT DISTINCT image_id, x, y, rc FROM (
+    SELECT a.image_id, a.x, a.y, a.rc, b.rc AS brc
+    FROM dcv a
+    CROSS JOIN offs o
+    LEFT JOIN dcv b ON b.image_id = a.image_id
+                   AND b.x = a.x + o.dx AND b.y = a.y + o.dy)
+  WHERE brc IS NULL OR brc <> rc),
+dsrc AS (SELECT image_id, rc AS cls, count(*) AS n_src
+         FROM dcv GROUP BY image_id, rc),
+dno AS MATERIALIZED (
+  SELECT p.image_id, t.rc AS cls, p.x, p.y,
+         min((p.x - t.x) * (p.x - t.x)
+             + (p.y - t.y) * (p.y - t.y)) AS d2
+  FROM dcv p JOIN dcb t ON t.image_id = p.image_id AND t.rc <> p.rc
+  GROUP BY p.image_id, t.rc, p.x, p.y),
+dag AS (SELECT image_id, cls,
+               CAST(sum(CASE WHEN d2 <= 256 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_out,
+               CAST(sum(CASE WHEN d2 <= 256 THEN d2 ELSE 0 END)
+                    AS BIGINT) AS s_d2,
+               CAST(coalesce(max(CASE WHEN d2 <= 256 THEN d2 END), 0)
+                    AS BIGINT) AS m_d2
+        FROM dno GROUP BY image_id, cls)
+SELECT s.image_id, CAST(s.cls AS BIGINT) AS cls,
+       CAST(s.n_src AS BIGINT) AS n_src,
+       CAST(s.n_src + coalesce(a.n_out, 0) AS BIGINT) AS n_within,
+       CAST(coalesce(a.s_d2, 0) AS BIGINT) AS sum_d2,
+       CAST(coalesce(a.m_d2, 0) AS BIGINT) AS max_d2
+FROM dsrc s LEFT JOIN dag a ON a.image_id = s.image_id
+                           AND a.cls = s.cls
+"""
+
+# create_uid_col + take_random_sample: uid = cid - 1 (RAT row order);
+# deterministic sample variant = md5-ranked first floor(n * 0.5) of
+# the cls=1 rows (documented replacement for numpy's seeded
+# permutation, which is not SQL-expressible).
+ORACLES["rat_uid_sample"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+urows AS (SELECT cl.image_id, rl.cid AS clump_id,
+                 rl.cid - 1 AS uid, cl.cls, cl.n_pix,
+                 md5(cl.image_id || ':' || CAST(rl.cid AS VARCHAR))
+                   AS hkey
+          FROM cl JOIN rl ON rl.image_id = cl.image_id
+                         AND rl.root = cl.root),
+umark AS (SELECT *, CASE WHEN cls = 1 THEN 1 ELSE 0 END AS marked
+          FROM urows),
+urank AS (SELECT *, row_number() OVER (
+            PARTITION BY image_id, marked ORDER BY hkey) AS rnk,
+          CAST(sum(marked) OVER (PARTITION BY image_id) AS BIGINT)
+            AS n_marked
+          FROM umark)
+SELECT image_id, CAST(clump_id AS BIGINT) AS clump_id,
+       CAST(uid AS BIGINT) AS uid, CAST(cls AS BIGINT) AS cls,
+       CAST(n_pix AS BIGINT) AS n_pix,
+       CAST(CASE WHEN marked = 1 AND rnk <= CAST(floor(
+              CAST(n_marked AS DOUBLE) * CAST(0.5 AS DOUBLE))
+              AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS sel
+FROM urank
+"""

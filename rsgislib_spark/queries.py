@@ -40,7 +40,9 @@ from .operators.rastergis import (clump_border_stats, clump_cat_majority,
                                   collapse_rat, dist_to_large_clumps,
                                   find_change_clumps, merge_small_clumps,
                                   rat_table, rel_diff_neigh_stats,
-                                  select_clumps_on_grid)
+                                  select_clumps_on_grid,
+                                  dist_between_clumps, dist_to_classes,
+                                  rat_uid_rows)
 from .operators.calibration import (dos_subtract_stats, radiance_toa_stats,
                                     saturated_stats, spot_radiance_stats,
                                     sref_6s_lut_stats, sref_6s_stats,
@@ -3226,6 +3228,49 @@ def q_cd_kurtskew_outliers(spark, sf_dir) -> DataFrame:
                 "n_nochng")
 
 
+def q_dist_between_clumps(spark, sf_dir) -> DataFrame:
+    """rastergis.calc_dist_between_clumps (rastergis/__init__.py:972):
+    per odd-band clump the exact-int64 min boundary-pixel-pair distance
+    to the nearest other clump, in world units via sqrt * res."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return dist_between_clumps(img) \
+        .select("image_id", "clump_id", "n_pix", "cls", "min_sq_px",
+                "dist_deg")
+
+
+def q_dist_to_classes(spark, sf_dir) -> DataFrame:
+    """rastergis.calc_dist_to_classes (rastergis/__init__.py:810):
+    per-class proximity raster capped at max_dist (d2 <= 256), nodata
+    beyond; per (image, class) within-range count / d2 sum / d2 max."""
+    img = _px_images(spark, sf_dir, mod=53)
+    return dist_to_classes(img) \
+        .select("image_id", "cls", "n_src", "n_within", "sum_d2",
+                "max_d2")
+
+
+def q_rat_uid_sample(spark, sf_dir) -> DataFrame:
+    """rastergis.create_uid_col + take_random_sample
+    (rastergis/__init__.py:570,583): UID in RAT row order and the
+    deterministic md5-ranked 50% sample of the cls=1 rows (documented
+    engine replacement for numpy's seeded permutation)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    base = rat_uid_rows(img).selectExpr(
+        "*",
+        "md5(concat(image_id, ':', CAST(clump_id AS STRING))) AS hkey",
+        "CASE WHEN cls = 1 THEN 1 ELSE 0 END AS marked")
+    ranked = base.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY image_id, marked"
+        " ORDER BY hkey) AS rnk",
+        "CAST(sum(marked) OVER (PARTITION BY image_id) AS BIGINT)"
+        " AS n_marked")
+    return ranked.selectExpr(
+        "image_id", "clump_id", "uid", "cls", "n_pix",
+        "CAST(CASE WHEN marked = 1 AND rnk <= CAST(floor("
+        "CAST(n_marked AS DOUBLE) * CAST(0.5 AS DOUBLE)) AS BIGINT)"
+        " THEN 1 ELSE 0 END AS BIGINT) AS sel")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3249,6 +3294,9 @@ QUERIES = {
     "cd_otsu_outliers": q_cd_otsu_outliers,
     "cd_li_outliers": q_cd_li_outliers,
     "cd_kurtskew_outliers": q_cd_kurtskew_outliers,
+    "dist_between_clumps": q_dist_between_clumps,
+    "dist_to_classes": q_dist_to_classes,
+    "rat_uid_sample": q_rat_uid_sample,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
