@@ -59,3 +59,28 @@ def season_trend_fit(events: DataFrame) -> DataFrame:
         "event_type", "n", "sy", "sxy",
         (anum.cast("double") / det.cast("double")).alias("a_cents"),
         (bnum.cast("double") / det.cast("double")).alias("b_cents"))
+
+
+#: predict_for_date target days-of-year (mid-season sample dates)
+PREDICT_DOYS = (15, 105, 196, 288)
+
+
+def season_trend_predict(events: DataFrame) -> DataFrame:
+    """timeseries.modelfitting.gen_prediction / predict_for_date
+    (python/rsgislib/timeseries/modelfitting.py:394-470): evaluate the
+    fitted season-trend model at target dates — intercept + slope term
+    + sum of coeff * harmonic.  One-harmonic engine model (the same
+    quantized-cos regressor the fit used): pred = a + b * cq(doy), one
+    pinned multiply-add of the fitted doubles per (event_type, date),
+    identical IEEE ops in both engines."""
+    fit = season_trend_fit(events)
+    spark = events.sparkSession
+    tbl = spark.createDataFrame(
+        [(d, c) for d, c in harmonic_table() if d in PREDICT_DOYS],
+        "doy int, cq long")
+    p = fit.crossJoin(F.broadcast(tbl))
+    return p.select(
+        "event_type", F.col("doy").cast("long").alias("doy"),
+        (F.col("a_cents")
+         + F.col("b_cents") * F.col("cq").cast("double"))
+        .alias("pred_cents"))

@@ -7498,3 +7498,162 @@ SELECT image_id, CAST(clump_id AS BIGINT) AS clump_id,
               AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS sel
 FROM urank
 """
+
+
+# ------------------------------------------------ imageutils utility family
+from .operators.imgutils_misc import (wgs84_pxl_size_steps as _ws_steps,
+                                      _RES as _IU_RES)  # noqa: E402
+from .geo.transverse_mercator import inline_steps as _inl  # noqa: E402
+
+_IU_QS = "1048576.0"
+_IU_XQ = (f"floor((lon + (CAST(x AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+          f" * {_IU_RES}) * {_IU_QS})")
+_IU_YQ = (f"floor((lat - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+          f" * {_IU_RES}) * {_IU_QS})")
+
+ORACLES["pixel_locations"] = f"""
+{_PREFIX},
+plx AS (SELECT image_id,
+               CAST(sum(CAST({_IU_XQ} AS BIGINT)) AS BIGINT) AS sx
+        FROM (SELECT image_id, lon,
+                     unnest(generate_series(0, w - 1)) AS x FROM img)
+        GROUP BY image_id),
+ply AS (SELECT image_id,
+               CAST(sum(CAST({_IU_YQ} AS BIGINT)) AS BIGINT) AS sy
+        FROM (SELECT image_id, lat,
+                     unnest(generate_series(0, h - 1)) AS y FROM img)
+        GROUP BY image_id)
+SELECT i.image_id, CAST(i.w AS BIGINT) * i.h AS n_pix,
+       CAST(i.h * x.sx AS BIGINT) AS sum_xq,
+       CAST(i.w * y.sy AS BIGINT) AS sum_yq
+FROM img i
+JOIN plx x ON x.image_id = i.image_id
+JOIN ply y ON y.image_id = i.image_id
+"""
+
+
+def _imgs_overlap_oracle() -> str:
+    from .geo.transverse_mercator import dlit
+    thres = dlit(0.0)
+    corners = (f"SELECT id, image_id, lon AS tlx, lat AS tly,"
+               f" lon + w * {_IU_RES} AS brx,"
+               f" lat - h * {_IU_RES} AS bry,"
+               f" CAST(floor(lon) AS BIGINT) AS cx,"
+               f" CAST(floor(lat) AS BIGINT) AS cy FROM img")
+    return f"""
+{_PREFIX},
+ova AS ({corners} WHERE id % 7 = 0),
+ovb AS ({corners} WHERE id % 5 = 0)
+SELECT a.image_id AS a_image_id, b.image_id AS b_image_id,
+       greatest(a.tlx, b.tlx) AS ixmin,
+       least(a.brx, b.brx) AS ixmax,
+       greatest(a.bry, b.bry) AS iymin,
+       least(a.tly, b.tly) AS iymax,
+       CAST(CASE WHEN (least(a.brx, b.brx) - greatest(a.tlx, b.tlx)
+             <= {thres}) OR (least(a.tly, b.tly) - greatest(a.bry, b.bry)
+             <= {thres}) THEN 0 ELSE 1 END AS BIGINT) AS overlaps
+FROM ova a JOIN ovb b ON b.cx = a.cx AND b.cy = a.cy AND a.id < b.id
+"""
+
+
+ORACLES["imgs_overlap"] = _imgs_overlap_oracle()
+
+# extract_img_pxl_sample: every 50th valid pixel in row-major order,
+# indices arange(n_valid // 50) * 50 of the valid subsequence
+ORACLES["pxl_sample"] = f"""
+{_PREFIX},
+{_BST_PX},
+psv AS (SELECT image_id, v,
+               row_number() OVER (PARTITION BY image_id
+                                  ORDER BY y, x) - 1 AS rn0,
+               count(*) OVER (PARTITION BY image_id) AS nv
+        FROM bstv WHERE v <> 7),
+pss AS (SELECT image_id, v, nv FROM psv
+        WHERE rn0 % 50 = 0 AND rn0 < (nv // 50) * 50)
+SELECT image_id, CAST(min(nv) AS BIGINT) AS n_valid,
+       CAST(count(*) AS BIGINT) AS n_samp,
+       CAST(sum(v) AS BIGINT) AS sum_samp,
+       CAST(min(v) AS BIGINT) AS min_samp,
+       CAST(max(v) AS BIGINT) AS max_samp
+FROM pss GROUP BY image_id
+"""
+
+# assign_random_pxls: deterministic hash candidates, first 20 valid
+_RPX = "((k * 2654435761 + id * 97) % (w - 4) + 2)"
+_RPY = "((k * 40503 + id * 31) % (h - 4) + 2)"
+
+ORACLES["rand_pxls"] = f"""
+{_PREFIX},
+rpk AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, 63)) AS k
+        FROM img WHERE id % 19 = 0),
+rpc AS (SELECT image_id, k, {_RPX} AS rx, {_RPY} AS ry,
+               {synth.pixel_value_sql('id', _RPX, _RPY, 'fmt')} AS val
+        FROM rpk),
+rpv AS (SELECT image_id, k, rx, ry, val,
+               row_number() OVER (PARTITION BY image_id
+                                  ORDER BY k) AS rnk
+        FROM rpc WHERE val <> 7)
+SELECT image_id, CAST(rnk AS BIGINT) AS rnk,
+       CAST(rx AS BIGINT) AS x, CAST(ry AS BIGINT) AS y,
+       CAST(val AS BIGINT) AS v
+FROM rpv WHERE rnk <= 20
+"""
+
+
+def _wgs84_size_oracle() -> str:
+    steps, xs, ys = _ws_steps()
+    xi, yi = _inl(steps, [xs, ys])
+    return f"""
+{_PREFIX},
+wsy0 AS (SELECT image_id, w, lat,
+                unnest(generate_series(0, h - 1)) AS y FROM img),
+wsy AS (SELECT image_id, w,
+               lat - (CAST(y AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) * {_IU_RES} AS lat_c
+        FROM wsy0),
+wsr AS (SELECT image_id, w,
+               CAST(floor({xi} * {_IU_QS}) AS BIGINT) AS xq,
+               CAST(floor({yi} * {_IU_QS}) AS BIGINT) AS yq
+        FROM wsy)
+SELECT image_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(w * xq) AS BIGINT) AS sum_xszq,
+       CAST(sum(w * yq) AS BIGINT) AS sum_yszq
+FROM wsr GROUP BY image_id
+"""
+
+
+ORACLES["wgs84_pxl_size"] = _wgs84_size_oracle()
+
+
+# ------------------------------------ timeseries predict_for_date twin
+def _season_predict_oracle() -> str:
+    from .operators.timeseries import PREDICT_DOYS, harmonic_table
+    pd_vals = ", ".join(f"({d}, {c})" for d, c in harmonic_table()
+                        if d in PREDICT_DOYS)
+    return f"""
+WITH tq(doy, cq) AS (VALUES {_HARM_VALUES}),
+ev AS (SELECT event_type, dayofyear(ts) AS doy,
+              CAST(round(value * 100.0) AS BIGINT) AS vc
+       FROM events),
+j AS (SELECT e.event_type, t.cq, e.vc FROM ev e JOIN tq t ON t.doy = e.doy),
+g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cq) AS BIGINT) AS sx,
+             CAST(sum(cq * cq) AS BIGINT) AS sxx,
+             CAST(sum(vc) AS BIGINT) AS sy,
+             CAST(sum(cq * vc) AS BIGINT) AS sxy
+      FROM j GROUP BY event_type),
+f AS (SELECT event_type,
+             CAST(sxx * sy - sx * sxy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS a_cents,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) AS b_cents
+      FROM g),
+pdt(doy, cq) AS (VALUES {pd_vals})
+SELECT f.event_type, CAST(p.doy AS BIGINT) AS doy,
+       f.a_cents + f.b_cents * CAST(p.cq AS DOUBLE) AS pred_cents
+FROM f CROSS JOIN pdt p
+"""
+
+
+ORACLES["season_predict"] = _season_predict_oracle()

@@ -62,6 +62,8 @@ from .operators import specunmix as spx
 from .operators import imgcalcmisc as icm
 from .operators import classification as cls_ops
 from .operators import changedetect as cdo
+from .operators import imgutils_misc as ium
+from .operators import timeseries as ts_ops
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
 from .operators.imgcalcmisc import (all_bands_equal_stats,
@@ -3271,6 +3273,77 @@ def q_rat_uid_sample(spark, sf_dir) -> DataFrame:
         " THEN 1 ELSE 0 END AS BIGINT) AS sel")
 
 
+def q_pixel_locations(spark, sf_dir) -> DataFrame:
+    """imageutils.calc_pixel_locations (imageutils/__init__.py:2681):
+    X/Y pixel-centre world-coordinate planes; quantised plane sums fold
+    to h * (sum over x) and w * (sum over y) — no explode, no payload."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    return ium.pixel_locations_stats(img) \
+        .select("image_id", "n_pix", "sum_xq", "sum_yq")
+
+
+def q_imgs_overlap(spark, sf_dir) -> DataFrame:
+    """imageutils.do_images_overlap (imageutils/__init__.py:2778):
+    bbox-overlap flag for same-1°-cell image pairs with the reference's
+    corner min/max update rule and over_thres=0."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    return ium.imgs_overlap_pairs(img.where("id % 7 = 0"),
+                                  img.where("id % 5 = 0")) \
+        .select("a_image_id", "b_image_id", "ixmin", "ixmax", "iymin",
+                "iymax", "overlaps")
+
+
+def q_pxl_sample(spark, sf_dir) -> DataFrame:
+    """imageutils.extract_img_pxl_sample (imageutils/__init__.py:2949):
+    every 50th valid pixel of the row-major flatten (nodata 7
+    excluded), the reference's arange(n//s)*s index rule."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return ium.pxl_sample_stats(img) \
+        .select("image_id", "n_valid", "n_samp", "sum_samp",
+                "min_samp", "max_samp")
+
+
+def q_rand_pxls(spark, sf_dir) -> DataFrame:
+    """imageutils.assign_random_pxls (imageutils/__init__.py:3665):
+    20 edge-buffered random pixels per image rejecting nodata — the
+    documented deterministic-hash candidate sequence replaces numpy's
+    seeded MT (not SQL-expressible)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return ium.rand_pxls_stats(img) \
+        .select("image_id", "rnk", "x", "y", "v")
+
+
+def q_wgs84_pxl_size(spark, sf_dir) -> DataFrame:
+    """imageutils.calc_wsg84_pixel_size (imageutils/__init__.py:4193)
+    via tools.projection.degrees_to_metres (projection.py:66): per-row
+    X/Y metre resolutions through the polynomial sin/cos, Rsq**1.5
+    pinned as Rsq*sqrt(Rsq); per-image quantised sums (x w, constant
+    along rows)."""
+    from .operators.vector import _apply_expr_steps
+    img = _images(spark, sf_dir, with_footprint=False)
+    df = img.selectExpr("image_id", "w", "lat",
+                        "explode(sequence(0, h - 1)) AS y") \
+        .selectExpr("image_id", "w",
+                    f"lat - (CAST(y AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                    f" * {ium._RES} AS lat_c")
+    steps, xs, ys = ium.wgs84_pxl_size_steps()
+    df = _apply_expr_steps(df, steps, {
+        "xq": f"CAST(floor({xs} * 1048576.0) AS BIGINT)",
+        "yq": f"CAST(floor({ys} * 1048576.0) AS BIGINT)"})
+    return df.groupBy("image_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.expr("w * xq")).cast("long").alias("sum_xszq"),
+        F.sum(F.expr("w * yq")).cast("long").alias("sum_yszq"))
+
+
+def q_season_predict(spark, sf_dir) -> DataFrame:
+    """timeseries.modelfitting.predict_for_date / gen_prediction
+    (modelfitting.py:394-470): the fitted one-harmonic season-trend
+    model evaluated at four mid-season dates — a + b*cq(doy), pinned."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return ts_ops.season_trend_predict(t["events"])
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3297,6 +3370,12 @@ QUERIES = {
     "dist_between_clumps": q_dist_between_clumps,
     "dist_to_classes": q_dist_to_classes,
     "rat_uid_sample": q_rat_uid_sample,
+    "pixel_locations": q_pixel_locations,
+    "imgs_overlap": q_imgs_overlap,
+    "pxl_sample": q_pxl_sample,
+    "rand_pxls": q_rand_pxls,
+    "wgs84_pxl_size": q_wgs84_pxl_size,
+    "season_predict": q_season_predict,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
