@@ -7657,3 +7657,75 @@ FROM f CROSS JOIN pdt p
 
 
 ORACLES["season_predict"] = _season_predict_oracle()
+
+
+# ------------------------------------------------ least cost path
+def _lcp_oracle() -> str:
+    from .operators.leastcost import (LCP_D_AXIAL, LCP_D_DIAG,
+                                      LCP_ROUNDS)
+    offs = ", ".join(
+        f"({dy}, {dx}, {LCP_D_DIAG if dy and dx else LCP_D_AXIAL})"
+        for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx)
+
+    def relax(tag: str, seed_sql: str, rounds: int) -> str:
+        parts = [f"""
+{tag}0 AS ({seed_sql})"""]
+        for r in range(1, rounds + 1):
+            parts.append(f""",
+{tag}{r} AS MATERIALIZED (
+  SELECT image_id, gy, gx, min(d) AS d FROM (
+    SELECT image_id, gy, gx, d FROM {tag}{r - 1}
+    UNION ALL
+    SELECT e.image_id, e.ty AS gy, e.tx AS gx, p.d + e.w AS d
+    FROM {tag}{r - 1} p
+    JOIN lce e ON e.image_id = p.image_id
+              AND e.ay = p.gy AND e.ax = p.gx)
+  GROUP BY image_id, gy, gx)""")
+        return "".join(parts)
+
+    return f"""
+{_PREFIX},
+lcx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 53 = 0),
+lcpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM lcx),
+lcg AS MATERIALIZED (
+  SELECT image_id, y // 8 AS gy, x // 8 AS gx,
+         CAST(sum({_PXV}) AS BIGINT) AS c
+  FROM lcpxy GROUP BY image_id, y // 8, x // 8),
+gdm AS (SELECT image_id, CAST(max(gx) + 1 AS BIGINT) AS gw,
+               CAST(max(gy) + 1 AS BIGINT) AS gh
+        FROM lcg GROUP BY image_id),
+loffs(dy, dx, dd) AS (VALUES {offs}),
+lce AS MATERIALIZED (
+  SELECT a.image_id, a.gy AS ay, a.gx AS ax, b.gy AS ty, b.gx AS tx,
+         o.dd * (a.c + b.c) AS w
+  FROM lcg a CROSS JOIN loffs o
+  JOIN lcg b ON b.image_id = a.image_id
+            AND b.gy = a.gy + o.dy AND b.gx = a.gx + o.dx),
+{relax("lds", "SELECT image_id, gy, gx, CAST(0 AS BIGINT) AS d"
+          " FROM lcg WHERE gy = 0 AND gx = 0", LCP_ROUNDS).lstrip()},
+{relax("ldt", "SELECT g.image_id, g.gy, g.gx, CAST(0 AS BIGINT) AS d"
+          " FROM lcg g JOIN gdm m ON m.image_id = g.image_id"
+          " WHERE g.gy = m.gh - 1 AND g.gx = m.gw - 1",
+       LCP_ROUNDS).lstrip()},
+ltot AS (SELECT s.image_id, s.d AS total
+         FROM lds{LCP_ROUNDS} s JOIN gdm m ON m.image_id = s.image_id
+         WHERE s.gy = m.gh - 1 AND s.gx = m.gw - 1),
+lopt AS (SELECT s.image_id, s.gy, s.gx
+         FROM lds{LCP_ROUNDS} s
+         JOIN ldt{LCP_ROUNDS} t ON t.image_id = s.image_id
+                                AND t.gy = s.gy AND t.gx = s.gx
+         JOIN ltot o ON o.image_id = s.image_id
+         WHERE s.d + t.d = o.total)
+SELECT m.image_id, m.gw, m.gh, o.total AS total_cost,
+       CAST(count(*) AS BIGINT) AS n_opt,
+       CAST(sum(p.gy * m.gw + p.gx) AS BIGINT) AS sum_opt_idx
+FROM lopt p
+JOIN gdm m ON m.image_id = p.image_id
+JOIN ltot o ON o.image_id = p.image_id
+GROUP BY m.image_id, m.gw, m.gh, o.total
+"""
+
+
+ORACLES["least_cost_path"] = _lcp_oracle()

@@ -63,6 +63,7 @@ from .operators import imgcalcmisc as icm
 from .operators import classification as cls_ops
 from .operators import changedetect as cdo
 from .operators import imgutils_misc as ium
+from .operators.leastcost import least_cost_path_stats
 from .operators import timeseries as ts_ops
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
@@ -3344,6 +3345,18 @@ def q_season_predict(spark, sf_dir) -> DataFrame:
     return ts_ops.season_trend_predict(t["events"])
 
 
+def q_least_cost_path(spark, sf_dir) -> DataFrame:
+    """imagecalc.leastcostpath.perform_least_cost_path_calc
+    (leastcostpath.py:103): MCP_Geometric least-cost path from the
+    top-left to the bottom-right of the 8x8 block-cost pyramid,
+    integer-quantised diagonal (1414/1000), exact Dijkstra; the
+    optimal-node-set is unique regardless of tie-breaking."""
+    img = _px_images(spark, sf_dir, mod=53)
+    return least_cost_path_stats(img) \
+        .select("image_id", "gw", "gh", "total_cost", "n_opt",
+                "sum_opt_idx")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3376,6 +3389,7 @@ QUERIES = {
     "rand_pxls": q_rand_pxls,
     "wgs84_pxl_size": q_wgs84_pxl_size,
     "season_predict": q_season_predict,
+    "least_cost_path": q_least_cost_path,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
