@@ -49,6 +49,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..functions import codec
@@ -567,3 +568,52 @@ def hist_nbins_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_HN_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# tools.stats.corr_feature_selection (stats.py:142-240) — the Pearson +
+# Fisher-z core.  The reference clusters predictors with sklearn
+# FeatureAgglomeration + silhouette (absent here, and stochastic); the
+# engine emits the exact panel the clustering consumes: per predictor
+# the Pearson r against the dependent variable, rationalised to exact
+# integers (r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy -
+# Sy^2)), each op correctly rounded), and the Fisher z-transform
+# arctanh(r) = 0.5*(ln(1+r) - ln(1-r)) through the detmath ln tree.
+# dep = floor(l_extendedprice / 64) (dyadic scale keeps n*Sxx < 2^63
+# through sf0.1; at >=sf1 the partials need DECIMAL(38) — documented).
+# --------------------------------------------------------------------------
+
+def corr_feat_panel(lineitem: DataFrame) -> DataFrame:
+    from ..functions.detmath import ln_steps
+
+    base = lineitem.selectExpr(
+        "CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS dep",
+        "CAST(l_quantity AS BIGINT) AS i1",
+        "CAST(round(l_discount * 100.0) AS BIGINT) AS i2",
+        "CAST(round(l_tax * 100.0) AS BIGINT) AS i3",
+        "CAST(l_partkey % 1000 AS BIGINT) AS i4")
+    tall = base.selectExpr(
+        "dep",
+        "stack(4, 'l_quantity', i1, 'l_discount_c', i2,"
+        " 'l_tax_c', i3, 'l_partkey_mod', i4) AS (ind_var, iv)")
+    g = tall.groupBy("ind_var").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dep").alias("sx"),
+        F.sum(F.expr("dep * dep")).alias("sxx"),
+        F.sum("iv").alias("sy"),
+        F.sum(F.expr("iv * iv")).alias("syy"),
+        F.sum(F.expr("dep * iv")).alias("sxy"))
+    df = g.selectExpr(
+        "ind_var", "n",
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r")
+    df = df.selectExpr("*", "CAST(1 AS DOUBLE) + r AS a1",
+                       "CAST(1 AS DOUBLE) - r AS a2")
+    for name, expr in ln_steps("a1", "ln1", lo=-24):
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    for name, expr in ln_steps("a2", "ln2", lo=-24):
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    return df.selectExpr(
+        "ind_var", "n", "r",
+        "CAST(0.5 AS DOUBLE) * (ln1 - ln2) AS fisher_z")

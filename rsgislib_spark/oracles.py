@@ -7729,3 +7729,49 @@ GROUP BY m.image_id, m.gw, m.gh, o.total
 
 
 ORACLES["least_cost_path"] = _lcp_oracle()
+
+
+# ------------------------------------ tools.stats.corr_feature_selection
+def _corr_feat_oracle() -> str:
+    from .functions.detmath import ln_chain_sql
+    base = """
+SELECT CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS dep,
+       CAST(l_quantity AS BIGINT) AS i1,
+       CAST(round(l_discount * 100.0) AS BIGINT) AS i2,
+       CAST(round(l_tax * 100.0) AS BIGINT) AS i3,
+       CAST(l_partkey % 1000 AS BIGINT) AS i4
+FROM lineitem
+""".strip()
+    tall = " UNION ALL ".join(
+        f"SELECT dep, '{nm}' AS ind_var, {col} AS iv FROM cfb"
+        for nm, col in (("l_quantity", "i1"), ("l_discount_c", "i2"),
+                        ("l_tax_c", "i3"), ("l_partkey_mod", "i4")))
+    inner = f"""
+SELECT ind_var, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(dep) AS BIGINT) AS sx,
+       CAST(sum(dep * dep) AS BIGINT) AS sxx,
+       CAST(sum(iv) AS BIGINT) AS sy,
+       CAST(sum(iv * iv) AS BIGINT) AS syy,
+       CAST(sum(dep * iv) AS BIGINT) AS sxy
+FROM cft GROUP BY ind_var
+""".strip()
+    rsel = f"""
+SELECT ind_var, n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM ({inner})
+""".strip()
+    ra = (f"SELECT *, CAST(1 AS DOUBLE) + r AS a1,"
+          f" CAST(1 AS DOUBLE) - r AS a2 FROM ({rsel})")
+    chained = ln_chain_sql(ln_chain_sql(ra, "a1", "ln1", lo=-24),
+                           "a2", "ln2", lo=-24)
+    return f"""
+WITH cfb AS ({base}),
+cft AS ({tall})
+SELECT ind_var, n, r, CAST(0.5 AS DOUBLE) * (ln1 - ln2) AS fisher_z
+FROM ({chained})
+"""
+
+
+ORACLES["corr_feat_panel"] = _corr_feat_oracle()

@@ -3357,6 +3357,16 @@ def q_least_cost_path(spark, sf_dir) -> DataFrame:
                 "sum_opt_idx")
 
 
+def q_corr_feat_panel(spark, sf_dir) -> DataFrame:
+    """tools.stats.corr_feature_selection (stats.py:142-240): the
+    Pearson + Fisher-z panel the reference's feature clustering
+    consumes — exact-int rationalised r per predictor vs
+    l_extendedprice, arctanh via the detmath ln tree (the sklearn
+    agglomeration/silhouette stage is driver-side and stochastic)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return bstat.corr_feat_panel(t["lineitem"])
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3390,6 +3400,7 @@ QUERIES = {
     "wgs84_pxl_size": q_wgs84_pxl_size,
     "season_predict": q_season_predict,
     "least_cost_path": q_least_cost_path,
+    "corr_feat_panel": q_corr_feat_panel,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
