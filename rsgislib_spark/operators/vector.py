@@ -584,3 +584,42 @@ def bbox_centre_reproj(zones: DataFrame, epsg: int = 32630) -> DataFrame:
         "greatest(br_x, tr_x) AS pmaxx",
         "least(br_y, bl_y) AS pminy",
         "greatest(tl_y, tr_y) AS pmaxy")
+
+
+# --------------------------------------------------------------------------
+# vectorattrs column ops: create_name_col / add_unq_numeric_col /
+# add_numeric_col_lut (vectorattrs/__init__.py:454,568,611)
+# --------------------------------------------------------------------------
+
+#: add_numeric_col_lut dict (cat -> value, unmapped stay 0)
+VA_LUT = ((0, 10), (1, 20), (2, 5))
+
+
+def vec_attr_cols(zones: DataFrame) -> DataFrame:
+    """vectorattrs.create_name_col (non_neg=True, coords_lat_lon=True,
+    int_coords: Python int() truncation toward zero), add_unq_numeric_col
+    (unique values numbered 1.. in FIRST-APPEARANCE = fid order) and
+    add_numeric_col_lut (dict recode, unmapped rows keep the zero
+    fill) over the zones layer with cat = zone_id % 5."""
+    lut = " ".join(f"WHEN {k} THEN {v}" for k, v in VA_LUT)
+    base = zones.selectExpr(
+        "zone_id", "zxmin", "zymax", "zone_id % 5 AS cat",
+        # Spark double->bigint CAST truncates toward zero (== int())
+        "CAST(CASE WHEN zxmin < CAST(0 AS DOUBLE) THEN -zxmin"
+        " ELSE zxmin END AS BIGINT) AS xi",
+        "CAST(CASE WHEN zymax < CAST(0 AS DOUBLE) THEN -zymax"
+        " ELSE zymax END AS BIGINT) AS yi",
+        "CASE WHEN zxmin < CAST(0 AS DOUBLE) THEN 'W' ELSE 'E' END AS ew",
+        "CASE WHEN zymax < CAST(0 AS DOUBLE) THEN 'S' ELSE 'N' END AS hemi")
+    named = base.selectExpr(
+        "zone_id", "cat",
+        "concat('tile_', hemi, CAST(yi AS STRING), ew,"
+        " CAST(xi AS STRING)) AS tile_name",
+        f"CAST(CASE cat {lut} ELSE 0 END AS BIGINT) AS lut_val")
+    ranked = named.selectExpr(
+        "*",
+        "min(zone_id) OVER (PARTITION BY cat) AS first_fid")
+    return ranked.selectExpr(
+        "zone_id", "cat", "tile_name", "lut_val",
+        "CAST(dense_rank() OVER (ORDER BY first_fid) AS BIGINT)"
+        " AS unq_num")

@@ -7775,3 +7775,33 @@ FROM ({chained})
 
 
 ORACLES["corr_feat_panel"] = _corr_feat_oracle()
+
+
+# ------------------------------------------------ vectorattrs column ops
+_VA_LUT_SQL = " ".join(f"WHEN {k} THEN {v}" for k, v in
+                       ((0, 10), (1, 20), (2, 5)))
+
+ORACLES["vec_attr_cols"] = f"""
+{_PREFIX},
+vab AS (SELECT zone_id, zone_id % 5 AS cat,
+               CAST(trunc(CASE WHEN zxmin < CAST(0 AS DOUBLE)
+                          THEN -zxmin ELSE zxmin END) AS BIGINT) AS xi,
+               CAST(trunc(CASE WHEN zymax < CAST(0 AS DOUBLE)
+                          THEN -zymax ELSE zymax END) AS BIGINT) AS yi,
+               CASE WHEN zxmin < CAST(0 AS DOUBLE)
+                    THEN 'W' ELSE 'E' END AS ew,
+               CASE WHEN zymax < CAST(0 AS DOUBLE)
+                    THEN 'S' ELSE 'N' END AS hemi
+        FROM zones),
+van AS (SELECT zone_id, cat,
+               concat('tile_', hemi, CAST(yi AS VARCHAR), ew,
+                      CAST(xi AS VARCHAR)) AS tile_name,
+               CAST(CASE cat {_VA_LUT_SQL} ELSE 0 END AS BIGINT)
+                 AS lut_val
+        FROM vab),
+var_ AS (SELECT *, min(zone_id) OVER (PARTITION BY cat) AS first_fid
+         FROM van)
+SELECT zone_id, cat, tile_name, lut_val,
+       CAST(dense_rank() OVER (ORDER BY first_fid) AS BIGINT) AS unq_num
+FROM var_
+"""

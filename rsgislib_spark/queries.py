@@ -3367,6 +3367,15 @@ def q_corr_feat_panel(spark, sf_dir) -> DataFrame:
     return bstat.corr_feat_panel(t["lineitem"])
 
 
+def q_vec_attr_cols(spark, sf_dir) -> DataFrame:
+    """vectorattrs.create_name_col + add_unq_numeric_col +
+    add_numeric_col_lut (vectorattrs/__init__.py:454,568,611): tile
+    name from truncated coords with hemisphere letters (non_neg=True),
+    first-appearance unique numbering, dict-LUT numeric column."""
+    zones = synth.synth_zones(spark, sf_dir)
+    return vec.vec_attr_cols(zones)
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3401,6 +3410,7 @@ QUERIES = {
     "season_predict": q_season_predict,
     "least_cost_path": q_least_cost_path,
     "corr_feat_panel": q_corr_feat_panel,
+    "vec_attr_cols": q_vec_attr_cols,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
