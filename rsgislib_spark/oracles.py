@@ -7805,3 +7805,124 @@ SELECT zone_id, cat, tile_name, lut_val,
        CAST(dense_rank() OVER (ORDER BY first_fid) AS BIGINT) AS unq_num
 FROM var_
 """
+
+
+# ------------------------------------------------ fft_dem_fusion
+def _fft_fusion_oracle() -> str:
+    from .operators.demfusion import FUSE_C, FUSE_Q, twiddle_table
+    tw_vals = ", ".join(f"({N},{k},{n},{c},{s})"
+                        for N, k, n, c, s in twiddle_table())
+
+    def fwd_rows(src: str, out: str, dim: str) -> str:
+        # out[k, x] = floor-shift of sum_y src[y,x] * (c, -s)[k, y]
+        return f"""
+{out} AS MATERIALIZED (
+  SELECT p.image_id, t.k AS gy, p.gx,
+         {_fdv('sum(p.re * t.c + p.im * t.s)', FUSE_Q)} AS re,
+         {_fdv('sum(p.im * t.c - p.re * t.s)', FUSE_Q)} AS im
+  FROM {src} p
+  JOIN gdm m ON m.image_id = p.image_id
+  JOIN ftw t ON t.n_dim = m.{dim} AND t.n = p.gy
+  GROUP BY p.image_id, t.k, p.gx)"""
+
+    def fwd_cols(src: str, out: str, dim: str) -> str:
+        return f"""
+{out} AS MATERIALIZED (
+  SELECT p.image_id, p.gy, t.k AS gx,
+         {_fdv('sum(p.re * t.c + p.im * t.s)', FUSE_Q)} AS re,
+         {_fdv('sum(p.im * t.c - p.re * t.s)', FUSE_Q)} AS im
+  FROM {src} p
+  JOIN gdm m ON m.image_id = p.image_id
+  JOIN ftw t ON t.n_dim = m.{dim} AND t.n = p.gx
+  GROUP BY p.image_id, p.gy, t.k)"""
+
+    def inv_rows(src: str, out: str, dim: str) -> str:
+        return f"""
+{out} AS MATERIALIZED (
+  SELECT p.image_id, t.k AS gy, p.gx,
+         {_fdv('sum(p.re * t.c - p.im * t.s)', FUSE_Q)} AS re,
+         {_fdv('sum(p.im * t.c + p.re * t.s)', FUSE_Q)} AS im
+  FROM {src} p
+  JOIN gdm m ON m.image_id = p.image_id
+  JOIN ftw t ON t.n_dim = m.{dim} AND t.n = p.gy
+  GROUP BY p.image_id, t.k, p.gx)"""
+
+    def inv_cols(src: str, out: str, dim: str) -> str:
+        return f"""
+{out} AS MATERIALIZED (
+  SELECT p.image_id, p.gy, t.k AS gx,
+         {_fdv('sum(p.re * t.c - p.im * t.s)', FUSE_Q)} AS re,
+         {_fdv('sum(p.im * t.c + p.re * t.s)', FUSE_Q)} AS im
+  FROM {src} p
+  JOIN gdm m ON m.image_id = p.image_id
+  JOIN ftw t ON t.n_dim = m.{dim} AND t.n = p.gx
+  GROUP BY p.image_id, p.gy, t.k)"""
+
+    # splice predicate on the UNSHIFTED index (fftshift roll by N//2)
+    def spl(idx: str, dim: str) -> str:
+        return (f"((({idx} + m.{dim} // 2) % m.{dim})"
+                f" >= m.{dim} // 2 - {FUSE_C}"
+                f" AND (({idx} + m.{dim} // 2) % m.{dim})"
+                f" < m.{dim} // 2 + {FUSE_C})")
+
+    return f"""
+{_PREFIX},
+ffx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 53 = 0),
+ffpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM ffx),
+fg4 AS MATERIALIZED (
+  SELECT image_id, y // 4 AS gy, x // 4 AS gx,
+         CAST(sum({_PXV}) // count(*) AS BIGINT) AS hi
+  FROM ffpxy GROUP BY image_id, y // 4, x // 4),
+fg16 AS MATERIALIZED (
+  SELECT image_id, y // 16 AS qy, x // 16 AS qx,
+         CAST(sum({_PXV}) // count(*) AS BIGINT) AS lo
+  FROM ffpxy GROUP BY image_id, y // 16, x // 16),
+gdm AS (SELECT image_id, CAST(max(gx) + 1 AS BIGINT) AS gw,
+               CAST(max(gy) + 1 AS BIGINT) AS gh
+        FROM fg4 GROUP BY image_id),
+ftw(n_dim, k, n, c, s) AS (VALUES {tw_vals}),
+fhi0 AS (SELECT image_id, gy, gx, hi AS re, CAST(0 AS BIGINT) AS im
+         FROM fg4),
+flo0 AS (SELECT g.image_id, g.gy, g.gx, q.lo AS re,
+                CAST(0 AS BIGINT) AS im
+         FROM fg4 g JOIN fg16 q ON q.image_id = g.image_id
+                              AND q.qy = g.gy // 4 AND q.qx = g.gx // 4),
+{fwd_rows('fhi0', 'fhr', 'gh').lstrip()},
+{fwd_cols('fhr', 'fhc', 'gw').lstrip()},
+{fwd_rows('flo0', 'flr', 'gh').lstrip()},
+{fwd_cols('flr', 'flc', 'gw').lstrip()},
+fsp AS MATERIALIZED (
+  SELECT l.image_id, l.gy, l.gx,
+         CASE WHEN {spl('l.gy', 'gh')} AND {spl('l.gx', 'gw')}
+              THEN h.re ELSE l.re END AS re,
+         CASE WHEN {spl('l.gy', 'gh')} AND {spl('l.gx', 'gw')}
+              THEN h.im ELSE l.im END AS im
+  FROM flc l
+  JOIN gdm m ON m.image_id = l.image_id
+  JOIN fhc h ON h.image_id = l.image_id AND h.gy = l.gy
+            AND h.gx = l.gx),
+{inv_rows('fsp', 'fir', 'gh').lstrip()},
+{inv_cols('fir', 'fic', 'gw').lstrip()},
+fmag AS (SELECT image_id, gy, gx,
+                CAST(floor(sqrt(CAST(re AS DOUBLE) * CAST(re AS DOUBLE)
+                     + CAST(im AS DOUBLE) * CAST(im AS DOUBLE)))
+                     AS BIGINT) AS mag
+         FROM fic),
+fspn AS (SELECT l.image_id, CAST(count(*) AS BIGINT) AS n_splice
+         FROM flc l JOIN gdm m ON m.image_id = l.image_id
+         WHERE {spl('l.gy', 'gh')} AND {spl('l.gx', 'gw')}
+         GROUP BY l.image_id)
+SELECT g.image_id, g.gw, g.gh, n.n_splice,
+       CAST(sum(f.mag) AS BIGINT) AS sum_mag,
+       CAST(min(f.mag) AS BIGINT) AS min_mag,
+       CAST(max(f.mag) AS BIGINT) AS max_mag
+FROM fmag f
+JOIN gdm g ON g.image_id = f.image_id
+JOIN fspn n ON n.image_id = f.image_id
+GROUP BY g.image_id, g.gw, g.gh, n.n_splice
+"""
+
+
+ORACLES["fft_dem_fusion"] = _fft_fusion_oracle()

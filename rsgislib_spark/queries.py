@@ -64,6 +64,7 @@ from .operators import classification as cls_ops
 from .operators import changedetect as cdo
 from .operators import imgutils_misc as ium
 from .operators.leastcost import least_cost_path_stats
+from .operators.demfusion import fft_fusion_stats
 from .operators import timeseries as ts_ops
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
@@ -3376,6 +3377,18 @@ def q_vec_attr_cols(spark, sf_dir) -> DataFrame:
     return vec.vec_attr_cols(zones)
 
 
+def q_fft_dem_fusion(spark, sf_dir) -> DataFrame:
+    """elevation.fft_dem_fusion (elevation/__init__.py:10): spectral
+    DEM fusion — replace the centered low-frequency block of the
+    low-res DEM's spectrum with the high-res DEM's, inverse transform,
+    magnitude.  Quantized-integer DFT with shared twiddle tables and
+    per-stage floor shifts (see operators/demfusion docstring)."""
+    img = _px_images(spark, sf_dir, mod=53)
+    return fft_fusion_stats(img) \
+        .select("image_id", "gw", "gh", "n_splice", "sum_mag",
+                "min_mag", "max_mag")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3411,6 +3424,7 @@ QUERIES = {
     "least_cost_path": q_least_cost_path,
     "corr_feat_panel": q_corr_feat_panel,
     "vec_attr_cols": q_vec_attr_cols,
+    "fft_dem_fusion": q_fft_dem_fusion,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
