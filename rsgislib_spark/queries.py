@@ -65,6 +65,7 @@ from .operators import changedetect as cdo
 from .operators import imgutils_misc as ium
 from .operators.leastcost import least_cost_path_stats
 from .operators.demfusion import fft_fusion_stats
+from .operators.tmask import tmask_stats
 from .operators import timeseries as ts_ops
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
@@ -3389,6 +3390,16 @@ def q_fft_dem_fusion(spark, sf_dir) -> DataFrame:
                 "min_mag", "max_mag")
 
 
+def q_tmask(spark, sf_dir) -> DataFrame:
+    """timeseries.tmask.run_tmask (tmask.py:52-193): Tukey-biweight
+    RLM season-trend fits of green/NIR/SWIR with the reference's
+    dropOutliers rule.  ROWS-ONLY (float IRLS is not SQL-expressible;
+    planted-outlier recall is pytest-asserted, tests/test_tmask.py)."""
+    img = _px_images(spark, sf_dir, mod=53)
+    return tmask_stats(img) \
+        .select("image_id", "px", "n_flagged", "n_planted", "n_hits")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3425,6 +3436,7 @@ QUERIES = {
     "corr_feat_panel": q_corr_feat_panel,
     "vec_attr_cols": q_vec_attr_cols,
     "fft_dem_fusion": q_fft_dem_fusion,
+    "tmask": q_tmask,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
