@@ -7926,3 +7926,31 @@ GROUP BY g.image_id, g.gw, g.gh, n.n_splice
 
 
 ORACLES["fft_dem_fusion"] = _fft_fusion_oracle()
+
+
+# ------------------------------------------------ solar angles
+def _solar_oracle() -> str:
+    from .operators.solar import AZ_CASES, solar_steps
+    from .geo.transverse_mercator import inline_steps
+    steps, finals = solar_steps()
+    cz, sd = inline_steps(steps, [finals["cos_zen"],
+                                  finals["sin_dec"]])
+    return f"""
+{_PREFIX},
+sob AS (SELECT image_id, id, lat,
+               CAST(id % 365 + 1 AS BIGINT) AS doy,
+               CAST(id % 96 AS BIGINT) AS hour_slot,
+               {AZ_CASES['az_usgs']} AS az_usgs,
+               {AZ_CASES['az_trad']} AS az_trad
+        FROM img)
+SELECT image_id, doy, hour_slot,
+       {cz} AS cos_zen, {sd} AS sin_dec,
+       CAST({AZ_CASES['az_irr_usgs'].format(u='az_usgs')} AS BIGINT)
+         AS az_irr_usgs,
+       CAST({AZ_CASES['az_irr_trad'].format(t='az_trad')} AS BIGINT)
+         AS az_irr_trad
+FROM sob
+"""
+
+
+ORACLES["solar_angles"] = _solar_oracle()

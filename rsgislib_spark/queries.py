@@ -66,6 +66,7 @@ from .operators import imgutils_misc as ium
 from .operators.leastcost import least_cost_path_stats
 from .operators.demfusion import fft_fusion_stats
 from .operators.tmask import tmask_stats
+from .operators.solar import solar_angles
 from .operators import timeseries as ts_ops
 from .operators.windowdist import (mahal_neighbour_stats,
                                    mahal_to_image_stats)
@@ -3400,6 +3401,16 @@ def q_tmask(spark, sf_dir) -> DataFrame:
         .select("image_id", "px", "n_flagged", "n_planted", "n_hits")
 
 
+def q_solar_angles(spark, sf_dir) -> DataFrame:
+    """imagecalibration.solarangles.calc_solar_azimuth_zenith +
+    both azimuth convention converters (solarangles.py:40,64,90):
+    Cooper declination, quarter-hour hour angle, cos(zenith) via
+    integer-quadrant-folded polynomial trig — bit-exact (Pysolar's
+    float ephemeris documented as the engine's deterministic core)."""
+    img = _images(spark, sf_dir, with_footprint=False)
+    return solar_angles(img)
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3437,6 +3448,7 @@ QUERIES = {
     "vec_attr_cols": q_vec_attr_cols,
     "fft_dem_fusion": q_fft_dem_fusion,
     "tmask": q_tmask,
+    "solar_angles": q_solar_angles,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
