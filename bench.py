@@ -126,6 +126,12 @@ BENCH_QUERIES = [
     "fill_regions_knn",
     # round-4 session-8 operators
     "class_ts_fill", "poly_hole_area", "clip_vec_lyr", "bbox_reproj",
+    "ref_region_stats", "rescale_rios", "cd_otsu_outliers",
+    "cd_li_outliers", "dist_between_clumps", "dist_to_classes",
+    "rat_uid_sample", "pixel_locations", "imgs_overlap", "pxl_sample",
+    "rand_pxls", "wgs84_pxl_size", "season_predict", "least_cost_path",
+    "corr_feat_panel", "vec_attr_cols", "fft_dem_fusion", "tmask",
+    "solar_angles",
 ]
 
 

@@ -7954,3 +7954,19 @@ FROM sob
 
 
 ORACLES["solar_angles"] = _solar_oracle()
+
+
+# --------------------------------------- create_train_valid_test_sets
+ORACLES["train_valid_test"] = """
+WITH tvs AS (SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '33' THEN 'test'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         < '66' THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM documents)
+SELECT split, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM tvs GROUP BY split
+"""

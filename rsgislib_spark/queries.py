@@ -3411,6 +3411,27 @@ def q_solar_angles(spark, sf_dir) -> DataFrame:
     return solar_angles(img)
 
 
+def q_train_valid_test(spark, sf_dir) -> DataFrame:
+    """classification.create_train_valid_test_sets
+    (classification/__init__.py): three-way sample split.  The
+    reference permutes with numpy's seeded RNG (order-dependent,
+    irreproducible across cluster sizes); the engine's documented
+    split is the md5-prefix rule (first 2 hex chars: <'33' test,
+    <'66' valid, else train — ~20/20/60), the same contract as
+    `sample_split`."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"].selectExpr(
+        "doc_id",
+        "CASE WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '33'"
+        " THEN 'test'"
+        " WHEN substring(md5(CAST(doc_id AS STRING)), 1, 2) < '66'"
+        " THEN 'valid' ELSE 'train' END AS split")
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"))
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3449,6 +3470,7 @@ QUERIES = {
     "fft_dem_fusion": q_fft_dem_fusion,
     "tmask": q_tmask,
     "solar_angles": q_solar_angles,
+    "train_valid_test": q_train_valid_test,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
