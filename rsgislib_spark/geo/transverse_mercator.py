@@ -320,3 +320,77 @@ def utm_forward_steps(lon: str, lat: str, zone: int,
     return tm_forward_steps(lon, lat, TMParams(
         *_WGS84, central_meridian_deg(zone), 0.0, _K0,
         500000.0, 10000000.0 if south else 0.0))
+
+
+def tm_inverse_steps(e: str, n: str, p: TMParams,
+                     pfx: str = "__ti") -> tuple[list, str, str]:
+    """(steps, lon_deg_expr, lat_deg_expr): the Snyder 1987 §8 INVERSE
+    transverse-Mercator series (footpoint latitude via the e1
+    rectifying series, then the D-power corrections).
+
+    Reference consumer: vectorutils.merge_utm_vecs_wgs84
+    (vectorutils/__init__.py:3045) reprojects per-zone UTM layers back
+    to WGS84 before merging.  Determinism matches the forward path:
+    polynomial sin/cos (|arg| <= pi/2 — footpoint <= 84 deg), multiple
+    angles by exact identities, ``x**1.5`` pinned as ``x * sqrt(x)``,
+    and every multi-term constant folded in PYTHON so each expression
+    carries at most one additive literal (NOTES lesson 2)."""
+    f_ = 1.0 / p.inv_f
+    e2 = f_ * (2.0 - f_)
+    ep2 = e2 / (1.0 - e2)
+    b = StepBuilder(pfx)
+    m0c, m1c, m2c, m3c = _merid_arc_coeffs(e2)
+    phi0 = math.radians(p.lat0)
+    m_at_0 = p.a * (m0c * phi0 - m1c * math.sin(2 * phi0)
+                    + m2c * math.sin(4 * phi0) - m3c * math.sin(6 * phi0))
+    m = b.add(f"({dlit(m_at_0)} + (({n}) - {dlit(p.fn)}) / {dlit(p.k0)})")
+    mu = b.add(f"({m} / {dlit(p.a * m0c)})")
+    se = math.sqrt(1.0 - e2)
+    e1 = (1.0 - se) / (1.0 + se)
+    j1 = 3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0
+    j2 = 21.0 * e1 ** 2 / 16.0 - 55.0 * e1 ** 4 / 32.0
+    j3 = 151.0 * e1 ** 3 / 96.0
+    j4 = 1097.0 * e1 ** 4 / 512.0
+    x2 = b.add(f"({mu} * {mu})")
+    smu = b.add(f"({mu} * {_horner(x2, _SIN_C)})")
+    cmu = b.add(f"({_horner(x2, _COS_C)})")
+    s2m = b.add(f"(2.0 * {smu} * {cmu})")
+    c2m = b.add(f"(1.0 - 2.0 * {smu} * {smu})")
+    s4m = b.add(f"(2.0 * {s2m} * {c2m})")
+    c4m = b.add(f"(1.0 - 2.0 * {s2m} * {s2m})")
+    s6m = b.add(f"({s4m} * {c2m} + {c4m} * {s2m})")
+    s8m = b.add(f"(2.0 * {s4m} * {c4m})")
+    phi1 = b.add(f"({mu} + {dlit(j1)} * {s2m} + {dlit(j2)} * {s4m}"
+                 f" + {dlit(j3)} * {s6m} + {dlit(j4)} * {s8m})")
+    p2 = b.add(f"({phi1} * {phi1})")
+    s1 = b.add(f"({phi1} * {_horner(p2, _SIN_C)})")
+    c1 = b.add(f"({_horner(p2, _COS_C)})")
+    den = b.add(f"(1.0 - {dlit(e2)} * {s1} * {s1})")
+    n1 = b.add(f"({dlit(p.a)} / sqrt({den}))")
+    r1 = b.add(f"({dlit(p.a * (1.0 - e2))} / ({den} * sqrt({den})))")
+    t1 = b.add(f"(({s1} / {c1}) * ({s1} / {c1}))")
+    cc1 = b.add(f"({dlit(ep2)} * {c1} * {c1})")
+    d = b.add(f"((({e}) - {dlit(p.fe)}) / ({n1} * {dlit(p.k0)}))")
+    d2 = b.add(f"({d} * {d})")
+    # constants with ep2 folded in Python (one additive literal each)
+    k24 = 5.0 - 9.0 * ep2     # + 3T1 + 10C1 - 4C1^2
+    k720 = 61.0 - 252.0 * ep2  # + 90T1 + 298C1 + 45T1^2 - 3C1^2
+    k120 = 5.0 + 8.0 * ep2    # - 2C1 + 28T1 - 3C1^2 + 24T1^2
+    lat_rad = (
+        f"({phi1} - ({n1} * ({s1} / {c1}) / {r1}) * ({d2} / 2.0"
+        f" - ({dlit(k24)} + 3.0 * {t1} + 10.0 * {cc1}"
+        f" - 4.0 * {cc1} * {cc1}) * {d2} * {d2} / 24.0"
+        f" + ({dlit(k720)} + 90.0 * {t1} + 298.0 * {cc1}"
+        f" + 45.0 * {t1} * {t1} - 3.0 * {cc1} * {cc1})"
+        f" * {d2} * {d2} * {d2} / 720.0))"
+    )
+    lam_off = (
+        f"(({d} - (1.0 + 2.0 * {t1} + {cc1}) * {d} * {d2} / 6.0"
+        f" + ({dlit(k120)} - 2.0 * {cc1} + 28.0 * {t1}"
+        f" - 3.0 * {cc1} * {cc1} + 24.0 * {t1} * {t1})"
+        f" * {d} * {d2} * {d2} / 120.0) / {c1})"
+    )
+    r2d = dlit(180.0 / math.pi)
+    lon_deg = f"({dlit(p.lon0)} + {lam_off} * {r2d})"
+    lat_deg = f"({lat_rad} * {r2d})"
+    return b.steps, lon_deg, lat_deg

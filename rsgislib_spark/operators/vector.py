@@ -623,3 +623,27 @@ def vec_attr_cols(zones: DataFrame) -> DataFrame:
         "zone_id", "cat", "tile_name", "lut_val",
         "CAST(dense_rank() OVER (ORDER BY first_fid) AS BIGINT)"
         " AS unq_num")
+
+
+def utm_roundtrip_wgs84(df: DataFrame, zone: int,
+                        lon: str = "qlon", lat: str = "qlat") -> DataFrame:
+    """One per-zone layer of vectorutils.merge_utm_vecs_wgs84
+    (vectorutils/__init__.py:3045): forward-project the layer into its
+    UTM zone, then reproject the UTM geometry back to WGS84 with the
+    Snyder INVERSE series (geo/transverse_mercator.tm_inverse_steps) —
+    the zone-layer -> WGS84 leg the reference runs before merging.
+    Both legs are pinned polynomial-trig column math (roundtrip
+    < 1e-8 deg, pytest)."""
+    from ..geo.transverse_mercator import (TMParams, _K0, _WGS84,
+                                           central_meridian_deg,
+                                           tm_forward_steps,
+                                           tm_inverse_steps)
+    p = TMParams(*_WGS84, central_meridian_deg(zone), 0.0, _K0,
+                 500000.0, 0.0)
+    fs, fe, fn = tm_forward_steps(lon, lat, p, pfx=f"__mf{zone}")
+    df = _apply_expr_steps(df, fs, {"utm_e": fe, "utm_n": fn})
+    is_, lo, la = tm_inverse_steps("utm_e", "utm_n", p,
+                                   pfx=f"__mi{zone}")
+    df = _apply_expr_steps(df, is_, {"rec_lon": lo, "rec_lat": la})
+    return df.selectExpr("qid", f"CAST({zone} AS BIGINT) AS zone",
+                         "utm_e", "utm_n", "rec_lon", "rec_lat")

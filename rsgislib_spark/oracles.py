@@ -7970,3 +7970,43 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_samples,
        CAST(max(doc_id) AS BIGINT) AS max_doc
 FROM tvs GROUP BY split
 """
+
+
+# ---------------------------------------- merge_utm_vecs_wgs84 roundtrip
+def _sql_chain(sql: str, steps, finals: dict) -> str:
+    """CTE-free chained projections (the inverse series' steps are
+    multi-referenced — full inlining explodes combinatorially)."""
+    for name, expr in steps:
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    sel = ", ".join(f"{e} AS {n}" for n, e in finals.items())
+    return f"SELECT *, {sel} FROM ({sql})"
+
+
+def _merge_utm_oracle() -> str:
+    from .geo.transverse_mercator import (TMParams, _K0, _WGS84,
+                                          central_meridian_deg,
+                                          tm_forward_steps,
+                                          tm_inverse_steps)
+    parts = []
+    for zone, lon0 in ((30, -6.0), (31, 0.0)):
+        p = TMParams(*_WGS84, central_meridian_deg(zone), 0.0, _K0,
+                     500000.0, 0.0)
+        base = (f"SELECT qid,"
+                f" CAST({lon0} AS DOUBLE) + ((qlon + 180.0) % 6.0)"
+                f" AS qlon,"
+                f" CAST(-55.0 AS DOUBLE) + ((qlat + 60.0) % 125.0)"
+                f" AS qlat FROM qpts")
+        fs, fe, fn = tm_forward_steps("qlon", "qlat", p,
+                                      pfx=f"__mf{zone}")
+        sql = _sql_chain(base, fs, {"utm_e": fe, "utm_n": fn})
+        is_, lo, la = tm_inverse_steps("utm_e", "utm_n", p,
+                                       pfx=f"__mi{zone}")
+        sql = _sql_chain(sql, is_, {"rec_lon": lo, "rec_lat": la})
+        parts.append(
+            f"SELECT qid, CAST({zone} AS BIGINT) AS zone, utm_e,"
+            f" utm_n, rec_lon, rec_lat FROM ({sql})")
+    body = " UNION ALL ".join(parts)
+    return f"{_PREFIX} {body}"
+
+
+ORACLES["merge_utm_wgs84"] = _merge_utm_oracle()

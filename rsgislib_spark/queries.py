@@ -3432,6 +3432,20 @@ def q_train_valid_test(spark, sf_dir) -> DataFrame:
         F.max("doc_id").alias("max_doc"))
 
 
+def q_merge_utm_wgs84(spark, sf_dir) -> DataFrame:
+    """vectorutils.merge_utm_vecs_wgs84 (vectorutils/__init__.py:3045):
+    two per-zone UTM layers (qpoints fmod-remapped into the zone 30 and
+    31 windows) forward-projected, INVERSE-reprojected to WGS84 with
+    the Snyder inverse series, and merged — the reference's
+    zone-layer -> WGS84 -> merge pipeline (the 180/-180 polygon cut is
+    the `unwrap_bbox` machinery, covered separately)."""
+    a = _remapped_qpts(spark, sf_dir, -6.0, 6.0, -55.0, 125.0)
+    b = _remapped_qpts(spark, sf_dir, 0.0, 6.0, -55.0, 125.0)
+    la = vec.utm_roundtrip_wgs84(a, 30)
+    lb = vec.utm_roundtrip_wgs84(b, 31)
+    return la.unionAll(lb)
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3471,6 +3485,7 @@ QUERIES = {
     "tmask": q_tmask,
     "solar_angles": q_solar_angles,
     "train_valid_test": q_train_valid_test,
+    "merge_utm_wgs84": q_merge_utm_wgs84,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,

@@ -88,3 +88,17 @@ def test_bbox_reproj_sane(zones):
     z0 = out[out.zone_id == 0].iloc[0]
     assert 1.3e6 < z0.pminx < 1.6e6             # far-east easting
     assert 4.9e6 < z0.pminy < 5.2e6
+
+
+def test_utm_roundtrip_accuracy(spark, sf_dir):
+    """Inverse TM recovers the WGS84 input to < 1e-7 deg (~1 cm)."""
+    from rsgislib_spark.queries import _remapped_qpts
+    a = _remapped_qpts(spark, sf_dir, -6.0, 6.0, -55.0, 125.0)
+    out = vec.utm_roundtrip_wgs84(a, 30).toPandas()
+    src = a.toPandas()
+    m = out.merge(src, on="qid")
+    assert len(m) > 0
+    assert (np.abs(m.rec_lon - m.qlon) < 1e-7).all()
+    assert (np.abs(m.rec_lat - m.qlat) < 1e-7).all()
+    # eastings within the zone's sane band
+    assert (m.utm_e > -1e6).all() and (m.utm_e < 2e6).all()
