@@ -617,3 +617,63 @@ def corr_feat_panel(lineitem: DataFrame) -> DataFrame:
     return df.selectExpr(
         "ind_var", "n", "r",
         "CAST(0.5 AS DOUBLE) * (ln1 - ln2) AS fisher_z")
+
+
+# --------------------------------------------------------------------------
+# regression.regresssklearn.perform_kfold_fit (regresssklearn.py:213):
+# k-fold fit/validate loop producing per-fold accuracy metrics.  The
+# engine's documented variant: folds are the md5-prefix buckets (the
+# scalable replacement for KFold's order-defined contiguous blocks —
+# a global row_number would serialize at scale; same contract as
+# sample_split), the regressor is exact-int simple OLS (Cramer, the
+# season_trend/regress_stats machinery), and the per-fold test metrics
+# (bias / MAE / MSE, quantised per-term) plus the fitted (a, b).
+# --------------------------------------------------------------------------
+
+_KF_BOUNDS = ("33", "66", "99", "cc")
+
+
+def kfold_regress(lineitem: DataFrame, k: int = 5) -> DataFrame:
+    fold_case = (
+        "CASE WHEN hk < '33' THEN 0 WHEN hk < '66' THEN 1"
+        " WHEN hk < '99' THEN 2 WHEN hk < 'cc' THEN 3 ELSE 4 END")
+    base = lineitem.selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS y",
+        "substring(md5(concat(CAST(l_orderkey AS STRING), '_',"
+        " CAST(l_linenumber AS STRING))), 1, 2) AS hk")
+    base = base.selectExpr("x", "y",
+                           f"CAST({fold_case} AS BIGINT) AS fold")
+    g = base.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"))
+    tot = g.groupBy().agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"), F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"))
+    j = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "fold", "n AS n_test",
+        "tn - n AS nt", "tsx - sx AS sxt", "tsy - sy AS syt",
+        "tsxx - sxx AS sxxt", "tsxy - sxy AS sxyt")
+    j = j.selectExpr(
+        "fold", "n_test",
+        "CAST(sxxt * syt - sxt * sxyt AS DOUBLE)"
+        " / CAST(nt * sxxt - sxt * sxt AS DOUBLE) AS a",
+        "CAST(nt * sxyt - sxt * syt AS DOUBLE)"
+        " / CAST(nt * sxxt - sxt * sxt AS DOUBLE) AS b")
+    t = base.join(j.withColumnRenamed("fold", "jfold"),
+                  F.expr("fold = jfold"))
+    t = t.selectExpr(
+        "fold", "a", "b", "n_test",
+        "CAST(y AS DOUBLE) - (a + b * CAST(x AS DOUBLE)) AS resid")
+    t = t.selectExpr(
+        "fold", "a", "b", "n_test",
+        "CAST(floor(resid * 1048576.0) AS BIGINT) AS rq",
+        "CAST(floor(abs(resid) * 1048576.0) AS BIGINT) AS aq",
+        "CAST(floor((resid * resid) * 1024.0) AS BIGINT) AS sq")
+    return t.groupBy("fold", "a", "b", "n_test").agg(
+        F.sum("rq").cast("long").alias("bias_q"),
+        F.sum("aq").cast("long").alias("mae_q"),
+        F.sum("sq").cast("long").alias("mse_q"))

@@ -8010,3 +8010,53 @@ def _merge_utm_oracle() -> str:
 
 
 ORACLES["merge_utm_wgs84"] = _merge_utm_oracle()
+
+
+# -------------------------------------- regression perform_kfold_fit
+ORACLES["kfold_regress"] = """
+WITH kfb AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+                    CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS y,
+                    substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+                           CAST(l_linenumber AS VARCHAR)), 1, 2) AS hk
+             FROM lineitem),
+kff AS (SELECT x, y,
+               CAST(CASE WHEN hk < '33' THEN 0 WHEN hk < '66' THEN 1
+                    WHEN hk < '99' THEN 2 WHEN hk < 'cc' THEN 3
+                    ELSE 4 END AS BIGINT) AS fold
+        FROM kfb),
+kfg AS (SELECT fold, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM kff GROUP BY fold),
+kft AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+               CAST(sum(sx) AS BIGINT) AS tsx,
+               CAST(sum(sy) AS BIGINT) AS tsy,
+               CAST(sum(sxx) AS BIGINT) AS tsxx,
+               CAST(sum(sxy) AS BIGINT) AS tsxy
+        FROM kfg),
+kfj AS (SELECT g.fold, g.n AS n_test,
+               t.tn - g.n AS nt, t.tsx - g.sx AS sxt,
+               t.tsy - g.sy AS syt, t.tsxx - g.sxx AS sxxt,
+               t.tsxy - g.sxy AS sxyt
+        FROM kfg g CROSS JOIN kft t),
+kfc AS (SELECT fold, n_test,
+               CAST(sxxt * syt - sxt * sxyt AS DOUBLE)
+                   / CAST(nt * sxxt - sxt * sxt AS DOUBLE) AS a,
+               CAST(nt * sxyt - sxt * syt AS DOUBLE)
+                   / CAST(nt * sxxt - sxt * sxt AS DOUBLE) AS b
+        FROM kfj),
+kfr AS (SELECT f.fold, c.a, c.b, c.n_test,
+               CAST(f.y AS DOUBLE)
+                 - (c.a + c.b * CAST(f.x AS DOUBLE)) AS resid
+        FROM kff f JOIN kfc c ON c.fold = f.fold)
+SELECT fold, a, b, n_test,
+       CAST(sum(CAST(floor(resid * 1048576.0) AS BIGINT)) AS BIGINT)
+           AS bias_q,
+       CAST(sum(CAST(floor(abs(resid) * 1048576.0) AS BIGINT))
+            AS BIGINT) AS mae_q,
+       CAST(sum(CAST(floor((resid * resid) * 1024.0) AS BIGINT))
+            AS BIGINT) AS mse_q
+FROM kfr GROUP BY fold, a, b, n_test
+"""

@@ -3446,6 +3446,16 @@ def q_merge_utm_wgs84(spark, sf_dir) -> DataFrame:
     return la.unionAll(lb)
 
 
+def q_kfold_regress(spark, sf_dir) -> DataFrame:
+    """regression.regresssklearn.perform_kfold_fit
+    (regresssklearn.py:213): k-fold fit/validate with per-fold metrics
+    — md5-prefix folds (scalable replacement for the order-defined
+    KFold blocks), exact-int OLS per train split, quantised per-fold
+    bias/MAE/MSE on the held-out fold."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return bstat.kfold_regress(t["lineitem"])
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3486,6 +3496,7 @@ QUERIES = {
     "solar_angles": q_solar_angles,
     "train_valid_test": q_train_valid_test,
     "merge_utm_wgs84": q_merge_utm_wgs84,
+    "kfold_regress": q_kfold_regress,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
