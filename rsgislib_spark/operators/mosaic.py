@@ -529,3 +529,111 @@ def mosaic_mode_window(images: DataFrame, x0: float, y0: float,
                 (F.lit(2047) - F.pmod(F.col("_enc"), F.lit(2048)))
                 .alias("mode_v"))
     )
+
+
+_CNW_PARTIAL_SCHEMA = StructType([
+    StructField("window_id", LongType()),
+    StructField("cnt", ArrayType(LongType())),
+    StructField("votes", ArrayType(LongType())),
+    StructField("encv", ArrayType(LongType())),
+    StructField("encw", ArrayType(LongType())),
+])
+
+_CNW_OUT_SCHEMA = ("px long, py long, n_imgs long, lw_mask long, "
+                   "best_idx long, best_id long, best_v long")
+
+
+def composite_ndvi_ndwi_window(images: DataFrame, x0: float, y0: float,
+                               npx: int, npy: int, res: float) -> DataFrame:
+    """imageutils.imagecomp.create_max_ndvi_ndwi_composite
+    (imagecomp.py:212): per output pixel, the source pixel with the
+    max NDVI over LAND and max NDWI over WATER, plus the land/water
+    mask (0 nodata / 1 land / 2 water) combined across images with the
+    MODE (use_mode=True; binary mode = majority, tie -> land).
+
+    Engine shape: the same one-pass order-encoded max as
+    :func:`composite_max_index_window`, with THREE associative
+    accumulators per pixel — max NDVI encoding, max NDWI encoding and
+    the water vote count (NDWI > 0 per source image).  Band stand-ins:
+    red = plane, nir = horizontal mirror, green = vertical flip (the
+    indices-family convention)."""
+    xw, yh = x0 + npx * res, y0 + npy * res
+    cand = images.where(
+        (F.col("xmax") > F.lit(x0)) & (F.col("xmin") < F.lit(xw))
+        & (F.col("ymax") > F.lit(y0)) & (F.col("ymin") < F.lit(yh))
+    ).select("id", "bytes", "w", "h", "fmt", "xmin", "xmax", "ymin", "ymax")
+
+    cxs = x0 + (np.arange(npx, dtype=np.float64) + 0.5) * res
+    cys = y0 + (np.arange(npy, dtype=np.float64) + 0.5) * res
+
+    def partials(it):
+        for pdf in it:
+            n = npx * npy
+            cnt = np.zeros(n, np.int64)
+            votes = np.zeros(n, np.int64)
+            encv = np.full(n, -1, np.int64)
+            encw = np.full(n, -1, np.int64)
+            c2 = cnt.reshape(npy, npx)
+            t2 = votes.reshape(npy, npx)
+            ev2 = encv.reshape(npy, npx)
+            ew2 = encw.reshape(npy, npx)
+            for row in pdf.itertuples(index=False):
+                arr = codec.decode_image(bytes(row.bytes), int(row.w),
+                                         int(row.h), str(row.fmt))
+                sel_x = np.nonzero((cxs >= row.xmin) & (cxs < row.xmax))[0]
+                sel_y = np.nonzero((cys > row.ymin) & (cys <= row.ymax))[0]
+                if sel_x.size == 0 or sel_y.size == 0:
+                    continue
+                sx = np.minimum(np.floor((cxs[sel_x] - row.xmin) / res)
+                                .astype(np.int64), int(row.w) - 1)
+                sy = np.minimum(np.floor((row.ymax - cys[sel_y]) / res)
+                                .astype(np.int64), int(row.h) - 1)
+                red = arr.astype(np.int64)
+                nir = red[:, ::-1]
+                green = red[::-1, :]
+                ndvi = np.floor((nir - red) * 1000000.0
+                                / (nir + red + 1)).astype(np.int64)
+                ndwi = np.floor((green - nir) * 1000000.0
+                                / (green + nir + 1)).astype(np.int64)
+                pick = np.ix_(sy, sx)
+                v = red[pick]
+                iid = int(row.id)
+                ev_new = ((ndvi[pick] + _CMI_IDX_OFF) * _CMI_ID_SHIFT
+                          + iid * _CMI_V_SHIFT + v)
+                ew_new = ((ndwi[pick] + _CMI_IDX_OFF) * _CMI_ID_SHIFT
+                          + iid * _CMI_V_SHIFT + v)
+                ix = np.ix_(sel_y, sel_x)
+                c2[ix] += 1
+                t2[ix] += (ndwi[pick] > 0).astype(np.int64)
+                ev2[ix] = np.maximum(ev2[ix], ev_new)
+                ew2[ix] = np.maximum(ew2[ix], ew_new)
+            yield pd.DataFrame({"window_id": [0], "cnt": [cnt],
+                                "votes": [votes], "encv": [encv],
+                                "encw": [encw]})
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = npx * npy
+        cnt = np.zeros(n, np.int64)
+        votes = np.zeros(n, np.int64)
+        encv = np.full(n, -1, np.int64)
+        encw = np.full(n, -1, np.int64)
+        for r in pdf.itertuples(index=False):
+            cnt += np.asarray(r.cnt, np.int64)
+            votes += np.asarray(r.votes, np.int64)
+            encv = np.maximum(encv, np.asarray(r.encv, np.int64))
+            encw = np.maximum(encw, np.asarray(r.encw, np.int64))
+        covered = np.nonzero(cnt > 0)[0]
+        water = 2 * votes[covered] > cnt[covered]
+        e = np.where(water, encw[covered], encv[covered])
+        return pd.DataFrame({
+            "px": covered % npx,
+            "py": covered // npx,
+            "n_imgs": cnt[covered],
+            "lw_mask": np.where(water, 2, 1).astype(np.int64),
+            "best_idx": e // _CMI_ID_SHIFT - _CMI_IDX_OFF,
+            "best_id": (e % _CMI_ID_SHIFT) // _CMI_V_SHIFT,
+            "best_v": e % _CMI_V_SHIFT,
+        })
+
+    return cand.mapInPandas(partials, schema=_CNW_PARTIAL_SCHEMA) \
+        .groupBy("window_id").applyInPandas(merge, schema=_CNW_OUT_SCHEMA)

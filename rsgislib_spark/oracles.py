@@ -8060,3 +8060,49 @@ SELECT fold, a, b, n_test,
             AS BIGINT) AS mse_q
 FROM kfr GROUP BY fold, a, b, n_test
 """
+
+
+# ------------------------------------ create_max_ndvi_ndwi_composite
+_PXSRC_B3 = synth.pixel_value_sql("id", "sx", "(h - 1 - sy)", "fmt")
+
+ORACLES["composite_ndvi_ndwi"] = f"""
+{_PREFIX},
+gx AS (SELECT unnest(generate_series(0, 59)) AS px),
+gy AS (SELECT unnest(generate_series(0, 59)) AS py),
+grid AS (SELECT px, py, 10.0 + (px + 0.5) * 0.001 AS cx,
+                45.0 + (py + 0.5) * 0.001 AS cy
+         FROM gx, gy),
+j AS (SELECT g.px, g.py, i.id, i.fmt, i.w, i.h,
+             least(CAST(floor((g.cx - i.xmin) / 0.001) AS BIGINT),
+                   i.w - 1) AS sx,
+             least(CAST(floor((i.ymax - g.cy) / 0.001) AS BIGINT),
+                   i.h - 1) AS sy
+      FROM grid g JOIN imgf i
+        ON i.id % 5 = 0
+       AND g.cx >= i.xmin AND g.cx < i.xmax
+       AND g.cy > i.ymin AND g.cy <= i.ymax),
+cv AS (SELECT px, py, id,
+             {synth.pixel_value_sql("id", "sx", "sy", "fmt")} AS v,
+             CAST(floor((({_PXSRC_B2} - {synth.pixel_value_sql("id", "sx", "sy", "fmt")}) * 1000000.0)
+                        / ({_PXSRC_B2} + {synth.pixel_value_sql("id", "sx", "sy", "fmt")} + 1)) AS BIGINT) AS ndvi,
+             CAST(floor((({_PXSRC_B3} - {_PXSRC_B2}) * 1000000.0)
+                        / ({_PXSRC_B3} + {_PXSRC_B2} + 1)) AS BIGINT) AS ndwi
+      FROM j),
+ce AS (SELECT px, py, count(*) AS n_imgs,
+              CAST(sum(CASE WHEN ndwi > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS votes,
+              max((ndvi + 2097152) * 4294967296 + id * 2048 + v) AS encv,
+              max((ndwi + 2097152) * 4294967296 + id * 2048 + v) AS encw
+       FROM cv GROUP BY px, py),
+cp AS (SELECT px, py, n_imgs,
+              CASE WHEN 2 * votes > n_imgs THEN 2 ELSE 1 END AS lw_mask,
+              CASE WHEN 2 * votes > n_imgs THEN encw ELSE encv END AS enc
+       FROM ce)
+SELECT CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+       CAST(n_imgs AS BIGINT) AS n_imgs,
+       CAST(lw_mask AS BIGINT) AS lw_mask,
+       enc // 4294967296 - 2097152 AS best_idx,
+       (enc % 4294967296) // 2048 AS best_id,
+       enc % 2048 AS best_v
+FROM cp
+"""

@@ -66,6 +66,7 @@ from .operators import imgutils_misc as ium
 from .operators.leastcost import least_cost_path_stats
 from .operators.demfusion import fft_fusion_stats
 from .operators.tmask import tmask_stats
+from .operators.mosaic import composite_ndvi_ndwi_window
 from .operators.solar import solar_angles
 from .operators import timeseries as ts_ops
 from .operators.windowdist import (mahal_neighbour_stats,
@@ -3456,6 +3457,17 @@ def q_kfold_regress(spark, sf_dir) -> DataFrame:
     return bstat.kfold_regress(t["lineitem"])
 
 
+def q_composite_ndvi_ndwi(spark, sf_dir) -> DataFrame:
+    """imageutils.imagecomp.create_max_ndvi_ndwi_composite
+    (imagecomp.py:212): max-NDVI-over-land / max-NDWI-over-water
+    composite with the majority (mode) land/water mask, one
+    order-encoded associative pass (§2.4)."""
+    img = _px_images(spark, sf_dir, mod=5, with_footprint=True)
+    return composite_ndvi_ndwi_window(img, 10.0, 45.0, 60, 60, 0.001) \
+        .select("px", "py", "n_imgs", "lw_mask", "best_idx",
+                "best_id", "best_v")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3497,6 +3509,7 @@ QUERIES = {
     "train_valid_test": q_train_valid_test,
     "merge_utm_wgs84": q_merge_utm_wgs84,
     "kfold_regress": q_kfold_regress,
+    "composite_ndvi_ndwi": q_composite_ndvi_ndwi,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
