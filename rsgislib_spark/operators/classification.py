@@ -514,3 +514,94 @@ def class_ts_fill_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_TSF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# create_norm_modelled_err_matrix + create_modelled_acc_pts
+# --------------------------------------------------------------------------
+
+MAP_N_PTS = 500
+_MAP_K = 4
+
+_MAP_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("ref_cls", LongType()),
+    StructField("cls_cls", LongType()),
+    StructField("n_pts_mod", LongType()),
+    StructField("n_dropped", LongType()),
+])
+
+
+def modelled_acc_pts_stats(images: DataFrame) -> DataFrame:
+    """classification.classaccuracymetrics.create_norm_modelled_err_matrix
+    (classaccuracymetrics.py:1989) + create_modelled_acc_pts (:1548):
+    normalise a per-class accuracy matrix by class areas, then allocate
+    n_pts accuracy points block-wise — ref labels in cumulative
+    int(n_pts * row_prop) blocks, cls labels in cumulative
+    int(n_pts * m_ij) blocks, positions where either array stayed empty
+    dropped.  The output here is the per-(ref, cls) pair count of the
+    kept positions — the modelled matrix itself (shuffle_pts only
+    permutes order, which an aggregate cannot see).
+
+    Engine inputs: the confusion matrix of the image's (rc, pc) class
+    planes (class_accuracy's lattice); areas = predicted-class
+    proportions, accs = row-normalised confusion.  Every allocation is
+    the EXACT rational truncation (500 * cm_ij * pcnt_i) //
+    (rowsum_i * total) — the reference's float int() may differ on
+    near-integer products; documented engine variant."""
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _MAP_SCHEMA.fields}
+            for image_id, buf, w, h, fmt, img_id in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"], pdf["id"]):
+                v, e, pmax = _plane(image_id, buf, w, h, fmt, img_id)
+                rc = (v * _MAP_K) // pmax
+                vp = np.clip(v + e, 0, pmax - 1)
+                pc = (vp * _MAP_K) // pmax
+                cm = np.bincount((rc * _MAP_K + pc).ravel(),
+                                 minlength=_MAP_K * _MAP_K) \
+                    .reshape(_MAP_K, _MAP_K).astype(np.int64)
+                rowsum = cm.sum(axis=1)
+                pcnt = cm.sum(axis=0)
+                total = int(cm.sum())
+                # integer block allocations
+                n_ref = np.zeros(_MAP_K, dtype=np.int64)
+                n_cls = np.zeros((_MAP_K, _MAP_K), dtype=np.int64)
+                for i in range(_MAP_K):
+                    n_ref[i] = (MAP_N_PTS * int(pcnt[i])) // total
+                    for j in range(_MAP_K):
+                        if rowsum[i] > 0:
+                            n_cls[i, j] = (MAP_N_PTS * int(cm[i, j])
+                                           * int(pcnt[i])) \
+                                // (int(rowsum[i]) * total)
+                # replicate the reference's array fill + empty drop
+                ref_arr = np.full(MAP_N_PTS, -1, dtype=np.int64)
+                cls_arr = np.full(MAP_N_PTS, -1, dtype=np.int64)
+                s = 0
+                for i in range(_MAP_K):
+                    ref_arr[s:s + n_ref[i]] = i
+                    s += int(n_ref[i])
+                s = 0
+                for i in range(_MAP_K):
+                    for j in range(_MAP_K):
+                        cls_arr[s:s + n_cls[i, j]] = j
+                        s += int(n_cls[i, j])
+                keep = (ref_arr >= 0) & (cls_arr >= 0)
+                nk = int(keep.sum())
+                pair = np.bincount(
+                    ref_arr[keep] * _MAP_K + cls_arr[keep],
+                    minlength=_MAP_K * _MAP_K).reshape(_MAP_K, _MAP_K)
+                for i in range(_MAP_K):
+                    for j in range(_MAP_K):
+                        if pair[i, j] > 0:
+                            out["image_id"].append(image_id)
+                            out["ref_cls"].append(i)
+                            out["cls_cls"].append(j)
+                            out["n_pts_mod"].append(int(pair[i, j]))
+                            out["n_dropped"].append(MAP_N_PTS - nk)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt", "id") \
+        .mapInPandas(gen, schema=_MAP_SCHEMA)

@@ -1165,11 +1165,17 @@ def dist_between_clumps(images: DataFrame, quant: int = 128,
                 ls = lab[ys, xs]
                 if np.unique(ls).size < 2:
                     continue
-                d2 = ((xs[:, None] - xs[None, :]) ** 2
-                      + (ys[:, None] - ys[None, :]) ** 2)
-                d2[ls[:, None] == ls[None, :]] = np.int64(1) << 60
-                per_pt = d2.min(axis=1)
-                mn = np.full(n + 1, np.int64(1) << 60, dtype=np.int64)
+                # chunk the pair scan: the full matrix is O(n_bnd^2)
+                # int64 (~200 MB on a 128x128 sf0.1 image, x32 workers)
+                INF = np.int64(1) << 60
+                per_pt = np.full(ys.size, INF, dtype=np.int64)
+                for s0 in range(0, ys.size, 512):
+                    s1 = min(s0 + 512, ys.size)
+                    d2 = ((xs[s0:s1, None] - xs[None, :]) ** 2
+                          + (ys[s0:s1, None] - ys[None, :]) ** 2)
+                    d2[ls[s0:s1, None] == ls[None, :]] = INF
+                    per_pt[s0:s1] = d2.min(axis=1)
+                mn = np.full(n + 1, INF, dtype=np.int64)
                 np.minimum.at(mn, ls, per_pt)
                 npix = np.bincount(lab.ravel(), minlength=n + 1)
                 qv = np.zeros(n + 1, dtype=np.int64)

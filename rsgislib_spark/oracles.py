@@ -8106,3 +8106,68 @@ SELECT CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
        enc % 2048 AS best_v
 FROM cp
 """
+
+
+# ---------------------------- create_modelled_acc_pts (+ norm matrix)
+ORACLES["modelled_acc_pts"] = f"""
+{_PREFIX},
+{_BST_PX},
+mcm0 AS (SELECT image_id, (v * 4) // pmax AS i, (vp * 4) // pmax AS j,
+                count(*) AS c
+         FROM bstv GROUP BY image_id, (v * 4) // pmax,
+                  (vp * 4) // pmax),
+mcg AS (SELECT g.image_id, gi.i, gj.j
+        FROM (SELECT DISTINCT image_id FROM mcm0) g,
+             (SELECT unnest(generate_series(0, 3)) AS i) gi,
+             (SELECT unnest(generate_series(0, 3)) AS j) gj),
+mcm AS MATERIALIZED (
+  SELECT g.image_id, g.i, g.j,
+         CAST(coalesce(m.c, 0) AS BIGINT) AS c
+  FROM mcg g LEFT JOIN mcm0 m ON m.image_id = g.image_id
+         AND m.i = g.i AND m.j = g.j),
+mrs AS (SELECT image_id, i, CAST(sum(c) AS BIGINT) AS rowsum
+        FROM mcm GROUP BY image_id, i),
+mps AS (SELECT image_id, j AS i, CAST(sum(c) AS BIGINT) AS pcnt
+        FROM mcm GROUP BY image_id, j),
+mtt AS (SELECT image_id, CAST(sum(c) AS BIGINT) AS total
+        FROM mcm GROUP BY image_id),
+mref AS (SELECT r.image_id, r.i,
+                (500 * p.pcnt) // t.total AS n_ref
+         FROM mrs r
+         JOIN mps p ON p.image_id = r.image_id AND p.i = r.i
+         JOIN mtt t ON t.image_id = r.image_id),
+mrefi AS (SELECT image_id, i, n_ref,
+                 CAST(coalesce(sum(n_ref) OVER (PARTITION BY image_id
+                      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS rstart
+          FROM mref),
+mcls AS (SELECT m.image_id, m.i, m.j,
+                CASE WHEN r.rowsum > 0
+                     THEN (500 * m.c * p.pcnt) // (r.rowsum * t.total)
+                     ELSE 0 END AS n_cls
+         FROM mcm m
+         JOIN mrs r ON r.image_id = m.image_id AND r.i = m.i
+         JOIN mps p ON p.image_id = m.image_id AND p.i = m.i
+         JOIN mtt t ON t.image_id = m.image_id),
+mclsi AS (SELECT image_id, i, j, n_cls,
+                 CAST(coalesce(sum(n_cls) OVER (PARTITION BY image_id
+                      ORDER BY i, j ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS BIGINT) AS cstart
+          FROM mcls),
+mov AS (SELECT c.image_id, r.i AS ref_cls, c.j AS cls_cls,
+               greatest(CAST(0 AS BIGINT),
+                        least(c.cstart + c.n_cls, r.rstart + r.n_ref)
+                        - greatest(c.cstart, r.rstart)) AS ov
+        FROM mclsi c
+        JOIN mrefi r ON r.image_id = c.image_id),
+mpr AS (SELECT image_id, ref_cls, cls_cls,
+               CAST(sum(ov) AS BIGINT) AS n_pts_mod
+        FROM mov GROUP BY image_id, ref_cls, cls_cls),
+mkk AS (SELECT image_id, CAST(sum(n_pts_mod) AS BIGINT) AS nk
+        FROM mpr GROUP BY image_id)
+SELECT p.image_id, CAST(p.ref_cls AS BIGINT) AS ref_cls,
+       CAST(p.cls_cls AS BIGINT) AS cls_cls, p.n_pts_mod,
+       CAST(500 - k.nk AS BIGINT) AS n_dropped
+FROM mpr p JOIN mkk k ON k.image_id = p.image_id
+WHERE p.n_pts_mod > 0
+"""

@@ -3468,6 +3468,18 @@ def q_composite_ndvi_ndwi(spark, sf_dir) -> DataFrame:
                 "best_id", "best_v")
 
 
+def q_modelled_acc_pts(spark, sf_dir) -> DataFrame:
+    """classification.classaccuracymetrics.create_norm_modelled_err_matrix
+    + create_modelled_acc_pts (classaccuracymetrics.py:1989,1548):
+    area-normalised error matrix, block-wise point allocation with the
+    reference's empty-position drop; emitted as the per-(ref, cls)
+    kept-pair counts (the modelled matrix — shuffle only permutes)."""
+    img = _px_images(spark, sf_dir, mod=19)
+    return cls_ops.modelled_acc_pts_stats(img) \
+        .select("image_id", "ref_cls", "cls_cls", "n_pts_mod",
+                "n_dropped")
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3510,6 +3522,7 @@ QUERIES = {
     "merge_utm_wgs84": q_merge_utm_wgs84,
     "kfold_regress": q_kfold_regress,
     "composite_ndvi_ndwi": q_composite_ndvi_ndwi,
+    "modelled_acc_pts": q_modelled_acc_pts,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
