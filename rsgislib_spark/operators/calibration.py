@@ -28,6 +28,7 @@ import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType)
 
@@ -598,3 +599,36 @@ def qa_pixel_parse_stats(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=schema)
+
+
+def dsq_table():
+    """(doy, round(1e9 * solar_distance^2)) for doy 1..365 — shared
+    verbatim between engines (harmonic-table pattern; the /1e9
+    rescale is one identical correctly-rounded division)."""
+    return [(d, round(1e9 * solar_distance(d) ** 2))
+            for d in range(1, 366)]
+
+
+def calib_scalar_panel(images: DataFrame) -> DataFrame:
+    """imagecalibration.visibility_to_aot (imagecalibration/
+    __init__.py:417): aot = 3.9449/vis + 0.08498; and get_esun_value
+    (:391): esun = pi*L*d^2 / toaRefl / cos(zenith), with the
+    reference's step order and the polynomial cos (zenith < 65deg)."""
+    from ..geo.transverse_mercator import dlit, cos_sql
+    import math as _m
+    spark = images.sparkSession
+    tbl = spark.createDataFrame(dsq_table(), "doy int, dsqq long")
+    df = images.selectExpr(
+        "image_id", "id", "CAST(id % 365 + 1 AS INT) AS doy",
+        "CAST(5 + id % 40 AS DOUBLE) AS vis",
+        "CAST(id % 900 AS DOUBLE) * 0.25 + CAST(10.0 AS DOUBLE) AS rad",
+        "(CAST(id % 37 AS DOUBLE) + CAST(5.0 AS DOUBLE))"
+        " / CAST(64.0 AS DOUBLE) AS toa_refl",
+        f"CAST(id % 60 + 5 AS DOUBLE) * {dlit(_m.pi / 180.0)} AS zrad")
+    df = df.join(F.broadcast(tbl), "doy")
+    return df.selectExpr(
+        "image_id", "CAST(doy AS BIGINT) AS doy",
+        f"({dlit(3.9449)} / vis) + {dlit(0.08498)} AS aot",
+        f"((({dlit(_m.pi)} * rad)"
+        f" * (CAST(dsqq AS DOUBLE) / CAST(1000000000.0 AS DOUBLE)))"
+        f" / toa_refl) / ({cos_sql('zrad')}) AS esun")

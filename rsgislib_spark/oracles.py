@@ -8171,3 +8171,32 @@ SELECT p.image_id, CAST(p.ref_cls AS BIGINT) AS ref_cls,
 FROM mpr p JOIN mkk k ON k.image_id = p.image_id
 WHERE p.n_pts_mod > 0
 """
+
+
+# ------------------------------- visibility_to_aot + get_esun_value
+def _calib_scalars_oracle() -> str:
+    import math as _m
+    from .geo.transverse_mercator import cos_sql, dlit
+    from .operators.calibration import dsq_table
+    vals = ", ".join(f"({d},{q})" for d, q in dsq_table())
+    return f"""
+{_PREFIX},
+dsq(doy, dsqq) AS (VALUES {vals}),
+csb AS (SELECT image_id, CAST(id % 365 + 1 AS INT) AS doy,
+               CAST(5 + id % 40 AS DOUBLE) AS vis,
+               CAST(id % 900 AS DOUBLE) * 0.25
+                 + CAST(10.0 AS DOUBLE) AS rad,
+               (CAST(id % 37 AS DOUBLE) + CAST(5.0 AS DOUBLE))
+                 / CAST(64.0 AS DOUBLE) AS toa_refl,
+               CAST(id % 60 + 5 AS DOUBLE) * {dlit(_m.pi / 180.0)} AS zrad
+        FROM img)
+SELECT b.image_id, CAST(b.doy AS BIGINT) AS doy,
+       ({dlit(3.9449)} / b.vis) + {dlit(0.08498)} AS aot,
+       ((({dlit(_m.pi)} * b.rad)
+         * (CAST(t.dsqq AS DOUBLE) / CAST(1000000000.0 AS DOUBLE)))
+        / b.toa_refl) / ({cos_sql('b.zrad')}) AS esun
+FROM csb b JOIN dsq t ON t.doy = b.doy
+"""
+
+
+ORACLES["calib_scalars"] = _calib_scalars_oracle()

@@ -3480,6 +3480,16 @@ def q_modelled_acc_pts(spark, sf_dir) -> DataFrame:
                 "n_dropped")
 
 
+def q_calib_scalars(spark, sf_dir) -> DataFrame:
+    """imagecalibration.visibility_to_aot + get_esun_value
+    (imagecalibration/__init__.py:417,391): AOT from visibility and
+    the back-derived ESUN (pi*L*d^2/toaRefl/cos zenith), the solar
+    distance from a shared per-doy integer table."""
+    from .operators.calibration import calib_scalar_panel
+    img = _images(spark, sf_dir, with_footprint=False)
+    return calib_scalar_panel(img)
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3523,6 +3533,7 @@ QUERIES = {
     "kfold_regress": q_kfold_regress,
     "composite_ndvi_ndwi": q_composite_ndvi_ndwi,
     "modelled_acc_pts": q_modelled_acc_pts,
+    "calib_scalars": q_calib_scalars,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
