@@ -131,7 +131,9 @@ BENCH_QUERIES = [
     "rat_uid_sample", "pixel_locations", "imgs_overlap", "pxl_sample",
     "rand_pxls", "wgs84_pxl_size", "season_predict", "least_cost_path",
     "corr_feat_panel", "vec_attr_cols", "fft_dem_fusion", "tmask",
-    "solar_angles",
+    "solar_angles", "train_valid_test", "merge_utm_wgs84",
+    "kfold_regress", "composite_ndvi_ndwi", "modelled_acc_pts",
+    "calib_scalars",
 ]
 
 
