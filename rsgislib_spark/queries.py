@@ -3239,7 +3239,7 @@ def q_dist_between_clumps(spark, sf_dir) -> DataFrame:
     """rastergis.calc_dist_between_clumps (rastergis/__init__.py:972):
     per odd-band clump the exact-int64 min boundary-pixel-pair distance
     to the nearest other clump, in world units via sqrt * res."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     return dist_between_clumps(img) \
         .select("image_id", "clump_id", "n_pix", "cls", "min_sq_px",
                 "dist_deg")
@@ -3260,7 +3260,7 @@ def q_rat_uid_sample(spark, sf_dir) -> DataFrame:
     (rastergis/__init__.py:570,583): UID in RAT row order and the
     deterministic md5-ranked 50% sample of the cls=1 rows (documented
     engine replacement for numpy's seeded permutation)."""
-    img = _px_images(spark, sf_dir, mod=19)
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
     base = rat_uid_rows(img).selectExpr(
         "*",
         "md5(concat(image_id, ':', CAST(clump_id AS STRING))) AS hkey",
