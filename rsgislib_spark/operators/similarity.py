@@ -468,3 +468,46 @@ def centroid_assign(vectors: DataFrame, dim: int = 64,
                 F.col("clabel").alias("pred_label"),
                 (F.col("label") == F.col("clabel")).alias("is_correct"))
     )
+
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization of the embedding column (LLM-pipeline op:
+# the faiss ScalarQuantizer-QT_8bit analog — per-dimension [min, max]
+# trained over the corpus, 8-bit codes, reconstruction error).
+# --------------------------------------------------------------------------
+
+def embed_sq8(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension corpus min/max -> 8-bit codes
+    c = floor((x - mn) * 255 / (mx - mn)) (clamped degenerate dims to
+    0), reconstruction mn + c*(mx-mn)/255, and per-vector code/error
+    checksums.  All arithmetic on exact float32->DOUBLE casts with
+    correctly-rounded ops, per-term 2^30 quantised error sums — exact
+    across engines.  Scale shape: ONE explode of (n x d) rows, one
+    d-row broadcast join back, one groupBy(vec_id) — the train pass is
+    a pure map-side-combinable min/max aggregate."""
+    dims = embeddings.selectExpr(
+        "vec_id", "posexplode(embedding) AS (d, xf)") \
+        .selectExpr("vec_id", "d", "CAST(xf AS DOUBLE) AS x")
+    stats = dims.groupBy("d").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"))
+    j = dims.join(F.broadcast(stats), "d")
+    j = j.selectExpr(
+        "vec_id", "d", "x", "mn", "mx",
+        "CAST(CASE WHEN mx = mn THEN 0 ELSE least(floor("
+        "((x - mn) * CAST(255.0 AS DOUBLE)) / (mx - mn)),"
+        " CAST(255.0 AS DOUBLE)) END AS BIGINT) AS code")
+    j = j.selectExpr(
+        "vec_id", "code",
+        "mn + (CAST(code AS DOUBLE) * (mx - mn))"
+        " / CAST(255.0 AS DOUBLE) AS recon",
+        "x")
+    j = j.selectExpr(
+        "vec_id", "code",
+        "CAST(floor(((x - recon) * (x - recon))"
+        " * CAST(1073741824.0 AS DOUBLE)) AS BIGINT) AS errq")
+    return j.groupBy("vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("d_dims"),
+        F.sum("code").cast("long").alias("sum_code"),
+        F.min("code").cast("long").alias("min_code"),
+        F.max("code").cast("long").alias("max_code"),
+        F.sum("errq").cast("long").alias("sum_err_q"))

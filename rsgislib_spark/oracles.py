@@ -8200,3 +8200,34 @@ FROM csb b JOIN dsq t ON t.doy = b.doy
 
 
 ORACLES["calib_scalars"] = _calib_scalars_oracle()
+
+
+# --------------------------------------------- SQ8 embedding codes
+ORACLES["embed_sq8"] = """
+WITH sqd AS (SELECT vec_id, d - 1 AS d, CAST(xf AS DOUBLE) AS x
+             FROM (SELECT vec_id, unnest(embedding) AS xf,
+                          generate_subscripts(embedding, 1) AS d
+                   FROM embeddings)),
+sqs AS (SELECT d, min(x) AS mn, max(x) AS mx FROM sqd GROUP BY d),
+sqc AS (SELECT j.vec_id,
+               CAST(CASE WHEN s.mx = s.mn THEN 0 ELSE least(floor(
+                    ((j.x - s.mn) * CAST(255.0 AS DOUBLE))
+                    / (s.mx - s.mn)), CAST(255.0 AS DOUBLE))
+               END AS BIGINT) AS code,
+               j.x, s.mn, s.mx
+        FROM sqd j JOIN sqs s ON s.d = j.d),
+sqr AS (SELECT vec_id, code,
+               mn + (CAST(code AS DOUBLE) * (mx - mn))
+                 / CAST(255.0 AS DOUBLE) AS recon, x
+        FROM sqc),
+sqe AS (SELECT vec_id, code,
+               CAST(floor(((x - recon) * (x - recon))
+                    * CAST(1073741824.0 AS DOUBLE)) AS BIGINT) AS errq
+        FROM sqr)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS d_dims,
+       CAST(sum(code) AS BIGINT) AS sum_code,
+       CAST(min(code) AS BIGINT) AS min_code,
+       CAST(max(code) AS BIGINT) AS max_code,
+       CAST(sum(errq) AS BIGINT) AS sum_err_q
+FROM sqe GROUP BY vec_id
+"""

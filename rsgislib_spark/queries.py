@@ -3490,6 +3490,15 @@ def q_calib_scalars(spark, sf_dir) -> DataFrame:
     return calib_scalar_panel(img)
 
 
+def q_embed_sq8(spark, sf_dir) -> DataFrame:
+    """SQ8 embedding compression (LLM-pipeline op, the faiss
+    ScalarQuantizer 8-bit analog): per-dimension corpus min/max train
+    pass, 8-bit codes, per-vector reconstruction-error checksum —
+    one explode + broadcast join + groupBy, exact across engines."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.embed_sq8(t["embeddings"])
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3534,6 +3543,7 @@ QUERIES = {
     "composite_ndvi_ndwi": q_composite_ndvi_ndwi,
     "modelled_acc_pts": q_modelled_acc_pts,
     "calib_scalars": q_calib_scalars,
+    "embed_sq8": q_embed_sq8,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
