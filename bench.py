@@ -133,7 +133,7 @@ BENCH_QUERIES = [
     "corr_feat_panel", "vec_attr_cols", "fft_dem_fusion", "tmask",
     "solar_angles", "train_valid_test", "merge_utm_wgs84",
     "kfold_regress", "composite_ndvi_ndwi", "modelled_acc_pts",
-    "calib_scalars", "embed_sq8",
+    "calib_scalars", "embed_sq8", "doc_decontaminate",
 ]
 
 

@@ -454,3 +454,30 @@ def dedup_clusters(docs: DataFrame, n_hashes: int = 8, band_size: int = 4,
                     F.col("lab").alias("cluster_id"),
                     F.col("cluster_size"),
                     (F.col("doc_id") == F.col("lab")).alias("is_canonical")))
+
+
+def decontaminate(docs: DataFrame, bench_mod: int = 97, n: int = 3,
+                  thres: int = 2) -> DataFrame:
+    """Benchmark decontamination (LLM-pipeline op): flag training
+    documents sharing word n-grams with a held-out benchmark set —
+    the standard eval-contamination sweep (n-gram overlap against the
+    eval corpus, GPT-3 appendix-C style; public method).
+
+    Benchmark = docs with doc_id % bench_mod == 0; every other doc is
+    scored by how many of its DISTINCT n-gram shingles appear in the
+    benchmark's shingle set, and flagged when >= thres.  Scale shape:
+    the shingle equi-join shuffles only (doc, shingle) pairs; no
+    broadcast hint (AQE size-gates the small benchmark side — the r3
+    dedup-join lesson), no all-pairs anywhere."""
+    sh = shingles(docs, n=n)
+    bench = sh.where(f"doc_id % {bench_mod} = 0") \
+        .select("s").distinct().withColumn("hit", F.lit(1))
+    train = sh.where(f"doc_id % {bench_mod} <> 0")
+    g = train.join(bench, "s", "left").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+        .alias("n_overlap"))
+    return g.selectExpr(
+        "doc_id", "n_shingles", "n_overlap",
+        f"CAST(CASE WHEN n_overlap >= {thres} THEN 1 ELSE 0 END"
+        " AS BIGINT) AS contaminated")

@@ -8231,3 +8231,26 @@ SELECT vec_id, CAST(count(*) AS BIGINT) AS d_dims,
        CAST(sum(errq) AS BIGINT) AS sum_err_q
 FROM sqe GROUP BY vec_id
 """
+
+
+# ----------------------------------------- benchmark decontamination
+ORACLES["doc_decontaminate"] = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+             FROM documents),
+dsh AS (SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS s
+        FROM (SELECT doc_id, ts,
+                     unnest(generate_series(1, len(ts) - 2)) AS i
+              FROM tok)),
+dbn AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 97 = 0),
+dtr AS (SELECT * FROM dsh WHERE doc_id % 97 <> 0),
+dov AS (SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlap
+        FROM dtr t LEFT JOIN dbn b ON b.s = t.s
+        GROUP BY t.doc_id)
+SELECT doc_id, n_shingles, n_overlap,
+       CAST(CASE WHEN n_overlap >= 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS contaminated
+FROM dov
+"""

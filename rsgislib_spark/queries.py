@@ -3499,6 +3499,14 @@ def q_embed_sq8(spark, sf_dir) -> DataFrame:
     return simi.embed_sq8(t["embeddings"])
 
 
+def q_doc_decontaminate(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination (LLM-pipeline op): per training doc
+    the count of word 3-gram shingles shared with the held-out
+    benchmark subset (doc_id %% 97 == 0) and the contaminated flag."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tx.decontaminate(t["documents"])
+
+
 QUERIES = {
     "cell_encode": q_cell_encode,
     "binary_scores": q_binary_scores,
@@ -3544,6 +3552,7 @@ QUERIES = {
     "modelled_acc_pts": q_modelled_acc_pts,
     "calib_scalars": q_calib_scalars,
     "embed_sq8": q_embed_sq8,
+    "doc_decontaminate": q_doc_decontaminate,
     "poly_hole_area": q_poly_hole_area,
     "vec_layer_pts": q_vec_layer_pts,
     "clip_vec_lyr": q_clip_vec_lyr,
