@@ -653,16 +653,24 @@ def kfold_regress(lineitem: DataFrame, k: int = 5) -> DataFrame:
         F.sum("n").alias("tn"), F.sum("sx").alias("tsx"),
         F.sum("sy").alias("tsy"), F.sum("sxx").alias("tsxx"),
         F.sum("sxy").alias("tsxy"))
+    # Cramer numerators like sxxt*syt reach ~1.2e19 at sf>=1 (6M rows)
+    # and would wrap silently in Spark's non-ANSI int64 while DuckDB
+    # errors — so the differences (exact in int64) are cast to DOUBLE
+    # BEFORE the cross products; both engines then do identical IEEE
+    # arithmetic at every sf (ADVICE r4).
     j = g.crossJoin(F.broadcast(tot)).selectExpr(
         "fold", "n AS n_test",
-        "tn - n AS nt", "tsx - sx AS sxt", "tsy - sy AS syt",
-        "tsxx - sxx AS sxxt", "tsxy - sxy AS sxyt")
+        "CAST(tn - n AS DOUBLE) AS nt",
+        "CAST(tsx - sx AS DOUBLE) AS sxt",
+        "CAST(tsy - sy AS DOUBLE) AS syt",
+        "CAST(tsxx - sxx AS DOUBLE) AS sxxt",
+        "CAST(tsxy - sxy AS DOUBLE) AS sxyt")
     j = j.selectExpr(
         "fold", "n_test",
-        "CAST(sxxt * syt - sxt * sxyt AS DOUBLE)"
-        " / CAST(nt * sxxt - sxt * sxt AS DOUBLE) AS a",
-        "CAST(nt * sxyt - sxt * syt AS DOUBLE)"
-        " / CAST(nt * sxxt - sxt * sxt AS DOUBLE) AS b")
+        "(sxxt * syt - sxt * sxyt)"
+        " / (nt * sxxt - sxt * sxt) AS a",
+        "(nt * sxyt - sxt * syt)"
+        " / (nt * sxxt - sxt * sxt) AS b")
     t = base.join(j.withColumnRenamed("fold", "jfold"),
                   F.expr("fold = jfold"))
     t = t.selectExpr(

@@ -152,10 +152,15 @@ def class_li_outliers_stats(images: DataFrame) -> DataFrame:
                     sf = int(data[fore].sum())
                     mf = float(sf) / float(nf)
                     mb = float(S - sf) / float(nb)
-                    if mb == mf:
+                    # guard the LOG difference, not the mean difference:
+                    # two distinct means can round to the same ln_pos
+                    # value, and mb-mf over a zero log gap would raise
+                    # ZeroDivisionError in the task (ADVICE r4).  Carry
+                    # t forward, mirroring the oracle's lnmb = lnmf arm.
+                    d = float(ln_pos_np(mb)) - float(ln_pos_np(mf))
+                    if d == 0.0:
                         continue
-                    t = (mb - mf) / (float(ln_pos_np(mb))
-                                     - float(ln_pos_np(mf)))
+                    t = (mb - mf) / d
                 n_mask, n_chng, n_nochng = _classify_counts(
                     v, cls, (v + 1) > t)
                 out["image_id"].append(image_id)

@@ -58,6 +58,14 @@ def twiddle_table():
 
 
 def _twiddles_np(N, cache={}):
+    # A grid dim outside 2..FUSE_NMAX would silently yield all-zero
+    # twiddles (zero spectra) while the oracle's inner join on ftw
+    # drops the image row — a silent engine/oracle row-set divergence.
+    # Fail loudly instead (ADVICE r4).
+    if not (2 <= N <= FUSE_NMAX):
+        raise ValueError(
+            f"demfusion grid dim {N} outside supported 2..{FUSE_NMAX}"
+            " (image must be 8..132 px per axis at block 4)")
     if N not in cache:
         c = np.zeros((N, N), dtype=np.int64)
         s = np.zeros((N, N), dtype=np.int64)

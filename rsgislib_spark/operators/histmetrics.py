@@ -389,10 +389,13 @@ def li_threshold_stats(images: DataFrame,
                     sf = int(v[fore].sum())
                     mf = float(sf) / float(nf)
                     mb = float(S - sf) / float(nb)
-                    if mb == mf:
+                    # guard the LOG difference (ADVICE r4): distinct
+                    # means may round to equal ln_pos values; carry t
+                    # forward, same spelling as the oracle's lnmb=lnmf.
+                    d = float(ln_pos_np(mb)) - float(ln_pos_np(mf))
+                    if d == 0.0:
                         continue
-                    t = (mb - mf) / (float(ln_pos_np(mb))
-                                     - float(ln_pos_np(mf)))
+                    t = (mb - mf) / d
                 nf = int((v > t).sum())
                 out["image_id"].append(image_id)
                 out["n_pix"].append(N)

@@ -5418,7 +5418,7 @@ FROM ({inner}) WHERE nf > 0 AND nf < nn
         chained = _lnc(_lnc(mid, "mf", "lnmf"), "mb", "lnmb")
         parts.append(f""",
 ltx{r} AS (SELECT image_id, nn, ss,
-                CASE WHEN mb = mf THEN t
+                CASE WHEN lnmb = lnmf THEN t
                      ELSE (mb - mf) / (lnmb - lnmf) END AS t
          FROM ({chained})),
 lt{r} AS MATERIALIZED (
@@ -8037,15 +8037,17 @@ kft AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
                CAST(sum(sxy) AS BIGINT) AS tsxy
         FROM kfg),
 kfj AS (SELECT g.fold, g.n AS n_test,
-               t.tn - g.n AS nt, t.tsx - g.sx AS sxt,
-               t.tsy - g.sy AS syt, t.tsxx - g.sxx AS sxxt,
-               t.tsxy - g.sxy AS sxyt
+               CAST(t.tn - g.n AS DOUBLE) AS nt,
+               CAST(t.tsx - g.sx AS DOUBLE) AS sxt,
+               CAST(t.tsy - g.sy AS DOUBLE) AS syt,
+               CAST(t.tsxx - g.sxx AS DOUBLE) AS sxxt,
+               CAST(t.tsxy - g.sxy AS DOUBLE) AS sxyt
         FROM kfg g CROSS JOIN kft t),
 kfc AS (SELECT fold, n_test,
-               CAST(sxxt * syt - sxt * sxyt AS DOUBLE)
-                   / CAST(nt * sxxt - sxt * sxt AS DOUBLE) AS a,
-               CAST(nt * sxyt - sxt * syt AS DOUBLE)
-                   / CAST(nt * sxxt - sxt * sxt AS DOUBLE) AS b
+               (sxxt * syt - sxt * sxyt)
+                   / (nt * sxxt - sxt * sxt) AS a,
+               (nt * sxyt - sxt * syt)
+                   / (nt * sxxt - sxt * sxt) AS b
         FROM kfj),
 kfr AS (SELECT f.fold, c.a, c.b, c.n_test,
                CAST(f.y AS DOUBLE)
