@@ -8256,3 +8256,72 @@ SELECT doc_id, n_shingles, n_overlap,
            AS contaminated
 FROM dov
 """
+
+
+# ------------------------------------------------ cross-CRS raster warp
+def _warp_oracle(kernel: str) -> str:
+    """resample_img_to_match oracle: the SAME generated SQL step text the
+    Arrow kernel evaluates with numpy (operators/warp.py warp_exprs),
+    spelled as chained DuckDB projections, over the closed-form pixel
+    values — bit-identical doubles end-to-end, integer aggregates."""
+    from .operators.warp import warp_exprs
+
+    out_w, out_h = 24, 18
+    img_steps, px_steps, extras = warp_exprs(27700, out_w, out_h, 150.0,
+                                             kernel)
+    k_max = out_w * out_h - 1
+    s = "SELECT id, image_id, w, h, fmt, lon, lat FROM img WHERE id % 3 = 0"
+    for name, expr in img_steps:
+        s = f"SELECT *, {expr} AS {name} FROM ({s})"
+    s = (f"SELECT *, unnest(generate_series(0, {k_max})) AS k FROM ({s})")
+    for name, expr in px_steps:
+        s = f"SELECT *, {expr} AS {name} FROM ({s})"
+    if kernel == "nn":
+        v = synth.pixel_value_sql("id", "CAST(__wsx AS BIGINT)",
+                                  "CAST(__wsy AS BIGINT)", "fmt")
+        inner = (f"SELECT image_id, k, {v} AS v,"
+                 f" CASE WHEN __wsx >= 0.0 AND __wsx <= CAST(w - 1 AS"
+                 f" DOUBLE) AND __wsy >= 0.0 AND __wsy <= CAST(h - 1 AS"
+                 f" DOUBLE) THEN 1 ELSE 0 END AS ok FROM ({s})")
+        return f"""
+{_PREFIX}
+SELECT image_id,
+       CAST(sum(ok) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN ok = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_warp,
+       CAST(sum(CASE WHEN ok = 1 THEN (k + 1) * (v + 1) ELSE 0 END)
+            AS BIGINT) AS chk_warp,
+       CAST(coalesce(min(CASE WHEN ok = 1 THEN v END), 0) AS BIGINT)
+           AS min_warp,
+       CAST(coalesce(max(CASE WHEN ok = 1 THEN v END), 0) AS BIGINT)
+           AS max_warp
+FROM ({inner}) GROUP BY image_id
+"""
+    # bilinear: sample the 2x2 support with the shared interp spelling
+    def _pv(xs: str, ys: str) -> str:
+        return ("CAST(" + synth.pixel_value_sql(
+            "id", f"CAST({xs} AS BIGINT)", f"CAST({ys} AS BIGINT)", "fmt")
+            + " AS DOUBLE)")
+
+    for nm, xs, ys in (("v00", "__wi0", "__wj0"),
+                       ("v10", "(__wi0 + 1.0)", "__wj0"),
+                       ("v01", "__wi0", "(__wj0 + 1.0)"),
+                       ("v11", "(__wi0 + 1.0)", "(__wj0 + 1.0)")):
+        s = f"SELECT *, {_pv(xs, ys)} AS {nm} FROM ({s})"
+    inner = (f"SELECT image_id, k, {extras['quant']} AS qv,"
+             f" CASE WHEN __wi0 >= 0.0 AND __wi0 <= CAST(w - 2 AS DOUBLE)"
+             f" AND __wj0 >= 0.0 AND __wj0 <= CAST(h - 2 AS DOUBLE)"
+             f" THEN 1 ELSE 0 END AS ok FROM ({s})")
+    return f"""
+{_PREFIX}
+SELECT image_id,
+       CAST(sum(ok) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN ok = 1 THEN CAST(qv AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS sum_q,
+       CAST(sum(CASE WHEN ok = 1 THEN (k + 1) * CAST(qv AS BIGINT)
+            ELSE 0 END) AS BIGINT) AS chk_q
+FROM ({inner}) GROUP BY image_id
+"""
+
+
+ORACLES["warp_img"] = _warp_oracle("nn")
+ORACLES["warp_img_bilinear"] = _warp_oracle("bilinear")

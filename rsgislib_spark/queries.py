@@ -798,6 +798,29 @@ def q_resize_mode(spark, sf_dir) -> DataFrame:
         .select("image_id", "n_out", "sum_sc", "min_sc", "max_sc")
 
 
+def q_warp_img(spark, sf_dir) -> DataFrame:
+    """resample_img_to_match ACROSS CRS (imageutils/__init__.py:2104):
+    inverse-mapping warp of every image onto a per-image EPSG:27700
+    reference grid, GRA_NearestNeighbour, nodata outside the footprint —
+    one zero-shuffle Arrow pass over decoded payloads whose coordinate
+    chain is the same generated SQL text the oracle evaluates (§2.9)."""
+    from .operators.warp import warp_img_stats
+    img = _px_images(spark, sf_dir, mod=3)
+    return warp_img_stats(img, kernel="nn").select(
+        "image_id", "n_valid", "sum_warp", "chk_warp",
+        "min_warp", "max_warp")
+
+
+def q_warp_img_bilinear(spark, sf_dir) -> DataFrame:
+    """resample_img_to_match GRA_Bilinear across CRS: 2x2-support
+    interpolation, edge support -> nodata, values quantized 2^20 so the
+    aggregates stay integer-exact (§2.9, imageutils/__init__.py:2104)."""
+    from .operators.warp import warp_img_stats
+    img = _px_images(spark, sf_dir, mod=3)
+    return warp_img_stats(img, kernel="bilinear").select(
+        "image_id", "n_valid", "sum_q", "chk_q")
+
+
 def q_psnr_check(spark, sf_dir) -> DataFrame:
     """lossy roundtrip + PSNR>=40dB invariant as integer math (§2.9)."""
     img = _px_images(spark, sf_dir)
@@ -3771,6 +3794,8 @@ QUERIES = {
     "resize_lanczos": q_resize_lanczos,
     "resize_average": q_resize_average,
     "resize_mode": q_resize_mode,
+    "warp_img": q_warp_img,
+    "warp_img_bilinear": q_warp_img_bilinear,
     "morph_erode": q_morph_erode,
     "filter_texture_var": q_filter_texture_var,
     "filter_kuwahara": q_filter_kuwahara,
