@@ -632,3 +632,113 @@ def calib_scalar_panel(images: DataFrame) -> DataFrame:
         f"((({dlit(_m.pi)} * rad)"
         f" * (CAST(dsqq AS DOUBLE) / CAST(1000000000.0 AS DOUBLE)))"
         f" / toa_refl) / ({cos_sql('zrad')}) AS esun")
+
+
+# --------------------------------------------------------------------------
+# calc_standardised_reflectance_sd2010 — the topographic-correction chain
+# --------------------------------------------------------------------------
+
+#: per-elevation-rung solar irradiance (elev_m, direct, diffuse, env) —
+#: the synthetic analog of the calc_irradiance_image_elev_lut product
+#: (python/src/imagecalibration.cpp:1519: executeCalcIrradianceElevLUT);
+#: total = direct + diffuse + env is folded driver-side.
+SD2010_IRR_LUT = ((0, 620.0, 110.0, 30.0), (60, 640.0, 100.0, 28.0),
+                  (120, 660.0, 90.0, 26.0), (180, 680.0, 80.0, 24.0))
+
+_SD_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_shade", LongType()),
+    StructField("sum_sd_q", LongType()),
+    StructField("min_sd_q", LongType()),
+    StructField("max_sd_q", LongType()),
+])
+
+
+def sd2010_consts(out_inc: float = 45.0, out_exit: float = 45.0):
+    """cos(outInc) + cos(outExit), folded driver-side (the gamma
+    denominator of RSGISCalcStandardisedReflectanceSD2010,
+    src/calibration/RSGISApply6SCoefficients.cpp:756)."""
+    d2r = math.pi / 180.0
+    return math.cos(out_inc * d2r) + math.cos(out_exit * d2r)
+
+
+def sref_sd2010_stats(images: DataFrame, azimuth: float = 135.0,
+                      zenith: float = 30.0, res: float = 30.0,
+                      irr_lut=SD2010_IRR_LUT, scale: float = 1000.0,
+                      beta: float = 0.9, out_inc: float = 45.0,
+                      out_exit: float = 45.0) -> DataFrame:
+    """calc_standardised_reflectance_sd2010 (python/src/
+    imagecalibration.cpp:1543; core math RSGISCalcStandardised-
+    ReflectanceSD2010::calcImageValue, src/calibration/
+    RSGISApply6SCoefficients.cpp:728-796):
+
+        gamma = (cos(inc) + cos(exit)) / (cos(outInc) + cos(outExit))
+        L     = (sref / scale) * irrTotal
+        out   = L / (irrDirect * gamma + irrDiffuse * beta) * scale
+        out   = 1 when out < 1 and scale > 99;  out = 0 where mask != 1
+
+    The chain is composed end-to-end from the synthetic plane: the
+    incidence cosine is the pinned hillshade-core tree (sun az/zen),
+    the exitance cosine is the NADIR view angle cos(slope) =
+    1/sqrt(1+|grad|^2) (the reference workflow's view-angle image for a
+    nadir sensor), irradiance comes from the per-pixel elevation LUT
+    ladder (calc_irradiance_image_elev_lut analog), and the data mask
+    is the self-shadow test cosi <= 0 at a LOW sun (the param enters
+    the pinned tree as sin(zenith), i.e. GDAL-altitude convention, so
+    30 deg = 30 deg solar altitude — low enough that the DEM plateau
+    scarps self-shadow) — so BOTH branches (lit + shade) populate on
+    the synthetic corpus.  All constants folded
+    driver-side; per-pixel ops mirrored term-for-term in the oracle;
+    outputs 2^20-quantized integer aggregates."""
+    from .elevation import dem_plane, hillshade_consts, horn_gradients
+
+    SZ, CZ, K1, K2 = hillshade_consts(azimuth, zenith)
+    R8 = 8.0 * res
+    c45 = sd2010_consts(out_inc, out_exit)
+    elevs = [e for e, *_ in irr_lut]
+    mids = [(elevs[i] + elevs[i + 1]) // 2 for i in range(len(irr_lut) - 1)]
+    # (direct, diffuse*beta, total) folded per rung
+    rungs = [(d, f * beta, d + f + e_) for _, d, f, e_ in irr_lut]
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _SD_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                x = np.arange(int(w), dtype=np.int64)[None, :]
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                e = dem_plane(v, x, y)
+                gx, gy = horn_gradients(e)
+                vc = v[1:-1, 1:-1]
+                ec = e[1:-1, 1:-1]
+                dx = gx / R8
+                dy = -gy / R8
+                den = np.sqrt(1.0 + (dx * dx + dy * dy))
+                cosi = (SZ - CZ * (dy * K1 - dx * K2)) / den
+                cose = 1.0 / den
+                gamma = (cosi + cose) / c45
+                idx = np.zeros_like(ec)
+                for m in mids:
+                    idx += (ec > m)
+                outv = np.zeros(ec.shape, dtype=np.float64)
+                for li, (dirv, difb, totv) in enumerate(rungs):
+                    sel = idx == li
+                    lv = (vc[sel] / scale) * totv
+                    o = lv / (dirv * gamma[sel] + difb) * scale
+                    outv[sel] = np.where(o < 1.0, 1.0, o)
+                shade = cosi <= 0.0
+                outv[shade] = 0.0
+                q = np.floor(outv * 1048576.0).astype(np.int64)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(q.size))
+                out["n_shade"].append(int(shade.sum()))
+                out["sum_sd_q"].append(int(q.sum()))
+                out["min_sd_q"].append(int(q.min()))
+                out["max_sd_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_SD_SCHEMA)

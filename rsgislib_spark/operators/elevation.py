@@ -602,3 +602,99 @@ def incidence_stats(images: DataFrame, azimuth: float = 135.0,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_INC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# local incidence ANGLE in degrees — the monotone acos step
+# --------------------------------------------------------------------------
+
+#: Abramowitz & Stegun 4.4.46 minimax coefficients for
+#: acos(x) = sqrt(1-x) * P(x), 0 <= x <= 1, |err| <= 2e-8 rad — a fixed
+#: polynomial with literal coefficients, so the transcendental is
+#: cross-engine exact by construction (same arithmetic both sides).
+ACOS_C = (1.5707963050, -0.2145988016, 0.0889789874, -0.0501743046,
+          0.0308918810, -0.0170881256, 0.0066700901, -0.0012624911)
+
+_PI_LIT = 3.141592653589793
+_R2D_LIT = 180.0 / _PI_LIT
+
+
+def acos_branch_sql(x: str) -> str:
+    """sqrt(1-x)*P(x) Horner text for 0 <= x <= 1 (one branch of acos)."""
+    from ..geo.transverse_mercator import dlit
+    p = dlit(ACOS_C[-1])
+    for c in reversed(ACOS_C[:-1]):
+        p = f"({dlit(c)} + ({x}) * {p})"
+    return f"(sqrt(1.0 - ({x})) * {p})"
+
+
+def acos_deg_np(x: np.ndarray) -> np.ndarray:
+    """numpy twin of the acos SQL (evaluates the SAME generated text via
+    the warp SQL->numpy evaluator — zero transcription risk); the x<0
+    branch acos(x) = pi - acos(-x) is selected by an exact comparison.
+    Inputs are clamped to [-1, 1] first (a unit-vector cosine can exceed
+    1 by one ulp of rounding, and DuckDB errors on sqrt(negative)) —
+    exact comparisons, so both engines clamp identically."""
+    from .warp import np_eval_sql
+    from ..geo.transverse_mercator import dlit
+    x = np.minimum(np.maximum(np.asarray(x, np.float64), -1.0), 1.0)
+    pos = np_eval_sql(acos_branch_sql("xx"), {"xx": x})
+    neg = np_eval_sql(f"({dlit(_PI_LIT)} - {acos_branch_sql('(0.0 - xx)')})",
+                      {"xx": x})
+    return np.where(x < 0.0, neg, pos) * _R2D_LIT
+
+
+def acos_deg_sql(x: str) -> str:
+    """Full acos in DEGREES as portable SQL (shared with the oracle);
+    includes the same [-1, 1] clamp as :func:`acos_deg_np`."""
+    from ..geo.transverse_mercator import dlit
+    xc = f"least(greatest(({x}), -1.0), 1.0)"
+    return (f"(CASE WHEN {xc} < 0.0 THEN ({dlit(_PI_LIT)}"
+            f" - {acos_branch_sql(f'(0.0 - {xc})')})"
+            f" ELSE {acos_branch_sql(xc)} END * {dlit(_R2D_LIT)})")
+
+
+_INCD_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("n_facing_away", LongType()),
+    StructField("sum_deg_q", LongType()),
+    StructField("min_deg_q", LongType()),
+    StructField("max_deg_q", LongType()),
+])
+
+
+def incidence_deg_stats(images: DataFrame, azimuth: float = 135.0,
+                        zenith: float = 60.0,
+                        res: float = 30.0) -> DataFrame:
+    """local_incidence_angle emitting the ANGLE in degrees — the
+    reference's actual output (RSGISCalcRayIncidentAngle,
+    src/calibration/RSGISDEMTools.cpp: angle = acos(cosi) * 180/pi;
+    python/src/elevation.cpp:257) — closing the documented
+    cos-only gap: acos via the fixed A&S 4.4.46 polynomial (ACOS_C),
+    2^20-quantized degrees, exact integer aggregates."""
+    SZ, CZ, K1, K2 = hillshade_consts(azimuth, zenith)
+    R8 = 8.0 * res
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _INCD_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                gx, gy = horn_gradients(_decode_dem(buf, w, h, fmt))
+                dx = gx / R8
+                dy = -gy / R8
+                num = SZ - CZ * (dy * K1 - dx * K2)
+                cosi = num / np.sqrt(1.0 + (dx * dx + dy * dy))
+                deg = acos_deg_np(cosi)
+                q = np.floor(deg * 1048576.0).astype(np.int64)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(q.size))
+                out["n_facing_away"].append(int((cosi <= 0.0).sum()))
+                out["sum_deg_q"].append(int(q.sum()))
+                out["min_deg_q"].append(int(q.min()))
+                out["max_deg_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_INCD_SCHEMA)

@@ -8325,3 +8325,105 @@ FROM ({inner}) GROUP BY image_id
 
 ORACLES["warp_img"] = _warp_oracle("nn")
 ORACLES["warp_img_bilinear"] = _warp_oracle("bilinear")
+
+
+# ---------------------------------- local incidence angle in DEGREES
+from .operators.elevation import acos_deg_sql as _acos_deg  # noqa: E402
+
+ORACLES["local_incidence_deg"] = f"""
+{_PREFIX},
+{_EG_CTE},
+idd AS (SELECT image_id,
+               CAST(gx AS DOUBLE) / {_HS_R8} AS dx,
+               CAST(-gy AS DOUBLE) / {_HS_R8} AS dy
+        FROM eg),
+idc AS (SELECT image_id,
+               ({_dlit(_IN_SZ)} - {_dlit(_IN_CZ)}
+                 * (dy * {_dlit(_IN_K1)} - dx * {_dlit(_IN_K2)}))
+               / sqrt({_dlit(1.0)} + (dx * dx + dy * dy)) AS cosi
+        FROM idd),
+idq AS (SELECT image_id,
+               CASE WHEN cosi <= {_dlit(0.0)} THEN 1 ELSE 0 END AS away,
+               CAST(floor({_acos_deg("cosi")} * 1048576.0) AS BIGINT) AS q
+        FROM idc)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(away) AS BIGINT) AS n_facing_away,
+       CAST(sum(q) AS BIGINT) AS sum_deg_q,
+       CAST(min(q) AS BIGINT) AS min_deg_q,
+       CAST(max(q) AS BIGINT) AS max_deg_q
+FROM idq GROUP BY image_id
+"""
+
+
+# ------------------------- calc_standardised_reflectance_sd2010 chain
+def _sd2010_oracle() -> str:
+    from .operators.calibration import (SD2010_IRR_LUT, sd2010_consts)
+    from .operators.elevation import (dem_plane_sql, hillshade_consts)
+
+    SZ, CZ, K1, K2 = hillshade_consts(135.0, 30.0)
+    R8 = _dlit(8.0 * 30.0)
+    c45 = _dlit(sd2010_consts(45.0, 45.0))
+    beta, scale = 0.9, 1000.0
+    elevs = [e for e, *_ in SD2010_IRR_LUT]
+    mids = [(elevs[i] + elevs[i + 1]) // 2
+            for i in range(len(SD2010_IRR_LUT) - 1)]
+    rungs = [(d, f * beta, d + f + e_) for _, d, f, e_ in SD2010_IRR_LUT]
+
+    def ladder(col_i: int) -> str:
+        # elevation rung ladder (integer comparisons, ties -> lower)
+        parts = [f"CASE WHEN e <= {mids[0]} THEN {_dlit(rungs[0][col_i])}"]
+        for i in range(1, len(mids)):
+            parts.append(f"WHEN e <= {mids[i]} THEN {_dlit(rungs[i][col_i])}")
+        parts.append(f"ELSE {_dlit(rungs[-1][col_i])} END")
+        return " ".join(parts)
+
+    v_ctr = synth.pixel_value_sql("id", "x", "y", "fmt")
+    return f"""
+{_PREFIX},
+sds AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(1, w - 2)) AS x
+        FROM img WHERE id % 11 = 0),
+sdp AS (SELECT *, unnest(generate_series(1, h - 2)) AS y FROM sds),
+sdg AS (SELECT image_id, {v_ctr} AS v,
+               {dem_plane_sql(v_ctr)} AS e,
+               {_EGX} AS gx, {_EGY} AS gy
+        FROM sdp),
+sdd AS (SELECT image_id, v, e,
+               CAST(gx AS DOUBLE) / {R8} AS dx,
+               CAST(-gy AS DOUBLE) / {R8} AS dy
+        FROM sdg),
+sdc AS (SELECT image_id, v, e,
+               ({_dlit(SZ)} - {_dlit(CZ)}
+                 * (dy * {_dlit(K1)} - dx * {_dlit(K2)}))
+               / sqrt({_dlit(1.0)} + (dx * dx + dy * dy)) AS cosi,
+               {_dlit(1.0)} / sqrt({_dlit(1.0)} + (dx * dx + dy * dy))
+                 AS cose
+        FROM sdd),
+sdl AS (SELECT image_id, cosi,
+               (cosi + cose) / {c45} AS gamma,
+               CAST(v AS DOUBLE) / {_dlit(scale)} AS sref,
+               {ladder(0)} AS irrdir,
+               {ladder(1)} AS irrdifb,
+               {ladder(2)} AS irrtot
+        FROM sdc),
+sdo AS (SELECT image_id,
+               CASE WHEN cosi <= {_dlit(0.0)} THEN 1 ELSE 0 END AS shade,
+               CASE WHEN cosi <= {_dlit(0.0)} THEN {_dlit(0.0)}
+                    WHEN (sref * irrtot) / (irrdir * gamma + irrdifb)
+                         * {_dlit(scale)} < {_dlit(1.0)} THEN {_dlit(1.0)}
+                    ELSE (sref * irrtot) / (irrdir * gamma + irrdifb)
+                         * {_dlit(scale)} END AS outv
+        FROM sdl)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(shade) AS BIGINT) AS n_shade,
+       CAST(sum(CAST(floor(outv * 1048576.0) AS BIGINT)) AS BIGINT)
+           AS sum_sd_q,
+       CAST(min(CAST(floor(outv * 1048576.0) AS BIGINT)) AS BIGINT)
+           AS min_sd_q,
+       CAST(max(CAST(floor(outv * 1048576.0) AS BIGINT)) AS BIGINT)
+           AS max_sd_q
+FROM sdo GROUP BY image_id
+"""
+
+
+ORACLES["sref_sd2010"] = _sd2010_oracle()

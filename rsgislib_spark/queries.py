@@ -1146,6 +1146,32 @@ def q_local_incidence(spark, sf_dir) -> DataFrame:
                 "min_cosi_q", "max_cosi_q")
 
 
+def q_local_incidence_deg(spark, sf_dir) -> DataFrame:
+    """local_incidence_angle emitting DEGREES — the reference's actual
+    output (acos * 180/pi, src/calibration/RSGISDEMTools.cpp via
+    python/src/elevation.cpp:257): the fixed A&S 4.4.46 acos
+    polynomial closes the cos-only documented gap (§2.9)."""
+    from .operators.elevation import incidence_deg_stats
+    img = _px_images(spark, sf_dir, mod=19)
+    return incidence_deg_stats(img) \
+        .select("image_id", "n_pix", "n_facing_away", "sum_deg_q",
+                "min_deg_q", "max_deg_q")
+
+
+def q_sref_sd2010(spark, sf_dir) -> DataFrame:
+    """calc_standardised_reflectance_sd2010 — the full topographic-
+    correction chain (python/src/imagecalibration.cpp:1543; core
+    RSGISApply6SCoefficients.cpp:728): incidence + nadir exitance
+    cosines from the DEM plane, per-pixel elevation-LUT irradiance,
+    gamma/beta BRDF standardisation, shade branch populated by the
+    self-shadow mask (§2.5)."""
+    from .operators.calibration import sref_sd2010_stats
+    img = _px_images(spark, sf_dir, mod=11)
+    return sref_sd2010_stats(img) \
+        .select("image_id", "n_pix", "n_shade", "sum_sd_q",
+                "min_sd_q", "max_sd_q")
+
+
 def q_sref_6s_lut(spark, sf_dir) -> DataFrame:
     """imagecalibration.apply_6s_coeff_elev_lut_param
     (RSGISApply6SCoefficients.cpp:140): per-pixel 6S coefficients
@@ -3733,6 +3759,8 @@ QUERIES = {
     "kurt_skew_thresh": q_kurt_skew_thresh,
     "dem_fill": q_dem_fill,
     "local_incidence": q_local_incidence,
+    "local_incidence_deg": q_local_incidence_deg,
+    "sref_sd2010": q_sref_sd2010,
     "sref_6s_lut": q_sref_6s_lut,
     "toa_to_radiance": q_toa_to_radiance,
     "dem_slope_pxlres": q_dem_slope_pxlres,
