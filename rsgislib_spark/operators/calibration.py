@@ -742,3 +742,205 @@ def sref_sd2010_stats(images: DataFrame, azimuth: float = 135.0,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_SD_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# apply_6s_coeff_elev_aot_lut_param — the 2-D (elevation x AOT) LUT
+# --------------------------------------------------------------------------
+
+#: (elev_m, ((aot, aX, bX, cX), ...)) — one AOT sub-LUT per elevation
+#: rung (LUT6SBaseElevAOT, src/calibration/RSGISApply6SCoefficients.h).
+LUT_6S_ELEV_AOT = (
+    (0,   ((0.10, 0.0021, 0.31, 0.041), (0.25, 0.0022, 0.33, 0.043),
+           (0.40, 0.0023, 0.35, 0.045))),
+    (60,  ((0.10, 0.0024, 0.28, 0.038), (0.25, 0.0025, 0.30, 0.040),
+           (0.40, 0.0026, 0.32, 0.042))),
+    (120, ((0.10, 0.0027, 0.25, 0.034), (0.25, 0.0028, 0.27, 0.036),
+           (0.40, 0.0029, 0.29, 0.038))),
+    (180, ((0.10, 0.0030, 0.22, 0.031), (0.25, 0.0031, 0.24, 0.033),
+           (0.40, 0.0032, 0.26, 0.035))),
+)
+
+#: synthetic per-pixel AOT plane: 9 levels 0.05..0.45 from exact
+#: integer arithmetic (the AOT input image of the reference workflow)
+AOT_LEVELS = tuple(0.05 + 0.05 * m for m in range(9))
+
+
+def aot_m_np(v: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """integer AOT-level selector plane (0..8), exact in every engine"""
+    return (v + 3 * x + 5 * y) % 9
+
+
+def aot_m_sql(v: str, x: str = "x", y: str = "y") -> str:
+    return f"((({v}) + 3 * ({x}) + 5 * ({y})) % 9)"
+
+
+def aot_nearest_ladder(aots) -> tuple:
+    """m-level -> nearest AOT index (squared distance, strict <, first
+    index wins ties — the C++ scan order), folded driver-side into an
+    exact integer lookup table."""
+    out = []
+    for lvl in AOT_LEVELS:
+        best, bd = 0, None
+        for i, a in enumerate(aots):
+            d = (a - lvl) * (a - lvl)
+            if bd is None or d < bd:
+                best, bd = i, d
+        out.append(best)
+    return tuple(out)
+
+
+_S6A_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("cell_idx", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("n_nodata", LongType()),
+    StructField("sum_sref_q", LongType()),
+    StructField("min_sref_q", LongType()),
+    StructField("max_sref_q", LongType()),
+])
+
+
+def sref_6s_elev_aot_stats(images: DataFrame, lut=LUT_6S_ELEV_AOT,
+                           scale: float = 1000.0) -> DataFrame:
+    """imagecalibration.apply_6s_coeff_elev_aot_lut_param
+    (python/src/imagecalibration.cpp:705; core RSGISApply6S-
+    CoefficientsElevAOTLUTParam::calcImageValue, src/calibration/
+    RSGISApply6SCoefficients.cpp:310-436): nearest elevation rung, then
+    nearest AOT entry INSIDE that rung (both squared-distance scans,
+    strict <, first index wins ties), then the standard 6S tree with
+    the noDataVal==0 lift (<1 -> 1 else +1) and the scale clamp;
+    all-zero-DN pixels emit 0 (nodata branch).  Elevation = the
+    synthetic DEM plane, AOT = the 9-level synthetic AOT plane; both
+    nearest scans fold driver-side into exact integer ladders.  Output
+    grouped per (image, elev*nAOT + aot) cell so every exercised 2-D
+    LUT cell is hash-visible."""
+    from .elevation import dem_plane
+
+    elevs = [e for e, _ in lut]
+    mids = [(elevs[i] + elevs[i + 1]) // 2 for i in range(len(lut) - 1)]
+    n_aot = len(lut[0][1])
+    # per elev rung: the m-level -> aot index ladder + coeff triples
+    rung_ladders = [aot_nearest_ladder([a for a, *_ in sub])
+                    for _, sub in lut]
+    coeffs = [[(A, B, C) for _, A, B, C in sub] for _, sub in lut]
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _S6A_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                x = np.arange(int(w), dtype=np.int64)[None, :]
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                e = dem_plane(v, x, y)
+                m = aot_m_np(v, x, y)
+                eidx = np.zeros_like(e)
+                for mm in mids:
+                    eidx += (e > mm)
+                nodata = v == 0
+                for ei in range(len(lut)):
+                    lad = rung_ladders[ei]
+                    aidx = np.take(np.asarray(lad, dtype=np.int64), m)
+                    for ai in range(n_aot):
+                        sel = (eidx == ei) & (aidx == ai)
+                        cell = ei * n_aot + ai
+                        n = int(sel.sum())
+                        out["image_id"].append(image_id)
+                        out["cell_idx"].append(cell)
+                        out["n_pix"].append(n)
+                        if n == 0:
+                            out["n_nodata"].append(-1)
+                            out["sum_sref_q"].append(-1)
+                            out["min_sref_q"].append(-1)
+                            out["max_sref_q"].append(-1)
+                            continue
+                        A, B, C = coeffs[ei][ai]
+                        dn = v[sel]
+                        yv = A * dn - B
+                        t = (yv / (1.0 + C * yv)) * scale
+                        o1 = np.where(t < 1.0, 1.0, t + 1.0)
+                        o2 = np.where(o1 > scale, scale, o1)
+                        res = np.where(nodata[sel], 0.0, o2)
+                        q = np.floor(res * 1048576.0).astype(np.int64)
+                        out["n_nodata"].append(int(nodata[sel].sum()))
+                        out["sum_sref_q"].append(int(q.sum()))
+                        out["min_sref_q"].append(int(q.min()))
+                        out["max_sref_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_S6A_SCHEMA)
+
+
+_S6I_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("n_pix", LongType()),
+    StructField("sum_sref_q", LongType()),
+    StructField("min_sref_q", LongType()),
+    StructField("max_sref_q", LongType()),
+])
+
+
+def sref_6s_lut_interp_stats(images: DataFrame, lut=LUT_6S,
+                             scale: float = 1000.0) -> DataFrame:
+    """The elevation-LUT LINEAR INTERPOLATION variant (the branch
+    sref_6s_lut documented as omitted): RSGISApply6SCoefficients-
+    ElevLUTParam::calcImageValue with lut.size() > 1 (src/calibration/
+    RSGISApply6SCoefficients.cpp:205-270) — second entry chosen by the
+    reference's rule (first rung -> +1, last -> -1, else the sign of
+    elev - nearest.elev), proportions 1 - |elev - e_i| / |e1 - e2|,
+    out = refl1*prop1 + refl2*prop2, then the noDataVal==0 lift and
+    scale clamp.  Integer rung selection; float tree mirrored
+    term-for-term in the oracle."""
+    from .elevation import dem_plane
+
+    elevs = np.asarray([e for e, *_ in lut], dtype=np.int64)
+    mids = [(int(elevs[i]) + int(elevs[i + 1])) // 2
+            for i in range(len(lut) - 1)]
+    As = np.asarray([a for _, a, _, _ in lut])
+    Bs = np.asarray([b for _, _, b, _ in lut])
+    Cs = np.asarray([c for _, _, _, c in lut])
+    last = len(lut) - 1
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _S6I_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(pdf["image_id"], pdf["bytes"],
+                                                pdf["w"], pdf["h"], pdf["fmt"]):
+                v = codec.decode_image(bytes(buf), int(w), int(h),
+                                       str(fmt)).astype(np.int64)
+                x = np.arange(int(w), dtype=np.int64)[None, :]
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                e = dem_plane(v, x, y)
+                idx = np.zeros_like(e)
+                for mm in mids:
+                    idx += (e > mm)
+                # reference's second-entry rule
+                idx2 = np.where(idx == 0, 1,
+                                np.where(idx == last, last - 1,
+                                         np.where(e - np.take(elevs, idx) < 0,
+                                                  idx - 1, idx + 1)))
+                e1 = np.take(elevs, idx)
+                e2 = np.take(elevs, idx2)
+                d12 = np.abs(e1 - e2)
+                p1 = 1.0 - (np.abs(e - e1) / d12)
+                p2 = 1.0 - (np.abs(e - e2) / d12)
+                t1 = np.take(As, idx) * v - np.take(Bs, idx)
+                r1 = (t1 / (1.0 + np.take(Cs, idx) * t1)) * scale
+                t2 = np.take(As, idx2) * v - np.take(Bs, idx2)
+                r2 = (t2 / (1.0 + np.take(Cs, idx2) * t2)) * scale
+                o = (r1 * p1) + (r2 * p2)
+                o1 = np.where(o < 1.0, 1.0, o + 1.0)
+                o2 = np.where(o1 > scale, scale, o1)
+                q = np.floor(o2 * 1048576.0).astype(np.int64)
+                out["image_id"].append(image_id)
+                out["n_pix"].append(int(q.size))
+                out["sum_sref_q"].append(int(q.sum()))
+                out["min_sref_q"].append(int(q.min()))
+                out["max_sref_q"].append(int(q.max()))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_S6I_SCHEMA)

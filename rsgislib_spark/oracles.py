@@ -8427,3 +8427,147 @@ FROM sdo GROUP BY image_id
 
 
 ORACLES["sref_sd2010"] = _sd2010_oracle()
+
+
+# --------------- 6S elev x AOT 2-D LUT + elev-LUT linear interpolation
+def _s6aot_oracle() -> str:
+    from .operators.calibration import (LUT_6S_ELEV_AOT, aot_m_sql,
+                                        aot_nearest_ladder)
+    from .operators.elevation import dem_plane_sql
+
+    lut = LUT_6S_ELEV_AOT
+    elevs = [e for e, _ in lut]
+    mids = [(elevs[i] + elevs[i + 1]) // 2 for i in range(len(lut) - 1)]
+    n_aot = len(lut[0][1])
+    cells = ", ".join(
+        f"({ei * n_aot + ai}, {_dlit(A)}, {_dlit(B)}, {_dlit(C)})"
+        for ei, (_, sub) in enumerate(lut)
+        for ai, (_, A, B, C) in enumerate(sub))
+    # m-level -> aot index lookup per elev rung, as integer VALUES rows
+    lads = ", ".join(
+        f"({ei}, {m}, {aot_nearest_ladder([a for a, *_ in sub])[m]})"
+        for ei, (_, sub) in enumerate(lut) for m in range(9))
+    eidx = " + ".join(
+        f"(CASE WHEN ee > {m} THEN 1 ELSE 0 END)" for m in mids)
+    all_cells = ", ".join(str(i) for i in range(len(lut) * n_aot))
+    return f"""
+{_PREFIX},
+sax AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 17 = 0),
+sap AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM sax),
+sae AS (SELECT image_id, {_PXV} AS v,
+               {dem_plane_sql(_PXV)} AS ee,
+               {aot_m_sql(_PXV)} AS m
+        FROM sap),
+sai AS (SELECT image_id, v, m, CAST({eidx} AS BIGINT) AS eidx
+        FROM sae),
+sal (eidx, m, aidx) AS (VALUES {lads}),
+sac (cell, ca, cb, cc) AS (VALUES {cells}),
+saj AS (SELECT i.image_id, i.v,
+               CAST(i.eidx * {n_aot} + l.aidx AS BIGINT) AS cell
+        FROM sai i JOIN sal l ON l.eidx = i.eidx AND l.m = i.m),
+saq AS (SELECT j.image_id, j.cell,
+               CASE WHEN j.v = 0 THEN 1 ELSE 0 END AS nod,
+               CAST(floor((CASE WHEN j.v = 0 THEN CAST(0 AS DOUBLE)
+                 WHEN (t.ca * j.v - t.cb)
+                      / (CAST(1 AS DOUBLE) + t.cc * (t.ca * j.v - t.cb))
+                      * CAST(1000 AS DOUBLE) < CAST(1 AS DOUBLE)
+                   THEN CAST(1 AS DOUBLE)
+                 WHEN (t.ca * j.v - t.cb)
+                      / (CAST(1 AS DOUBLE) + t.cc * (t.ca * j.v - t.cb))
+                      * CAST(1000 AS DOUBLE) + CAST(1 AS DOUBLE)
+                      > CAST(1000 AS DOUBLE)
+                   THEN CAST(1000 AS DOUBLE)
+                 ELSE (t.ca * j.v - t.cb)
+                      / (CAST(1 AS DOUBLE) + t.cc * (t.ca * j.v - t.cb))
+                      * CAST(1000 AS DOUBLE) + CAST(1 AS DOUBLE)
+                 END) * 1048576.0) AS BIGINT) AS q
+        FROM saj j JOIN sac t ON t.cell = j.cell),
+saa AS (SELECT image_id, cell, count(*) AS n,
+               CAST(sum(nod) AS BIGINT) AS nnod,
+               CAST(sum(q) AS BIGINT) AS sq,
+               CAST(min(q) AS BIGINT) AS mnq,
+               CAST(max(q) AS BIGINT) AS mxq
+        FROM saq GROUP BY image_id, cell),
+sall AS (SELECT i.image_id, c.cell
+         FROM (SELECT DISTINCT image_id FROM sae) i
+         CROSS JOIN (SELECT unnest([{all_cells}]) AS cell) c)
+SELECT l.image_id, CAST(l.cell AS BIGINT) AS cell_idx,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_pix,
+       CAST(coalesce(a.nnod, -1) AS BIGINT) AS n_nodata,
+       CAST(coalesce(a.sq, -1) AS BIGINT) AS sum_sref_q,
+       CAST(coalesce(a.mnq, -1) AS BIGINT) AS min_sref_q,
+       CAST(coalesce(a.mxq, -1) AS BIGINT) AS max_sref_q
+FROM sall l LEFT JOIN saa a
+  ON a.image_id = l.image_id AND a.cell = l.cell
+"""
+
+
+ORACLES["sref_6s_aot_lut"] = _s6aot_oracle()
+
+
+def _s6interp_oracle() -> str:
+    from .operators.calibration import LUT_6S
+    from .operators.elevation import dem_plane_sql
+
+    elevs = [e for e, *_ in LUT_6S]
+    mids = [(elevs[i] + elevs[i + 1]) // 2 for i in range(len(LUT_6S) - 1)]
+    last = len(LUT_6S) - 1
+    rows = ", ".join(
+        f"({i}, {e}, {_dlit(a)}, {_dlit(b)}, {_dlit(c)})"
+        for i, (e, a, b, c) in enumerate(LUT_6S))
+    eidx = " + ".join(
+        f"(CASE WHEN ee > {m} THEN 1 ELSE 0 END)" for m in mids)
+    # the standard pinned 6S tree per entry, as a text template
+    refl = ("(({a} * v - {b}) / (CAST(1 AS DOUBLE)"
+            " + {c} * ({a} * v - {b})) * CAST(1000 AS DOUBLE))")
+    r1 = refl.format(a="i.ca", b="i.cb", c="i.cc")
+    r2 = refl.format(a="t2.ca", b="t2.cb", c="t2.cc")
+    return f"""
+{_PREFIX},
+six AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 17 = 0),
+sip AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM six),
+sie AS (SELECT image_id, {_PXV} AS v,
+               {dem_plane_sql(_PXV)} AS ee
+        FROM sip),
+sii AS (SELECT image_id, v, ee, CAST({eidx} AS BIGINT) AS idx
+        FROM sie),
+sit (idx, el, ca, cb, cc) AS (VALUES {rows}),
+si2 AS (SELECT i.*, t1.el AS e1,
+               CASE WHEN i.idx = 0 THEN 1
+                    WHEN i.idx = {last} THEN {last - 1}
+                    WHEN i.ee - t1.el < 0 THEN i.idx - 1
+                    ELSE i.idx + 1 END AS idx2
+        FROM sii i JOIN sit t1 ON t1.idx = i.idx),
+sio AS (SELECT i.image_id,
+               ({r1} * (CAST(1 AS DOUBLE)
+                  - (CAST(abs(i.ee - i.e1) AS DOUBLE)
+                     / CAST(abs(i.e1 - t2.el) AS DOUBLE))))
+             + ({r2} * (CAST(1 AS DOUBLE)
+                  - (CAST(abs(i.ee - t2.el) AS DOUBLE)
+                     / CAST(abs(i.e1 - t2.el) AS DOUBLE)))) AS o,
+               i.v
+        FROM (SELECT s.*, t1.ca, t1.cb, t1.cc FROM si2 s
+              JOIN sit t1 ON t1.idx = s.idx) i
+        JOIN sit t2 ON t2.idx = i.idx2),
+siq AS (SELECT image_id,
+               CAST(floor((CASE WHEN o < CAST(1 AS DOUBLE)
+                                  THEN CAST(1 AS DOUBLE)
+                                WHEN o + CAST(1 AS DOUBLE)
+                                     > CAST(1000 AS DOUBLE)
+                                  THEN CAST(1000 AS DOUBLE)
+                                ELSE o + CAST(1 AS DOUBLE) END)
+                          * 1048576.0) AS BIGINT) AS q
+        FROM sio)
+SELECT image_id, count(*) AS n_pix,
+       CAST(sum(q) AS BIGINT) AS sum_sref_q,
+       CAST(min(q) AS BIGINT) AS min_sref_q,
+       CAST(max(q) AS BIGINT) AS max_sref_q
+FROM siq GROUP BY image_id
+"""
+
+
+ORACLES["sref_6s_lut_interp"] = _s6interp_oracle()

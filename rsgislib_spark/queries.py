@@ -1146,6 +1146,29 @@ def q_local_incidence(spark, sf_dir) -> DataFrame:
                 "min_cosi_q", "max_cosi_q")
 
 
+def q_sref_6s_aot_lut(spark, sf_dir) -> DataFrame:
+    """apply_6s_coeff_elev_aot_lut_param — the 2-D elevation x AOT LUT
+    (python/src/imagecalibration.cpp:705; RSGISApply6SCoefficients.cpp:
+    310): nearest elev rung then nearest AOT entry, per-cell grouping
+    so every exercised LUT cell is hash-visible (§2.5)."""
+    from .operators.calibration import sref_6s_elev_aot_stats
+    img = _px_images(spark, sf_dir, mod=17)
+    return sref_6s_elev_aot_stats(img) \
+        .select("image_id", "cell_idx", "n_pix", "n_nodata",
+                "sum_sref_q", "min_sref_q", "max_sref_q")
+
+
+def q_sref_6s_lut_interp(spark, sf_dir) -> DataFrame:
+    """The elevation-LUT linear-interpolation variant of
+    apply_6s_coeff_elev_lut_param (RSGISApply6SCoefficients.cpp:
+    205-270) — closes the documented nearest-entry-only gap (§2.5)."""
+    from .operators.calibration import sref_6s_lut_interp_stats
+    img = _px_images(spark, sf_dir, mod=17)
+    return sref_6s_lut_interp_stats(img) \
+        .select("image_id", "n_pix", "sum_sref_q", "min_sref_q",
+                "max_sref_q")
+
+
 def q_local_incidence_deg(spark, sf_dir) -> DataFrame:
     """local_incidence_angle emitting DEGREES — the reference's actual
     output (acos * 180/pi, src/calibration/RSGISDEMTools.cpp via
@@ -3762,6 +3785,8 @@ QUERIES = {
     "local_incidence_deg": q_local_incidence_deg,
     "sref_sd2010": q_sref_sd2010,
     "sref_6s_lut": q_sref_6s_lut,
+    "sref_6s_aot_lut": q_sref_6s_aot_lut,
+    "sref_6s_lut_interp": q_sref_6s_lut_interp,
     "toa_to_radiance": q_toa_to_radiance,
     "dem_slope_pxlres": q_dem_slope_pxlres,
     "aspect_med": q_aspect_med,
