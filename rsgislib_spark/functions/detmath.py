@@ -111,3 +111,61 @@ def ln_chain_sql(inner: str, x: str, out: str,
     for name, expr in ln_steps(x, out, lo, hi):
         sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
     return sql
+
+
+# ---------------------------------------------------------------- exp
+# Pinned natural-exp tree (the ln tree's inverse-direction twin, added
+# for the GMM-EM operators whose per-round Gaussian densities feed
+# integer quantisation — a last-ulp libm exp difference would flip the
+# floor at a bin boundary).  Construction:
+#
+#     k = floor(x/LN2 + 0.5)          (nearest binade, exact floor)
+#     r = x - k*LN2                   (|r| <= LN2/2 + 1 ulp)
+#     exp(x) = 2^k * P(r)             (Taylor sum_{n=0}^{13} r^n/n!)
+#
+# x/LN2, k*LN2, the Horner chain and the final product are all single
+# IEEE correctly-rounded primitives on identical inputs; 2^k is exact
+# (ldexp / pow-of-two).  Truncation r^14/14! < 5e-18 relative.
+# Domain: |x| <= 700 (k in [-1011, 1011], 2^k normal).
+
+#: Taylor 1/n! coefficients for exp(r), n = 0..13
+EXP_SERIES = tuple(1.0 / math.factorial(n) for n in range(14))
+
+__all__ += ["EXP_SERIES", "exp_np", "exp_steps", "exp_chain_sql"]
+
+
+def exp_np(x):
+    """Vectorized pinned-tree exp over float64 |x| <= 700 (numpy twin)."""
+    x = np.asarray(x, dtype=np.float64)
+    k = np.floor(x / LN2 + 0.5)
+    r = x - k * LN2
+    p = np.full_like(r, EXP_SERIES[-1])
+    for c in EXP_SERIES[-2::-1]:
+        p = p * r + c
+    return p * np.ldexp(1.0, k.astype(np.int64))
+
+
+def exp_steps(x: str, out: str):
+    """SQL twin of :func:`exp_np` as chained column definitions
+    ``[(colname, expr), ...]`` ending with ``out`` = exp(x).  Unlike
+    :func:`ln_steps` the binade index is a direct arithmetic formula
+    (no comparison ladder), so the chain is four projections.  ``x``
+    must be a short column reference."""
+    steps = [
+        (f"{out}_k", f"floor({x} / {dlit(LN2)} + CAST(0.5 AS DOUBLE))"),
+        (f"{out}_r", f"({x} - {out}_k * {dlit(LN2)})"),
+    ]
+    p = dlit(EXP_SERIES[-1])
+    for c in EXP_SERIES[-2::-1]:
+        p = f"({p} * {out}_r + {dlit(c)})"
+    steps.append((out,
+                  f"({p} * pow(CAST(2 AS DOUBLE), {out}_k))"))
+    return steps
+
+
+def exp_chain_sql(inner: str, x: str, out: str) -> str:
+    """Wrap SELECT ``inner`` with the :func:`exp_steps` projections."""
+    sql = inner
+    for name, expr in exp_steps(x, out):
+        sql = f"SELECT *, {expr} AS {name} FROM ({sql})"
+    return sql

@@ -1,0 +1,255 @@
+"""Gaussian-mixture histogram fitting over RAT variable columns.
+
+Reference:
+
+* ``rastergis.fit_hist_gausian_mixture_model``
+  (python/src/rastergis.cpp:1382) — histogram the RAT ``varCol`` values
+  of the rows whose ``classColumn == classVal`` at ``binWidth``, fit a
+  Gaussian mixture to the histogram, export per-component
+  (offset, amplitude, fwhm) params.
+* ``rastergis.class_split_fit_hist_gausian_mixture_model``
+  (python/src/rastergis.cpp:1425; kernel
+  src/rastergis/RSGISSelectClumps.cpp:602 ``splitClassUsingGMM``) —
+  same fit, then assigns every histogram bin to the argmax component
+  (``outGaussians[j][i] > maxGauVal`` keeps the FIRST maximum,
+  RSGISSelectClumps.cpp:717-734), class 0 where the mixture density is
+  below 1e-5 (:710), and writes the per-bin class back to the rows.
+* Peak seeding + fit shape: src/math/RSGISFitGaussianMixModel.cpp:50-61
+  — a peak is an interior bin with ``forGrad > 0 && backGrad < 0`` and
+  normalised count above ``peakThres`` (default 0.005); one Gaussian is
+  seeded per peak at the peak's bin centre with width
+  ``initWidth * binWidth`` and then refined (the reference by
+  Levenberg-Marquardt ``mpfit`` with ``maxiter = 10``).
+
+Spark-first re-expression
+-------------------------
+The reference's LM refinement is a serial dense solver; the engine
+replaces it with a FIXED-ROUND (``ROUNDS = 6``) expectation-maximisation
+unroll over the exact integer histogram — the same seed-per-peak /
+refine / classify pipeline, expressed so that every step is
+cross-engine exact:
+
+* the histogram, the peak predicate (``n[i] > n[i-1] && n[i+1] < n[i]``
+  and ``n[i] * 200 > N`` ⇔ proportion > 0.005) and every M-step sum are
+  INTEGER arithmetic — order-free and bit-identical in numpy / DuckDB;
+* E-step responsibilities are quantised ``floor(resp * 2^16)`` before
+  the cross-bin sums, so no float accumulation order can diverge;
+* the only transcendental, ``exp``, goes through the pinned
+  double tree ``functions.detmath.exp_np`` / ``exp_steps`` (bitwise
+  identical numpy vs SQL, proven in tests/test_detmath.py);
+* scalar state updates (mu = S1/S0, var = S2/S0 - mu*mu clamped to
+  [VAR_MIN, VAR_MAX], pi = (S0_k + 1)/(S0_tot + K) Laplace-smoothed)
+  are single correctly-rounded IEEE ops replicated verbatim in the
+  oracle SQL.
+
+Scale shape: the per-(class) histogram is built by a distributed
+Catalyst ``groupBy(cls, ibin).count()`` (map-side combinable, exact
+BIGINT) — the Arrow EM kernel then runs over HISTOGRAM rows only, whose
+cardinality is bounded by the value range / bin width regardless of how
+many billions of clump rows feed it.  Components are capped at
+``KMAX = 3`` peaks ranked by (count desc, bin asc) — a documented bound
+the reference does not have (it seeds one Gaussian per peak).
+"""
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..functions.detmath import exp_np
+
+__all__ = ["gmm_hist_fit", "GMM_BIN_WIDTH", "GMM_ROUNDS", "GMM_KMAX",
+           "gmm_em_float"]
+
+GMM_BIN_WIDTH = 8          # binWidth (even so bin centres are integers)
+GMM_CLS_QUANT = 128        # classColumn = varCol // 128 (the seg lattice)
+GMM_ROUNDS = 6             # fixed EM unroll (reference mpfit maxiter=10)
+GMM_KMAX = 3               # component cap (top-KMAX peaks)
+GMM_QSCALE = 65536.0       # responsibility quantiser 2^16
+GMM_PEAK_DEN = 200         # n*200 > N  <=>  n/N > peakThres = 0.005
+GMM_VAR0 = 256.0           # seed variance = (initWidth * binWidth)^2
+GMM_VAR_MIN = 1.0          # sigma clamp (reference minWidth/maxWidth)
+GMM_VAR_MAX = 65536.0
+GMM_MIX_EPS = 1e-5         # mixture floor for class 0 (SelectClumps:710)
+GMM_MU_Q = 1048576.0       # output quantiser 2^20
+
+_GMM_SCHEMA = StructType([
+    StructField("cls", LongType()),
+    StructField("comp", LongType()),
+    StructField("n_peaks", LongType()),
+    StructField("mu_q", LongType()),
+    StructField("var_q", LongType()),
+    StructField("pi_q", LongType()),
+    StructField("n_assigned", LongType()),
+])
+
+
+def _find_peaks(counts: np.ndarray, total: int):
+    """Interior peak bins (RSGISFitGaussianMixModel.cpp:50-61), exact
+    integer form of ``forGrad > 0 && backGrad < 0 && n/N > 0.005``."""
+    peaks = []
+    for i in range(1, counts.size - 1):
+        if counts[i] > counts[i - 1] and counts[i + 1] < counts[i] \
+                and int(counts[i]) * GMM_PEAK_DEN > total:
+            peaks.append(i)
+    return peaks
+
+
+def _em_rounds(c: np.ndarray, n: np.ndarray, mu, var, pi, rounds: int):
+    """Quantised fixed-round EM.  ``c``/``n`` are the NONZERO histogram
+    bin centres (int64) and counts (int64); ``mu``/``var``/``pi`` are
+    python-float lists of length k.  Every op mirrors the oracle SQL
+    expression-for-expression (module docstring)."""
+    k = len(mu)
+    cf = c.astype(np.float64)
+    for _ in range(rounds):
+        dens = []
+        for j in range(k):
+            d = cf - mu[j]
+            arg = np.maximum(0.0 - ((d * d) / (2.0 * var[j])), -700.0)
+            dens.append(pi[j] * exp_np(arg))
+        den = dens[0]
+        for j in range(1, k):
+            den = den + dens[j]
+        s0 = np.empty(k, dtype=np.int64)
+        s1 = np.empty(k, dtype=np.int64)
+        s2 = np.empty(k, dtype=np.int64)
+        for j in range(k):
+            q = np.floor((dens[j] / den) * GMM_QSCALE).astype(np.int64)
+            s0[j] = int((n * q).sum())
+            s1[j] = int((n * q * c).sum())
+            s2[j] = int((n * q * c * c).sum())
+        s0t = int(s0.sum())
+        for j in range(k):
+            pi[j] = float(s0[j] + 1) / float(s0t + k)
+            if s0[j] > 0:
+                mu[j] = float(s1[j]) / float(s0[j])
+                v = float(s2[j]) / float(s0[j]) - mu[j] * mu[j]
+                var[j] = min(max(v, GMM_VAR_MIN), GMM_VAR_MAX)
+    return mu, var, pi
+
+
+def _classify(c: np.ndarray, n: np.ndarray, mu, var, pi):
+    """Per-bin argmax component (first max, SelectClumps.cpp:717-734),
+    class 0 below the mixture floor; returns n_assigned[0..k]."""
+    k = len(mu)
+    cf = c.astype(np.float64)
+    scores = []
+    for j in range(k):
+        d = cf - mu[j]
+        arg = np.maximum(0.0 - ((d * d) / (2.0 * var[j])), -700.0)
+        scores.append(pi[j] * exp_np(arg))
+    mix = scores[0]
+    for j in range(1, k):
+        mix = mix + scores[j]
+    cls_of_bin = np.argmax(np.stack(scores), axis=0) + 1
+    cls_of_bin = np.where(mix < GMM_MIX_EPS, 0, cls_of_bin)
+    out = np.zeros(k + 1, dtype=np.int64)
+    for j in range(k + 1):
+        out[j] = int(n[cls_of_bin == j].sum())
+    return out
+
+
+def gmm_hist_fit(rat: DataFrame, var_col: str = "mode_val",
+                 rounds: int = GMM_ROUNDS) -> DataFrame:
+    """fit_hist_gausian_mixture_model + class_split variant over the
+    RAT (one fit per class ``var_col // 128``, the segmentation-lattice
+    class every pixel of a clump shares).  Returns one row per
+    (cls, comp) with comp 0 = the below-floor/noise class:
+    (cls, comp, n_peaks, mu_q, var_q, pi_q, n_assigned); classes whose
+    histogram spans < 4 bins are dropped (the reference raises,
+    RSGISFitGaussianMixModel.cpp:39); classes with no peak emit only
+    the comp-0 row with every clump assigned 0 (outGMM all-zero path).
+    """
+    r = rat.select(
+        F.expr(f"{var_col} DIV {GMM_CLS_QUANT}").alias("cls"),
+        F.col(var_col).alias("v"))
+    st = r.groupBy("cls").agg(F.min("v").alias("vmin"),
+                              F.max("v").alias("vmax"),
+                              F.count(F.lit(1)).alias("nv"))
+    h = (r.join(F.broadcast(st), "cls")
+         .withColumn("ibin", F.expr(f"(v - vmin) DIV {GMM_BIN_WIDTH}"))
+         .groupBy("cls", "vmin", "vmax", "nv", "ibin")
+         .agg(F.count(F.lit(1)).alias("n")))
+
+    bw, half = GMM_BIN_WIDTH, GMM_BIN_WIDTH // 2
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        cls = int(pdf["cls"].iloc[0])
+        vmin = int(pdf["vmin"].iloc[0])
+        vmax = int(pdf["vmax"].iloc[0])
+        total = int(pdf["nv"].iloc[0])
+        nbins = (vmax - vmin) // bw + 1
+        cols = {f.name: [] for f in _GMM_SCHEMA.fields}
+        if nbins < 4:
+            return pd.DataFrame(cols)
+        counts = np.zeros(nbins, dtype=np.int64)
+        counts[pdf["ibin"].to_numpy(dtype=np.int64)] = \
+            pdf["n"].to_numpy(dtype=np.int64)
+        peaks = _find_peaks(counts, total)
+        n_peaks = len(peaks)
+
+        def row(comp, mu_q, var_q, pi_q, n_asgn):
+            cols["cls"].append(cls)
+            cols["comp"].append(comp)
+            cols["n_peaks"].append(n_peaks)
+            cols["mu_q"].append(mu_q)
+            cols["var_q"].append(var_q)
+            cols["pi_q"].append(pi_q)
+            cols["n_assigned"].append(n_asgn)
+
+        if n_peaks == 0:
+            row(0, None, None, None, total)
+            return pd.DataFrame(cols)
+        sel = sorted(sorted(peaks, key=lambda i: (-counts[i], i))
+                     [:GMM_KMAX])
+        k = len(sel)
+        mu = [float(vmin + i * bw + half) for i in sel]
+        var = [GMM_VAR0] * k
+        pi = [1.0 / float(k)] * k
+        nz = np.nonzero(counts)[0]
+        c = (np.int64(vmin) + nz * bw + half).astype(np.int64)
+        n = counts[nz]
+        mu, var, pi = _em_rounds(c, n, mu, var, pi, rounds)
+        asgn = _classify(c, n, mu, var, pi)
+        row(0, None, None, None, int(asgn[0]))
+        for j in range(k):
+            row(j + 1,
+                int(np.floor(mu[j] * GMM_MU_Q)),
+                int(np.floor(var[j] * GMM_MU_Q)),
+                int(np.floor(pi[j] * GMM_MU_Q)),
+                int(asgn[j + 1]))
+        return pd.DataFrame(cols)
+
+    return h.groupBy("cls").applyInPandas(fit, schema=_GMM_SCHEMA)
+
+
+def gmm_em_float(counts: np.ndarray, vmin: int, rounds: int = GMM_ROUNDS):
+    """Plain-float EM transcription (np.exp, float sums, no
+    quantisation) used by tests as the independent yardstick the pinned
+    kernel must track: same seeding, same fixed rounds, textbook
+    weighted-EM updates."""
+    total = int(counts.sum())
+    peaks = _find_peaks(counts, total)
+    if not peaks:
+        return None
+    sel = sorted(sorted(peaks, key=lambda i: (-counts[i], i))[:GMM_KMAX])
+    k = len(sel)
+    bw, half = GMM_BIN_WIDTH, GMM_BIN_WIDTH // 2
+    nz = np.nonzero(counts)[0]
+    c = (vmin + nz * bw + half).astype(np.float64)
+    w = counts[nz].astype(np.float64)
+    mu = np.array([vmin + i * bw + half for i in sel], dtype=np.float64)
+    var = np.full(k, GMM_VAR0)
+    pi = np.full(k, 1.0 / k)
+    for _ in range(rounds):
+        d = c[None, :] - mu[:, None]
+        dens = pi[:, None] * np.exp(
+            np.maximum(-(d * d) / (2.0 * var[:, None]), -700.0))
+        resp = dens / dens.sum(axis=0, keepdims=True)
+        s0 = (resp * w).sum(axis=1)
+        mu = (resp * w * c).sum(axis=1) / s0
+        var = np.clip((resp * w * c * c).sum(axis=1) / s0 - mu * mu,
+                      GMM_VAR_MIN, GMM_VAR_MAX)
+        pi = s0 / s0.sum()
+    return mu, var, pi

@@ -135,37 +135,53 @@ def winnow_fingerprints(docs: DataFrame, k: int = 8, w: int = 4,
     slide a window of ``w`` consecutive gram hashes, and keep each
     window's minimum; the DISTINCT selected hash values per document
     are the fingerprint set (the guarantee: any shared substring of
-    length >= k + w - 1 yields a shared fingerprint).  Hashes are
-    16-hex md5 prefixes compared lexicographically (fixed width =>
-    lexicographic == numeric), the repo-wide portable-hash convention.
+    length >= k + w - 1 yields a shared fingerprint).
+
+    The gram hash is the EXACT base-256 pack of the k (ASCII) gram
+    chars into one BIGINT (``sum code(pos+i) * 256^(k-1-i)``, k <= 8)
+    — collision-free, so numeric fingerprint equality == substring
+    equality, and pure integer whole-stage-codegen ops (the previous
+    per-position md5+hex was the suite's heaviest constant).  It is
+    assembled from one per-char explode + k-1 LEADs over the same
+    (doc_id, pos) ordering the winnow min-window needs, so Catalyst
+    plans ONE sort and no extra Exchange.
 
     Plan shape: one explode (~L rows/doc), one sort-within-doc for the
-    analytic window, then a groupBy with map-side partial aggregation
+    analytic windows, then a groupBy with map-side partial aggregation
     that collapses to the small distinct-fingerprint set — at 100 TB
     the explode is embarrassingly parallel and the only full shuffle
     carries the already-collapsed (doc, fp) pairs.  Docs shorter than
     ``k + w - 1`` chars degenerate to a single whole-doc window
     (standard boundary rule).
     """
+    if k > 8:
+        raise ValueError("base-256 gram pack requires k <= 8")
     norm = F.regexp_replace(F.lower(F.trim(F.col(text))), " +", " ")
     g = (docs.select("doc_id", norm.alias("_n"))
          .withColumn("_ng", F.length("_n") - F.lit(k - 1))
          .where(F.col("_ng") >= 1)
-         # shuffle DOC rows (1 row, ~L bytes), not exploded gram rows
-         # (~L rows x ~40 bytes): this hash layout already satisfies the
-         # analytic window's distribution, so Catalyst adds no second
+         # shuffle DOC rows (1 row, ~L bytes), not exploded char rows
+         # (~L rows x ~30 bytes): this hash layout already satisfies the
+         # analytic windows' distribution, so Catalyst adds no second
          # Exchange above the explode — ~20x less shuffle traffic.
          .repartition(F.col("doc_id"))
-         .select("doc_id", "_n", "_ng",
-                 F.explode(F.expr("sequence(1, _ng)")).alias("pos"))
-         .select("doc_id", "pos", "_ng",
-                 F.substring(F.md5(F.expr(f"substring(_n, pos, {k})")),
-                             1, 16).alias("gh")))
+         .select("doc_id", "_ng",
+                 F.posexplode(F.expr("split(_n, '')"))
+                 .alias("pos0", "ch"))
+         .select("doc_id", "_ng",
+                 (F.col("pos0") + 1).alias("pos"),
+                 F.ascii("ch").cast("long").alias("code")))
+    ord_win = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    pack = " + ".join(
+        f"lead(code, {i}) {ord_win} * {256 ** (k - 1 - i)}L"
+        for i in range(k))
     win = (f"min(gh) OVER (PARTITION BY doc_id ORDER BY pos "
            f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)")
-    sel = (g.withColumn("wmin", F.expr(win))
-           .where(F.col("pos") <= F.greatest(F.col("_ng") - F.lit(w - 1),
-                                             F.lit(1))))
+    sel = (g.withColumn("gh", F.expr(pack))
+           .withColumn("wmin", F.expr(win))
+           .where((F.col("pos") <= F.greatest(F.col("_ng") - F.lit(w - 1),
+                                              F.lit(1)))
+                  & (F.col("pos") <= F.col("_ng"))))
     return (sel.groupBy("doc_id", F.col("wmin").alias("fp"))
             .agg(F.count("*").cast("long").alias("n_windows")))
 

@@ -3399,22 +3399,29 @@ SELECT doc_id,
 FROM documents
 """
 
-ORACLES["doc_winnow"] = """
+_WINNOW_PACK = " + ".join(
+    f"lead(code, {i}) OVER (PARTITION BY doc_id ORDER BY pos)"
+    f" * CAST({256 ** (7 - i)} AS BIGINT)" for i in range(8))
+
+ORACLES["doc_winnow"] = f"""
 WITH n AS (SELECT doc_id,
                   regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS nt
            FROM documents),
 g AS (SELECT doc_id, nt, length(nt) - 7 AS ng FROM n WHERE length(nt) >= 8),
-p AS (SELECT doc_id, ng, unnest(generate_series(1, ng)) AS pos FROM g),
-h AS (SELECT p.doc_id, p.ng, p.pos,
-             substr(md5(substr(g.nt, CAST(p.pos AS INTEGER), 8)), 1, 16) AS gh
-      FROM p JOIN g ON p.doc_id = g.doc_id),
+p AS (SELECT doc_id, ng, unnest(generate_series(1, length(nt))) AS pos
+      FROM g),
+cc AS (SELECT p.doc_id, p.ng, p.pos,
+              CAST(ascii(substr(g.nt, CAST(p.pos AS INTEGER), 1))
+                   AS BIGINT) AS code
+       FROM p JOIN g ON p.doc_id = g.doc_id),
+h AS (SELECT doc_id, ng, pos, {_WINNOW_PACK} AS gh FROM cc),
 w AS (SELECT doc_id, ng, pos,
              min(gh) OVER (PARTITION BY doc_id ORDER BY pos
                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
       FROM h)
 SELECT doc_id, wmin AS fp, CAST(count(*) AS BIGINT) AS n_windows
 FROM w
-WHERE pos <= greatest(ng - 3, 1)
+WHERE pos <= greatest(ng - 3, 1) AND pos <= ng
 GROUP BY doc_id, wmin
 """
 
@@ -8571,3 +8578,194 @@ FROM siq GROUP BY image_id
 
 
 ORACLES["sref_6s_lut_interp"] = _s6interp_oracle()
+
+
+# ---------------------------------------------------------------- GMM
+# rastergis.fit_hist_gausian_mixture_model / class_split variant
+# (python/src/rastergis.cpp:1382,1425; kernel RSGISSelectClumps.cpp:602,
+# peak seeding RSGISFitGaussianMixModel.cpp:50-61).  Fixed-round
+# quantised EM over the integer histogram of per-clump modal values,
+# one fit per lattice class v // 128 — expression-for-expression twin
+# of operators/gmm.py (see its docstring for the determinism design:
+# integer histogram + peak predicate + floor(resp * 2^16) M-step sums;
+# exp through the pinned detmath tree).
+
+def _gmm_oracle(rounds: int = 6) -> str:
+    from .functions.detmath import exp_chain_sql
+    B, HALF, KM = 8, 4, 3
+    J = (1, 2, 3)
+
+    def state_round(r: int, prev: str) -> str:
+        base = f"""
+SELECT h.cls, h.n, h.c, s.npeaks, s.k,
+       s.mu1, s.mu2, s.mu3, s.var1, s.var2, s.var3,
+       s.pi1, s.pi2, s.pi3
+FROM ghnz h JOIN {prev} s ON s.cls = h.cls
+""".strip()
+        args = ", ".join(
+            f"CASE WHEN mu{j} IS NULL THEN NULL ELSE "
+            f"greatest(0.0 - (((c - mu{j}) * (c - mu{j})) / "
+            f"(2.0 * var{j})), -700.0) END AS arg{j}" for j in J)
+        inner = f"SELECT *, {args} FROM ({base})"
+        for j in J:
+            inner = exp_chain_sql(inner, f"arg{j}", f"e{j}")
+        dens = ", ".join(
+            f"CASE WHEN mu{j} IS NULL THEN 0.0 ELSE pi{j} * e{j} END"
+            f" AS dens{j}" for j in J)
+        inner = f"SELECT *, {dens} FROM ({inner})"
+        inner = (f"SELECT *, dens1 + dens2 + dens3 AS den "
+                 f"FROM ({inner})")
+        qs = ", ".join(
+            f"CAST(floor((dens{j} / den) * 65536.0) AS BIGINT) AS q{j}"
+            for j in J)
+        inner = f"SELECT *, {qs} FROM ({inner})"
+        sums = ", ".join(
+            f"CAST(sum(n * q{j}) AS BIGINT) AS s0{j}, "
+            f"CAST(sum(n * q{j} * c) AS BIGINT) AS s1{j}, "
+            f"CAST(sum(n * q{j} * c * c) AS BIGINT) AS s2{j}"
+            for j in J)
+        ga = (f"SELECT cls, npeaks, k, mu1, mu2, mu3, "
+              f"var1, var2, var3, {sums} FROM ({inner}) "
+              f"GROUP BY cls, npeaks, k, mu1, mu2, mu3, "
+              f"var1, var2, var3")
+        mus = ", ".join(
+            f"CASE WHEN mu{j} IS NULL THEN NULL WHEN s0{j} > 0 THEN "
+            f"CAST(s1{j} AS DOUBLE) / CAST(s0{j} AS DOUBLE) "
+            f"ELSE mu{j} END AS mu{j}n" for j in J)
+        gm = f"SELECT *, {mus} FROM ({ga})"
+        news = []
+        for j in J:
+            news.append(f"mu{j}n AS mu{j}")
+            news.append(
+                f"CASE WHEN mu{j}n IS NULL THEN NULL WHEN s0{j} > 0 "
+                f"THEN least(greatest(CAST(s2{j} AS DOUBLE) / "
+                f"CAST(s0{j} AS DOUBLE) - mu{j}n * mu{j}n, 1.0), "
+                f"65536.0) ELSE var{j} END AS var{j}")
+            news.append(
+                f"CASE WHEN mu{j}n IS NULL THEN NULL ELSE "
+                f"CAST(s0{j} + 1 AS DOUBLE) / "
+                f"CAST(s01 + s02 + s03 + k AS DOUBLE) END AS pi{j}")
+        return (f"gs{r} AS MATERIALIZED (SELECT cls, npeaks, k, "
+                + ", ".join(news) + f" FROM ({gm}))")
+
+    parts = [f"""
+gmode AS (SELECT v FROM rk WHERE r = 1),
+gcls AS (SELECT v // 128 AS cls, v FROM gmode),
+gst AS (SELECT cls, min(v) AS vmin, max(v) AS vmax,
+               count(*) AS nv
+        FROM gcls GROUP BY cls),
+gstf AS (SELECT * FROM gst WHERE (vmax - vmin) // {B} + 1 >= 4),
+gnzc AS (SELECT g.cls, (g.v - f.vmin) // {B} AS ibin, count(*) AS n
+         FROM gcls g JOIN gstf f ON f.cls = g.cls
+         GROUP BY g.cls, (g.v - f.vmin) // {B}),
+gfull AS (SELECT cls, vmin, nv,
+                 unnest(generate_series(0, (vmax - vmin) // {B}))
+                   AS ibin
+          FROM gstf),
+gh AS MATERIALIZED (
+  SELECT f.cls, f.nv, f.ibin, coalesce(z.n, 0) AS n,
+         CAST(f.vmin + f.ibin * {B} + {HALF} AS BIGINT) AS c
+  FROM gfull f LEFT JOIN gnzc z
+    ON z.cls = f.cls AND z.ibin = f.ibin),
+ghnz AS (SELECT * FROM gh WHERE n > 0),
+gpk AS (SELECT cls, ibin, n, c, nv,
+               lag(n) OVER w AS npv, lead(n) OVER w AS nnx
+        FROM gh WINDOW w AS (PARTITION BY cls ORDER BY ibin)),
+gpeaks AS (SELECT cls, ibin, n, c FROM gpk
+           WHERE npv IS NOT NULL AND nnx IS NOT NULL
+             AND n > npv AND nnx < n AND n * 200 > nv),
+gsel AS (SELECT cls, ibin, c,
+                row_number() OVER (PARTITION BY cls
+                                   ORDER BY n DESC, ibin ASC) AS pr,
+                count(*) OVER (PARTITION BY cls) AS npeaks
+         FROM gpeaks),
+gcomp AS (SELECT cls, npeaks, c,
+                 row_number() OVER (PARTITION BY cls
+                                    ORDER BY ibin ASC) AS comp
+          FROM gsel WHERE pr <= {KM}),
+gs0 AS MATERIALIZED (SELECT cls, any_value(npeaks) AS npeaks,
+        count(*) AS k,
+        max(CASE WHEN comp = 1 THEN CAST(c AS DOUBLE) END) AS mu1,
+        max(CASE WHEN comp = 2 THEN CAST(c AS DOUBLE) END) AS mu2,
+        max(CASE WHEN comp = 3 THEN CAST(c AS DOUBLE) END) AS mu3,
+        CASE WHEN count(*) >= 1 THEN 256.0 END AS var1,
+        CASE WHEN count(*) >= 2 THEN 256.0 END AS var2,
+        CASE WHEN count(*) >= 3 THEN 256.0 END AS var3,
+        CASE WHEN count(*) >= 1
+             THEN 1.0 / CAST(count(*) AS DOUBLE) END AS pi1,
+        CASE WHEN count(*) >= 2
+             THEN 1.0 / CAST(count(*) AS DOUBLE) END AS pi2,
+        CASE WHEN count(*) >= 3
+             THEN 1.0 / CAST(count(*) AS DOUBLE) END AS pi3
+        FROM gcomp GROUP BY cls)""".strip()]
+    for r in range(1, rounds + 1):
+        parts.append(state_round(r, f"gs{r - 1}"))
+    fin = f"gs{rounds}"
+    cbase = f"""
+SELECT h.cls, h.n, h.c, s.npeaks, s.k,
+       s.mu1, s.mu2, s.mu3, s.var1, s.var2, s.var3,
+       s.pi1, s.pi2, s.pi3
+FROM ghnz h JOIN {fin} s ON s.cls = h.cls
+""".strip()
+    args = ", ".join(
+        f"CASE WHEN mu{j} IS NULL THEN NULL ELSE "
+        f"greatest(0.0 - (((c - mu{j}) * (c - mu{j})) / "
+        f"(2.0 * var{j})), -700.0) END AS arg{j}" for j in J)
+    csel = f"SELECT *, {args} FROM ({cbase})"
+    for j in J:
+        csel = exp_chain_sql(csel, f"arg{j}", f"e{j}")
+    scr = ", ".join(
+        f"CASE WHEN mu{j} IS NULL THEN 0.0 ELSE pi{j} * e{j} END"
+        f" AS sc{j}" for j in J)
+    csel = f"SELECT *, {scr} FROM ({csel})"
+    parts.append(f"""
+gclass AS (SELECT cls, n,
+                  CASE WHEN sc1 + sc2 + sc3 < 1e-05 THEN 0
+                       WHEN sc1 >= sc2 AND sc1 >= sc3 THEN 1
+                       WHEN sc2 >= sc3 THEN 2 ELSE 3 END AS bcls
+           FROM ({csel})),
+gcnt AS (SELECT cls, bcls, CAST(sum(n) AS BIGINT) AS n_assigned
+         FROM gclass GROUP BY cls, bcls),
+gcomps AS (SELECT cls, npeaks, k,
+                  unnest(generate_series(0, k)) AS comp
+           FROM {fin})""".strip())
+    body = ",\n".join(parts)
+    quant = ("CASE comp WHEN 1 THEN floor(mu1 * 1048576.0) "
+             "WHEN 2 THEN floor(mu2 * 1048576.0) "
+             "WHEN 3 THEN floor(mu3 * 1048576.0) END",
+             "CASE comp WHEN 1 THEN floor(var1 * 1048576.0) "
+             "WHEN 2 THEN floor(var2 * 1048576.0) "
+             "WHEN 3 THEN floor(var3 * 1048576.0) END",
+             "CASE comp WHEN 1 THEN floor(pi1 * 1048576.0) "
+             "WHEN 2 THEN floor(pi2 * 1048576.0) "
+             "WHEN 3 THEN floor(pi3 * 1048576.0) END")
+    return f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_RAT_VALS},
+cnt AS (SELECT image_id, cid, v, count(*) AS n
+        FROM vals GROUP BY image_id, cid, v),
+rk AS (SELECT image_id, cid, v,
+              row_number() OVER (PARTITION BY image_id, cid
+                                 ORDER BY n DESC, v ASC) AS r
+       FROM cnt),
+{body}
+SELECT g.cls, CAST(g.comp AS BIGINT) AS comp,
+       CAST(g.npeaks AS BIGINT) AS n_peaks,
+       CAST({quant[0]} AS BIGINT) AS mu_q,
+       CAST({quant[1]} AS BIGINT) AS var_q,
+       CAST({quant[2]} AS BIGINT) AS pi_q,
+       coalesce(t.n_assigned, 0) AS n_assigned
+FROM gcomps g
+JOIN {fin} s ON s.cls = g.cls
+LEFT JOIN gcnt t ON t.cls = g.cls AND t.bcls = g.comp
+UNION ALL
+SELECT f.cls, CAST(0 AS BIGINT) AS comp, CAST(0 AS BIGINT) AS n_peaks,
+       CAST(NULL AS BIGINT) AS mu_q, CAST(NULL AS BIGINT) AS var_q,
+       CAST(NULL AS BIGINT) AS pi_q, f.nv AS n_assigned
+FROM gstf f WHERE f.cls NOT IN (SELECT cls FROM gs0)
+"""
+
+
+ORACLES["gmm_hist_fit"] = _gmm_oracle()

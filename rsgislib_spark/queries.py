@@ -901,6 +901,18 @@ def q_rat_percentiles(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "p25", "p50", "p75")
 
 
+def q_gmm_hist_fit(spark, sf_dir) -> DataFrame:
+    """rastergis.fit_hist_gausian_mixture_model + class_split variant
+    (python/src/rastergis.cpp:1382,1425; RSGISSelectClumps.cpp:602):
+    per lattice-class GMM over the integer histogram of per-clump modal
+    values — fixed-round quantised EM through the pinned detmath exp
+    tree (operators/gmm docstring has the determinism design)."""
+    from .operators.gmm import gmm_hist_fit
+    return gmm_hist_fit(_rat(spark, sf_dir)) \
+        .select("cls", "comp", "n_peaks", "mu_q", "var_q", "pi_q",
+                "n_assigned")
+
+
 def q_rat_collapse(spark, sf_dir) -> DataFrame:
     """rastergis.collapse_rat (python/src/rastergis.cpp:1214): dense
     consecutive re-key of the selected (n_pix >= 8) RAT rows."""
@@ -3719,6 +3731,7 @@ QUERIES = {
     "rat_neighbours": q_rat_neighbours,
     "rat_mode": q_rat_mode,
     "rat_percentiles": q_rat_percentiles,
+    "gmm_hist_fit": q_gmm_hist_fit,
     "rat_collapse": q_rat_collapse,
     "imgs_equal": q_imgs_equal,
     "pts_bboxes": q_pts_bboxes,
