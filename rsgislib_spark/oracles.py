@@ -8769,3 +8769,12 @@ FROM gstf f WHERE f.cls NOT IN (SELECT cls FROM gs0)
 
 
 ORACLES["gmm_hist_fit"] = _gmm_oracle()
+
+
+# ---------------------------------------------------- geometry validation
+# vectorutils.check_validate_geometries (RSGISCopyCheckPolygons.cpp:34):
+# same portable ring-check SQL as the engine (operators/geomvalid), in
+# the duckdb dialect (unnest vs LATERAL VIEW explode).
+from .operators.geomvalid import ring_check_sql as _ring_check_sql
+
+ORACLES["check_validate_geoms"] = _ring_check_sql("duckdb")

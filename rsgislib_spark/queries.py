@@ -2739,6 +2739,17 @@ def q_attr_filter(spark, sf_dir) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
 
 
+def q_check_validate_geoms(spark, sf_dir) -> DataFrame:
+    """vectorutils.check_validate_geometries (vectorutils.cpp:247;
+    RSGISCopyCheckPolygons.cpp:34): ring <4-points error path + the
+    always-append ring closure, plus the exact-integer OGC simplicity
+    flag (operators/geomvalid docstring)."""
+    from .operators.geomvalid import ring_check_sql
+    load_tables(spark, sf_dir, ["customer"])["customer"] \
+        .createOrReplaceTempView("customer")
+    return spark.sql(ring_check_sql("spark"))
+
+
 def q_value_counts(spark, sf_dir) -> DataFrame:
     """count_feats_per_att_val (§2.5)."""
     t = load_tables(spark, sf_dir, ["customer"])
@@ -3876,6 +3887,7 @@ QUERIES = {
     "embed_ann_multiprobe": q_embed_ann_multiprobe,
     "psnr_check": q_psnr_check,
     "attr_filter": q_attr_filter,
+    "check_validate_geoms": q_check_validate_geoms,
     "value_counts": q_value_counts,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
