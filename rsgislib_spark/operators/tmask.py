@@ -71,11 +71,14 @@ def _rlm_delta(days, y):
     w = np.ones_like(y)
     beta = None
     for _ in range(5):
-        xw = x * w[:, None]
-        try:
-            beta = np.linalg.solve(xw.T @ x, xw.T @ y)
-        except np.linalg.LinAlgError:
-            return np.zeros_like(y)
+        # WLS step via lstsq on the sqrt-weighted system: statsmodels'
+        # RLM solves by pseudo-inverse and never raises when the tiny
+        # Tukey c collapses most weights to zero — np.linalg.solve on
+        # the normal equations went singular there and silently
+        # returned all-zero deltas (no flags at all for the band),
+        # which is how planted +/-300 anomalies were being missed.
+        sw = np.sqrt(w)[:, None]
+        beta = np.linalg.lstsq(x * sw, y * sw[:, 0], rcond=None)[0]
         r = y - x @ beta
         mad = np.median(np.abs(r - np.median(r)))
         scale = mad / 0.6745 if mad > 0 else 1.0

@@ -8778,3 +8778,33 @@ ORACLES["gmm_hist_fit"] = _gmm_oracle()
 from .operators.geomvalid import ring_check_sql as _ring_check_sql
 
 ORACLES["check_validate_geoms"] = _ring_check_sql("duckdb")
+
+
+# rastergis.histo_sampling (RSGISSelectClumps.cpp histogramSampling ->
+# RSGISMathsUtils.cpp:1038 sampleUseHistogramMethod): per-class/bin
+# stride-4 selection over sorted per-clump modal values (engine twin
+# queries.q_histo_sampling; tie order (mode_val, image_id, clump_id)).
+ORACLES["histo_sampling"] = f"""
+{_PREFIX},
+{_cc_segments_cte()},
+{_RL},
+{_RAT_VALS},
+cnt AS (SELECT image_id, cid, v, count(*) AS n
+        FROM vals GROUP BY image_id, cid, v),
+rk AS (SELECT image_id, cid, v,
+              row_number() OVER (PARTITION BY image_id, cid
+                                 ORDER BY n DESC, v ASC) AS r
+       FROM cnt),
+hsm AS (SELECT image_id, cid, v AS mode_val, v // 128 AS cls
+        FROM rk WHERE r = 1),
+hst AS (SELECT cls, min(mode_val) AS vmin FROM hsm GROUP BY cls),
+hsb AS (SELECT h.image_id, h.cid, h.cls, h.mode_val,
+               (h.mode_val - t.vmin) // 8 AS ibin
+        FROM hsm h JOIN hst t ON t.cls = h.cls),
+hsr AS (SELECT *, row_number() OVER (PARTITION BY cls, ibin
+                 ORDER BY mode_val, image_id, cid) AS rn
+        FROM hsb)
+SELECT image_id, cid AS clump_id, cls, ibin,
+       CAST(CASE WHEN (rn - 1) % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS sel
+FROM hsr
+"""

@@ -913,6 +913,31 @@ def q_gmm_hist_fit(spark, sf_dir) -> DataFrame:
                 "n_assigned")
 
 
+def q_histo_sampling(spark, sf_dir) -> DataFrame:
+    """rastergis.histo_sampling (rastergis.cpp binding; kernel
+    RSGISSelectClumps.cpp histogramSampling -> RSGISMathsUtils.cpp:1038
+    sampleUseHistogramMethod): bin the class-restricted per-clump values
+    at binWidth, sort each bin by value, keep every floor(1/prop)-th
+    entry (stride from 0); every clump gets a 0/1 select flag.  Here
+    prop=0.25 (stride 4), binWidth 8, run per lattice class
+    mode_val DIV 128 (the classRestrict loop over every class); ties
+    within a bin order by (mode_val, image_id, clump_id) — the
+    deterministic analog of the reference's stable RAT-fid order.
+    Pure Catalyst: one broadcast min-join + one window + integer ops."""
+    rat = _rat(spark, sf_dir).select(
+        "image_id", "clump_id", "mode_val",
+        F.expr("mode_val DIV 128").alias("cls"))
+    st = rat.groupBy("cls").agg(F.min("mode_val").alias("vmin"))
+    w = ("row_number() OVER (PARTITION BY cls, ibin "
+         "ORDER BY mode_val, image_id, clump_id)")
+    return (rat.join(F.broadcast(st), "cls")
+            .withColumn("ibin", F.expr("(mode_val - vmin) DIV 8"))
+            .withColumn("rn", F.expr(w))
+            .select("image_id", "clump_id", "cls", "ibin",
+                    F.expr("CAST(CASE WHEN (rn - 1) % 4 = 0 THEN 1 "
+                           "ELSE 0 END AS BIGINT)").alias("sel")))
+
+
 def q_rat_collapse(spark, sf_dir) -> DataFrame:
     """rastergis.collapse_rat (python/src/rastergis.cpp:1214): dense
     consecutive re-key of the selected (n_pix >= 8) RAT rows."""
@@ -3743,6 +3768,7 @@ QUERIES = {
     "rat_mode": q_rat_mode,
     "rat_percentiles": q_rat_percentiles,
     "gmm_hist_fit": q_gmm_hist_fit,
+    "histo_sampling": q_histo_sampling,
     "rat_collapse": q_rat_collapse,
     "imgs_equal": q_imgs_equal,
     "pts_bboxes": q_pts_bboxes,

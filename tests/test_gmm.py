@@ -111,3 +111,27 @@ def test_peak_predicate_matches_reference_form():
     assert _find_peaks(counts, total) == [1]
     assert _find_peaks(np.array([1, 500, 1, 500, 1], dtype=np.int64),
                        1003) == [1, 3]
+
+
+def test_histo_sampling_stride_invariant():
+    """sampleUseHistogramMethod picks indices 0, s, 2s, ... per sorted
+    bin (s = floor(1/prop) = 4): per (cls, ibin) the selected count is
+    floor((n-1)/4) + 1, and the first (smallest-value) entry is always
+    selected."""
+    import duckdb
+    import os
+    from rsgislib_spark.oracles import ORACLES
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{p}')")
+    df = con.sql(ORACLES["histo_sampling"]).df()
+    assert len(df) > 0 and set(df["sel"]) <= {0, 1}
+    g = df.groupby(["cls", "ibin"])["sel"]
+    for (cls, ibin), s in g:
+        n = len(s)
+        assert s.sum() == (n - 1) // 4 + 1, (cls, ibin, n)
