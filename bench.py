@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "solar_angles", "train_valid_test", "merge_utm_wgs84",
     "kfold_regress", "composite_ndvi_ndwi", "modelled_acc_pts",
     "calib_scalars", "embed_sq8", "doc_decontaminate",
+    "warp_img", "warp_img_bilinear", "sref_sd2010", "sref_6s_aot_lut",
+    "sref_6s_lut_interp", "gmm_hist_fit", "histo_sampling",
+    "check_validate_geoms",
 ]
 
 

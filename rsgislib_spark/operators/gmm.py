@@ -164,13 +164,19 @@ def gmm_hist_fit(rat: DataFrame, var_col: str = "mode_val",
     r = rat.select(
         F.expr(f"{var_col} DIV {GMM_CLS_QUANT}").alias("cls"),
         F.col(var_col).alias("v"))
-    st = r.groupBy("cls").agg(F.min("v").alias("vmin"),
-                              F.max("v").alias("vmax"),
-                              F.count(F.lit(1)).alias("nv"))
-    h = (r.join(F.broadcast(st), "cls")
+    # distinct-value pre-aggregation FIRST (map-side combinable), then
+    # per-class min/max/total as WINDOWS over that tiny table — an
+    # aggregate-and-join-back here would fork the lineage and recompute
+    # the upstream RAT Arrow pass twice (measured 2x wall on the rat
+    # family's shared segmentation kernel).
+    h0 = r.groupBy("cls", "v").agg(F.count(F.lit(1)).alias("nv_v"))
+    wc = "OVER (PARTITION BY cls)"
+    h = (h0.withColumn("vmin", F.expr(f"min(v) {wc}"))
+         .withColumn("vmax", F.expr(f"max(v) {wc}"))
+         .withColumn("nv", F.expr(f"sum(nv_v) {wc}"))
          .withColumn("ibin", F.expr(f"(v - vmin) DIV {GMM_BIN_WIDTH}"))
          .groupBy("cls", "vmin", "vmax", "nv", "ibin")
-         .agg(F.count(F.lit(1)).alias("n")))
+         .agg(F.sum("nv_v").alias("n")))
 
     bw, half = GMM_BIN_WIDTH, GMM_BIN_WIDTH // 2
 

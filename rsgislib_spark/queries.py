@@ -927,10 +927,12 @@ def q_histo_sampling(spark, sf_dir) -> DataFrame:
     rat = _rat(spark, sf_dir).select(
         "image_id", "clump_id", "mode_val",
         F.expr("mode_val DIV 128").alias("cls"))
-    st = rat.groupBy("cls").agg(F.min("mode_val").alias("vmin"))
     w = ("row_number() OVER (PARTITION BY cls, ibin "
          "ORDER BY mode_val, image_id, clump_id)")
-    return (rat.join(F.broadcast(st), "cls")
+    # per-class vmin as a window (NOT an aggregate joined back, which
+    # would recompute the upstream RAT Arrow pass twice)
+    return (rat.withColumn("vmin",
+                           F.expr("min(mode_val) OVER (PARTITION BY cls)"))
             .withColumn("ibin", F.expr("(mode_val - vmin) DIV 8"))
             .withColumn("rn", F.expr(w))
             .select("image_id", "clump_id", "cls", "ibin",
