@@ -37,7 +37,7 @@ __all__ = ["quantize", "adaptive_planes", "cosine_topk", "ann_lsh_top1",
            "ann_lsh_multiprobe_top1", "ann_multiprobe_topk",
            "neardup_pairs", "centroid_assign", "gram_matrix",
            "power_iteration_int", "pca_project_dominant",
-           "mnf_noise_gram"]
+           "mnf_noise_gram", "ann_ivf_top1"]
 
 
 def quantize(df: DataFrame, col: str = "embedding",
@@ -511,3 +511,76 @@ def embed_sq8(embeddings: DataFrame) -> DataFrame:
         F.min("code").cast("long").alias("min_code"),
         F.max("code").cast("long").alias("max_code"),
         F.sum("errq").cast("long").alias("sum_err_q"))
+
+
+def ann_ivf_top1(vectors: DataFrame, n_cells: int = 8, nprobe: int = 2,
+                 dim: int = 64, id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate 1-NN: coarse quantizer + nprobe cell search.
+
+    The faiss IndexIVFFlat shape, built deterministically so both
+    engines agree bit-for-bit:
+
+    1. COARSE TRAIN — one Lloyd sweep: seed centroids are the first
+       ``n_cells`` vectors (vec_id < n_cells); every vector is assigned
+       to its nearest seed by EXACT integer distance
+       ``sum_i (x_i - s_i)^2`` (ties -> lowest cell), then the trained
+       centroid of each cell is kept as exact component sums + count
+       (never divided) — the same never-divide trick as
+       :func:`centroid_assign`.
+    2. PROBE — each query ranks cells by
+       ``sum_i (n*x_i - S_i)^2 / n^2`` (exact int64 numerator, one
+       correctly-rounded double division; ties -> lowest cell) and
+       searches the top ``nprobe`` inverted lists.
+    3. RERANK — exact quantized cosine against the probed cells'
+       members, top-1 (ties -> lowest vec_id).
+
+    Scale shape: the only shuffles are the dim-bounded centroid
+    aggregations and the cell-keyed candidate equi-join — candidate
+    count scales with probed-list load (~ nprobe * n / n_cells per
+    query), not n^2.  At corpus scale the coarse train is one pass and
+    the inverted lists are the partitioning.
+    """
+    v = quantize(vectors).select(
+        F.col(id_col).alias("vid"), "q",
+        F.expr(_norm_sq("q")).alias("nrm"))
+    comp = v.select("vid", F.posexplode(F.col("q")).alias("i", "x"))
+    seedc = (comp.where(F.col("vid") < n_cells)
+             .select(F.col("vid").alias("cell"), "i",
+                     F.col("x").alias("s")))
+    d0 = (comp.join(F.broadcast(seedc), "i")
+          .withColumn("d", (F.col("x") - F.col("s"))
+                      * (F.col("x") - F.col("s")))
+          .groupBy("vid", "cell").agg(F.sum("d").alias("d2")))
+    w0 = Window.partitionBy("vid").orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (d0.withColumn("rn", F.row_number().over(w0))
+              .where(F.col("rn") == 1).select("vid", "cell"))
+    cents = (comp.join(assign, "vid")
+             .groupBy(F.col("cell").alias("ccell"), "i")
+             .agg(F.sum("x").alias("cs"), F.count(F.lit(1)).alias("cn")))
+    pd_ = (comp.join(F.broadcast(cents), "i")
+           .withColumn("d", (F.col("cn") * F.col("x") - F.col("cs"))
+                       * (F.col("cn") * F.col("x") - F.col("cs")))
+           .groupBy("vid", "ccell", "cn").agg(F.sum("d").alias("a2"))
+           .withColumn("dist2", F.col("a2").cast("double")
+                       / (F.col("cn") * F.col("cn")).cast("double")))
+    wp = Window.partitionBy("vid").orderBy(F.asc("dist2"), F.asc("ccell"))
+    probes = (pd_.withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= nprobe)
+              .select(F.col("vid").alias("qid"),
+                      F.col("ccell").alias("cell")))
+    members = assign.select(F.col("vid").alias("mid"), "cell")
+    a = v.select(F.col("vid").alias("qid"), F.col("q").alias("qa"),
+                 F.col("nrm").alias("na"))
+    b = v.select(F.col("vid").alias("mid"), F.col("q").alias("qb"),
+                 F.col("nrm").alias("nb"))
+    dot = F.expr(_DOT.format(a="qa", b="qb"))
+    cand = (probes.join(members, "cell")
+            .where(F.col("qid") != F.col("mid"))
+            .join(a, "qid").join(b, "mid")
+            .select("qid", F.col("mid").alias("vec_id"),
+                    (dot.cast("double")
+                     / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+                     ).alias("sim")))
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (cand.withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") == 1).drop("rn"))

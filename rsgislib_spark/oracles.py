@@ -8808,3 +8808,63 @@ SELECT image_id, cid AS clump_id, cls, ibin,
        CAST(CASE WHEN (rn - 1) % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS sel
 FROM hsr
 """
+
+
+# IVF ANN (similarity.ann_ivf_top1): seeded one-sweep Lloyd coarse
+# quantizer (exact int distances, ties -> lowest cell), never-divided
+# centroids (n*x - S trick), nprobe=2 probe ranking, exact cosine
+# rerank — expression-for-expression twin of the engine.
+ORACLES["embed_ann_ivf"] = f"""
+WITH v AS (SELECT vec_id, {_QZ} AS q FROM embeddings),
+vn AS (SELECT vec_id, q,
+              CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+                AS nrm
+       FROM v),
+comp AS (SELECT vec_id, i - 1 AS i, q[i] AS x
+         FROM v, (SELECT unnest(generate_series(1, 64)) AS i)),
+seedc AS (SELECT vec_id AS cell, i, x AS s FROM comp WHERE vec_id < 8),
+d0 AS (SELECT c.vec_id, s.cell,
+              CAST(sum((c.x - s.s) * (c.x - s.s)) AS BIGINT) AS d2
+       FROM comp c JOIN seedc s ON s.i = c.i
+       GROUP BY c.vec_id, s.cell),
+assign AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2 ASC, cell ASC) AS rn
+             FROM d0) WHERE rn = 1),
+cents AS (SELECT a.cell AS ccell, c.i,
+                 CAST(sum(c.x) AS BIGINT) AS cs,
+                 CAST(count(*) AS BIGINT) AS cn
+          FROM comp c JOIN assign a ON a.vec_id = c.vec_id
+          GROUP BY a.cell, c.i),
+pdx AS (SELECT c.vec_id, t.ccell, t.cn,
+               CAST(sum((t.cn * c.x - t.cs) * (t.cn * c.x - t.cs))
+                    AS BIGINT) AS a2
+        FROM comp c JOIN cents t ON t.i = c.i
+        GROUP BY c.vec_id, t.ccell, t.cn),
+probes AS (SELECT vec_id AS qid, ccell AS cell FROM (
+             SELECT vec_id, ccell,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY CAST(a2 AS DOUBLE)
+                                 / CAST(cn * cn AS DOUBLE) ASC,
+                               ccell ASC) AS rn
+             FROM pdx) WHERE rn <= 2),
+cand AS (SELECT p.qid, m.vec_id,
+                CAST(sum(a.q[i] * b.q[i]) AS BIGINT) AS dot,
+                any_value(a.nrm) AS na, any_value(b.nrm) AS nb
+         FROM probes p
+         JOIN assign m ON m.cell = p.cell AND m.vec_id != p.qid
+         JOIN vn a ON a.vec_id = p.qid
+         JOIN vn b ON b.vec_id = m.vec_id,
+              (SELECT unnest(generate_series(1, 64)) AS i)
+         GROUP BY p.qid, m.vec_id),
+scored AS (SELECT qid, vec_id,
+                  CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))
+                    AS sim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY CAST(dot AS DOUBLE)
+                               / sqrt(CAST(na * nb AS DOUBLE)) DESC,
+                             vec_id ASC) AS rn
+           FROM cand)
+SELECT qid, vec_id, sim FROM scored WHERE rn = 1
+"""

@@ -2881,6 +2881,16 @@ def q_embed_ann_lsh(spark, sf_dir) -> DataFrame:
         .select("qid", "vec_id", "bucket", "sim")
 
 
+def q_embed_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF approximate 1-NN (faiss IndexIVFFlat shape): seeded one-sweep
+    Lloyd coarse quantizer with exact-integer assignment, never-divided
+    centroids, nprobe=2 probe ranking, exact cosine rerank
+    (similarity.ann_ivf_top1 docstring)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return simi.ann_ivf_top1(t["embeddings"]) \
+        .select("qid", "vec_id", "sim")
+
+
 def q_gram_matrix(spark, sf_dir) -> DataFrame:
     """PCA/whitening distributed core: exact integer scatter matrix
     (perform_image_pca / whiten_image, §2.9)."""
@@ -3929,6 +3939,7 @@ QUERIES = {
     "simhash": q_simhash,
     "embed_topk": q_embed_topk,
     "embed_ann_lsh": q_embed_ann_lsh,
+    "embed_ann_ivf": q_embed_ann_ivf,
     "centroid_assign": q_centroid_assign,
     "gram_matrix": q_gram_matrix,
     "pca_project": q_pca_project,

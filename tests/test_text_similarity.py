@@ -342,3 +342,27 @@ def test_winnow_shared_substring_guarantee(spark):
     row = {r.doc_id: r for r in
            fp.groupBy("doc_id").count().collect()}
     assert set(row) == {1, 2, 3}
+
+
+def test_ann_ivf_semantics(emb):
+    """IVF top-1: every vector answered (nprobe=2 cells always hold at
+    least one other member on this corpus), candidates confined to
+    probed cells, and the found neighbour's similarity close to the
+    exact top-1 (random vectors are the worst case for any coarse
+    quantizer, so exact-hit recall is bounded but sim-quality must
+    stay high)."""
+    import statistics
+
+    from rsgislib_spark.operators import similarity as simi
+
+    exact = {r.qid: (r.vec_id, r.sim)
+             for r in simi.cosine_topk(emb.where("vec_id < 64"), emb,
+                                       k=1, max_query_rows=None).collect()}
+    ivf = {r.qid: (r.vec_id, r.sim)
+           for r in simi.ann_ivf_top1(emb).collect()}
+    sub = {k: v for k, v in ivf.items() if k in exact}
+    assert set(sub) == set(exact)
+    ratios = [sub[k][1] / v[1] for k, v in exact.items() if v[1] > 0]
+    assert statistics.median(ratios) >= 0.85
+    hit = sum(1 for k, v in exact.items() if sub[k][0] == v[0])
+    assert hit / len(exact) >= 0.2
