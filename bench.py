@@ -136,7 +136,7 @@ BENCH_QUERIES = [
     "calib_scalars", "embed_sq8", "doc_decontaminate",
     "warp_img", "warp_img_bilinear", "sref_sd2010", "sref_6s_aot_lut",
     "sref_6s_lut_interp", "gmm_hist_fit", "histo_sampling",
-    "check_validate_geoms", "embed_ann_ivf",
+    "check_validate_geoms", "embed_ann_ivf", "slic_superpixels",
 ]
 
 

@@ -8868,3 +8868,70 @@ scored AS (SELECT qid, vec_id,
            FROM cand)
 SELECT qid, vec_id, sim FROM scored WHERE rn = 1
 """
+
+
+# ------------------------------------------------------------------ SLIC
+# segmentation.skimgseg.perform_slic_segmentation (skimgseg.py:281;
+# algorithm: Achanta et al. TPAMI 2012): grid-seeded centres, 3 fixed
+# assign/update rounds, exact integer D2 = m^2*ds^2 + s^2*dv^2 argmin
+# (ties -> lowest k), integer-floor centroid updates — twin of
+# operators/segmentation.slic_superpixels.
+
+def _slic_oracle(iters: int = 3, s: int = 8, m: int = 10) -> str:
+    win, m2, s2 = 2 * s, m * m, s * s
+    parts = [f"""
+slgi AS (SELECT image_id, w, h, unnest(generate_series(0, h // {s} - 1))
+                AS i
+         FROM img WHERE id % 19 = 0),
+slgj AS (SELECT image_id, w, i,
+                unnest(generate_series(0, w // {s} - 1)) AS j
+         FROM slgi),
+slg AS (SELECT image_id, CAST(i * (w // {s}) + j AS BIGINT) AS k,
+               CAST(j * {s} + {s // 2} AS BIGINT) AS cx,
+               CAST(i * {s} + {s // 2} AS BIGINT) AS cy
+        FROM slgj),
+sc0 AS MATERIALIZED (
+  SELECT c.image_id, c.k, c.cx, c.cy, CAST(p.v AS BIGINT) AS cv
+  FROM slg c JOIN icpxy p
+    ON p.image_id = c.image_id AND p.x = c.cx AND p.y = c.cy)"""]
+    for r in range(1, iters + 1):
+        d2 = (f"{m2} * ((p.x - c.cx) * (p.x - c.cx)"
+              f" + (p.y - c.cy) * (p.y - c.cy))"
+              f" + {s2} * ((p.v - c.cv) * (p.v - c.cv))")
+        parts.append(f"""
+sla{r} AS MATERIALIZED (
+  SELECT image_id, x, y, v, w, k FROM (
+    SELECT p.image_id, p.x, p.y, p.v, p.w, c.k,
+           row_number() OVER (PARTITION BY p.image_id, p.y * p.w + p.x
+                              ORDER BY {d2} ASC, c.k ASC) AS rn
+    FROM icpxy p JOIN sc{r - 1} c
+      ON c.image_id = p.image_id
+     AND abs(p.x - c.cx) <= {win} AND abs(p.y - c.cy) <= {win})
+  WHERE rn = 1),
+slg{r} AS (SELECT image_id, k, CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(v) AS BIGINT) AS sv,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM sla{r} GROUP BY image_id, k),
+sc{r} AS MATERIALIZED (
+  SELECT o.image_id, o.k,
+         coalesce(a.sx // a.n, o.cx) AS cx,
+         coalesce(a.sy // a.n, o.cy) AS cy,
+         coalesce(a.sv // a.n, o.cv) AS cv
+  FROM sc{r - 1} o LEFT JOIN slg{r} a
+    ON a.image_id = o.image_id AND a.k = o.k)""")
+    return f"""
+{_PREFIX},
+{_IC_PLANE},
+{",".join(parts)}
+SELECT g.image_id, g.k, g.n AS n_pix, c.cx, c.cy, c.cv,
+       ck.px_ck
+FROM slg{iters} g
+JOIN sc{iters} c ON c.image_id = g.image_id AND c.k = g.k
+JOIN (SELECT image_id, k, CAST(sum(y * w + x) AS BIGINT) AS px_ck
+      FROM sla{iters} GROUP BY image_id, k) ck
+  ON ck.image_id = g.image_id AND ck.k = g.k
+"""
+
+
+ORACLES["slic_superpixels"] = _slic_oracle()

@@ -947,6 +947,16 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "new_id")
 
 
+def q_slic_superpixels(spark, sf_dir) -> DataFrame:
+    """segmentation.skimgseg.perform_slic_segmentation (skimgseg.py:281)
+    — the SLIC algorithm itself, deterministic fixed-round form
+    (operators/segmentation.slic_superpixels docstring)."""
+    from .operators.segmentation import slic_superpixels
+    img = _px_images(spark, sf_dir, mod=19, rows_per_task=32)
+    return slic_superpixels(img) \
+        .select("image_id", "k", "n_pix", "cx", "cy", "cv", "px_ck")
+
+
 def q_clump_merge(spark, sf_dir) -> DataFrame:
     """rm_small_clumps_stepwise unit step (segmentation.cpp:151): merge
     each segment below min_pix into its largest 4-neighbour (ties ->
@@ -3787,6 +3797,7 @@ QUERIES = {
     "dist_to_vals": q_dist_to_vals,
     "otsu_threshold": q_otsu_threshold,
     "clump_merge": q_clump_merge,
+    "slic_superpixels": q_slic_superpixels,
     "clump_eliminate": q_clump_eliminate,
     "union_clumps": q_union_clumps,
     "seg_mean": q_seg_mean,

