@@ -560,3 +560,115 @@ def slic_superpixels(images: DataFrame, s: int = SLIC_S, m: int = SLIC_M,
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_SLIC_SCHEMA)
+
+
+QS_DENS_WIN = 2     # density window (Chebyshev radius, 5x5)
+QS_LINK_WIN = 3     # parent search radius (Chebyshev, 7x7)
+QS_SPACE_W = 64     # D2 = 64*(dx^2+dy^2) + dv^2  (ratio analog)
+QS_SIGMA2X2 = 8192.0   # Parzen kernel scale: arg = -D2 / 8192
+QS_QSCALE = 1099511627776.0  # 2^40 density-term quantiser
+
+_QS_SCHEMA = StructType([
+    StructField("image_id", StringType()),
+    StructField("seg_id", LongType()),
+    StructField("root", LongType()),
+    StructField("n_pix", LongType()),
+    StructField("px_ck", LongType()),
+])
+
+
+def quickshift_segments(images: DataFrame) -> DataFrame:
+    """segmentation.skimgseg.perform_quickshift_segmentation
+    (python/rsgislib/segmentation/skimgseg.py quickshift wrapper; the
+    algorithm is Vedaldi & Soatto, ECCV 2008) in a deterministic
+    order-independent form:
+
+    * Parzen DENSITY per pixel = sum over the 5x5 window (self
+      included) of ``floor(exp(-D2/8192) * 2^40)`` with
+      ``D2 = 64*(dx^2+dy^2) + dv^2`` — the exp goes through the pinned
+      detmath tree and each term is quantised to an integer BEFORE the
+      sum, so the density is an exact int64 in any summation order and
+      bit-identical across engines;
+    * PARENT = the nearest (argmin D2, ties -> lowest flat pixel id)
+      pixel with STRICTLY higher density within Chebyshev radius 3;
+      density ties break nothing (strict >), pixels with no higher
+      neighbour are mode roots;
+    * SEGMENTS = trees of the parent forest (pointer-jump to the root;
+      the SQL oracle unrolls 15 doubling rounds = depth 2^15 >= any
+      per-image pixel count here).  seg ids dense in ascending root
+      order (the repo's labeling convention).
+
+    vs skimage: single-band plane, no pre-smoothing, fixed integer
+    parameters (kernel_size ~ 2, max_dist ~ 3, ratio via QS_SPACE_W) —
+    documented simplifications; the forest/mode semantics are the
+    algorithm's.
+    """
+    from ..functions.detmath import exp_np
+
+    def gen(it):
+        for pdf in it:
+            out = {f.name: [] for f in _QS_SCHEMA.fields}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                w, h = int(w), int(h)
+                v = codec.decode_image(bytes(buf), w, h, str(fmt)) \
+                    .astype(np.int64)
+                dens = np.zeros((h, w), dtype=np.int64)
+                for dy in range(-QS_DENS_WIN, QS_DENS_WIN + 1):
+                    for dx in range(-QS_DENS_WIN, QS_DENS_WIN + 1):
+                        ys0, ys1 = max(0, -dy), min(h, h - dy)
+                        xs0, xs1 = max(0, -dx), min(w, w - dx)
+                        dv = (v[ys0 + dy:ys1 + dy, xs0 + dx:xs1 + dx]
+                              - v[ys0:ys1, xs0:xs1])
+                        d2 = QS_SPACE_W * (dx * dx + dy * dy) + dv * dv
+                        arg = np.maximum(
+                            0.0 - (d2.astype(np.float64) / QS_SIGMA2X2),
+                            -700.0)
+                        dens[ys0:ys1, xs0:xs1] += np.floor(
+                            exp_np(arg) * QS_QSCALE).astype(np.int64)
+                pid = (np.arange(h, dtype=np.int64)[:, None] * w
+                       + np.arange(w, dtype=np.int64)[None, :])
+                best_d2 = np.full((h, w), np.iinfo(np.int64).max,
+                                  dtype=np.int64)
+                best_pid = np.full((h, w), -1, dtype=np.int64)
+                for dy in range(-QS_LINK_WIN, QS_LINK_WIN + 1):
+                    for dx in range(-QS_LINK_WIN, QS_LINK_WIN + 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        ys0, ys1 = max(0, -dy), min(h, h - dy)
+                        xs0, xs1 = max(0, -dx), min(w, w - dx)
+                        nb = (slice(ys0 + dy, ys1 + dy),
+                              slice(xs0 + dx, xs1 + dx))
+                        me = (slice(ys0, ys1), slice(xs0, xs1))
+                        dv = v[nb] - v[me]
+                        d2 = QS_SPACE_W * (dx * dx + dy * dy) + dv * dv
+                        cand = dens[nb] > dens[me]
+                        better = cand & (
+                            (d2 < best_d2[me])
+                            | ((d2 == best_d2[me])
+                               & (pid[nb] < best_pid[me])))
+                        bd, bp = best_d2[me], best_pid[me]
+                        bd[better] = d2[better]
+                        bp[better] = pid[nb][better]
+                        best_d2[me], best_pid[me] = bd, bp
+                parent = np.where(best_pid >= 0, best_pid, pid).ravel()
+                while True:
+                    gp = parent[parent]
+                    if (gp == parent).all():
+                        break
+                    parent = gp
+                roots, inv, counts = np.unique(
+                    parent, return_inverse=True, return_counts=True)
+                cks = np.zeros(roots.size, dtype=np.int64)
+                np.add.at(cks, inv, pid.ravel())
+                for si in range(roots.size):
+                    out["image_id"].append(image_id)
+                    out["seg_id"].append(si + 1)
+                    out["root"].append(int(roots[si]))
+                    out["n_pix"].append(int(counts[si]))
+                    out["px_ck"].append(int(cks[si]))
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=_QS_SCHEMA)

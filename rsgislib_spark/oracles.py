@@ -8935,3 +8935,81 @@ JOIN (SELECT image_id, k, CAST(sum(y * w + x) AS BIGINT) AS px_ck
 
 
 ORACLES["slic_superpixels"] = _slic_oracle()
+
+
+# ------------------------------------------------------------ quickshift
+# segmentation.skimgseg quickshift wrapper (algorithm Vedaldi & Soatto
+# 2008), deterministic form — twin of segmentation.quickshift_segments:
+# integer-quantised Parzen density through the pinned exp tree, strict
+# uphill parent argmin (packed key d2*2^17 + pid: pid < 2^17 so the
+# packed min == the engine's (d2, pid) lexicographic rule), 15
+# pointer-doubling rounds (depth 2^15 >= any per-image pixel count).
+
+def _qs_oracle(rounds: int = 15) -> str:
+    from .functions.detmath import exp_chain_sql
+    pairs = """
+SELECT p.image_id, p.y * p.w + p.x AS pid, p.w,
+       64 * ((q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y))
+         + (q.v - p.v) * (q.v - p.v) AS d2
+FROM qpxy p JOIN qpxy q
+  ON q.image_id = p.image_id
+ AND abs(q.x - p.x) <= 2 AND abs(q.y - p.y) <= 2
+""".strip()
+    pairs = (f"SELECT *, greatest(0.0 - (CAST(d2 AS DOUBLE) / 8192.0), "
+             f"-700.0) AS arg FROM ({pairs})")
+    pairs = exp_chain_sql(pairs, "arg", "e")
+    plane = f"""
+qxs AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 53 = 0),
+qpxy AS MATERIALIZED (
+  SELECT image_id, w, x, unnest(generate_series(0, h - 1)) AS y,
+         {_PXV} AS v
+  FROM qxs)""".strip()
+    parts = [f"""
+{plane},
+qsd AS MATERIALIZED (
+  SELECT image_id, pid, any_value(w) AS w,
+         CAST(sum(CAST(floor(e * 1099511627776.0) AS BIGINT))
+              AS BIGINT) AS dens
+  FROM ({pairs}) GROUP BY image_id, pid),
+qsv AS MATERIALIZED (
+  SELECT image_id, y * w + x AS pid, x, y, v FROM qpxy),
+qslnk AS (
+  SELECT a.image_id, a.pid,
+         min((64 * ((b.x - a.x) * (b.x - a.x)
+                    + (b.y - a.y) * (b.y - a.y))
+              + (b.v - a.v) * (b.v - a.v)) * 131072 + b.pid) AS key
+  FROM qsv a
+  JOIN qsv b ON b.image_id = a.image_id
+            AND abs(b.x - a.x) <= 3 AND abs(b.y - a.y) <= 3
+            AND b.pid <> a.pid
+  JOIN qsd da ON da.image_id = a.image_id AND da.pid = a.pid
+  JOIN qsd db ON db.image_id = b.image_id AND db.pid = b.pid
+  WHERE db.dens > da.dens
+  GROUP BY a.image_id, a.pid),
+qsl0 AS MATERIALIZED (
+  SELECT v.image_id, v.pid,
+         coalesce(l.key % 131072, v.pid) AS anc
+  FROM qsv v LEFT JOIN qslnk l
+    ON l.image_id = v.image_id AND l.pid = v.pid)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+qsl{r} AS MATERIALIZED (
+  SELECT a.image_id, a.pid, b.anc
+  FROM qsl{r - 1} a JOIN qsl{r - 1} b
+    ON b.image_id = a.image_id AND b.pid = a.anc)""")
+    return f"""
+{_PREFIX},
+{",".join(parts)}
+SELECT image_id,
+       CAST(row_number() OVER (PARTITION BY image_id ORDER BY anc)
+            AS BIGINT) AS seg_id,
+       anc AS root, n_pix, px_ck
+FROM (SELECT image_id, anc, CAST(count(*) AS BIGINT) AS n_pix,
+             CAST(sum(pid) AS BIGINT) AS px_ck
+      FROM qsl{rounds} GROUP BY image_id, anc)
+"""
+
+
+ORACLES["quickshift_seg"] = _qs_oracle()

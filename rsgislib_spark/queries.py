@@ -947,6 +947,16 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "new_id")
 
 
+def q_quickshift_seg(spark, sf_dir) -> DataFrame:
+    """segmentation.skimgseg quickshift wrapper (Vedaldi & Soatto 2008)
+    — deterministic density-forest form
+    (operators/segmentation.quickshift_segments docstring)."""
+    from .operators.segmentation import quickshift_segments
+    img = _px_images(spark, sf_dir, mod=53, rows_per_task=32)
+    return quickshift_segments(img) \
+        .select("image_id", "seg_id", "root", "n_pix", "px_ck")
+
+
 def q_slic_superpixels(spark, sf_dir) -> DataFrame:
     """segmentation.skimgseg.perform_slic_segmentation (skimgseg.py:281)
     — the SLIC algorithm itself, deterministic fixed-round form
@@ -3798,6 +3808,7 @@ QUERIES = {
     "otsu_threshold": q_otsu_threshold,
     "clump_merge": q_clump_merge,
     "slic_superpixels": q_slic_superpixels,
+    "quickshift_seg": q_quickshift_seg,
     "clump_eliminate": q_clump_eliminate,
     "union_clumps": q_union_clumps,
     "seg_mean": q_seg_mean,

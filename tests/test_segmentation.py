@@ -134,3 +134,24 @@ def test_slic_superpixels_invariants(spark, sf_dir):
         gx, gy = w // 8, h // 8
         assert len(g) <= gx * gy                 # one row per live seed
         assert len(g) >= 0.5 * gx * gy           # most seeds survive
+
+
+def test_quickshift_invariants(spark, sf_dir):
+    """Quickshift forest invariants: segments partition every pixel
+    exactly once (counts and flat-index checksums both telescope to the
+    whole image), seg ids dense per image."""
+    from rsgislib_spark.operators.segmentation import quickshift_segments
+    from rsgislib_spark.queries import _px_images
+
+    img = _px_images(spark, sf_dir, mod=53)
+    meta = {r.image_id: (r.w, r.h)
+            for r in img.select("image_id", "w", "h").collect()}
+    out = quickshift_segments(img).toPandas()
+    assert len(out) > 0
+    for image_id, g in out.groupby("image_id"):
+        w, h = meta[image_id]
+        n = w * h
+        assert g.n_pix.sum() == n
+        assert g.px_ck.sum() == n * (n - 1) // 2
+        assert sorted(g.seg_id) == list(range(1, len(g) + 1))
+        assert 1 <= len(g) < n          # non-trivial merging happened
