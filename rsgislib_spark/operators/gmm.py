@@ -49,6 +49,14 @@ cardinality is bounded by the value range / bin width regardless of how
 many billions of clump rows feed it.  Components are capped at
 ``KMAX = 3`` peaks ranked by (count desc, bin asc) — a documented bound
 the reference does not have (it seeds one Gaussian per peak).
+
+Exactness bound (the corr_feat_panel-style disclosure): the M-step
+sufficient statistic S2_k = sum(n * q * c * c) is bounded by
+``2^16 * N_class * c_max^2``; with 10-bit values (c_max < 1024) it
+stays inside int64 while ``N_class < ~1.3e8`` clump rows per class —
+far above any tested SF (sf0.1: ~1.4e4).  Beyond that, promote the
+engine sums to float128/objects and the oracle casts to HUGEINT before
+the DOUBLE division.
 """
 import numpy as np
 import pandas as pd

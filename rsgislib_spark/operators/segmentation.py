@@ -602,6 +602,11 @@ def quickshift_segments(images: DataFrame) -> DataFrame:
     parameters (kernel_size ~ 2, max_dist ~ 3, ratio via QS_SPACE_W) —
     documented simplifications; the forest/mode semantics are the
     algorithm's.
+
+    Exactness bounds: density = sum of 25 terms < 2^40 each (< 2^45
+    total); the oracle's packed argmin key ``d2 * 2^17 + pid`` needs
+    ``pid < 2^17`` — the synth corpus caps images at 129x129 (pid <
+    2^15); for larger rasters widen the pack factor in both engines.
     """
     from ..functions.detmath import exp_np
 
