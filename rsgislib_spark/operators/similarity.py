@@ -514,7 +514,8 @@ def embed_sq8(embeddings: DataFrame) -> DataFrame:
 
 
 def ann_ivf_top1(vectors: DataFrame, n_cells: int = 8, nprobe: int = 2,
-                 dim: int = 64, id_col: str = "vec_id") -> DataFrame:
+                 dim: int = 64, id_col: str = "vec_id",
+                 query_ids_below: int | None = None) -> DataFrame:
     """IVF approximate 1-NN: coarse quantizer + nprobe cell search.
 
     The faiss IndexIVFFlat shape, built deterministically so both
@@ -568,6 +569,11 @@ def ann_ivf_top1(vectors: DataFrame, n_cells: int = 8, nprobe: int = 2,
               .where(F.col("rn") <= nprobe)
               .select(F.col("vid").alias("qid"),
                       F.col("ccell").alias("cell")))
+    if query_ids_below is not None:
+        # gate the QUERY side (index build stays corpus-wide): the
+        # rerank join cost is queries x probed-list load, the same
+        # reason cosine_topk bounds its broadcast side
+        probes = probes.where(F.col("qid") < query_ids_below)
     members = assign.select(F.col("vid").alias("mid"), "cell")
     a = v.select(F.col("vid").alias("qid"), F.col("q").alias("qa"),
                  F.col("nrm").alias("na"))

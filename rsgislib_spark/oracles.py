@@ -8852,7 +8852,7 @@ probes AS (SELECT vec_id AS qid, ccell AS cell FROM (
 cand AS (SELECT p.qid, m.vec_id,
                 CAST(sum(a.q[i] * b.q[i]) AS BIGINT) AS dot,
                 any_value(a.nrm) AS na, any_value(b.nrm) AS nb
-         FROM probes p
+         FROM (SELECT * FROM probes WHERE qid < 256) p
          JOIN assign m ON m.cell = p.cell AND m.vec_id != p.qid
          JOIN vn a ON a.vec_id = p.qid
          JOIN vn b ON b.vec_id = m.vec_id,

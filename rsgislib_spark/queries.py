@@ -2907,7 +2907,9 @@ def q_embed_ann_ivf(spark, sf_dir) -> DataFrame:
     centroids, nprobe=2 probe ranking, exact cosine rerank
     (similarity.ann_ivf_top1 docstring)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return simi.ann_ivf_top1(t["embeddings"]) \
+    # query side gated at 256 ids (index build stays corpus-wide) —
+    # the registered-query analog of embed_topk's 64-query convention
+    return simi.ann_ivf_top1(t["embeddings"], query_ids_below=256) \
         .select("qid", "vec_id", "sim")
 
 
