@@ -677,3 +677,120 @@ def quickshift_segments(images: DataFrame) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt") \
         .mapInPandas(gen, schema=_QS_SCHEMA)
+
+
+WS_ROUNDS = 48      # oracle relaxation unroll (margin pytest: <= 40)
+_WS_PACK = 512      # key = bottleneck * 512 + marker_id (m < 512)
+_WS_INF = np.int64(1) << 62
+
+
+def watershed_basins(images: DataFrame) -> DataFrame:
+    """segmentation.skimgseg watershed wrapper, deterministic form:
+    watershed by BOTTLENECK (minimax) topographic distance.
+
+    Flood-order watershed (Vincent-Soille immersion) is queue-order
+    dependent at plateaus; the topographic-distance formulation is not:
+    every cell joins the basin of the marker it can reach with the
+    LOWEST possible path maximum (the minimax/bottleneck distance),
+    ties -> lowest marker id — a well-defined label per cell that any
+    relaxation order converges to.
+
+    * surface: the 8x8 block-sum pyramid of the decoded plane (the
+      leastcost grid convention — keeps the oracle's unrolled
+      relaxation tractable);
+    * markers: strict 4-neighbour local minima of the grid, id = flat
+      grid index (plateau cells are never markers — strict <);
+    * state per cell: packed key ``bottleneck * 512 + marker``
+      (bottleneck <= 64*1023 < 2^17, marker < 512 on <=17x17 grids, so
+      integer min == lexicographic (bottleneck, marker) min — the same
+      pack-trick as the quickshift oracle);
+    * relax to fixpoint: key_p = min(key_p, pack(max(b_q, c_p), m_q))
+      over the 4 neighbours q; the oracle unrolls WS_ROUNDS=48 rounds
+      and test_segmentation asserts corpus convergence within 40
+      (NOTES lesson-20 margin discipline).  Images whose grid has no
+      strict local minimum would flood nothing (key stays INF) — both
+      engines would emit basin = -1; the corpus always has minima.
+
+    Output: one row per (image_id, basin marker) with member count and
+    flat-index checksum, plus the basin's marker elevation.
+    """
+    from .leastcost import block_costs
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "basin": [], "n_cells": [],
+                   "cell_ck": [], "marker_c": []}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                c = block_costs(codec.decode_image(
+                    bytes(buf), int(w), int(h), str(fmt))
+                    .astype(np.int64))
+                key, gh, gw = _ws_relax(c)
+                m = np.where(key < _WS_INF, key % _WS_PACK,
+                             np.int64(-1)).ravel()
+                fid = np.arange(gh * gw, dtype=np.int64)
+                basins, inv, counts = np.unique(
+                    m, return_inverse=True, return_counts=True)
+                cks = np.zeros(basins.size, dtype=np.int64)
+                np.add.at(cks, inv, fid)
+                for bi in range(basins.size):
+                    b = int(basins[bi])
+                    out["image_id"].append(image_id)
+                    out["basin"].append(b)
+                    out["n_cells"].append(int(counts[bi]))
+                    out["cell_ck"].append(int(cks[bi]))
+                    out["marker_c"].append(
+                        int(c.ravel()[b]) if b >= 0 else None)
+            yield pd.DataFrame(out)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("basin", LongType()),
+        StructField("n_cells", LongType()),
+        StructField("cell_ck", LongType()),
+        StructField("marker_c", LongType()),
+    ])
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)
+
+
+def _ws_relax(c: np.ndarray, max_rounds: int | None = None):
+    """Packed-key bottleneck relaxation to fixpoint; returns
+    (key grid, gh, gw).  ``max_rounds`` caps iterations (for the
+    convergence-margin test)."""
+    gh, gw = c.shape
+    fid = (np.arange(gh, dtype=np.int64)[:, None] * gw
+           + np.arange(gw, dtype=np.int64)[None, :])
+    is_min = np.ones((gh, gw), dtype=bool)
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        ys0, ys1 = max(0, -dy), min(gh, gh - dy)
+        xs0, xs1 = max(0, -dx), min(gw, gw - dx)
+        me = (slice(ys0, ys1), slice(xs0, xs1))
+        nb = (slice(ys0 + dy, ys1 + dy), slice(xs0 + dx, xs1 + dx))
+        sub = is_min[me]
+        sub &= c[me] < c[nb]
+        is_min[me] = sub
+    key = np.full((gh, gw), _WS_INF, dtype=np.int64)
+    key[is_min] = c[is_min] * _WS_PACK + fid[is_min]
+    rounds = 0
+    while True:
+        new = key.copy()
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            ys0, ys1 = max(0, -dy), min(gh, gh - dy)
+            xs0, xs1 = max(0, -dx), min(gw, gw - dx)
+            me = (slice(ys0, ys1), slice(xs0, xs1))
+            nb = (slice(ys0 + dy, ys1 + dy), slice(xs0 + dx, xs1 + dx))
+            kq = key[nb]
+            ok = kq < _WS_INF
+            b = np.maximum(kq // _WS_PACK, c[me])
+            cand = np.where(ok, b * _WS_PACK + kq % _WS_PACK, _WS_INF)
+            new[me] = np.minimum(new[me], cand)
+        rounds += 1
+        if (new == key).all():
+            break
+        key = new
+        if max_rounds is not None and rounds >= max_rounds:
+            break
+    _ws_relax.last_rounds = rounds
+    return key, gh, gw

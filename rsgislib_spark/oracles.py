@@ -9013,3 +9013,78 @@ FROM (SELECT image_id, anc, CAST(count(*) AS BIGINT) AS n_pix,
 
 
 ORACLES["quickshift_seg"] = _qs_oracle()
+
+
+# ------------------------------------------------------------- watershed
+# segmentation.skimgseg watershed wrapper, deterministic bottleneck
+# (minimax topographic-distance) form — twin of
+# segmentation.watershed_basins: strict 4-neighbour local-minimum
+# markers, packed key bottleneck*512 + marker (lexicographic min == int
+# min), 48 unrolled relaxation rounds (engine converges <= 40 on the
+# corpus, margin pytest in test_segmentation).
+
+def _ws_oracle(rounds: int = 48) -> str:
+    parts = [f"""
+wsx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 53 = 0),
+wspxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM wsx),
+wsg AS MATERIALIZED (
+  SELECT image_id, y // 8 AS gy, x // 8 AS gx,
+         CAST(sum({_PXV}) AS BIGINT) AS c
+  FROM wspxy GROUP BY image_id, y // 8, x // 8),
+wsdm AS (SELECT image_id, CAST(max(gx) + 1 AS BIGINT) AS gw
+         FROM wsg GROUP BY image_id),
+wsoff(dy, dx) AS (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)),
+wse AS MATERIALIZED (
+  SELECT a.image_id, a.gy AS ay, a.gx AS ax, b.gy AS ty, b.gx AS tx
+  FROM wsg a CROSS JOIN wsoff o
+  JOIN wsg b ON b.image_id = a.image_id
+            AND b.gy = a.gy + o.dy AND b.gx = a.gx + o.dx),
+wsmin AS (
+  SELECT a.image_id, a.gy, a.gx, a.c
+  FROM wsg a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wse e JOIN wsg b
+      ON b.image_id = e.image_id AND b.gy = e.ty AND b.gx = e.tx
+    WHERE e.image_id = a.image_id AND e.ay = a.gy AND e.ax = a.gx
+      AND b.c <= a.c)),
+wk0 AS (SELECT m.image_id, m.gy, m.gx,
+               m.c * 512 + (m.gy * d.gw + m.gx) AS key
+        FROM wsmin m JOIN wsdm d ON d.image_id = m.image_id)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+wk{r} AS MATERIALIZED (
+  SELECT image_id, gy, gx, min(key) AS key FROM (
+    SELECT image_id, gy, gx, key FROM wk{r - 1}
+    UNION ALL
+    SELECT e.image_id, e.ty AS gy, e.tx AS gx,
+           greatest(p.key // 512, g.c) * 512 + p.key % 512 AS key
+    FROM wk{r - 1} p
+    JOIN wse e ON e.image_id = p.image_id
+              AND e.ay = p.gy AND e.ax = p.gx
+    JOIN wsg g ON g.image_id = e.image_id
+              AND g.gy = e.ty AND g.gx = e.tx)
+  GROUP BY image_id, gy, gx)""")
+    return f"""
+{_PREFIX},
+{",".join(parts)},
+wfin AS (SELECT g.image_id, g.gy, g.gx,
+                coalesce(k.key % 512, -1) AS basin,
+                g.gy * d.gw + g.gx AS fid, d.gw
+         FROM wsg g
+         JOIN wsdm d ON d.image_id = g.image_id
+         LEFT JOIN wk{rounds} k
+           ON k.image_id = g.image_id AND k.gy = g.gy AND k.gx = g.gx)
+SELECT f.image_id, f.basin,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(f.fid) AS BIGINT) AS cell_ck,
+       CAST(max(m.c) AS BIGINT) AS marker_c
+FROM wfin f
+LEFT JOIN wsg m ON m.image_id = f.image_id AND f.basin >= 0
+               AND m.gy = f.basin // f.gw AND m.gx = f.basin % f.gw
+GROUP BY f.image_id, f.basin
+"""
+
+
+ORACLES["watershed_basins"] = _ws_oracle()

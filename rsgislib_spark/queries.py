@@ -947,6 +947,16 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "new_id")
 
 
+def q_watershed_basins(spark, sf_dir) -> DataFrame:
+    """segmentation.skimgseg watershed wrapper — deterministic
+    bottleneck/minimax topographic-distance form
+    (operators/segmentation.watershed_basins docstring)."""
+    from .operators.segmentation import watershed_basins
+    img = _px_images(spark, sf_dir, mod=53, rows_per_task=32)
+    return watershed_basins(img) \
+        .select("image_id", "basin", "n_cells", "cell_ck", "marker_c")
+
+
 def q_quickshift_seg(spark, sf_dir) -> DataFrame:
     """segmentation.skimgseg quickshift wrapper (Vedaldi & Soatto 2008)
     — deterministic density-forest form
@@ -3811,6 +3821,7 @@ QUERIES = {
     "clump_merge": q_clump_merge,
     "slic_superpixels": q_slic_superpixels,
     "quickshift_seg": q_quickshift_seg,
+    "watershed_basins": q_watershed_basins,
     "clump_eliminate": q_clump_eliminate,
     "union_clumps": q_union_clumps,
     "seg_mean": q_seg_mean,

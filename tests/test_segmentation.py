@@ -155,3 +155,38 @@ def test_quickshift_invariants(spark, sf_dir):
         assert g.px_ck.sum() == n * (n - 1) // 2
         assert sorted(g.seg_id) == list(range(1, len(g) + 1))
         assert 1 <= len(g) < n          # non-trivial merging happened
+
+
+def test_watershed_invariants_and_convergence_margin(spark, sf_dir):
+    """Watershed basins partition the grid, every basin's marker is a
+    strict 4-neighbour local minimum, and the engine's fixpoint arrives
+    within 40 rounds on the corpus — margin under the oracle's 48-round
+    unroll (the leastcost lesson-20 discipline)."""
+    import numpy as np
+    from rsgislib_spark.functions import codec
+    from rsgislib_spark.operators.leastcost import block_costs
+    from rsgislib_spark.operators.segmentation import (_ws_relax,
+                                                       watershed_basins)
+    from rsgislib_spark.queries import _px_images
+
+    img = _px_images(spark, sf_dir, mod=53)
+    rows = img.select("image_id", "bytes", "w", "h", "fmt").collect()
+    out = watershed_basins(img).toPandas()
+    assert len(out) > 0
+    worst = 0
+    for r in rows:
+        c = block_costs(codec.decode_image(
+            bytes(r.bytes), r.w, r.h, r.fmt).astype(np.int64))
+        _ws_relax(c)
+        worst = max(worst, _ws_relax.last_rounds)
+        g = out[out.image_id == r.image_id]
+        assert g.n_cells.sum() == c.size        # complete partition
+        assert (g.basin >= 0).all()             # corpus has minima
+        for b, mc in zip(g.basin, g.marker_c):
+            gy, gx = divmod(int(b), c.shape[1])
+            assert c[gy, gx] == mc
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                ny, nx = gy + dy, gx + dx
+                if 0 <= ny < c.shape[0] and 0 <= nx < c.shape[1]:
+                    assert c[ny, nx] > c[gy, gx]   # strict local min
+    assert worst <= 40, f"convergence margin eroded: {worst} rounds"
