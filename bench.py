@@ -137,7 +137,7 @@ BENCH_QUERIES = [
     "warp_img", "warp_img_bilinear", "sref_sd2010", "sref_6s_aot_lut",
     "sref_6s_lut_interp", "gmm_hist_fit", "histo_sampling",
     "check_validate_geoms", "embed_ann_ivf", "slic_superpixels",
-    "quickshift_seg", "watershed_basins",
+    "quickshift_seg", "watershed_basins", "felzenszwalb_seg",
 ]
 
 

@@ -794,3 +794,112 @@ def _ws_relax(c: np.ndarray, max_rounds: int | None = None):
             break
     _ws_relax.last_rounds = rounds
     return key, gh, gw
+
+
+FH_K = 4000         # Felsenszwalb scale parameter (tau(C) = K / |C|)
+
+
+def felzenszwalb_segments(images: DataFrame, k: int = FH_K) -> DataFrame:
+    """segmentation.skimgseg felzenszwalb wrapper — the graph-based
+    segmentation of Felzenszwalb & Huttenlocher (IJCV 2004) itself:
+    process edges in ascending weight order; merge the two components
+    iff the edge weight w satisfies ``w <= MInt(C1, C2) = min(Int(Ci) +
+    k/|Ci|)`` where Int(C) is the max internal (MST) edge weight.
+
+    ROWS-ONLY entry (like alpha_shape/dem_fill/tmask): the algorithm is
+    a SEQUENTIAL scan over globally sorted edges with an adaptive
+    per-component threshold — each merge decision depends on every
+    earlier one, so it is not SQL-expressible; pytest asserts the
+    paper's Theorem-1 "not too fine" property (every pair of adjacent
+    final segments is separated by an edge strictly above both
+    components' thresholds) plus partition/monotonicity invariants.
+
+    Determinism: grid = the 8x8 block-sum surface (mod-53 subset);
+    edges = 4-neighbour |c_u - c_v|, totally ordered by (w, edge id);
+    the threshold test is cleared of the float division — ``w * |C| <=
+    Int(C) * |C| + k`` exact in int64; component root canonicalised to
+    the minimum member cell id.
+
+    Output: one row per (image_id, segment root) with n_cells, flat-id
+    checksum and the component's internal max edge weight.
+    """
+    from .leastcost import block_costs
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "root": [], "n_cells": [],
+                   "cell_ck": [], "int_max": []}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                c = block_costs(codec.decode_image(
+                    bytes(buf), int(w), int(h), str(fmt))
+                    .astype(np.int64))
+                roots, nc, ck, im = _fh_run(c, k)
+                out["image_id"].extend([image_id] * len(roots))
+                out["root"].extend(roots)
+                out["n_cells"].extend(nc)
+                out["cell_ck"].extend(ck)
+                out["int_max"].extend(im)
+            yield pd.DataFrame(out)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("root", LongType()),
+        StructField("n_cells", LongType()),
+        StructField("cell_ck", LongType()),
+        StructField("int_max", LongType()),
+    ])
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)
+
+
+def _fh_run(c: np.ndarray, k: int):
+    """Sequential FH over the grid; returns per-segment
+    (root fids, counts, checksums, internal max edge weights)."""
+    gh, gw = c.shape
+    n = gh * gw
+    cf = c.ravel()
+    edges = []
+    for y in range(gh):
+        for x in range(gw):
+            u = y * gw + x
+            if x + 1 < gw:
+                edges.append((abs(int(cf[u]) - int(cf[u + 1])), u, u + 1))
+            if y + 1 < gh:
+                edges.append((abs(int(cf[u]) - int(cf[u + gw])), u,
+                              u + gw))
+    # total order: (weight, smaller endpoint, larger endpoint)
+    edges.sort()
+    parent = list(range(n))
+    size = [1] * n
+    internal = [0] * n
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for w_, u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        # w <= Int(C) + k/|C| for BOTH components, cleared of division
+        if (w_ * size[ru] <= internal[ru] * size[ru] + k
+                and w_ * size[rv] <= internal[rv] * size[rv] + k):
+            # canonical root: the smaller fid survives
+            ra, rb = (ru, rv) if ru < rv else (rv, ru)
+            parent[rb] = ra
+            size[ra] += size[rb]
+            internal[ra] = max(internal[ra], internal[rb], w_)
+
+    lab = np.fromiter((find(i) for i in range(n)), dtype=np.int64,
+                      count=n)
+    roots, inv, counts = np.unique(lab, return_inverse=True,
+                                   return_counts=True)
+    cks = np.zeros(roots.size, dtype=np.int64)
+    np.add.at(cks, inv, np.arange(n, dtype=np.int64))
+    ims = [internal[int(r)] for r in roots]
+    return ([int(r) for r in roots], [int(x) for x in counts],
+            [int(x) for x in cks], [int(x) for x in ims])

@@ -947,6 +947,17 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "new_id")
 
 
+def q_felzenszwalb_seg(spark, sf_dir) -> DataFrame:
+    """segmentation.skimgseg felzenszwalb wrapper — the FH IJCV 2004
+    graph segmentation itself; ROWS-ONLY (sequential sorted-edge
+    union-find with adaptive thresholds is not SQL-expressible;
+    Theorem-1 invariants in test_segmentation)."""
+    from .operators.segmentation import felzenszwalb_segments
+    img = _px_images(spark, sf_dir, mod=53, rows_per_task=32)
+    return felzenszwalb_segments(img) \
+        .select("image_id", "root", "n_cells", "cell_ck", "int_max")
+
+
 def q_watershed_basins(spark, sf_dir) -> DataFrame:
     """segmentation.skimgseg watershed wrapper — deterministic
     bottleneck/minimax topographic-distance form
@@ -3822,6 +3833,7 @@ QUERIES = {
     "slic_superpixels": q_slic_superpixels,
     "quickshift_seg": q_quickshift_seg,
     "watershed_basins": q_watershed_basins,
+    "felzenszwalb_seg": q_felzenszwalb_seg,
     "clump_eliminate": q_clump_eliminate,
     "union_clumps": q_union_clumps,
     "seg_mean": q_seg_mean,

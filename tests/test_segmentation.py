@@ -190,3 +190,79 @@ def test_watershed_invariants_and_convergence_margin(spark, sf_dir):
                 if 0 <= ny < c.shape[0] and 0 <= nx < c.shape[1]:
                     assert c[ny, nx] > c[gy, gx]   # strict local min
     assert worst <= 40, f"convergence margin eroded: {worst} rounds"
+
+
+def test_felzenszwalb_theorem1_and_invariants(spark, sf_dir):
+    """FH Theorem-1 'not too fine': every edge between two DIFFERENT
+    final segments fails the merge predicate of at least one side
+    (w*|C| > Int(C)*|C| + k); plus partition completeness and
+    monotonicity in k."""
+    import numpy as np
+    from rsgislib_spark.functions import codec
+    from rsgislib_spark.operators.leastcost import block_costs
+    from rsgislib_spark.operators.segmentation import FH_K, _fh_run
+    from rsgislib_spark.queries import _px_images
+
+    img = _px_images(spark, sf_dir, mod=53)
+    rows = img.select("image_id", "bytes", "w", "h", "fmt").collect()
+    assert rows
+    for r in rows:
+        c = block_costs(codec.decode_image(
+            bytes(r.bytes), r.w, r.h, r.fmt).astype(np.int64))
+        gh, gw = c.shape
+        roots, counts, cks, ims = _fh_run(c, FH_K)
+        assert sum(counts) == gh * gw
+        n_small = len(_fh_run(c, FH_K * 10)[0])
+        assert n_small <= len(roots)            # monotone in k
+        # rebuild labels + per-root stats for the boundary check
+        stats = {rt: (n, im) for rt, n, im in zip(roots, counts, ims)}
+        # independent union-find replay (labels needed for the
+        # boundary check; also asserts the kernel's root set)
+        cf = c.ravel()
+        parent = list(range(gh * gw))
+        size = [1] * (gh * gw)
+        internal = [0] * (gh * gw)
+        edges = []
+        for y in range(gh):
+            for x in range(gw):
+                u = y * gw + x
+                if x + 1 < gw:
+                    edges.append((abs(int(cf[u]) - int(cf[u + 1])),
+                                  u, u + 1))
+                if y + 1 < gh:
+                    edges.append((abs(int(cf[u]) - int(cf[u + gw])),
+                                  u, u + gw))
+        edges.sort()
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for w_, u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru == rv:
+                continue
+            if (w_ * size[ru] <= internal[ru] * size[ru] + FH_K
+                    and w_ * size[rv] <= internal[rv] * size[rv] + FH_K):
+                ra, rb = (ru, rv) if ru < rv else (rv, ru)
+                parent[rb] = ra
+                size[ra] += size[rb]
+                internal[ra] = max(internal[ra], internal[rb], w_)
+        labf = [find(i) for i in range(gh * gw)]
+        assert sorted(set(labf)) == sorted(roots)   # replay == kernel
+        # Theorem 1: min crossing edge of every adjacent segment pair
+        # exceeds at least one side's threshold
+        crossing = {}
+        for w_, u, v in edges:
+            a, b = labf[u], labf[v]
+            if a != b:
+                key = (min(a, b), max(a, b))
+                if key not in crossing:
+                    crossing[key] = w_   # edges sorted -> first is min
+        for (a, b), w_ in crossing.items():
+            na, ia = stats[a][0], stats[a][1]
+            nb, ib = stats[b][0], stats[b][1]
+            assert (w_ * na > ia * na + FH_K) or (w_ * nb > ib * nb
+                                                  + FH_K), (a, b, w_)
