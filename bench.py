@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "sref_6s_lut_interp", "gmm_hist_fit", "histo_sampling",
     "check_validate_geoms", "embed_ann_ivf", "slic_superpixels",
     "quickshift_seg", "watershed_basins", "felzenszwalb_seg",
+    "random_walker",
 ]
 
 

@@ -903,3 +903,119 @@ def _fh_run(c: np.ndarray, k: int):
     ims = [internal[int(r)] for r in roots]
     return ([int(r) for r in roots], [int(x) for x in counts],
             [int(x) for x in cks], [int(x) for x in ims])
+
+
+RW_BETA_DEN = 2097152.0   # weight arg = -(dv^2) / RW_BETA_DEN
+RW_ROUNDS = 40            # fixed Jacobi unroll
+RW_POT_Q = 1048576.0      # potential output quantiser 2^20
+
+
+def random_walker_basins(images: DataFrame,
+                         rounds: int = RW_ROUNDS) -> DataFrame:
+    """segmentation.skimgseg random_walker wrapper (Grady, PAMI 2006)
+    in a deterministic fixed-round form.
+
+    Random-walker segmentation solves the combinatorial Dirichlet
+    problem: the probability x_p that a random walker from cell p
+    reaches seed A before seed B is the harmonic function with x=1 at
+    A, x=0 at B, edge weights ``w = exp(-(c_u - c_v)^2 / beta)``.  The
+    reference's skimage call solves the sparse linear system directly;
+    the engine runs ``RW_ROUNDS`` unrolled JACOBI sweeps — each round
+    computes, for every non-seed cell,
+
+        x'_p = (wN*xN + wS*xS + wW*xW + wE*xE) / (wN + wS + wW + wE)
+
+    with the neighbour terms added in the FIXED order N, S, W, E
+    (missing neighbours contribute literal 0.0) and the weights through
+    the pinned detmath exp tree — every double op is identical and
+    identically ordered in numpy and SQL, so the iterate is bitwise
+    reproducible and fully oracle-checkable (no rows-only fallback).
+
+    Grid/seeds (deterministic): the 8x8 block-sum surface (mod-53
+    subset); seed A = the min-value cell, seed B = the max-value cell,
+    ties -> lowest flat id (degenerate all-equal grids would make A=B
+    and are dropped by both engines — the corpus has none).  Label =
+    x > 0.5 after the final round (exact double compare).
+
+    Output per image: cell counts per label, the quantised-potential
+    checksum sum(floor(x * 2^20)) (exact integer sum), and the seeds.
+    """
+    from ..functions.detmath import exp_np
+    from .leastcost import block_costs
+
+    def gen(it):
+        for pdf in it:
+            out = {"image_id": [], "n_cells": [], "n_a": [], "n_b": [],
+                   "seed_a": [], "seed_b": [], "pot_ck": []}
+            for image_id, buf, w, h, fmt in zip(
+                    pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                    pdf["fmt"]):
+                c = block_costs(codec.decode_image(
+                    bytes(buf), int(w), int(h), str(fmt))
+                    .astype(np.int64))
+                gh, gw = c.shape
+                cf = c.ravel()
+                sa = int(np.argmin(cf))         # first min -> lowest fid
+                sb = int(np.argmax(cf))         # first max -> lowest fid
+                if sa == sb:
+                    continue
+                # edge weight to each of the 4 neighbours (0 outside)
+                wgt = {}
+                for tag, dy, dx in (("N", -1, 0), ("S", 1, 0),
+                                    ("W", 0, -1), ("E", 0, 1)):
+                    g = np.zeros((gh, gw), dtype=np.float64)
+                    ys0, ys1 = max(0, -dy), min(gh, gh - dy)
+                    xs0, xs1 = max(0, -dx), min(gw, gw - dx)
+                    me = (slice(ys0, ys1), slice(xs0, xs1))
+                    nb = (slice(ys0 + dy, ys1 + dy),
+                          slice(xs0 + dx, xs1 + dx))
+                    dv = (c[nb] - c[me]).astype(np.float64)
+                    arg = np.maximum(
+                        0.0 - ((dv * dv) / RW_BETA_DEN), -700.0)
+                    g[me] = exp_np(arg)
+                    wgt[tag] = g
+                x = np.zeros((gh, gw), dtype=np.float64)
+                x.ravel()[sa] = 1.0
+                seeds = np.zeros((gh, gw), dtype=bool)
+                seeds.ravel()[[sa, sb]] = True
+
+                def shift(a, dy, dx):
+                    o = np.zeros_like(a)
+                    ys0, ys1 = max(0, -dy), min(gh, gh - dy)
+                    xs0, xs1 = max(0, -dx), min(gw, gw - dx)
+                    o[ys0:ys1, xs0:xs1] = a[ys0 + dy:ys1 + dy,
+                                            xs0 + dx:xs1 + dx]
+                    return o
+
+                for _ in range(rounds):
+                    num = wgt["N"] * shift(x, -1, 0)
+                    num = num + wgt["S"] * shift(x, 1, 0)
+                    num = num + wgt["W"] * shift(x, 0, -1)
+                    num = num + wgt["E"] * shift(x, 0, 1)
+                    den = wgt["N"] + wgt["S"]
+                    den = den + wgt["W"]
+                    den = den + wgt["E"]
+                    xn = num / den
+                    x = np.where(seeds, x, xn)
+                lab_a = x > 0.5
+                pot = np.floor(x * RW_POT_Q).astype(np.int64)
+                out["image_id"].append(image_id)
+                out["n_cells"].append(gh * gw)
+                out["n_a"].append(int(lab_a.sum()))
+                out["n_b"].append(int(gh * gw - lab_a.sum()))
+                out["seed_a"].append(sa)
+                out["seed_b"].append(sb)
+                out["pot_ck"].append(int(pot.sum()))
+            yield pd.DataFrame(out)
+
+    schema = StructType([
+        StructField("image_id", StringType()),
+        StructField("n_cells", LongType()),
+        StructField("n_a", LongType()),
+        StructField("n_b", LongType()),
+        StructField("seed_a", LongType()),
+        StructField("seed_b", LongType()),
+        StructField("pot_ck", LongType()),
+    ])
+    return images.select("image_id", "bytes", "w", "h", "fmt") \
+        .mapInPandas(gen, schema=schema)

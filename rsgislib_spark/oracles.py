@@ -9088,3 +9088,115 @@ GROUP BY f.image_id, f.basin
 
 
 ORACLES["watershed_basins"] = _ws_oracle()
+
+
+# ---------------------------------------------------------- random walker
+# segmentation.skimgseg random_walker wrapper (Grady 2006) in the
+# deterministic fixed-round Jacobi form — twin of
+# segmentation.random_walker_basins: weights once through the pinned
+# exp tree, 40 unrolled sweeps with the N,S,W,E add order fixed, seeds
+# pinned, exact-compare labels and integer-quantised potential sums.
+
+def _rw_oracle(rounds: int = 40) -> str:
+    from .functions.detmath import exp_chain_sql
+    args = []
+    for tag, dy, dx in (("n", -1, 0), ("s", 1, 0),
+                        ("w", 0, -1), ("e", 0, 1)):
+        dv = f"(CAST(c{tag} AS DOUBLE) - CAST(c AS DOUBLE))"
+        args.append(
+            f"CASE WHEN c{tag} IS NULL THEN NULL ELSE "
+            f"greatest(0.0 - (({dv} * {dv}) / 2097152.0), -700.0) END"
+            f" AS arg{tag}")
+    base = f"""
+SELECT g.image_id, g.gy, g.gx, g.fid, g.sa, g.sb, g.c,
+       gn.c AS cn, gs.c AS cs, gw2.c AS cw, ge.c AS ce
+FROM rwgs g
+LEFT JOIN rwgs gn ON gn.image_id = g.image_id
+                 AND gn.gy = g.gy - 1 AND gn.gx = g.gx
+LEFT JOIN rwgs gs ON gs.image_id = g.image_id
+                 AND gs.gy = g.gy + 1 AND gs.gx = g.gx
+LEFT JOIN rwgs gw2 ON gw2.image_id = g.image_id
+                  AND gw2.gy = g.gy AND gw2.gx = g.gx - 1
+LEFT JOIN rwgs ge ON ge.image_id = g.image_id
+                 AND ge.gy = g.gy AND ge.gx = g.gx + 1
+""".strip()
+    inner = f"SELECT *, {', '.join(args)} FROM ({base})"
+    for tag in ("n", "s", "w", "e"):
+        inner = exp_chain_sql(inner, f"arg{tag}", f"e{tag}")
+    ws = ", ".join(
+        f"CASE WHEN arg{tag} IS NULL THEN 0.0 ELSE e{tag} END AS w{tag}"
+        for tag in ("n", "s", "w", "e"))
+    parts = [f"""
+rwx AS (SELECT image_id, id, w, h, fmt,
+               unnest(generate_series(0, w - 1)) AS x
+        FROM img WHERE id % 53 = 0),
+rwpxy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM rwx),
+rwg AS MATERIALIZED (
+  SELECT image_id, y // 8 AS gy, x // 8 AS gx,
+         CAST(sum({_PXV}) AS BIGINT) AS c
+  FROM rwpxy GROUP BY image_id, y // 8, x // 8),
+rwdm AS (SELECT image_id, CAST(max(gx) + 1 AS BIGINT) AS gw
+         FROM rwg GROUP BY image_id),
+rwsd AS (SELECT image_id,
+                min(CASE WHEN ra = 1 THEN fid END) AS sa,
+                min(CASE WHEN rb = 1 THEN fid END) AS sb
+         FROM (SELECT g.image_id, g.gy * d.gw + g.gx AS fid,
+                      row_number() OVER (PARTITION BY g.image_id
+                        ORDER BY g.c ASC, g.gy * d.gw + g.gx ASC) AS ra,
+                      row_number() OVER (PARTITION BY g.image_id
+                        ORDER BY g.c DESC, g.gy * d.gw + g.gx ASC) AS rb
+               FROM rwg g JOIN rwdm d ON d.image_id = g.image_id)
+         GROUP BY image_id),
+rwgs AS MATERIALIZED (
+  SELECT g.image_id, g.gy, g.gx, g.c, g.gy * d.gw + g.gx AS fid,
+         s.sa, s.sb
+  FROM rwg g
+  JOIN rwdm d ON d.image_id = g.image_id
+  JOIN rwsd s ON s.image_id = g.image_id
+  WHERE s.sa <> s.sb),
+rww AS MATERIALIZED (SELECT image_id, gy, gx, fid, sa, sb, {ws}
+                     FROM ({inner})),
+rw0 AS (SELECT image_id, gy, gx,
+               CASE WHEN fid = sa THEN 1.0 ELSE 0.0 END AS x
+        FROM rww)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+rw{r} AS MATERIALIZED (
+  SELECT w.image_id, w.gy, w.gx,
+         CASE WHEN w.fid = w.sa OR w.fid = w.sb THEN p.x
+              ELSE (w.wn * coalesce(pn.x, 0.0)
+                    + w.ws * coalesce(ps.x, 0.0)
+                    + w.ww * coalesce(pw.x, 0.0)
+                    + w.we * coalesce(pe.x, 0.0))
+                   / (w.wn + w.ws + w.ww + w.we) END AS x
+  FROM rww w
+  JOIN rw{r - 1} p ON p.image_id = w.image_id
+                  AND p.gy = w.gy AND p.gx = w.gx
+  LEFT JOIN rw{r - 1} pn ON pn.image_id = w.image_id
+                        AND pn.gy = w.gy - 1 AND pn.gx = w.gx
+  LEFT JOIN rw{r - 1} ps ON ps.image_id = w.image_id
+                        AND ps.gy = w.gy + 1 AND ps.gx = w.gx
+  LEFT JOIN rw{r - 1} pw ON pw.image_id = w.image_id
+                        AND pw.gy = w.gy AND pw.gx = w.gx - 1
+  LEFT JOIN rw{r - 1} pe ON pe.image_id = w.image_id
+                        AND pe.gy = w.gy AND pe.gx = w.gx + 1)""")
+    return f"""
+{_PREFIX},
+{",".join(parts)}
+SELECT w.image_id,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN f.x > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_a,
+       CAST(sum(CASE WHEN f.x > 0.5 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_b,
+       any_value(w.sa) AS seed_a, any_value(w.sb) AS seed_b,
+       CAST(sum(CAST(floor(f.x * 1048576.0) AS BIGINT)) AS BIGINT)
+         AS pot_ck
+FROM rww w
+JOIN rw{rounds} f ON f.image_id = w.image_id
+                 AND f.gy = w.gy AND f.gx = w.gx
+GROUP BY w.image_id
+"""
+
+
+ORACLES["random_walker"] = _rw_oracle()

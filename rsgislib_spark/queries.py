@@ -947,6 +947,17 @@ def q_rat_collapse(spark, sf_dir) -> DataFrame:
         .select("image_id", "clump_id", "new_id")
 
 
+def q_random_walker(spark, sf_dir) -> DataFrame:
+    """segmentation.skimgseg random_walker wrapper (Grady 2006) —
+    deterministic fixed-round Jacobi form with bitwise-reproducible
+    doubles (operators/segmentation.random_walker_basins docstring)."""
+    from .operators.segmentation import random_walker_basins
+    img = _px_images(spark, sf_dir, mod=53, rows_per_task=32)
+    return random_walker_basins(img) \
+        .select("image_id", "n_cells", "n_a", "n_b",
+                "seed_a", "seed_b", "pot_ck")
+
+
 def q_felzenszwalb_seg(spark, sf_dir) -> DataFrame:
     """segmentation.skimgseg felzenszwalb wrapper — the FH IJCV 2004
     graph segmentation itself; ROWS-ONLY (sequential sorted-edge
@@ -3834,6 +3845,7 @@ QUERIES = {
     "quickshift_seg": q_quickshift_seg,
     "watershed_basins": q_watershed_basins,
     "felzenszwalb_seg": q_felzenszwalb_seg,
+    "random_walker": q_random_walker,
     "clump_eliminate": q_clump_eliminate,
     "union_clumps": q_union_clumps,
     "seg_mean": q_seg_mean,

@@ -266,3 +266,22 @@ def test_felzenszwalb_theorem1_and_invariants(spark, sf_dir):
             nb, ib = stats[b][0], stats[b][1]
             assert (w_ * na > ia * na + FH_K) or (w_ * nb > ib * nb
                                                   + FH_K), (a, b, w_)
+
+
+def test_random_walker_invariants(spark, sf_dir):
+    """Random-walker potential obeys the discrete maximum principle
+    (0 <= x <= 1, checked via the quantised sum bounds), both seeds
+    anchor their own label, and partitions are complete."""
+    from rsgislib_spark.operators.segmentation import random_walker_basins
+    from rsgislib_spark.queries import _px_images
+
+    out = random_walker_basins(_px_images(spark, sf_dir, mod=53)) \
+        .toPandas()
+    assert len(out) > 0
+    for r in out.itertuples():
+        assert r.n_a + r.n_b == r.n_cells
+        assert r.n_a >= 1 and r.n_b >= 1        # each seed holds a side
+        assert r.seed_a != r.seed_b
+        # maximum principle: every potential in [0, 1] =>
+        # 0 <= pot_ck <= n_cells * 2^20
+        assert 0 <= r.pot_ck <= r.n_cells * 1048576
