@@ -366,3 +366,34 @@ def test_ann_ivf_semantics(emb):
     assert statistics.median(ratios) >= 0.85
     hit = sum(1 for k, v in exact.items() if sub[k][0] == v[0])
     assert hit / len(exact) >= 0.2
+
+
+def test_winnow_short_doc_boundary_cross_engine(spark):
+    """Docs shorter than k + w - 1 degenerate to a single whole-doc
+    window (engine docstring boundary rule) — the corpus never
+    exercises this path (min doc length 48), so check the engine
+    against a DuckDB replay of the same base-256 construction on
+    lengths k-1 .. k+w chars."""
+    import duckdb
+
+    from rsgislib_spark.operators import textops as tx
+
+    rows = [(i, "abcdefghijkl"[:n]) for i, n in enumerate((7, 8, 9, 10,
+                                                           11, 12, 40))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.fp): r.n_windows
+           for r in tx.winnow_fingerprints(docs).collect()}
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    from rsgislib_spark.oracles import ORACLES
+    exp = {(r[0], r[1]): r[2]
+           for r in con.sql(ORACLES["doc_winnow"]).fetchall()}
+    assert got == exp
+    # the 7-char doc (< k) drops; 8..11-char docs yield exactly one
+    # whole-doc window
+    ids = {d for d, _ in got}
+    assert 0 not in ids
+    for d, n in ((1, 8), (2, 9), (3, 10), (4, 11)):
+        wins = [v for (dd, _), v in got.items() if dd == d]
+        assert sum(wins) == max(n - 7 - 3, 1)
